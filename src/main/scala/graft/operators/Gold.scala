@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Gold-layer operator set: date dimension generator, SCD Type-1 dims with
+  * deterministic surrogate keys, fact build with surrogate-key resolution,
+  * and aggregate rollup tables (SURVEY.md §2.11 D9–D12).
+  *
+  * Reference semantics: /root/reference/gold/gold_rx_claims_load.py
+  * (dim_date :28-81, dim builds :84-151, fact :154-234, aggregates
+  * :237-245 — truncated in the reference; reconstructed from its imports
+  * of sum/count/avg/max at gold:10). Reference bugs fixed here:
+  * B2 (`Column.replace` date_key) → `date_format(..., "yyyyMMdd")`;
+  * B5 (timestamp-vs-date dim join key) → both sides normalized to DATE;
+  * nondeterministic `monotonically_increasing_id` surrogate keys
+  * (gold:108,142,207) → `row_number` over the natural key, so keys are
+  * stable across runs/partitionings and oracle-comparable.
+  */
+object Gold {
+
+  /** D9: calendar dimension 2020-01-01..2030-12-31 (4,018 rows), generated
+    * distributively via `sequence` + `explode` instead of the reference's
+    * 4,018-iteration driver loop + createDataFrame (gold:38-48). At any
+    * scale this is one tiny task; no data ever ships from the driver.
+    */
+  def dimDate(spark: SparkSession, start: String = "2020-01-01",
+      end: String = "2030-12-31"): DataFrame = {
+    spark.range(1)
+      .select(explode(sequence(
+        to_date(lit(start)), to_date(lit(end)), expr("interval 1 day")))
+        .as("date_value"))
+      .withColumn("date_key", date_format(col("date_value"), "yyyyMMdd").cast("int"))
+      .withColumn("year", year(col("date_value")))
+      .withColumn("month", month(col("date_value")))
+      .withColumn("day", dayofmonth(col("date_value")))
+      .withColumn("quarter", quarter(col("date_value")))
+      .withColumn("day_of_week", dayofweek(col("date_value")))
+      .withColumn("week_of_year", weekofyear(col("date_value")))
+      .withColumn("is_weekend", dayofweek(col("date_value")).isin(1, 7))
+      .withColumn("month_name", date_format(col("date_value"), "MMMM"))
+  }
+
+  /** Deterministic surrogate key: dense row_number over the natural key
+    * order. Replaces `monotonically_increasing_id` (gold:108,142,207) whose
+    * values depend on partition layout. The single-partition window is fine
+    * for dimension tables (small by definition); fact-side keys use the
+    * natural business key instead (see fact build).
+    */
+  def withSurrogateKey(df: DataFrame, keyName: String, naturalOrder: Seq[Column]): DataFrame =
+    df.withColumn(keyName, row_number().over(Window.orderBy(naturalOrder: _*)))
+
+  /** D10: SCD Type-1 member dimension from `customer` (full-refresh
+    * projection + surrogate key, gold:84-117).
+    */
+  def dimMember(customer: DataFrame): DataFrame =
+    withSurrogateKey(
+      customer.select(
+        col("c_custkey").as("member_id"),
+        upper(trim(col("c_name"))).as("member_name"),
+        col("c_nationkey").as("nation_key"),
+        col("c_acctbal").cast(DecimalType(18, 2)).as("account_balance"),
+        col("c_mktsegment").as("segment")),
+      "member_sk", Seq(col("member_id")))
+
+  /** D10: SCD Type-1 provider dimension from `supplier` (gold:120-151). */
+  def dimProvider(supplier: DataFrame): DataFrame =
+    withSurrogateKey(
+      supplier.select(
+        col("s_suppkey").as("provider_id"),
+        upper(trim(col("s_name"))).as("provider_name"),
+        col("s_nationkey").as("nation_key"),
+        col("s_acctbal").cast(DecimalType(18, 2)).as("account_balance")),
+      "provider_sk", Seq(col("provider_id")))
+
+  /** D11: fact build — resolve surrogate keys via left joins to the dims
+    * (gold:167-187) and derive metrics (gold:189-205;
+    * member_responsibility ≡ billed − paid → here `charge = price·(1−disc)`
+    * and `charge_with_tax`). Dims are broadcast: the fact side never
+    * shuffles for these joins, which is the property that must hold at
+    * 1000 executors — dimension size is bounded, fact size is not.
+    */
+  def factLines(lineitem: DataFrame, orders: DataFrame, dimMember: DataFrame,
+      dimProvider: DataFrame, dimDate: DataFrame): DataFrame = {
+    val li = lineitem.withColumn("ship_date", to_date(col("l_shipdate")))
+    li.join(broadcast(orders.select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("order_date"), col("o_orderstatus"))),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .join(broadcast(dimMember.select(col("member_id"), col("member_sk"))),
+        col("o_custkey") === col("member_id"), "left")
+      .join(broadcast(dimProvider.select(col("provider_id"), col("provider_sk"))),
+        col("l_suppkey") === col("provider_id"), "left")
+      .join(broadcast(dimDate.select(col("date_value"), col("date_key"))),
+        col("ship_date") === col("date_value"), "left")
+      .select(
+        col("l_orderkey").as("claim_id"),
+        col("l_linenumber").as("claim_line_number"),
+        col("member_sk"), col("provider_sk"),
+        col("date_key").as("service_date_key"),
+        col("order_date"), col("o_orderstatus").as("order_status"),
+        col("l_quantity").as("quantity"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("billed_amount"),
+        // decimal-domain arithmetic: cast the 2-decimal inputs first, keep
+        // the exact product scale — no double-rounding ties, identical in
+        // any engine at any parallelism
+        (col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+          .cast(DecimalType(18, 4)).as("charge"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1) - col("l_discount").cast(DecimalType(4, 2))) *
+          (lit(1) + col("l_tax").cast(DecimalType(4, 2))))
+          .cast(DecimalType(18, 6)).as("charge_with_tax"))
+  }
+
+  /** D12: aggregate rollup of the fact by calendar month — the truncated
+    * `build_aggregation_tables` reconstructed with its imported aggregates
+    * (sum/count/avg/max, gold:10). Decimal sums make the rollup exactly
+    * order-independent, so results are identical on 1 or 1000 executors.
+    */
+  def monthlyRollup(fact: DataFrame): DataFrame =
+    fact.groupBy((col("service_date_key") / 100).cast("int").as("year_month"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("charge")).cast(DecimalType(18, 4)).as("total_charge"),
+        (sum(col("charge")) / count(lit(1))).cast(DecimalType(18, 6)).as("avg_charge"),
+        max(col("charge")).as("max_charge"))
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class GoldMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val dd = Gold.dimDate(spark)
+
+  test("dimDate: 4018 rows, correct keys/attrs (reference B2 fix)") {
+    assert(dd.count() == 4018)
+    val r = dd.filter($"date_value" === to_date(lit("2020-02-29"))).collect()(0)
+    assert(r.getAs[Int]("date_key") == 20200229)
+    assert(r.getAs[Int]("quarter") == 1)
+    assert(r.getAs[Boolean]("is_weekend")) // 2020-02-29 is a Saturday
+    assert(r.getAs[String]("month_name") == "February")
+    assert(r.getAs[Int]("day_of_week") == 7) // Spark: 1=Sunday..7=Saturday
+  }
+
+  test("surrogate keys are deterministic and dense") {
+    val dm = Gold.dimMember(Tables.customer(spark, sf))
+    val keys = dm.orderBy("member_id").select("member_sk").as[Int].collect()
+    assert(keys.toSeq == (1 to keys.length))
+    // re-running yields identical assignment (unlike monotonically_increasing_id)
+    val again = Gold.dimMember(Tables.customer(spark, sf))
+    assert(dm.exceptAll(again).isEmpty)
+  }
+
+  test("factLines resolves all surrogate keys (referential integrity)") {
+    val fact = Gold.factLines(
+      Tables.lineitem(spark, sf), Tables.orders(spark, sf),
+      Gold.dimMember(Tables.customer(spark, sf)),
+      Gold.dimProvider(Tables.supplier(spark, sf)), dd)
+    assert(fact.filter($"member_sk".isNull || $"provider_sk".isNull).count() == 0)
+    assert(fact.count() == Tables.lineitem(spark, sf).count())
+  }
+
+  test("monthlyRollup aggregates conserve the total") {
+    val fact = Gold.factLines(
+      Tables.lineitem(spark, sf), Tables.orders(spark, sf),
+      Gold.dimMember(Tables.customer(spark, sf)),
+      Gold.dimProvider(Tables.supplier(spark, sf)), dd)
+    val roll = Gold.monthlyRollup(fact)
+    val total = fact.agg(sum($"charge")).collect()(0).getDecimal(0)
+    val rolled = roll.agg(sum($"total_charge")).collect()(0).getDecimal(0)
+    assert(total.compareTo(rolled) == 0)
+    assert(roll.agg(sum($"n_lines")).collect()(0).getLong(0) == fact.count())
+  }
+
+  test("Merge.upsert: updateAll + insertAll semantics, idempotent") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "v", "x")
+    val source = Seq((2L, "B", 99.0), (3L, "c", 30.0)).toDF("k", "v", "x")
+    val merged = Merge.upsert(target, source, Seq("k"))
+    val got = merged.orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0)))
+    // idempotent: merging the same source again changes nothing
+    val again = Merge.upsert(merged, source, Seq("k"))
+    assert(again.exceptAll(merged).isEmpty && merged.exceptAll(again).isEmpty)
+  }
+
+  test("flagship returns rows on sf0.001 (smoke)") {
+    val df = graft.SparkEntry.entry(spark)
+    assert(df.count() > 0)
+  }
+}
