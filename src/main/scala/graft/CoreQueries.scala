@@ -1,0 +1,485 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{Bronze, Gold, Merge, Silver}
+
+/** Reference-surface query registry: Silver operators D3–D8 (q02–q07),
+  * Gold star schema D9–D12 (q08–q12), MERGE J2 (q13), the doc-declared
+  * referential-integrity / stats checks (q14–q16), and event-table
+  * JSON + window analytics (q17–q19) covering SURVEY.md §2.2–§2.9.
+  *
+  * Every query: deterministic ordering, decimal-domain money math,
+  * engine-portable types (bigint counts, explicit casts). See
+  * Queries.scala for the flagship and the determinism rules.
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    Tables.load(s, d, name)
+
+  // ---------------------------------------------------------------- M1
+
+  /** q02 — DQ rule engine (D6) over cleansed claim lines. */
+  def dqRuleEngine(s: SparkSession, d: String): DataFrame =
+    Silver.applyDqRules(Silver.cleanseLineitem(t(s, d, "lineitem")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("dq_status"), col("dq_reasons_csv"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val dqReasonsSql =
+    """concat_ws(';',
+      |  CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL
+      |         OR l_partkey IS NULL OR l_suppkey IS NULL THEN 'MISSING_REQUIRED_FIELDS' END,
+      |  CASE WHEN l_shipdate > TIMESTAMP '1999-01-01' THEN 'FUTURE_SERVICE_DATE' END,
+      |  CASE WHEN NOT regexp_matches(upper(trim(l_returnflag)), '^[ANR]$') THEN 'INVALID_RETURN_FLAG' END,
+      |  CASE WHEN l_extendedprice <= 0 OR l_quantity <= 0 THEN 'NON_POSITIVE_AMOUNT' END,
+      |  CASE WHEN l_discount < 0 OR l_discount > 1 THEN 'INVALID_DISCOUNT' END)""".stripMargin
+
+  val dqRuleEngineOracle: String =
+    s"""SELECT l_orderkey, l_linenumber,
+       |  CASE WHEN (l_orderkey IS NULL OR l_linenumber IS NULL OR l_partkey IS NULL OR l_suppkey IS NULL)
+       |         OR (l_shipdate > TIMESTAMP '1999-01-01')
+       |         OR (NOT regexp_matches(upper(trim(l_returnflag)), '^[ANR]$$'))
+       |         OR (l_extendedprice <= 0 OR l_quantity <= 0)
+       |         OR (l_discount < 0 OR l_discount > 1)
+       |       THEN 'FAIL' ELSE 'PASS' END AS dq_status,
+       |  $dqReasonsSql AS dq_reasons_csv
+       |FROM lineitem ORDER BY 1, 2""".stripMargin
+
+  /** q03 — quarantine split (D7). The fixtures are clean, so a bad feed is
+    * simulated deterministically IN the query (negated price + invalid
+    * flag for every 97th order key) and the FAIL side is returned —
+    * exercising the gate with a non-empty quarantine.
+    */
+  def quarantine(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val corrupted = li.filter(col("l_orderkey") % 97 === 0)
+      .withColumn("l_extendedprice", -col("l_extendedprice"))
+      .withColumn("l_returnflag", lit("X"))
+    val (_, fail) = Silver.quarantineSplit(
+      Silver.applyDqRules(Silver.cleanseLineitem(li.unionByName(corrupted))))
+    fail.select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("dq_reasons_csv"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val quarantineOracle: String =
+    """WITH feed AS (
+      |  SELECT * FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+      |         -l_extendedprice AS l_extendedprice, l_discount, l_tax,
+      |         'X' AS l_returnflag, l_linestatus, l_shipdate
+      |  FROM lineitem WHERE l_orderkey % 97 = 0
+      |)
+      |SELECT l_orderkey, l_linenumber, upper(trim(l_returnflag)) AS l_returnflag,
+      |  concat_ws(';',
+      |    CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL
+      |           OR l_partkey IS NULL OR l_suppkey IS NULL THEN 'MISSING_REQUIRED_FIELDS' END,
+      |    CASE WHEN l_shipdate > TIMESTAMP '1999-01-01' THEN 'FUTURE_SERVICE_DATE' END,
+      |    CASE WHEN NOT regexp_matches(upper(trim(l_returnflag)), '^[ANR]$') THEN 'INVALID_RETURN_FLAG' END,
+      |    CASE WHEN l_extendedprice <= 0 OR l_quantity <= 0 THEN 'NON_POSITIVE_AMOUNT' END,
+      |    CASE WHEN l_discount < 0 OR l_discount > 1 THEN 'INVALID_DISCOUNT' END) AS dq_reasons_csv
+      |FROM feed
+      |WHERE (l_orderkey IS NULL OR l_linenumber IS NULL OR l_partkey IS NULL OR l_suppkey IS NULL)
+      |   OR (l_shipdate > TIMESTAMP '1999-01-01')
+      |   OR (NOT regexp_matches(upper(trim(l_returnflag)), '^[ANR]$'))
+      |   OR (l_extendedprice <= 0 OR l_quantity <= 0)
+      |   OR (l_discount < 0 OR l_discount > 1)
+      |ORDER BY 1, 2""".stripMargin
+
+  /** q04 — business-key dedup via ranked window (D8/W1): one row per order
+    * key, latest ship date, line-number tie-break.
+    */
+  def dedupWindow(s: SparkSession, d: String): DataFrame =
+    Silver.dedupLatest(t(s, d, "lineitem"), Seq("l_orderkey"),
+        Seq(col("l_shipdate").desc, col("l_linenumber").desc))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        to_date(col("l_shipdate")).as("ship_date"))
+      .orderBy("l_orderkey")
+
+  val dedupWindowOracle: String =
+    """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber, l_shipdate,
+      |         row_number() OVER (PARTITION BY l_orderkey
+      |                            ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+      |  FROM lineitem)
+      |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin
+
+  /** q05 — watermark incremental read (D3/D4): the stored high-water mark
+    * is itself derived from data (max order date before 1997), then the
+    * incremental scan returns only rows above it. The mark is a one-row
+    * broadcast — no driver collect.
+    */
+  def watermarkIncremental(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders")
+    val wm = Silver.watermarkCommit(
+      orders.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+      "orders", "o_orderdate")
+    Silver.incrementalAfter(orders, wm, "orders", "o_orderdate")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  val watermarkIncrementalOracle: String =
+    """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+      |WHERE o_orderdate > (SELECT max(o_orderdate) FROM orders
+      |                     WHERE o_orderdate < TIMESTAMP '1997-01-01')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q06 — cleanse/standardize (D5) over `part`: trim/upper codes, decimal
+    * money.
+    */
+  def cleanseStandardize(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part").select(
+      col("p_partkey"),
+      upper(trim(col("p_name"))).as("part_name"),
+      upper(trim(col("p_brand"))).as("brand"),
+      upper(trim(col("p_type"))).as("part_type"),
+      col("p_size"),
+      col("p_retailprice").cast(DecimalType(18, 2)).as("retail_price"))
+      .orderBy("p_partkey")
+
+  val cleanseStandardizeOracle: String =
+    """SELECT p_partkey, upper(trim(p_name)) AS part_name,
+      |  upper(trim(p_brand)) AS brand, upper(trim(p_type)) AS part_type,
+      |  p_size, CAST(p_retailprice AS DECIMAL(18,2)) AS retail_price
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** q07 — bronze ingest validation (D1+D2): lineage-stamped load (with
+    * deterministic stamps, the oracle-safe variant of current_timestamp /
+    * input_file_name) then the one-pass validation aggregate.
+    */
+  def bronzeValidation(s: SparkSession, d: String): DataFrame = {
+    val stamped = Bronze.stampLineage(t(s, d, "lineitem"), "tpch_feed", "load_0001",
+      ingestionTs = lit("2026-01-01 00:00:00").cast("timestamp"),
+      sourceFile = lit("lineitem.parquet"))
+    Bronze.validationStats(stamped,
+      Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+  }
+
+  val bronzeValidationOracle: String =
+    """SELECT count(*) AS total_rows,
+      |  count(CASE WHEN l_orderkey IS NULL AND l_linenumber IS NULL
+      |               AND l_partkey IS NULL AND l_suppkey IS NULL THEN 1 END) AS null_key_rows,
+      |  CAST(0 AS BIGINT) AS corrupt_rows,
+      |  CAST(1 AS BIGINT) AS distinct_source_files
+      |FROM lineitem""".stripMargin
+
+  // ---------------------------------------------------------------- M2
+
+  /** q08 — generated date dimension (D9), 4,018 rows. */
+  def dimDate(s: SparkSession, d: String): DataFrame =
+    Gold.dimDate(s).orderBy("date_key")
+
+  val dimDateOracle: String =
+    """SELECT CAST(d AS DATE) AS date_value,
+      |  CAST(strftime(d, '%Y%m%d') AS INTEGER) AS date_key,
+      |  CAST(year(d) AS INTEGER) AS year, CAST(month(d) AS INTEGER) AS month,
+      |  CAST(day(d) AS INTEGER) AS day, CAST(quarter(d) AS INTEGER) AS quarter,
+      |  CAST(dayofweek(d) + 1 AS INTEGER) AS day_of_week,
+      |  CAST(weekofyear(d) AS INTEGER) AS week_of_year,
+      |  dayofweek(d) IN (0, 6) AS is_weekend,
+      |  monthname(d) AS month_name
+      |FROM generate_series(DATE '2020-01-01', DATE '2030-12-31', INTERVAL 1 DAY) AS t(d)
+      |ORDER BY date_key""".stripMargin
+
+  /** q09 — SCD1 member dimension with deterministic surrogate keys (D10). */
+  def dimMember(s: SparkSession, d: String): DataFrame =
+    Gold.dimMember(t(s, d, "customer")).orderBy("member_id")
+
+  val dimMemberOracle: String =
+    """SELECT c_custkey AS member_id, upper(trim(c_name)) AS member_name,
+      |  c_nationkey AS nation_key, CAST(c_acctbal AS DECIMAL(18,2)) AS account_balance,
+      |  c_mktsegment AS segment,
+      |  row_number() OVER (ORDER BY c_custkey) AS member_sk
+      |FROM customer ORDER BY member_id""".stripMargin
+
+  /** q10 — SCD1 provider dimension (D10). */
+  def dimProvider(s: SparkSession, d: String): DataFrame =
+    Gold.dimProvider(t(s, d, "supplier")).orderBy("provider_id")
+
+  val dimProviderOracle: String =
+    """SELECT s_suppkey AS provider_id, upper(trim(s_name)) AS provider_name,
+      |  s_nationkey AS nation_key, CAST(s_acctbal AS DECIMAL(18,2)) AS account_balance,
+      |  row_number() OVER (ORDER BY s_suppkey) AS provider_sk
+      |FROM supplier ORDER BY provider_id""".stripMargin
+
+  // calendar range covering the fixture ship dates (1992–1998) so the
+  // date-dim join actually resolves; q08 keeps the reference's 2020–2030
+  private def fact(s: SparkSession, d: String): DataFrame =
+    Gold.factLines(t(s, d, "lineitem"), t(s, d, "orders"),
+      Gold.dimMember(t(s, d, "customer")),
+      Gold.dimProvider(t(s, d, "supplier")),
+      Gold.dimDate(s, "1992-01-01", "1998-12-31"))
+
+  private val factSql =
+    """WITH dim_member AS (
+      |  SELECT c_custkey AS member_id,
+      |         row_number() OVER (ORDER BY c_custkey) AS member_sk FROM customer
+      |), dim_provider AS (
+      |  SELECT s_suppkey AS provider_id,
+      |         row_number() OVER (ORDER BY s_suppkey) AS provider_sk FROM supplier
+      |), dim_date AS (
+      |  SELECT CAST(d AS DATE) AS date_value,
+      |         CAST(strftime(d, '%Y%m%d') AS INTEGER) AS date_key
+      |  FROM generate_series(DATE '1992-01-01', DATE '1998-12-31', INTERVAL 1 DAY) AS t(d)
+      |), fact AS (
+      |  SELECT l_orderkey AS claim_id, l_linenumber AS claim_line_number,
+      |    member_sk, provider_sk, date_key AS service_date_key,
+      |    CAST(o_orderdate AS DATE) AS order_date, o_orderstatus AS order_status,
+      |    l_quantity AS quantity,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS billed_amount,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |         * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS charge,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |         * (1 - CAST(l_discount AS DECIMAL(4,2)))
+      |         * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6)) AS charge_with_tax
+      |  FROM lineitem
+      |  LEFT JOIN orders       ON l_orderkey = o_orderkey
+      |  LEFT JOIN dim_member   ON o_custkey = member_id
+      |  LEFT JOIN dim_provider ON l_suppkey = provider_id
+      |  LEFT JOIN dim_date     ON CAST(l_shipdate AS DATE) = date_value
+      |)""".stripMargin
+
+  /** q11 — star-schema fact build with surrogate-key resolution (D11). */
+  def factStar(s: SparkSession, d: String): DataFrame =
+    fact(s, d).orderBy("claim_id", "claim_line_number")
+
+  val factStarOracle: String =
+    s"""$factSql
+       |SELECT * FROM fact ORDER BY claim_id, claim_line_number""".stripMargin
+
+  /** q12 — aggregate rollup tables (D12): sum/count/avg/max by month. */
+  def monthlyRollup(s: SparkSession, d: String): DataFrame =
+    Gold.monthlyRollup(fact(s, d)).orderBy("year_month")
+
+  val monthlyRollupOracle: String =
+    s"""$factSql
+       |SELECT CAST(service_date_key // 100 AS INTEGER) AS year_month,
+       |  count(*) AS n_lines,
+       |  CAST(sum(charge) AS DECIMAL(18,4)) AS total_charge,
+       |  CAST(sum(charge) AS DOUBLE) / count(*) AS avg_charge,
+       |  max(charge) AS max_charge
+       |FROM fact GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- M3/M4
+
+  /** q13 — MERGE upsert (J2): restated orders merged into the order book;
+    * updateAll + insertAll via the portable anti-join implementation.
+    */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders")
+    val target = orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val source = orders.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("RESTATED").as("o_orderstatus"),
+        (col("o_totalprice") * 1.1).as("o_totalprice"))
+    Merge.upsert(target, source, Seq("o_orderkey")).orderBy("o_orderkey")
+  }
+
+  val mergeUpsertOracle: String =
+    """WITH target AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |), source AS (
+      |  SELECT o_orderkey, 'RESTATED' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |)
+      |SELECT * FROM source
+      |UNION ALL
+      |SELECT t.* FROM target t
+      |WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q14 — referential-integrity anti-join (the automated test the
+    * reference docs declare): members that never placed an order.
+    */
+  def refintOrphans(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  val refintOrphansOracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q15 — table stats (A1–A3): counts, distincts, global min/max. */
+  def tableStats(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_suppkey")).as("n_suppliers"),
+      countDistinct(col("l_partkey")).as("n_parts"),
+      to_date(min(col("l_shipdate"))).as("first_ship"),
+      to_date(max(col("l_shipdate"))).as("last_ship"))
+
+  val tableStatsOracle: String =
+    """SELECT count(*) AS n_rows,
+      |  count(DISTINCT l_suppkey) AS n_suppliers,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  CAST(min(l_shipdate) AS DATE) AS first_ship,
+      |  CAST(max(l_shipdate) AS DATE) AS last_ship
+      |FROM lineitem""".stripMargin
+
+  /** q16 — top-k (sort/limit): top 10 members by exact-decimal revenue,
+    * key tie-break for determinism.
+    */
+  def topMembers(s: SparkSession, d: String): DataFrame = {
+    val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer").select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey").as("member_id"), col("c_name").as("member_name"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("member_id"))
+      .limit(10)
+  }
+
+  val topMembersOracle: String =
+    """SELECT c_custkey AS member_id, c_name AS member_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2 ORDER BY revenue DESC, member_id LIMIT 10""".stripMargin
+
+  // ------------------------------------------------- events (json+windows)
+
+  /** q17 — JSON property extraction from the event stream (north-star
+    * surface over `events.props`).
+    */
+  def eventsJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"), col("event_type"),
+      get_json_object(col("props"), "$.k").cast("int").as("prop_k"),
+      col("value"))
+      .orderBy("event_id")
+
+  val eventsJsonOracle: String =
+    """SELECT event_id, event_type,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k, value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** q18 — tumbling event-time windows (batch analog of the Structured
+    * Streaming ingest; see graft.streaming for the readStream path).
+    */
+  def tumblingWindows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
+  val tumblingWindowsOracle: String =
+    """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+      |  time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin
+
+  /** q19 — sliding windows (1h length, 30min slide): each event lands in
+    * exactly 2 windows.
+    */
+  def slidingWindows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("n_events"), col("total_value"))
+      .orderBy("window_start")
+
+  val slidingWindowsOracle: String =
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |b AS (
+      |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start, value FROM e
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, value FROM e
+      |)
+      |SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q20 — session windows (30min gap) per user: batch analog of
+    * session_window streaming aggregation.
+    */
+  def sessionWindows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  val sessionWindowsOracle: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |m AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), s AS (
+      |  SELECT user_id, ts,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m
+      |)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
+  // ------------------------------------------------------- registries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q02_dq_rule_engine" -> (dqRuleEngine(_, _)),
+    "q03_quarantine_split" -> (quarantine(_, _)),
+    "q04_dedup_window" -> (dedupWindow(_, _)),
+    "q05_watermark_incremental" -> (watermarkIncremental(_, _)),
+    "q06_cleanse_standardize" -> (cleanseStandardize(_, _)),
+    "q07_bronze_validation" -> (bronzeValidation(_, _)),
+    "q08_dim_date" -> (dimDate(_, _)),
+    "q09_dim_member" -> (dimMember(_, _)),
+    "q10_dim_provider" -> (dimProvider(_, _)),
+    "q11_fact_star" -> (factStar(_, _)),
+    "q12_monthly_rollup" -> (monthlyRollup(_, _)),
+    "q13_merge_upsert" -> (mergeUpsert(_, _)),
+    "q14_refint_orphans" -> (refintOrphans(_, _)),
+    "q15_table_stats" -> (tableStats(_, _)),
+    "q16_top_members" -> (topMembers(_, _)),
+    "q17_events_json" -> (eventsJson(_, _)),
+    "q18_tumbling_windows" -> (tumblingWindows(_, _)),
+    "q19_sliding_windows" -> (slidingWindows(_, _)),
+    "q20_session_windows" -> (sessionWindows(_, _)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q02_dq_rule_engine" -> dqRuleEngineOracle,
+    "q03_quarantine_split" -> quarantineOracle,
+    "q04_dedup_window" -> dedupWindowOracle,
+    "q05_watermark_incremental" -> watermarkIncrementalOracle,
+    "q06_cleanse_standardize" -> cleanseStandardizeOracle,
+    "q07_bronze_validation" -> bronzeValidationOracle,
+    "q08_dim_date" -> dimDateOracle,
+    "q09_dim_member" -> dimMemberOracle,
+    "q10_dim_provider" -> dimProviderOracle,
+    "q11_fact_star" -> factStarOracle,
+    "q12_monthly_rollup" -> monthlyRollupOracle,
+    "q13_merge_upsert" -> mergeUpsertOracle,
+    "q14_refint_orphans" -> refintOrphansOracle,
+    "q15_table_stats" -> tableStatsOracle,
+    "q16_top_members" -> topMembersOracle,
+    "q17_events_json" -> eventsJsonOracle,
+    "q18_tumbling_windows" -> tumblingWindowsOracle,
+    "q19_sliding_windows" -> slidingWindowsOracle,
+    "q20_session_windows" -> sessionWindowsOracle,
+  )
+}

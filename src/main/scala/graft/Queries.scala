@@ -85,12 +85,13 @@ object Queries {
   // ------------------------------------------------------- registries
 
   /** name → query; merged into SparkEntry.queries. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_flagship_revenue" -> (flagship(_, _))
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
+      "q01_flagship_revenue" -> (flagship(_, _))
+    ) ++ CoreQueries.queries
 
   /** name → DuckDB oracle SQL; merged into SparkEntry.oracleSql. */
   def oracleSql: Map[String, String] = Map(
     "q01_flagship_revenue" -> flagshipOracle
-  )
+  ) ++ CoreQueries.oracleSql
 }

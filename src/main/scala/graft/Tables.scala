@@ -23,7 +23,16 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects ([PARQUET_TYPE_ILLEGAL]); read nanos as long and truncate to
+    * microseconds — the same ns→µs truncation DuckDB applies, so event-time
+    * semantics agree with the oracle.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -50,7 +50,8 @@ object Gold {
     * natural business key instead (see fact build).
     */
   def withSurrogateKey(df: DataFrame, keyName: String, naturalOrder: Seq[Column]): DataFrame =
-    df.withColumn(keyName, row_number().over(Window.orderBy(naturalOrder: _*)))
+    df.withColumn(keyName,
+      row_number().over(Window.orderBy(naturalOrder: _*)).cast("bigint"))
 
   /** D10: SCD Type-1 member dimension from `customer` (full-refresh
     * projection + surrogate key, gold:84-117).
@@ -120,10 +121,15 @@ object Gold {
     * order-independent, so results are identical on 1 or 1000 executors.
     */
   def monthlyRollup(fact: DataFrame): DataFrame =
-    fact.groupBy((col("service_date_key") / 100).cast("int").as("year_month"))
+    // integer `div`, not `/`+cast: Spark casts double→int by truncation but
+    // other engines round, so floating division is not oracle-portable
+    fact.groupBy(expr("CAST(service_date_key div 100 AS INT)").as("year_month"))
       .agg(
         count(lit(1)).as("n_lines"),
         sum(col("charge")).cast(DecimalType(18, 4)).as("total_charge"),
-        (sum(col("charge")) / count(lit(1))).cast(DecimalType(18, 6)).as("avg_charge"),
+        // avg via exact-decimal sum cast to double, then double division —
+        // deterministic and identical to the oracle's CAST(SUM(..) AS
+        // DOUBLE)/COUNT(*) (decimal division scale rules differ per engine)
+        (sum(col("charge")).cast("double") / count(lit(1))).as("avg_charge"),
         max(col("charge")).as("max_charge"))
 }

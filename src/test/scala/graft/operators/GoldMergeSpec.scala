@@ -20,8 +20,8 @@ class GoldMergeSpec extends SparkSpec {
 
   test("surrogate keys are deterministic and dense") {
     val dm = Gold.dimMember(Tables.customer(spark, sf))
-    val keys = dm.orderBy("member_id").select("member_sk").as[Int].collect()
-    assert(keys.toSeq == (1 to keys.length))
+    val keys = dm.orderBy("member_id").select("member_sk").as[Long].collect()
+    assert(keys.toSeq == (1L to keys.length.toLong))
     // re-running yields identical assignment (unlike monotonically_increasing_id)
     val again = Gold.dimMember(Tables.customer(spark, sf))
     assert(dm.exceptAll(again).isEmpty)
