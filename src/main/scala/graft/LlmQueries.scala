@@ -1,0 +1,441 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DedupOps, Multimodal, SimilarityOps, TextAnalysis}
+
+/** LLM-data-pipeline query registry (q21–q32): deduplication (exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding near-dup), similarity
+  * search (brute-force + IVF ANN), text analysis (token stats, quality,
+  * language ID, fingerprints) and multimodal plumbing — each wired to a
+  * DuckDB oracle computing the identical md5-based formulas.
+  *
+  * The fixtures contain planted near-duplicate documents (Jaccard ≈ 0.99
+  * pairs), so near-dup queries return real detections; exact-dup and
+  * embedding-dup queries synthesize duplicates deterministically in-query
+  * (union of derived copies), since the corpus has none.
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+
+  // shared oracle CTEs: whitespace tokens and distinct 5-gram shingles
+  private val tokShSql =
+    """tok AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) >= 5
+      |         THEN list_distinct(list_transform(range(1, len(t) - 3),
+      |                            i -> array_to_string(t[i:i+4], ' ')))
+      |         ELSE [] END AS sh
+      |  FROM tok
+      |)""".stripMargin
+
+  // ------------------------------------------------------------ dedup
+
+  /** q21 — exact dedup by normalized-content hash; duplicate feed
+    * simulated in-query (every 10th doc re-ingested under a new id).
+    */
+  def dedupExact(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val copies = base.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+    DedupOps.exactDedup(base.unionByName(copies), "text", "doc_id")
+      .orderBy("fp")
+  }
+
+  val dedupExactOracle: String =
+    """WITH feed AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      |)
+      |SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |  min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q26 — exact n-gram Jaccard near-dup pairs via the inverted shingle
+    * index (finds the corpus's planted near-duplicates).
+    */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    DedupOps.ngramJaccardPairs(docs(s, d), "text", "doc_id")
+      .orderBy("doc_a", "doc_b")
+
+  private val jaccardVerifySql =
+    """j AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+      |  FROM cand JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
+      |)
+      |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM j
+      |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin
+
+  val ngramJaccardOracle: String =
+    s"""WITH $tokShSql, ex AS (
+       |  SELECT doc_id, unnest(sh) AS g FROM sh
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |), $jaccardVerifySql""".stripMargin
+
+  /** q27 — MinHash+LSH near-dup pairs: 16 string-min signatures over
+    * 5-gram shingles, 4 bands × 4 rows, bucket join, exact-Jaccard
+    * verification.
+    */
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    DedupOps.minhashLshPairs(docs(s, d), "text", "doc_id")
+      .orderBy("doc_a", "doc_b")
+
+  val minhashLshOracle: String = {
+    val sigCols = (0 until 16).map(i =>
+      s"list_min(list_transform(sh, s -> md5('$i|' || s))) AS sig_$i").mkString(",\n    ")
+    val bandRows = (0 until 4).map { b =>
+      val cols = (0 until 4).map(r => s"sig_${b * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band_idx, md5(concat_ws('|', $cols)) AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $tokShSql, sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM sh
+       |), band AS (
+       |  $bandRows
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM band a JOIN band b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id
+       |), $jaccardVerifySql""".stripMargin
+  }
+
+  /** q28 — SimHash near-dup pairs: 32-bit signatures from shingle md5
+    * nibbles, 8-bit chunk blocking, hamming ≤ 3.
+    */
+  def simhash(s: SparkSession, d: String): DataFrame =
+    DedupOps.simhashPairs(
+      DedupOps.simhashSignatures(docs(s, d), "text", "doc_id"))
+      .orderBy("doc_a", "doc_b")
+
+  val simhashOracle: String = {
+    // nibble p (1-based hex char) of the shingle digest
+    def nib(p: Int) = s"(strpos('0123456789abcdef', substr(h, $p, 1)) - 1)"
+    val votes = (0 until 32).map { i =>
+      val bit = s"((${nib(i / 4 + 1)} // ${1 << (i % 4)}) % 2)"
+      s"sum($bit * 2 - 1) AS s_$i"
+    }.mkString(",\n    ")
+    val sig = (0 until 32).map(i =>
+      s"CASE WHEN s_$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END").mkString(" + ")
+    val chunks = (0 until 4).map(j =>
+      s"SELECT doc_id, simhash, $j AS chunk_idx, (simhash // CAST(${1L << (8 * j)} AS BIGINT)) % 256 AS chunk_val FROM sigs"
+    ).mkString("\n  UNION ALL\n  ")
+    s"""WITH $tokShSql, exg AS (
+       |  SELECT doc_id, unnest(sh) AS g FROM sh
+       |), ex AS (
+       |  SELECT doc_id, md5(g) AS h FROM exg
+       |), votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM ex GROUP BY doc_id
+       |), sigs AS (
+       |  SELECT doc_id, $sig AS simhash FROM votes
+       |), chunks AS (
+       |  $chunks
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sig_a, b.simhash AS sig_b
+       |  FROM chunks a JOIN chunks b
+       |    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+       |   AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------------------ text analysis
+
+  /** q22 — document fingerprints: exact md5 of normalized text + min
+    * shingle hash (rolling-fingerprint family).
+    */
+  def fingerprints(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+      TextAnalysis.minShingleFingerprint(
+        TextAnalysis.tokens(col("text")), 5).as("min_shingle_fp"))
+      .orderBy("doc_id")
+
+  val fingerprintsOracle: String =
+    s"""WITH $tokShSql
+       |SELECT d.doc_id,
+       |  md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fingerprint,
+       |  list_min(list_transform(sh.sh, s -> md5(s))) AS min_shingle_fp
+       |FROM documents d JOIN sh ON d.doc_id = sh.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** q23 — token counting: whitespace tokens, BPE-ish subword proxy
+    * tokens, mean token length.
+    */
+  def tokenStats(s: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    docs(s, d).select(
+      col("doc_id"),
+      size(toks).as("n_ws_tokens"),
+      size(TextAnalysis.bpeTokens(col("text"))).as("n_bpe_tokens"),
+      (aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+        .cast("double") / size(toks)).as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  val tokenStatsOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t,
+      |         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS bpe
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(len(t) AS INTEGER) AS n_ws_tokens,
+      |  CAST(len(bpe) AS INTEGER) AS n_bpe_tokens,
+      |  CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t) AS avg_token_len
+      |FROM tok ORDER BY doc_id""".stripMargin
+
+  /** q24 — document quality scoring: length, punctuation ratio, stopword
+    * ratio, and a linear composite score (no transcendentals — portable
+    * bit-exact arithmetic).
+    */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val nToks = size(toks)
+    val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val stopHits = TextAnalysis.stopwordHits(toks, TextAnalysis.stopwords("en"))
+    docs(s, d).select(
+      col("doc_id"), col("n_chars"),
+      nToks.as("n_tokens"),
+      (punct.cast("double") / col("n_chars")).as("punct_ratio"),
+      (stopHits.cast("double") / nToks).as("stopword_ratio"))
+      .withColumn("quality_score",
+        round(least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4 +
+          col("stopword_ratio") * 0.4 + (lit(1.0) - col("punct_ratio")) * 0.2, 6))
+      .orderBy("doc_id")
+  }
+
+  val textQualityOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(len(string_split_regex(lower(text), '\s+')) AS INTEGER) AS n_tokens,
+      |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / n_chars AS punct_ratio,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |         t -> t IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE)
+      |      / len(string_split_regex(lower(text), '\s+')) AS stopword_ratio
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_chars, n_tokens, punct_ratio, stopword_ratio,
+      |  round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+      |        + stopword_ratio * 0.4 + (1.0 - punct_ratio) * 0.2, 6) AS quality_score
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** q25 — n-gram-heuristic language ID: stopword-hit votes per language,
+    * first-wins tie-break in a fixed language order.
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val hits = Seq("en", "de", "es", "fr").map(l =>
+      TextAnalysis.stopwordHits(toks, TextAnalysis.stopwords(l)).as(s"hits_$l"))
+    val base = docs(s, d).select(col("doc_id") +: col("lang").as("labeled_lang") +: hits: _*)
+    val predicted = when(
+      col("hits_en") >= col("hits_de") && col("hits_en") >= col("hits_es") &&
+        col("hits_en") >= col("hits_fr") && col("hits_en") > 0, lit("en"))
+      .when(col("hits_de") >= col("hits_es") && col("hits_de") >= col("hits_fr") &&
+        col("hits_de") > 0, lit("de"))
+      .when(col("hits_es") >= col("hits_fr") && col("hits_es") > 0, lit("es"))
+      .when(col("hits_fr") > 0, lit("fr"))
+      .otherwise(lit("unknown"))
+    base.withColumn("predicted_lang", predicted).orderBy("doc_id")
+  }
+
+  val langIdOracle: String = {
+    def hits(l: String) = {
+      val set = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ($set))) AS INTEGER)"
+    }
+    s"""WITH m AS (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |    ${hits("en")} AS hits_en, ${hits("de")} AS hits_de,
+       |    ${hits("es")} AS hits_es, ${hits("fr")} AS hits_fr
+       |  FROM documents
+       |)
+       |SELECT doc_id, labeled_lang, hits_en, hits_de, hits_es, hits_fr,
+       |  CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+       |       WHEN hits_de >= hits_es AND hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+       |       WHEN hits_es >= hits_fr AND hits_es > 0 THEN 'es'
+       |       WHEN hits_fr > 0 THEN 'fr'
+       |       ELSE 'unknown' END AS predicted_lang
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------- similarity search
+
+  /** q29 — brute-force cosine top-k: 10 query vectors against the whole
+    * corpus, top-5 each.
+    */
+  def cosineTopK(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    SimilarityOps.bruteForceTopK(q, e, 5).orderBy("query_id", "rank")
+  }
+
+  val cosineTopKOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id < 10
+      |), s AS (
+      |  SELECT query_id, vec_id,
+      |    round(list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])), 4) AS sim
+      |  FROM q, embeddings WHERE vec_id <> query_id
+      |), r AS (
+      |  SELECT query_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM s
+      |)
+      |SELECT query_id, rank, vec_id AS neighbor_id, sim FROM r
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** q30 — IVF ANN: 8 deterministic seed centroids (vec_id < 8), every
+    * vector assigned to its nearest seed, queries probe top-2 buckets,
+    * top-3 within probed buckets.
+    */
+  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+    val q = e.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    SimilarityOps.ivfTopK(e, seeds, q, k = 3, probes = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  val ivfTopKOracle: String =
+    """WITH seeds AS (
+      |  SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+      |  FROM embeddings WHERE vec_id < 8
+      |), assigned AS (
+      |  SELECT vec_id, embedding, bucket FROM (
+      |    SELECT e.vec_id, e.embedding, s.seed_id AS bucket,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.sv), 6) DESC,
+      |                 s.seed_id) AS rn
+      |    FROM embeddings e, seeds s)
+      |  WHERE rn = 1
+      |), probed AS (
+      |  SELECT query_id, qv, bucket FROM (
+      |    SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv,
+      |      s.seed_id AS bucket,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.sv), 6) DESC,
+      |                 s.seed_id) AS rn
+      |    FROM embeddings e, seeds s WHERE e.vec_id % 200 = 0)
+      |  WHERE rn <= 2
+      |), scored AS (
+      |  SELECT p.query_id, a.vec_id,
+      |    round(list_cosine_similarity(p.qv, CAST(a.embedding AS DOUBLE[])), 4) AS sim
+      |  FROM probed p JOIN assigned a ON p.bucket = a.bucket
+      |  WHERE p.query_id <> a.vec_id
+      |), r AS (
+      |  SELECT query_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM scored
+      |)
+      |SELECT query_id, rank, vec_id AS neighbor_id, sim FROM r
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** q31 — embedding near-dup detection via sign-LSH bucketing; scaled
+    * duplicate vectors injected in-query (cosine is scale-invariant, so
+    * each copy must be found with sim = 1.0).
+    */
+  def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).select("vec_id", "embedding")
+    val copies = e.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    SimilarityOps.nearDupPairs(e.unionByName(copies)).orderBy("vec_a", "vec_b")
+  }
+
+  val embeddingNearDupOracle: String = {
+    val bucket = (1 to 8).map(d =>
+      s"CASE WHEN embedding[$d] > 0 THEN ${1L << (d - 1)} ELSE 0 END").mkString(" + ")
+    s"""WITH feed AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |    list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+       |  FROM embeddings WHERE vec_id % 100 = 0
+       |), b AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket FROM feed
+       |), pairs AS (
+       |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                                 CAST(b2.embedding AS DOUBLE[])), 4) AS sim
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       |)
+       |SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.999
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  // ----------------------------------------------------------- multimodal
+
+  /** q32 — multimodal asset pipeline: opaque binary payloads + typed
+    * metadata through the partition-mapped feature extractor; the
+    * oracle checks the portable columns (the stubbed feature vector is
+    * covered by MultimodalSpec).
+    */
+  def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.assetsFromDocuments(s, docs(s, d)))
+    feats.toDF().select("asset_id", "media_type", "byte_len", "frames_sampled")
+      .orderBy("asset_id")
+  }
+
+  val multimodalFeaturesOracle: String =
+    """SELECT doc_id AS asset_id,
+      |  (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+      |  CAST(greatest(1, (n_chars * 10) // 1000) AS INTEGER) AS frames_sampled
+      |FROM documents ORDER BY asset_id""".stripMargin
+
+  // ------------------------------------------------------- registries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_dedup_exact" -> (dedupExact(_, _)),
+    "q22_fingerprints" -> (fingerprints(_, _)),
+    "q23_token_stats" -> (tokenStats(_, _)),
+    "q24_text_quality" -> (textQuality(_, _)),
+    "q25_lang_id" -> (langId(_, _)),
+    "q26_ngram_jaccard" -> (ngramJaccard(_, _)),
+    "q27_minhash_lsh" -> (minhashLsh(_, _)),
+    "q28_simhash" -> (simhash(_, _)),
+    "q29_cosine_topk" -> (cosineTopK(_, _)),
+    "q30_ivf_topk" -> (ivfTopK(_, _)),
+    "q31_embedding_neardup" -> (embeddingNearDup(_, _)),
+    "q32_multimodal_features" -> (multimodalFeatures(_, _)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q21_dedup_exact" -> dedupExactOracle,
+    "q22_fingerprints" -> fingerprintsOracle,
+    "q23_token_stats" -> tokenStatsOracle,
+    "q24_text_quality" -> textQualityOracle,
+    "q25_lang_id" -> langIdOracle,
+    "q26_ngram_jaccard" -> ngramJaccardOracle,
+    "q27_minhash_lsh" -> minhashLshOracle,
+    "q28_simhash" -> simhashOracle,
+    "q29_cosine_topk" -> cosineTopKOracle,
+    "q30_ivf_topk" -> ivfTopKOracle,
+    "q31_embedding_neardup" -> embeddingNearDupOracle,
+    "q32_multimodal_features" -> multimodalFeaturesOracle,
+  )
+}

@@ -88,10 +88,10 @@ object Queries {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
       "q01_flagship_revenue" -> (flagship(_, _))
-    ) ++ CoreQueries.queries
+    ) ++ CoreQueries.queries ++ LlmQueries.queries
 
   /** name → DuckDB oracle SQL; merged into SparkEntry.oracleSql. */
   def oracleSql: Map[String, String] = Map(
     "q01_flagship_revenue" -> flagshipOracle
-  ) ++ CoreQueries.oracleSql
+  ) ++ CoreQueries.oracleSql ++ LlmQueries.oracleSql
 }

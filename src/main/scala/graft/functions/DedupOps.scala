@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextAnalysis.shingles
+
+/** Near-duplicate and exact-duplicate detection over document corpora —
+  * the dedup family a large-scale training-data pipeline needs: exact
+  * (hash groupBy), MinHash+LSH (shingle→minhash→band→bucket join),
+  * SimHash (bitwise signature + chunk blocking), and exact n-gram
+  * Jaccard verification.
+  *
+  * Hashing is md5-based so the same computation is expressible in any
+  * ANSI-ish engine (the DuckDB oracle runs the identical formulas). At
+  * 100 TB the interesting property is the candidate-generation shape:
+  * LSH band buckets / SimHash chunks turn the quadratic all-pairs problem
+  * into an equality join on a bucket key — a plain hash shuffle that
+  * scales out, with per-bucket sizes bounded by band width. Only
+  * candidates (a vanishing fraction) pay the exact verification cost.
+  */
+object DedupOps {
+
+  /** Exact dedup: keep the lowest-id row per identical normalized text.
+    * One hash shuffle on the 16-byte fingerprint, map-side combinable.
+    */
+  def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** k MinHash signature values over word n-gram shingles: sig_i =
+    * min over shingles of md5(i || '|' || shingle). String-min MinHash —
+    * portable, uniform, and one md5 per (shingle, i).
+    */
+  def minhashSignatures(sh: Column, k: Int): Seq[Column] =
+    (0 until k).map { i =>
+      array_min(transform(sh, s => md5(concat(lit(s"$i|"), s)))).as(s"sig_$i")
+    }
+
+  /** LSH band keys: hash `rows` consecutive signature values per band.
+    * Docs sharing ANY band key become candidate pairs.
+    */
+  def lshBands(k: Int, rows: Int): Seq[Column] = {
+    require(k % rows == 0, s"k=$k must be divisible by band rows=$rows")
+    (0 until k / rows).map { b =>
+      md5(concat_ws("|", (0 until rows).map(r => col(s"sig_${b * rows + r}")): _*))
+        .as(s"band_$b")
+    }
+  }
+
+  /** MinHash+LSH near-dup pipeline: shingle → k signatures → bands →
+    * bucket self-join → exact Jaccard verification of candidates.
+    * Returns (doc_a, doc_b, jaccard) for verified pairs ≥ threshold.
+    */
+  def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 5, k: Int = 16, bandRows: Int = 4,
+      threshold: Double = 0.6): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      shingles(TextAnalysis.tokens(col(textCol)), shingleN).as("sh"))
+    val sigs = sh.select(Seq(col("doc_id"), col("sh")) ++
+      minhashSignatures(col("sh"), k): _*)
+    val bands = sigs.select(Seq(col("doc_id")) ++ lshBands(k, bandRows): _*)
+    val exploded = bands.select(col("doc_id"), posexplode(
+      array((0 until k / bandRows).map(b => col(s"band_$b")): _*)))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val cand = exploded.as("a").join(exploded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs: candidates from the inverted
+    * shingle index (equality join on shingle — sparse by construction at
+    * high n), verified against the full shingle sets.
+    */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 5, threshold: Double = 0.6): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      shingles(TextAnalysis.tokens(col(textCol)), shingleN).as("sh"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val cand = ex.as("a").join(ex.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Exact Jaccard on candidate pairs against per-doc shingle sets. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val union = size(col("sh_a")) + size(col("sh_b")) - inter
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", inter.cast("double") / union)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 32-bit SimHash signature over shingles: one md5 per shingle, bit i
+    * taken from nibble i/4 of the hex digest; signature bit i is the sign
+    * of the ±1 vote sum. Returns (doc_id, simhash) with simhash BIGINT.
+    */
+  def simhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 5, bits: Int = 32): DataFrame = {
+    val ex = docs.select(col(idCol).as("doc_id"),
+        explode(shingles(TextAnalysis.tokens(col(textCol)), shingleN)).as("g"))
+      .withColumn("h", md5(col("g")))
+    // nibble value of hex char p (1-based) of the digest
+    def nib(p: Int): Column = conv(substring(col("h"), p, 1), 16, 10).cast("int")
+    val votes = (0 until bits).map { i =>
+      val bit = (nib(i / 4 + 1) / math.pow(2, i % 4).toInt).cast("int") % 2
+      sum(bit * 2 - 1).as(s"s_$i")
+    }
+    ex.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .withColumn("simhash",
+        (0 until bits).map(i =>
+          when(col(s"s_$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _))
+      .select(col("doc_id"), col("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on 8-bit signature chunks (equality
+    * join — candidates must agree on ≥1 of 4 chunks, which any pair at
+    * hamming ≤ 3 necessarily does), verify hamming ≤ maxHamming.
+    */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = sigs.select(col("doc_id"), col("simhash"), posexplode(
+      array((0 until 4).map(j =>
+        (col("simhash") / math.pow(2, 8 * j).toLong).cast("bigint") % 256): _*)))
+      .toDF("doc_id", "simhash", "chunk_idx", "chunk_val")
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

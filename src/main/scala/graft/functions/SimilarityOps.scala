@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over embedding columns
+  * (`array<float>`), computed with built-in higher-order array functions
+  * (zip_with/aggregate/transform) in DOUBLE precision.
+  *
+  * Scale shapes:
+  * - brute-force top-k: queries broadcast against the corpus scan — the
+  *   corpus never shuffles; cost is |Q|·|C| dot products, the baseline.
+  * - sign-LSH blocking: bucket by leading-dimension sign bits (an
+  *   axis-aligned random-hyperplane LSH); near-identical vectors land in
+  *   the same bucket, turning all-pairs near-dup into an equality join.
+  * - IVF: assign every vector to its nearest seed centroid (one shuffle
+  *   by bucket), probe the top-P buckets per query — |C|/buckets·P dot
+  *   products per query instead of |C|.
+  */
+object SimilarityOps {
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (s, x) => s + x))
+    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (s, x) => s + x))
+    dot / (na * nb)
+  }
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self excluded), rank-deterministic via rounded
+    * similarity + id tie-break.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("sim", round(cosine(col("query_vec"), col("embedding")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+        col("vec_id").as("neighbor_id"), col("sim"))
+  }
+
+  /** Sign-LSH bucket key over the first `dims` dimensions: bit d set iff
+    * v[d] > 0. Scale-invariant, so exact and scaled duplicates share a
+    * bucket.
+    */
+  def signBucket(v: Column, dims: Int = 8): Column =
+    (1 to dims).map(d =>
+      when(element_at(v, d) > 0f, lit(1L << (d - 1))).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Embedding near-duplicate pairs: sign-LSH bucket equality join, then
+    * exact cosine ≥ threshold verification within buckets.
+    */
+  def nearDupPairs(emb: DataFrame, threshold: Double = 0.999,
+      dims: Int = 8): DataFrame = {
+    val b = emb.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), dims).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", round(cosine(col("a.embedding"), col("b.embedding")), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("sim"))
+  }
+
+  /** IVF-style ANN: `seeds` are the centroid set (bootstrapped
+    * deterministically by the caller; a production build would k-means
+    * iterate the same way). Every corpus vector is assigned to its
+    * nearest seed; each query probes its `probes` nearest seed buckets
+    * and ranks only those vectors.
+    */
+  def ivfTopK(corpus: DataFrame, seeds: DataFrame, queries: DataFrame,
+      k: Int, probes: Int = 2): DataFrame = {
+    def nearestSeeds(vecs: DataFrame, vecCol: String, idCol: String,
+        n: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(
+        round(cosine(col(vecCol), col("seed_vec")), 6).desc, col("seed_id"))
+      vecs.crossJoin(broadcast(seeds))
+        .withColumn("seed_rank", row_number().over(w))
+        .filter(col("seed_rank") <= n)
+    }
+    val assigned = nearestSeeds(corpus, "embedding", "vec_id", 1)
+      .select(col("vec_id"), col("embedding"), col("seed_id").as("bucket"))
+    val probed = nearestSeeds(queries, "query_vec", "query_id", probes)
+      .select(col("query_id"), col("query_vec"), col("seed_id").as("bucket"))
+    val scored = probed.join(assigned, "bucket")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("sim", round(cosine(col("query_vec"), col("embedding")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+        col("vec_id").as("neighbor_id"), col("sim"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-data-pipeline surface: tokenizing,
+  * shingling, fingerprinting, token statistics, quality scoring, and
+  * n-gram-heuristic language ID. All pure Column expressions (codegen'd
+  * built-ins / higher-order array functions — no UDFs), so they inline
+  * into whole-stage codegen over the document scan and scale linearly
+  * with document bytes.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** BPE-ish subword proxy: letter runs, digit runs, and single
+    * punctuation marks each count as one token.
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Distinct word n-gram shingles (the unit of near-dup detection). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Normalization for fingerprinting: lowercase, collapse whitespace. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Exact content fingerprint (md5 of normalized text) — the dedup key. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Rolling-shingle fingerprint: the minimum shingle hash. Equal for
+    * exact dups, stable under small edits away from the minimizing
+    * shingle — the 1-hash special case of the MinHash signature.
+    */
+  def minShingleFingerprint(toks: Column, n: Int): Column =
+    array_min(transform(shingles(toks, n), s => md5(s)))
+
+  /** Tiny per-language stopword lists for the n-gram-heuristic language
+    * ID. Public common function words.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "nicht"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "que"),
+  )
+
+  /** Count of tokens that appear in `words`. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+}

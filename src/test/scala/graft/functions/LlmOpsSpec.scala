@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sf)
+  lazy val emb = Tables.embeddings(spark, sf)
+
+  test("exactDedup collapses identical texts to the lowest id") {
+    val copies = docs.filter($"doc_id" % 10 === 0)
+      .withColumn("doc_id", $"doc_id" + 1000000)
+    val out = DedupOps.exactDedup(docs.unionByName(copies), "text", "doc_id")
+    assert(out.count() == docs.count()) // one group per distinct text
+    assert(out.filter($"n_copies" === 2).count() == copies.count())
+    assert(out.filter($"keep_id" >= 1000000).count() == 0, "original id must win")
+  }
+
+  test("ngram Jaccard and MinHash-LSH agree on the planted near-dups") {
+    val exact = DedupOps.ngramJaccardPairs(docs, "text", "doc_id")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = DedupOps.minhashLshPairs(docs, "text", "doc_id")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-duplicates")
+    assert(lsh.subsetOf(exact), "LSH-verified pairs are a subset of exact pairs")
+    // 0.99-Jaccard pairs pass 4x4 LSH bands with overwhelming probability
+    assert(lsh == exact, s"LSH missed pairs: ${exact diff lsh}")
+  }
+
+  test("simhash near-dup pairs overlap heavily with exact Jaccard pairs") {
+    val sim = DedupOps.simhashPairs(
+      DedupOps.simhashSignatures(docs, "text", "doc_id"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val exact = DedupOps.ngramJaccardPairs(docs, "text", "doc_id")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(sim.nonEmpty)
+    assert((sim intersect exact).size.toDouble / exact.size > 0.5)
+  }
+
+  test("cosine self-similarity is 1; scaled copies detected as near-dups") {
+    val self = emb.limit(5)
+      .select(round(SimilarityOps.cosine($"embedding", $"embedding"), 4))
+      .as[Double].collect()
+    assert(self.forall(_ == 1.0))
+    val copies = emb.filter($"vec_id" % 100 === 0)
+      .select(($"vec_id" + 1000000).as("vec_id"),
+        transform($"embedding", x => x * lit(2.0f)).as("embedding"))
+    val pairs = SimilarityOps.nearDupPairs(
+      emb.select("vec_id", "embedding").unionByName(copies))
+    val found = pairs.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val expected = copies.select($"vec_id" - 1000000).as[Long].collect()
+      .map(id => (id, id + 1000000)).toSet
+    assert(expected.subsetOf(found), "every scaled copy must be detected")
+  }
+
+  test("brute-force topK is deterministic and self-excluding") {
+    val q = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val tk = SimilarityOps.bruteForceTopK(q, emb, 5)
+    assert(tk.count() == 15)
+    assert(tk.filter($"query_id" === $"neighbor_id").count() == 0)
+    val ranks = tk.groupBy("query_id").agg(collect_list("rank")).count()
+    assert(ranks == 3)
+  }
+
+  test("IVF probed search returns a subset ranking consistent with brute force") {
+    val seeds = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("seed_id"), $"embedding".as("seed_vec"))
+    val q = emb.filter($"vec_id" === 42)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val ivf = SimilarityOps.ivfTopK(emb, seeds, q, k = 3, probes = 8)
+    val bf = SimilarityOps.bruteForceTopK(q, emb, 3)
+    // probing ALL buckets makes IVF exhaustive — must equal brute force
+    assert(ivf.select("neighbor_id").as[Long].collect().toSeq ==
+      bf.select("neighbor_id").as[Long].collect().toSeq)
+  }
+
+  test("multimodal feature extraction: stubbed decode is deterministic, schema typed") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.assetsFromDocuments(spark, docs))
+    val f1 = feats.filter(_.asset_id == 7).collect()(0)
+    val f2 = Multimodal.extractFeatures(
+      Multimodal.assetsFromDocuments(spark, docs))
+      .filter(_.asset_id == 7).collect()(0)
+    assert(f1.feature.toSeq == f2.feature.toSeq, "decode stub must be deterministic")
+    assert(f1.feature.length == 8)
+    assert(f1.feature.forall(v => v >= 0f && v < 1f))
+    assert(feats.count() == docs.count())
+    assert(f1.byte_len > 0 && f1.frames_sampled >= 1)
+  }
+
+  test("language ID + quality + token stats produce full coverage") {
+    val lang = graft.LlmQueries.langId(spark, sf)
+    assert(lang.filter($"predicted_lang".isNull).count() == 0)
+    val tok = graft.LlmQueries.tokenStats(spark, sf)
+    assert(tok.filter($"n_ws_tokens" <= 0).count() == 0)
+    val q = graft.LlmQueries.textQuality(spark, sf)
+    assert(q.filter($"quality_score" < 0 || $"quality_score" > 1).count() == 0)
+  }
+}
