@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Layered-table sources and sinks (SURVEY.md §2.1 S1–S9): schema-declared
+  * CSV ingest with PERMISSIVE corrupt-record capture, layer reads,
+  * append/overwrite writes partitioned by date (reference bug B3 fixed:
+  * partition by day, never by raw timestamp), catalog registration, and
+  * existence probes.
+  *
+  * The environment ships no Delta jars, so the table format is parquet;
+  * every write shape (append + overwrite + partitionBy + saveAsTable) has
+  * identical call-site semantics, and a Delta build only changes
+  * `.format(...)`. Reference: /root/reference/bronze/bronze_rx_claims_load.py:37-77,
+  * /root/reference/gold/gold_rx_claims_load.py:74-79,226-232.
+  */
+object LayerIO {
+
+  /** S1: schema-enforced CSV batch read, PERMISSIVE mode, corrupt rows
+    * captured in `_corrupt_record` instead of failing the load.
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", "string"))
+      .csv(path)
+
+  /** S2: layer table read by path. */
+  def readLayer(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S9: existence probe (the parquet analog of DeltaTable.isDeltaTable)
+    * driving the reference's append-vs-create branch.
+    */
+  def layerExists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  /** S4: append write (first write creates). */
+  def appendLayer(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** S5: overwrite write partitioned by a DATE column (B3 fix). Callers
+    * derive `partitionCol` with to_date — one directory per day, the
+    * pruning unit for incremental readers.
+    */
+  def overwritePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+
+  /** S6/S7: catalog registration — saveAsTable for managed tables, or
+    * DDL over an existing path for external ones.
+    */
+  def registerTable(spark: SparkSession, name: String, path: String): Unit =
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $name USING parquet LOCATION '$path'")
+
+  /** The reference's append-or-create ingest shape (bronze:54-74) in one
+    * call: create partitioned on first load, append afterwards.
+    */
+  def appendOrCreate(df: DataFrame, spark: SparkSession, path: String,
+      partitionCol: String): Unit =
+    if (layerExists(spark, path))
+      df.write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(path)
+    else
+      overwritePartitioned(df, path, partitionCol)
+}

@@ -1,0 +1,54 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+class LayerIOSpec extends SparkSpec {
+  import spark.implicits._
+
+  val claimsSchema: StructType = StructType(Seq(
+    StructField("claim_id", StringType),
+    StructField("amount", DoubleType),
+    StructField("service_date", DateType)))
+
+  test("PERMISSIVE csv read captures corrupt rows instead of failing") {
+    val dir = Files.createTempDirectory("csv_in")
+    Files.writeString(dir.resolve("claims.csv"),
+      "claim_id,amount,service_date\nC1,10.5,2024-01-02\nC2,notanumber,2024-01-03\nC3,7.25,2024-01-04\n")
+    // cache first: Spark disallows querying only _corrupt_record on raw CSV
+    val df = LayerIO.readCsv(spark, dir.toString, claimsSchema).cache()
+    assert(df.count() == 3)
+    assert(df.filter($"_corrupt_record".isNotNull).count() == 1)
+    assert(df.filter($"_corrupt_record".isNull).count() == 2)
+  }
+
+  test("appendOrCreate: partitioned create, then append; partition pruning works") {
+    val path = Files.createTempDirectory("layer").resolve("bronze").toString
+    val day1 = Seq(("C1", 10.0, "2024-01-01"), ("C2", 20.0, "2024-01-02"))
+      .toDF("claim_id", "amount", "d").withColumn("ingestion_date", to_date($"d")).drop("d")
+    assert(!LayerIO.layerExists(spark, path))
+    LayerIO.appendOrCreate(day1, spark, path, "ingestion_date")
+    assert(LayerIO.layerExists(spark, path))
+    val day2 = Seq(("C3", 30.0, "2024-01-03")).toDF("claim_id", "amount", "d")
+      .withColumn("ingestion_date", to_date($"d")).drop("d")
+    LayerIO.appendOrCreate(day2, spark, path, "ingestion_date")
+    val back = LayerIO.readLayer(spark, path)
+    assert(back.count() == 3)
+    // partition pruning: filter on the partition column reads one directory
+    val pruned = back.filter($"ingestion_date" === to_date(lit("2024-01-03")))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() == 1)
+    assert(!scan.contains("2024-01-01") || scan.contains("PartitionFilters"),
+      "partition filter must be pushed to the scan")
+  }
+
+  test("registerTable makes the layer SQL-addressable") {
+    val path = Files.createTempDirectory("layer").resolve("gold").toString
+    Seq((1L, "a")).toDF("k", "v").write.parquet(path)
+    LayerIO.registerTable(spark, "gold_test", path)
+    assert(spark.sql("SELECT count(*) FROM gold_test").as[Long].collect()(0) == 1L)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Drive each streaming query synchronously over the fixture parquet
+    * via a memory sink; results must equal the batch analog computed on
+    * the same data — the property that lets the DuckDB oracle stand in
+    * for streaming correctness.
+    */
+  private def runStream(name: String, df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"ckpt_$name").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  // the file stream source needs a directory; stage the fixture file in one
+  lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("events_stream")
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming hourly agg equals batch tumbling agg") {
+    val stream = runStream("hourly",
+      EventStreams.hourlyAgg(EventStreams.readEvents(spark, eventsDir)))
+    val batch = Tables.events(spark, sf)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("total_value"))
+      .select($"window.start".as("window_start"), $"window.end".as("window_end"),
+        $"event_type", $"n_events", $"total_value")
+    // watermark may hold back the final windows in append mode; all
+    // emitted rows must match the batch result exactly
+    assert(stream.count() > 0)
+    assert(stream.exceptAll(batch).isEmpty,
+      "every emitted streaming row must appear in the batch result")
+  }
+
+  test("streaming session windows equal batch session windows for emitted rows") {
+    val stream = runStream("sessions",
+      EventStreams.sessionAgg(EventStreams.readEvents(spark, eventsDir)))
+    val batch = Tables.events(spark, sf)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_window.start".as("session_start"),
+        $"session_window.end".as("session_end"), $"n_events")
+    assert(stream.count() > 0)
+    assert(stream.exceptAll(batch).isEmpty)
+  }
+
+  test("flatMapGroupsWithState sessionization matches session_window on closed sessions") {
+    val ev = EventStreams.readEvents(spark, eventsDir)
+      .withWatermark("ts", "10 minutes")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    val stream = runStream("custom_sessions", EventStreams.sessionize(ev).toDF())
+    val batch = Tables.events(spark, sf)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_window.start".as("session_start"),
+        $"session_window.end".as("session_end"), $"n_events")
+    assert(stream.count() > 0)
+    assert(stream.exceptAll(batch).isEmpty,
+      "custom stateful sessions must agree with built-in session_window")
+  }
+}
