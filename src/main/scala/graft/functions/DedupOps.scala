@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import TextAnalysis.shingles
 
@@ -55,8 +56,7 @@ object DedupOps {
   def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 5, k: Int = 16, bandRows: Int = 4,
       threshold: Double = 0.6): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      shingles(TextAnalysis.tokens(col(textCol)), shingleN).as("sh"))
+    val sh = shingleSets(docs, textCol, idCol, shingleN)
     val sigs = sh.select(Seq(col("doc_id"), col("sh")) ++
       minhashSignatures(col("sh"), k): _*)
     val bands = sigs.select(Seq(col("doc_id")) ++ lshBands(k, bandRows): _*)
@@ -78,8 +78,7 @@ object DedupOps {
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 5, threshold: Double = 0.6): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      shingles(TextAnalysis.tokens(col(textCol)), shingleN).as("sh"))
+    val sh = shingleSets(docs, textCol, idCol, shingleN)
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
     val cand = ex.as("a").join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -88,14 +87,32 @@ object DedupOps {
     verifyJaccard(cand, sh, threshold)
   }
 
-  /** Exact Jaccard on candidate pairs against per-doc shingle sets. */
+  /** The shingle-set projection every near-dup pipeline starts from.
+    * Persisted MEMORY_AND_DISK: each pipeline consumes it 3–4 times
+    * (inverted index / signatures + both verification sides), and the
+    * tokenize+shingle transform is the most expensive scan work — at any
+    * scale, recomputing it per consumer dominates the query. Spill-safe:
+    * the projection is (id, shingle array), a fraction of corpus bytes.
+    */
+  private def shingleSets(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        shingles(TextAnalysis.tokens(col(textCol)), shingleN).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Exact Jaccard on candidate pairs against per-doc shingle sets. The
+    * candidate set is a vanishing fraction of the corpus by construction,
+    * so it is BROADCAST into the shingle table twice — the big side never
+    * shuffles for verification.
+    */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(col("sh_a")) + size(col("sh_b")) - inter
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    val withA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .join(broadcast(cand), "doc_a")
+    sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      .join(broadcast(withA), "doc_b")
       .withColumn("jaccard", inter.cast("double") / union)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -107,8 +124,8 @@ object DedupOps {
     */
   def simhashSignatures(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 5, bits: Int = 32): DataFrame = {
-    val ex = docs.select(col(idCol).as("doc_id"),
-        explode(shingles(TextAnalysis.tokens(col(textCol)), shingleN)).as("g"))
+    val ex = shingleSets(docs, textCol, idCol, shingleN)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
       .withColumn("h", md5(col("g")))
     // nibble value of hex char p (1-based) of the digest
     def nib(p: Int): Column = conv(substring(col("h"), p, 1), 16, 10).cast("int")
@@ -121,6 +138,7 @@ object DedupOps {
         (0 until bits).map(i =>
           when(col(s"s_$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _))
       .select(col("doc_id"), col("simhash"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // consumed by both chunk sides
   }
 
   /** SimHash near-dup pairs: block on 8-bit signature chunks (equality
