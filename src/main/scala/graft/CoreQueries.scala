@@ -350,6 +350,111 @@ object CoreQueries {
       |JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1, 2 ORDER BY revenue DESC, member_id LIMIT 10""".stripMargin
 
+  /** q33 — SCD Type-2 dimension maintenance (the reference docs declare
+    * Type-2 member history; the reference code never implements it).
+    * A deterministic second snapshot (moved segments, adjusted balances,
+    * new members) is applied onto the initial load: changed keys close at
+    * the effective date and re-open as new versions.
+    */
+  def scd2Members(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "customer").select(
+      col("c_custkey").as("member_id"),
+      upper(trim(col("c_name"))).as("member_name"),
+      col("c_mktsegment").as("segment"),
+      col("c_acctbal").cast(DecimalType(18, 2)).as("balance"))
+    val current = base
+      .withColumn("effective_from", to_date(lit("2024-01-01")))
+      .withColumn("effective_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+    val changed = base
+      .withColumn("segment",
+        when(col("member_id") % 10 === 0, lit("MOVED")).otherwise(col("segment")))
+      .withColumn("balance",
+        when(col("member_id") % 17 === 0, col("balance") + 100)
+          .otherwise(col("balance")).cast(DecimalType(18, 2)))
+    val fresh = base.filter(col("member_id") % 500 === 0)
+      .withColumn("member_id", col("member_id") + 1000000)
+    Gold.scdType2(current, changed.unionByName(fresh), Seq("member_id"),
+        Seq("member_name", "segment", "balance"), lit("2024-06-01"))
+      .orderBy("member_id", "effective_from")
+  }
+
+  val scd2MembersOracle: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS member_id, upper(trim(c_name)) AS member_name,
+      |         c_mktsegment AS segment, CAST(c_acctbal AS DECIMAL(18,2)) AS balance
+      |  FROM customer
+      |), incoming AS (
+      |  SELECT member_id, member_name,
+      |    CASE WHEN member_id % 10 = 0 THEN 'MOVED' ELSE segment END AS segment,
+      |    CAST(CASE WHEN member_id % 17 = 0 THEN balance + 100 ELSE balance END
+      |         AS DECIMAL(18,2)) AS balance
+      |  FROM base
+      |  UNION ALL
+      |  SELECT member_id + 1000000, member_name, segment, balance
+      |  FROM base WHERE member_id % 500 = 0
+      |), changed AS (
+      |  SELECT b.member_id FROM base b JOIN incoming i USING (member_id)
+      |  WHERE b.member_name IS DISTINCT FROM i.member_name
+      |     OR b.segment IS DISTINCT FROM i.segment
+      |     OR b.balance IS DISTINCT FROM i.balance
+      |)
+      |SELECT member_id, member_name, segment, balance,
+      |       DATE '2024-01-01' AS effective_from,
+      |       CAST(NULL AS DATE) AS effective_to, true AS is_current
+      |FROM base WHERE member_id NOT IN (SELECT member_id FROM changed)
+      |UNION ALL
+      |SELECT member_id, member_name, segment, balance,
+      |       DATE '2024-01-01', DATE '2024-06-01', false
+      |FROM base WHERE member_id IN (SELECT member_id FROM changed)
+      |UNION ALL
+      |SELECT member_id, member_name, segment, balance,
+      |       DATE '2024-06-01', CAST(NULL AS DATE), true
+      |FROM incoming WHERE member_id IN (SELECT member_id FROM changed)
+      |UNION ALL
+      |SELECT i.member_id, i.member_name, i.segment, i.balance,
+      |       DATE '2024-06-01', CAST(NULL AS DATE), true
+      |FROM incoming i
+      |WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.member_id = i.member_id)
+      |ORDER BY member_id, effective_from""".stripMargin
+
+  /** q34 — hierarchical rollup aggregation (subtotals + grand total) with
+    * an engine-portable grouping id derived from the NULL pattern.
+    */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+      .withColumn("gid",
+        when(col("l_returnflag").isNull, 2).otherwise(0) +
+          when(col("l_linestatus").isNull, 1).otherwise(0))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val rollupAggOracle: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  (CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END
+      |   + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS gid
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** q35 — sketch aggregation: HyperLogLog++ approximate distinct counts
+    * next to the exact counts, with observed relative error. Not
+    * SQL-oracle-expressible (sketch internals differ per engine) → no
+    * oracleSql entry; the driver records a rows-only check.
+    */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      countDistinct(col("l_orderkey")).as("exact_orders"),
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .withColumn("parts_rel_err",
+        abs(col("approx_parts") - col("exact_parts")).cast("double") / col("exact_parts"))
+
   // ------------------------------------------------- events (json+windows)
 
   /** q17 — JSON property extraction from the event stream (north-star
@@ -459,6 +564,9 @@ object CoreQueries {
     "q18_tumbling_windows" -> (tumblingWindows(_, _)),
     "q19_sliding_windows" -> (slidingWindows(_, _)),
     "q20_session_windows" -> (sessionWindows(_, _)),
+    "q33_scd2_members" -> (scd2Members(_, _)),
+    "q34_rollup_agg" -> (rollupAgg(_, _)),
+    "q35_approx_distinct" -> (approxDistinct(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -481,5 +589,9 @@ object CoreQueries {
     "q18_tumbling_windows" -> tumblingWindowsOracle,
     "q19_sliding_windows" -> slidingWindowsOracle,
     "q20_session_windows" -> sessionWindowsOracle,
+    "q33_scd2_members" -> scd2MembersOracle,
+    "q34_rollup_agg" -> rollupAggOracle,
+    // q35_approx_distinct intentionally has no oracle: HLL sketches are
+    // engine-specific; the driver records a rows-only check
   )
 }

@@ -20,8 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two float-array columns, computed in double via
+    * the native codegen'd expression (graft.expressions.CosineSimilarity).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.CosineSimilarity.cosine(a, b)
+
+  /** The built-in higher-order-function formulation — semantically and
+    * bit-identical to [[cosine]] (same per-accumulator order), but
+    * evaluated interpreted; kept as the reference implementation the
+    * native expression is tested against.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     val ad = a.cast("array<double>")
     val bd = b.cast("array<double>")
     val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (s, x) => s + x)

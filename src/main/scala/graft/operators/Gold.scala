@@ -115,6 +115,47 @@ object Gold {
           .cast(DecimalType(18, 6)).as("charge_with_tax"))
   }
 
+  /** SCD Type-2 dimension maintenance. The reference docs declare Type 2
+    * history for the member dimension
+    * (/root/reference/bronze_silver_gold/readme.md:56) but the code only
+    * ships Type-1 full refresh (gold:84-117) — this implements the
+    * declared semantics: closing changed versions at `effective`,
+    * inserting new versions, passing history and unchanged rows through,
+    * and inserting brand-new keys.
+    *
+    * `current` carries (attrs…, effective_from DATE, effective_to DATE
+    * nullable, is_current BOOLEAN); `incoming` carries bare attrs.
+    * Change detection is null-safe on `compareCols`. The changed-key set
+    * is small by nature (a daily delta), so it broadcasts; the dimension
+    * never shuffles.
+    */
+  def scdType2(current: DataFrame, incoming: DataFrame, keys: Seq[String],
+      compareCols: Seq[String], effective: Column): DataFrame = {
+    val attrs = incoming.columns.toSeq
+    val cur = current.filter(col("is_current"))
+    val changedKeys = cur.as("c").join(incoming.as("i"), keys)
+      .filter(compareCols.map(c => !(col(s"c.$c") <=> col(s"i.$c"))).reduce(_ || _))
+      .select(keys.map(k => col(s"c.$k")): _*)
+    val closed = cur.join(broadcast(changedKeys), keys, "left_semi")
+      .withColumn("effective_to", effective.cast("date"))
+      .withColumn("is_current", lit(false))
+    val newVersions = incoming.join(broadcast(changedKeys), keys, "left_semi")
+      .select(attrs.map(col): _*)
+      .withColumn("effective_from", effective.cast("date"))
+      .withColumn("effective_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+    val inserts = incoming.join(current, keys, "left_anti")
+      .select(attrs.map(col): _*)
+      .withColumn("effective_from", effective.cast("date"))
+      .withColumn("effective_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+    // history rows pass through untouched regardless of key; only the
+    // CURRENT row of a changed key is replaced by `closed`
+    val untouched = current.filter(!col("is_current"))
+      .unionByName(cur.join(broadcast(changedKeys), keys, "left_anti"))
+    untouched.unionByName(closed).unionByName(newVersions).unionByName(inserts)
+  }
+
   /** D12: aggregate rollup of the fact by calendar month — the truncated
     * `build_aggregation_tables` reconstructed with its imported aggregates
     * (sum/count/avg/max, gold:10). Decimal sums make the rollup exactly

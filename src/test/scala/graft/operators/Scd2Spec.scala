@@ -1,0 +1,57 @@
+package graft.operators
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  def snap(rows: (Long, String, String)*) =
+    rows.toDF("id", "name", "segment")
+
+  def dim(rows: (Long, String, String, String, Option[String], Boolean)*) =
+    rows.map { case (id, n, s, from, to, cur) =>
+      (id, n, s, Date.valueOf(from), to.map(Date.valueOf).orNull, cur)
+    }.toDF("id", "name", "segment", "effective_from", "effective_to", "is_current")
+
+  test("scdType2: change closes old version, opens new; inserts and unchanged handled") {
+    val current = dim(
+      (1L, "A", "S1", "2024-01-01", None, true),
+      (2L, "B", "S1", "2024-01-01", None, true),
+      // key 3 already has history: old closed version + current
+      (3L, "C", "S0", "2023-01-01", Some("2024-01-01"), false),
+      (3L, "C", "S1", "2024-01-01", None, true))
+    val incoming = snap(
+      (1L, "A", "S1"), // unchanged
+      (2L, "B", "S9"), // changed
+      (3L, "C", "S1"), // unchanged (current version)
+      (4L, "D", "S1")) // brand new
+    val out = Gold.scdType2(current, incoming, Seq("id"),
+      Seq("name", "segment"), lit("2024-06-01"))
+      .orderBy("id", "effective_from")
+      .select("id", "segment", "effective_from", "effective_to", "is_current")
+      .as[(Long, String, Date, Option[Date], Boolean)].collect().toSeq
+
+    assert(out == Seq(
+      (1L, "S1", Date.valueOf("2024-01-01"), None, true),
+      (2L, "S1", Date.valueOf("2024-01-01"), Some(Date.valueOf("2024-06-01")), false),
+      (2L, "S9", Date.valueOf("2024-06-01"), None, true),
+      (3L, "S0", Date.valueOf("2023-01-01"), Some(Date.valueOf("2024-01-01")), false),
+      (3L, "S1", Date.valueOf("2024-01-01"), None, true),
+      (4L, "S1", Date.valueOf("2024-06-01"), None, true)))
+  }
+
+  test("scdType2 invariants: exactly one current row per key; no overlap") {
+    val out = graft.CoreQueries.scd2Members(spark, sf)
+    val perKey = out.groupBy("member_id")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n_current"))
+    assert(perKey.filter(col("n_current") =!= 1).count() == 0)
+    // closed versions must end exactly where the next version starts
+    val overlap = out.as("a").join(out.as("b"),
+      col("a.member_id") === col("b.member_id") &&
+        col("a.effective_to") === col("b.effective_from") && col("a.is_current"))
+    assert(overlap.count() == 0)
+  }
+}
