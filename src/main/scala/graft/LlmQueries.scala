@@ -93,16 +93,24 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
 
   val minhashLshOracle: String = {
+    val p = graft.functions.DedupOps.KmPrime
     val sigCols = (0 until 16).map(i =>
-      s"list_min(list_transform(sh, s -> md5('$i|' || s))) AS sig_$i").mkString(",\n    ")
+      s"min((h1 + $i * h2) % $p) AS sig_$i").mkString(",\n    ")
     val bandRows = (0 until 4).map { b =>
       val cols = (0 until 4).map(r => s"sig_${b * 4 + r}").mkString(", ")
       s"SELECT doc_id, $b AS band_idx, md5(concat_ws('|', $cols)) AS band_hash FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH $tokShSql, sig AS (
+    s"""WITH $tokShSql, exg AS (
+       |  SELECT doc_id, unnest(sh) AS g FROM sh
+       |), hh AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % $p AS h1,
+       |    CAST('0x' || substr(md5(g), 17, 15) AS BIGINT) % $p AS h2
+       |  FROM exg
+       |), sig AS (
        |  SELECT doc_id,
        |    $sigCols
-       |  FROM sh
+       |  FROM hh GROUP BY doc_id
        |), band AS (
        |  $bandRows
        |), cand AS (

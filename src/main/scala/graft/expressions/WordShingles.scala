@@ -1,0 +1,87 @@
+package graft.expressions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word n-gram shingles of a lowercased text column — the native
+  * form of `array_distinct(transform(sequence(...), i => array_join(
+  * slice(split(lower(text), "\\s+"), i, n), " ")))` (TextAnalysis
+  * .shinglesHof).
+  *
+  * The built-in formulation nests four interpreted higher-order array
+  * functions plus a regex split per row; this expression is a single
+  * char-scan pass with no regex and no intermediate arrays, preserving
+  * the exact semantics: split on Java-regex `\s+` runs (space, \t, \n,
+  * \x0B, \f, \r), leading/trailing empty tokens kept as `split` does,
+  * n-grams joined with a single space, distinct by first occurrence.
+  * CodegenFallback: the eval itself is the tight loop; it feeds
+  * codegen'd consumers (explode/aggregate) unchanged.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  private def isSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    // UTF8String.toLowerCase for exact parity with the lower() builtin
+    val text = input.asInstanceOf[UTF8String].toLowerCase.toString
+    // tokenize exactly like split(text, "\\s+", -1): empty leading token
+    // when the text starts with whitespace, empty trailing token when it
+    // ends with one
+    val tokens = mutable.ArrayBuffer.empty[String]
+    val len = text.length
+    var i = 0
+    var start = 0
+    while (i < len) {
+      if (isSpace(text.charAt(i))) {
+        tokens += text.substring(start, i)
+        while (i < len && isSpace(text.charAt(i))) i += 1
+        start = i
+      } else i += 1
+    }
+    tokens += text.substring(start, len)
+    if (tokens.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = mutable.LinkedHashSet.empty[UTF8String]
+    var t = 0
+    val sb = new java.lang.StringBuilder
+    while (t <= tokens.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(t + j))
+        j += 1
+      }
+      seen += UTF8String.fromString(sb.toString)
+      t += 1
+    }
+    new GenericArrayData(seen.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  def shingles(text: Column, n: Int): Column =
+    toColumn(WordShingles(toExpression(text), n))
+}

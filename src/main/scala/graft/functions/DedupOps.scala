@@ -22,6 +22,13 @@ import TextAnalysis.shingles
   */
 object DedupOps {
 
+  /** Modulus for Kirsch-Mitzenmacher hash derivation: 2^31−1 (Mersenne).
+    * Small enough that h1 + i·h2 never overflows a BIGINT in any engine
+    * (DuckDB errors on overflow where Spark wraps), large enough for
+    * minhash uniformity.
+    */
+  val KmPrime: Long = 2147483647L
+
   /** Exact dedup: keep the lowest-id row per identical normalized text.
     * One hash shuffle on the 16-byte fingerprint, map-side combinable.
     */
@@ -57,12 +64,28 @@ object DedupOps {
       shingleN: Int = 5, k: Int = 16, bandRows: Int = 4,
       threshold: Double = 0.6): DataFrame = {
     val sh = shingleSets(docs, textCol, idCol, shingleN)
-    val sigs = sh.select(Seq(col("doc_id"), col("sh")) ++
-      minhashSignatures(col("sh"), k): _*)
+    // Kirsch-Mitzenmacher signatures: two 60-bit base hashes from ONE md5
+    // per shingle, k derived hashes h1 + i·h2 mod P — 8x less hashing
+    // than k independent digests, and the min-aggregation runs as
+    // explode + codegen'd integer ops with map-side partial mins (one
+    // hash shuffle on doc_id). Docs with no shingles drop out (they
+    // cannot be near-dups of anything).
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      .withColumn("h", md5(col("g")))
+      .select(col("doc_id"),
+        (conv(substring(col("h"), 1, 15), 16, 10).cast("bigint") % KmPrime).as("h1"),
+        (conv(substring(col("h"), 17, 15), 16, 10).cast("bigint") % KmPrime).as("h2"))
+    val sigs = ex.groupBy(col("doc_id")).agg(
+      min((col("h1") + col("h2") * lit(0L)) % KmPrime).as("sig_0"),
+      (1 until k).map(i =>
+        min((col("h1") + col("h2") * lit(i.toLong)) % KmPrime).as(s"sig_$i")): _*)
     val bands = sigs.select(Seq(col("doc_id")) ++ lshBands(k, bandRows): _*)
+    // persist the tiny band table: the self-join would otherwise compute
+    // the full signature pipeline once per side
     val exploded = bands.select(col("doc_id"), posexplode(
       array((0 until k / bandRows).map(b => col(s"band_$b")): _*)))
       .toDF("doc_id", "band_idx", "band_hash")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = exploded.as("a").join(exploded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -97,7 +120,7 @@ object DedupOps {
   private def shingleSets(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        shingles(TextAnalysis.tokens(col(textCol)), shingleN).as("sh"))
+        TextAnalysis.textShingles(col(textCol), shingleN).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Exact Jaccard on candidate pairs against per-doc shingle sets. The

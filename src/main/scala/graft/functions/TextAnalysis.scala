@@ -21,7 +21,16 @@ object TextAnalysis {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
 
-  /** Distinct word n-gram shingles (the unit of near-dup detection). */
+  /** Distinct word n-gram shingles of a raw text column (the unit of
+    * near-dup detection) — native single-pass expression.
+    */
+  def textShingles(text: Column, n: Int): Column =
+    graft.expressions.WordShingles.shingles(text, n)
+
+  /** Built-in-composition form of shingling over a token array; kept as
+    * the reference implementation [[textShingles]] is tested against
+    * (interpreted HOFs — 10x slower at scale).
+    */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),

@@ -1,0 +1,39 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.functions.TextAnalysis
+
+class WordShinglesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native shingles equal the HOF composition on the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val diff = docs.select(
+      TextAnalysis.textShingles(col("text"), 5).as("native"),
+      TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 5).as("hof"))
+      .filter(!(col("native") <=> col("hof")))
+    assert(diff.count() == 0)
+  }
+
+  test("native shingles match split semantics on edge-case strings") {
+    val edge = Seq(
+      "", " ", "a", "a b c d e", "  leading", "trailing  ",
+      "A\tB\nCD\fE\rF G", "one two", "x  y   z w v u t",
+      "MiXeD CaSe TeXt With FIVE tokens here").toDF("text")
+    val diff = edge.select(
+      TextAnalysis.textShingles(col("text"), 3).as("native"),
+      TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3).as("hof"))
+      .filter(!(col("native") <=> col("hof")))
+    assert(diff.count() == 0,
+      diff.sparkSession.emptyDataFrame.toString() + "native/HOF divergence on edge strings")
+  }
+
+  test("shingle n=1 yields distinct tokens; n larger than doc yields empty") {
+    val df = Seq("a b a c").toDF("text")
+    assert(df.select(TextAnalysis.textShingles(col("text"), 1))
+      .as[Seq[String]].collect()(0) == Seq("a", "b", "c"))
+    assert(df.select(TextAnalysis.textShingles(col("text"), 9))
+      .as[Seq[String]].collect()(0).isEmpty)
+  }
+}
