@@ -39,8 +39,13 @@ object Queries {
   def flagship(s: SparkSession, d: String): DataFrame = {
     val clean = Silver.cleanseLineitem(t(s, d, "lineitem"))
     val (pass, _) = Silver.quarantineSplit(Silver.applyDqRules(clean))
+    // tie-break beyond ship_date: duplicate claim lines can share the
+    // latest date with different amounts, and "pick any" is not a
+    // deterministic (or oracle-checkable) semantics
     val deduped = Silver.dedupLatest(
-      pass, Seq("l_orderkey", "l_linenumber"), Seq(col("ship_date").desc))
+      pass, Seq("l_orderkey", "l_linenumber"),
+      Seq(col("ship_date").desc, col("l_extendedprice").desc,
+        col("l_discount").desc, col("l_quantity").desc))
     deduped
       .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
@@ -57,7 +62,7 @@ object Queries {
 
   val flagshipOracle: String =
     """WITH clean AS (
-      |  SELECT l_orderkey, l_linenumber,
+      |  SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_quantity,
       |         CAST(l_shipdate AS DATE) AS ship_date,
       |         CAST(l_extendedprice AS DECIMAL(18,2))
       |           * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev
@@ -71,7 +76,8 @@ object Queries {
       |), dedup AS (
       |  SELECT * FROM (
       |    SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
-      |                                 ORDER BY ship_date DESC) AS rn
+      |                                 ORDER BY ship_date DESC, l_extendedprice DESC,
+      |                                          l_discount DESC, l_quantity DESC) AS rn
       |    FROM clean) WHERE rn = 1
       |)
       |SELECT strftime(ship_date, '%Y-%m') AS ship_month, n_name AS nation,
