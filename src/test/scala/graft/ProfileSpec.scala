@@ -10,7 +10,9 @@ class ProfileSpec extends SparkSpec {
     println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
   }
 
-  test("minhash stage breakdown at sf0.1") {
+  // ignored in the default run (timing aid, not a correctness gate):
+  // sbt "testOnly graft.ProfileSpec" and flip to test(...) to use
+  ignore("minhash stage breakdown at sf0.1") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")
     val sh = docs.select(col("doc_id"),
       functions.TextAnalysis.shingles(functions.TextAnalysis.tokens(col("text")), 5).as("sh"))

@@ -1,0 +1,100 @@
+package graft.operators
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property tests (SURVEY.md §5.3): algebraic invariants of the Silver and
+  * merge operators over ScalaCheck-generated inputs (fixed seeds for
+  * reproducibility; the scalatest-scalacheck bridge is not in the offline
+  * dependency cache, so generators are sampled directly).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAll[A](gen: Gen[A], n: Int = 10)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      body(gen(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse(fail(s"generator failed for seed $i")))
+    }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private val rowGen = for {
+    key <- Gen.choose(1L, 20L)
+    line <- Gen.choose(1, 3)
+    day <- Gen.choose(1, 28)
+    amount <- Gen.choose(-50.0, 500.0)
+  } yield (key, line, Date.valueOf(f"2024-01-$day%02d"), amount)
+
+  private val tableGen = Gen.listOfN(60, rowGen)
+
+  test("dedup: unique keys, subset of input, idempotent") {
+    forAll(tableGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("k", "line", "d", "amount")
+        val out = Silver.dedupLatest(df, Seq("k"),
+          Seq($"d".desc, $"line".desc, $"amount".desc))
+        assert(out.groupBy("k").count().filter($"count" > 1).count() == 0)
+        assert(out.exceptAll(df).isEmpty)
+        val again = Silver.dedupLatest(out, Seq("k"),
+          Seq($"d".desc, $"line".desc, $"amount".desc))
+        assert(again.exceptAll(out).isEmpty && out.exceptAll(again).isEmpty)
+      }
+    }
+  }
+
+  test("quarantine: PASS and FAIL partition the input exactly") {
+    forAll(tableGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("l_orderkey", "l_linenumber", "d", "l_extendedprice")
+          .withColumn("l_shipdate", $"d".cast("timestamp"))
+          .withColumn("l_partkey", lit(1L)).withColumn("l_suppkey", lit(1L))
+          .withColumn("l_quantity", lit(1.0)).withColumn("l_discount", lit(0.1))
+          .withColumn("l_returnflag", lit("N"))
+        val tagged = Silver.applyDqRules(df)
+        val (pass, fail) = Silver.quarantineSplit(tagged)
+        assert(pass.count() + fail.count() == df.count())
+        assert(pass.intersect(fail).isEmpty)
+        // every FAIL row carries at least one reason; no PASS row does
+        assert(fail.filter(size($"dq_failure_reasons") === 0).count() == 0)
+        assert(pass.filter($"dq_failure_reasons".isNotNull).count() == 0)
+      }
+    }
+  }
+
+  test("merge upsert: source wins, target-only preserved, idempotent, key-complete") {
+    val pairGen = for {
+      t <- Gen.listOfN(25, Gen.zip(Gen.choose(1L, 30L), Gen.alphaStr.map(_.take(4))))
+      s <- Gen.listOfN(10, Gen.zip(Gen.choose(1L, 40L), Gen.alphaStr.map(_.take(4))))
+    } yield (t.distinctBy(_._1), s.distinctBy(_._1))
+    forAll(pairGen) { case (t, s) =>
+      whenever(t.nonEmpty && s.nonEmpty) {
+        val target = t.toDF("k", "v")
+        val source = s.toDF("k", "v")
+        val merged = Merge.upsert(target, source, Seq("k"))
+        // key set is the union; source rows win on conflicts
+        assert(merged.select("k").distinct().count() ==
+          (t.map(_._1) ++ s.map(_._1)).distinct.size)
+        assert(merged.join(source, Seq("k", "v"), "left_semi").count() == s.size)
+        val again = Merge.upsert(merged, source, Seq("k"))
+        assert(again.exceptAll(merged).isEmpty && merged.exceptAll(again).isEmpty)
+      }
+    }
+  }
+
+  test("watermark: incremental read after commit is empty (monotone frontier)") {
+    forAll(tableGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("k", "line", "d", "amount")
+          .withColumn("ts", $"d".cast("timestamp"))
+        val wm = Silver.watermarkCommit(df, "t", "ts")
+        assert(Silver.incrementalAfter(df, wm, "t", "ts").count() == 0)
+      }
+    }
+  }
+}
