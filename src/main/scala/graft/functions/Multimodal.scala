@@ -25,7 +25,8 @@ object Multimodal {
     * would emit.
     */
   final case class MediaFeatures(asset_id: Long, media_type: String,
-      byte_len: Long, frames_sampled: Int, feature: Array[Float])
+      byte_len: Long, frames_sampled: Int, out_width: Int, out_height: Int,
+      feature: Array[Float])
 
   object MediaCodec {
     /** STUB decode: a real build calls the image/audio codec here. The
@@ -47,6 +48,18 @@ object Multimodal {
       */
     def framesToSample(durationMs: Long): Int =
       math.max(1, (durationMs / 1000L).toInt)
+
+    /** Resize plan: aspect-preserving fit into maxDim × maxDim (the
+      * geometry a real image resize would apply; the pixel work itself
+      * lives behind the stubbed decode).
+      */
+    def resizePlan(width: Int, height: Int, maxDim: Int = 224): (Int, Int) = {
+      if (width <= 0 || height <= 0) (maxDim, maxDim)
+      else if (width >= height)
+        (maxDim, math.max(1, math.round(height.toDouble * maxDim / width).toInt))
+      else
+        (math.max(1, math.round(width.toDouble * maxDim / height).toInt), maxDim)
+    }
   }
 
   /** Build a typed asset table from the `documents` fixture (text bytes
@@ -73,8 +86,9 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.mapPartitions { batch =>
       batch.map { a =>
+        val (w, h) = MediaCodec.resizePlan(a.width, a.height)
         MediaFeatures(a.asset_id, a.media_type, a.payload.length.toLong,
-          MediaCodec.framesToSample(a.duration_ms),
+          MediaCodec.framesToSample(a.duration_ms), w, h,
           MediaCodec.decodeStub(a.payload))
       }
     }

@@ -69,4 +69,31 @@ object LayerIO {
       df.write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(path)
     else
       overwritePartitioned(df, path, partitionCol)
+
+  /** Bucketed managed table: pre-hash-partitions rows by the join key at
+    * write time so repeated fact⋈fact / fact⋈large-dim joins read both
+    * sides co-located and SKIP the shuffle entirely — the write-once,
+    * join-many trade a 100 TB fact table wants. (Bucketing requires the
+    * catalog, hence saveAsTable; see BucketedJoinSpec for the
+    * no-Exchange plan proof.)
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** Compaction to the 128–256 MB files the reference's OPTIMIZE guidance
+    * targets (/root/reference/bronze_silver_gold/readme.md:96,107): size
+    * output files by row-byte estimate instead of inheriting however many
+    * shuffle partitions produced the data.
+    */
+  def compact(df: DataFrame, path: String, targetFileBytes: Long = 192L << 20,
+      approxRowBytes: Int = 128): Unit = {
+    val rows = df.count()
+    val files = math.max(1, (rows * approxRowBytes / targetFileBytes).toInt)
+    df.coalesce(files).write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

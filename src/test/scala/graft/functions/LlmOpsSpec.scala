@@ -89,6 +89,9 @@ class LlmOpsSpec extends SparkSpec {
     assert(f1.feature.forall(v => v >= 0f && v < 1f))
     assert(feats.count() == docs.count())
     assert(f1.byte_len > 0 && f1.frames_sampled >= 1)
+    // resize plan fits 224x224 preserving aspect
+    assert(math.max(f1.out_width, f1.out_height) == 224)
+    assert(f1.out_width >= 1 && f1.out_height >= 1)
   }
 
   test("language ID + quality + token stats produce full coverage") {
