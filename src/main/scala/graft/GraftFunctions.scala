@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftbridge.toColumn
+
+import graft.expressions.{CosineSimilarity, WordShingles}
+
+/** SQL registration for the native expressions, so `spark.sql` users get
+  * the same operators as the Column API:
+  * `SELECT cosine_similarity(a, b)`, `SELECT word_shingles(text, 5)`.
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("cosine_similarity",
+      exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("word_shingles",
+      exprs => WordShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+  }
+}

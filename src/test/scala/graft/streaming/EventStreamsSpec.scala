@@ -59,6 +59,18 @@ class EventStreamsSpec extends SparkSpec {
     assert(stream.exceptAll(batch).isEmpty)
   }
 
+  test("streaming sliding windows equal batch sliding agg") {
+    val stream = runStream("sliding",
+      EventStreams.slidingAgg(EventStreams.readEvents(spark, eventsDir)))
+    val batch = Tables.events(spark, sf)
+      .groupBy(window($"ts", "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"window.start".as("window_start"), $"window.end".as("window_end"),
+        $"n_events")
+    assert(stream.count() > 0)
+    assert(stream.exceptAll(batch).isEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization matches session_window on closed sessions") {
     val ev = EventStreams.readEvents(spark, eventsDir)
       .withWatermark("ts", "10 minutes")
