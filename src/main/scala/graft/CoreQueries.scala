@@ -455,6 +455,37 @@ object CoreQueries {
       .withColumn("parts_rel_err",
         abs(col("approx_parts") - col("exact_parts")).cast("double") / col("exact_parts"))
 
+  /** q36 — exact percentiles (median/p90/p99) of the charge distribution
+    * per return flag: linear-interpolation `percentile`, the same
+    * estimator as ANSI percentile_cont / DuckDB quantile_cont.
+    */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .withColumn("charge",
+        (col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).cast("double"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(charge, 0.5)").as("p50"),
+        expr("percentile(charge, 0.9)").as("p90"),
+        expr("percentile(charge, 0.99)").as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val percentilesOracle: String =
+    """WITH c AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |         * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS charge
+      |  FROM lineitem
+      |)
+      |SELECT l_returnflag,
+      |  quantile_cont(charge, 0.5) AS p50,
+      |  quantile_cont(charge, 0.9) AS p90,
+      |  quantile_cont(charge, 0.99) AS p99,
+      |  count(*) AS n
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------- events (json+windows)
 
   /** q17 — JSON property extraction from the event stream (north-star
@@ -567,6 +598,7 @@ object CoreQueries {
     "q33_scd2_members" -> (scd2Members(_, _)),
     "q34_rollup_agg" -> (rollupAgg(_, _)),
     "q35_approx_distinct" -> (approxDistinct(_, _)),
+    "q36_percentiles" -> (percentiles(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -593,5 +625,6 @@ object CoreQueries {
     "q34_rollup_agg" -> rollupAggOracle,
     // q35_approx_distinct intentionally has no oracle: HLL sketches are
     // engine-specific; the driver records a rows-only check
+    "q36_percentiles" -> percentilesOracle,
   )
 }

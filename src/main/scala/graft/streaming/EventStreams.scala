@@ -70,6 +70,15 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
 
+  /** Streaming exact dedup by business key with state bounded by the
+    * watermark — the streaming form of Silver.dedupLatest for at-least-
+    * once sources (duplicate deliveries inside the watermark horizon are
+    * dropped; state for expired keys is reclaimed).
+    */
+  def dedupEvents(events: DataFrame, keys: Seq[String] = Seq("event_id")): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   final case class Event(event_id: Long, ts: java.time.Instant, user_id: Long,
       event_type: String, value: Double)
   /** State in epoch MICROseconds — event time carries µs precision and

@@ -59,6 +59,18 @@ class EventStreamsSpec extends SparkSpec {
     assert(stream.exceptAll(batch).isEmpty)
   }
 
+  test("dropDuplicatesWithinWatermark removes at-least-once replays") {
+    // stage the feed twice: every event delivered two times
+    val dir = Files.createTempDirectory("events_dup")
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"))
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("b.parquet"))
+    val stream = runStream("deduped",
+      EventStreams.dedupEvents(EventStreams.readEvents(spark, dir.toString)))
+    val distinct = Tables.events(spark, sf).select("event_id").distinct().count()
+    assert(stream.count() == distinct,
+      "each replayed event must be delivered exactly once downstream")
+  }
+
   test("streaming sliding windows equal batch sliding agg") {
     val stream = runStream("sliding",
       EventStreams.slidingAgg(EventStreams.readEvents(spark, eventsDir)))
