@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Bronze, Gold, Merge, Silver}
+import graft.operators.{Bronze, Gold, Merge, Silver, Temporal}
 
 /** Reference-surface query registry: Silver operators D3–D8 (q02–q07),
   * Gold star schema D9–D12 (q08–q12), MERGE J2 (q13), the doc-declared
@@ -486,6 +486,108 @@ object CoreQueries {
       |  count(*) AS n
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q37 — set operations (beyond-reference §2.7): segment membership
+    * algebra over orders — customers with 1995 orders INTERSECT high-value
+    * customers, then EXCEPT the ones with cancelled orders.
+    */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders")
+    val in95 = orders.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+    val big = orders.filter(col("o_totalprice") > 150000).select("o_custkey")
+    val cancelled = orders.filter(col("o_orderstatus") === "F").select("o_custkey")
+    in95.intersect(big).except(cancelled)
+      .withColumnRenamed("o_custkey", "member_id").orderBy("member_id")
+  }
+
+  val setOpsOracle: String =
+    """SELECT o_custkey AS member_id FROM (
+      |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |) ORDER BY member_id""".stripMargin
+
+  /** q38 — pivot: yearly revenue per nation pivoted to columns (the
+    * conditional-aggregation form is what pivot compiles to, and is the
+    * engine-portable statement of it).
+    */
+  def pivotRevenue(s: SparkSession, d: String): DataFrame = {
+    val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer").select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("yr", year(col("l_shipdate")))
+      .groupBy(col("n_name").as("nation"))
+      .pivot("yr", Seq(1995, 1996, 1997))
+      .agg(sum(rev).cast("double"))
+      .withColumnsRenamed(Map("1995" -> "rev_1995", "1996" -> "rev_1996", "1997" -> "rev_1997"))
+      .orderBy("nation")
+  }
+
+  val pivotRevenueOracle: String =
+    """WITH base AS (
+      |  SELECT n_name AS nation, year(l_shipdate) AS yr,
+      |    CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation   ON c_nationkey = n_nationkey
+      |)
+      |SELECT nation,
+      |  CAST(sum(CASE WHEN yr = 1995 THEN rev END) AS DOUBLE) AS rev_1995,
+      |  CAST(sum(CASE WHEN yr = 1996 THEN rev END) AS DOUBLE) AS rev_1996,
+      |  CAST(sum(CASE WHEN yr = 1997 THEN rev END) AS DOUBLE) AS rev_1997
+      |FROM base GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q39 — range join (scalable bucketed form): pairs of events by the
+    * same user within 60 seconds of each other.
+    */
+  def rangeJoinEvents(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+    Temporal.rangeJoin(ev, ev, "user_id", "ts", "ts", 60)
+      .filter(col("l_event_id") < col("r_event_id"))
+      .select(col("l_user_id").as("user_id"),
+        col("l_event_id").as("event_a"), col("r_event_id").as("event_b"))
+      .orderBy("user_id", "event_a", "event_b")
+  }
+
+  val rangeJoinEventsOracle: String =
+    """SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND abs(epoch_us(CAST(a.ts AS TIMESTAMP)) - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 60000000
+      |ORDER BY a.user_id, event_a, event_b""".stripMargin
+
+  /** q40 — as-of join (union + running-last window, single shuffle): for
+    * every purchase event, the most recent view by the same user at or
+    * before it.
+    */
+  def asofJoinEvents(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "ts")
+    Temporal.asofJoin(purchases, views, "user_id", "ts", "ts")
+      .select(col("event_id"), col("user_id"), col("asof_ts").as("last_view_ts"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinEventsOracle: String =
+    """SELECT p.event_id, p.user_id,
+      |  (SELECT max(CAST(v.ts AS TIMESTAMP)) FROM events v
+      |   WHERE v.user_id = p.user_id AND v.event_type = 'view'
+      |     AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)) AS last_view_ts
+      |FROM events p WHERE p.event_type = 'purchase'
+      |ORDER BY p.event_id""".stripMargin
+
   // ------------------------------------------------- events (json+windows)
 
   /** q17 — JSON property extraction from the event stream (north-star
@@ -599,6 +701,10 @@ object CoreQueries {
     "q34_rollup_agg" -> (rollupAgg(_, _)),
     "q35_approx_distinct" -> (approxDistinct(_, _)),
     "q36_percentiles" -> (percentiles(_, _)),
+    "q37_set_ops" -> (setOps(_, _)),
+    "q38_pivot_revenue" -> (pivotRevenue(_, _)),
+    "q39_range_join" -> (rangeJoinEvents(_, _)),
+    "q40_asof_join" -> (asofJoinEvents(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -626,5 +732,9 @@ object CoreQueries {
     // q35_approx_distinct intentionally has no oracle: HLL sketches are
     // engine-specific; the driver records a rows-only check
     "q36_percentiles" -> percentilesOracle,
+    "q37_set_ops" -> setOpsOracle,
+    "q38_pivot_revenue" -> pivotRevenueOracle,
+    "q39_range_join" -> rangeJoinEventsOracle,
+    "q40_asof_join" -> asofJoinEventsOracle,
   )
 }
