@@ -208,13 +208,14 @@ object CoreQueries {
       |  row_number() OVER (ORDER BY s_suppkey) AS provider_sk
       |FROM supplier ORDER BY provider_id""".stripMargin
 
-  // calendar range covering the fixture ship dates (1992–1998) so the
-  // date-dim join actually resolves; q08 keeps the reference's 2020–2030
+  // calendar range covering the fixture ship dates (1992 through the
+  // 1999 tail — lineitem ships up to ~4 months after the last order) so
+  // the date-dim join always resolves; q08 keeps the reference's 2020–2030
   private def fact(s: SparkSession, d: String): DataFrame =
     Gold.factLines(t(s, d, "lineitem"), t(s, d, "orders"),
       Gold.dimMember(t(s, d, "customer")),
       Gold.dimProvider(t(s, d, "supplier")),
-      Gold.dimDate(s, "1992-01-01", "1998-12-31"))
+      Gold.dimDate(s, "1992-01-01", "1999-12-31"))
 
   private val factSql =
     """WITH dim_member AS (
@@ -226,7 +227,7 @@ object CoreQueries {
       |), dim_date AS (
       |  SELECT CAST(d AS DATE) AS date_value,
       |         CAST(strftime(d, '%Y%m%d') AS INTEGER) AS date_key
-      |  FROM generate_series(DATE '1992-01-01', DATE '1998-12-31', INTERVAL 1 DAY) AS t(d)
+      |  FROM generate_series(DATE '1992-01-01', DATE '1999-12-31', INTERVAL 1 DAY) AS t(d)
       |), fact AS (
       |  SELECT l_orderkey AS claim_id, l_linenumber AS claim_line_number,
       |    member_sk, provider_sk, date_key AS service_date_key,
