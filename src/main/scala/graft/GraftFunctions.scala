@@ -17,5 +17,9 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("word_shingles",
       exprs => WordShingles(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")
+    spark.udf.register("heavy_hitters_10",
+      org.apache.spark.sql.functions.udaf(
+        graft.functions.HeavyHitters.MisraGries(10),
+        org.apache.spark.sql.Encoders.STRING))
   }
 }

@@ -79,6 +79,29 @@ object EventStreams {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Watermarked stream-stream join: purchases matched to views by the
+    * same user within `withinSeconds` before the purchase — the streaming
+    * form of the temporal joins (operators.Temporal). Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * per-key state is bounded and expires as the watermark advances.
+    */
+  def purchaseViewJoin(events: DataFrame, withinSeconds: Long = 3600): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    purchases.join(views,
+      col("user_id") === col("view_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $withinSeconds SECONDS"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
   final case class Event(event_id: Long, ts: java.time.Instant, user_id: Long,
       event_type: String, value: Double)
   /** State in epoch MICROseconds — event time carries µs precision and

@@ -59,6 +59,22 @@ class EventStreamsSpec extends SparkSpec {
     assert(stream.exceptAll(batch).isEmpty)
   }
 
+  test("stream-stream purchase-view join equals the batch interval join") {
+    val stream = runStream("pv_join",
+      EventStreams.purchaseViewJoin(EventStreams.readEvents(spark, eventsDir)))
+    val ev = Tables.events(spark, sf)
+    val batch = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("purchase_ts"))
+      .join(ev.filter($"event_type" === "view")
+          .select($"event_id".as("view_id"), $"user_id".as("view_user"), $"ts".as("view_ts")),
+        $"user_id" === $"view_user" && $"view_ts" <= $"purchase_ts" &&
+          $"view_ts" >= $"purchase_ts" - expr("INTERVAL 3600 SECONDS"))
+      .select($"purchase_id", $"user_id", $"purchase_ts", $"view_id", $"view_ts")
+    assert(stream.count() > 0)
+    assert(stream.exceptAll(batch).isEmpty,
+      "every emitted stream-join row must appear in the batch join")
+  }
+
   test("dropDuplicatesWithinWatermark removes at-least-once replays") {
     // stage the feed twice: every event delivered two times
     val dir = Files.createTempDirectory("events_dup")
