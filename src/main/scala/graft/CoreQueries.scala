@@ -32,7 +32,7 @@ object CoreQueries {
     """concat_ws(';',
       |  CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL
       |         OR l_partkey IS NULL OR l_suppkey IS NULL THEN 'MISSING_REQUIRED_FIELDS' END,
-      |  CASE WHEN l_shipdate > TIMESTAMP '1999-01-01' THEN 'FUTURE_SERVICE_DATE' END,
+      |  CASE WHEN l_shipdate > TIMESTAMP '2005-01-01' THEN 'FUTURE_SERVICE_DATE' END,
       |  CASE WHEN NOT regexp_matches(upper(trim(l_returnflag)), '^[ANR]$') THEN 'INVALID_RETURN_FLAG' END,
       |  CASE WHEN l_extendedprice <= 0 OR l_quantity <= 0 THEN 'NON_POSITIVE_AMOUNT' END,
       |  CASE WHEN l_discount < 0 OR l_discount > 1 THEN 'INVALID_DISCOUNT' END)""".stripMargin
@@ -40,7 +40,7 @@ object CoreQueries {
   val dqRuleEngineOracle: String =
     s"""SELECT l_orderkey, l_linenumber,
        |  CASE WHEN (l_orderkey IS NULL OR l_linenumber IS NULL OR l_partkey IS NULL OR l_suppkey IS NULL)
-       |         OR (l_shipdate > TIMESTAMP '1999-01-01')
+       |         OR (l_shipdate > TIMESTAMP '2005-01-01')
        |         OR (NOT regexp_matches(upper(trim(l_returnflag)), '^[ANR]$$'))
        |         OR (l_extendedprice <= 0 OR l_quantity <= 0)
        |         OR (l_discount < 0 OR l_discount > 1)
@@ -78,13 +78,13 @@ object CoreQueries {
       |  concat_ws(';',
       |    CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL
       |           OR l_partkey IS NULL OR l_suppkey IS NULL THEN 'MISSING_REQUIRED_FIELDS' END,
-      |    CASE WHEN l_shipdate > TIMESTAMP '1999-01-01' THEN 'FUTURE_SERVICE_DATE' END,
+      |    CASE WHEN l_shipdate > TIMESTAMP '2005-01-01' THEN 'FUTURE_SERVICE_DATE' END,
       |    CASE WHEN NOT regexp_matches(upper(trim(l_returnflag)), '^[ANR]$') THEN 'INVALID_RETURN_FLAG' END,
       |    CASE WHEN l_extendedprice <= 0 OR l_quantity <= 0 THEN 'NON_POSITIVE_AMOUNT' END,
       |    CASE WHEN l_discount < 0 OR l_discount > 1 THEN 'INVALID_DISCOUNT' END) AS dq_reasons_csv
       |FROM feed
       |WHERE (l_orderkey IS NULL OR l_linenumber IS NULL OR l_partkey IS NULL OR l_suppkey IS NULL)
-      |   OR (l_shipdate > TIMESTAMP '1999-01-01')
+      |   OR (l_shipdate > TIMESTAMP '2005-01-01')
       |   OR (NOT regexp_matches(upper(trim(l_returnflag)), '^[ANR]$'))
       |   OR (l_extendedprice <= 0 OR l_quantity <= 0)
       |   OR (l_discount < 0 OR l_discount > 1)
@@ -215,7 +215,7 @@ object CoreQueries {
     Gold.factLines(t(s, d, "lineitem"), t(s, d, "orders"),
       Gold.dimMember(t(s, d, "customer")),
       Gold.dimProvider(t(s, d, "supplier")),
-      Gold.dimDate(s, "1992-01-01", "1999-12-31"))
+      Gold.dimDate(s, "1992-01-01", "2002-12-31"))
 
   private val factSql =
     """WITH dim_member AS (
@@ -227,7 +227,7 @@ object CoreQueries {
       |), dim_date AS (
       |  SELECT CAST(d AS DATE) AS date_value,
       |         CAST(strftime(d, '%Y%m%d') AS INTEGER) AS date_key
-      |  FROM generate_series(DATE '1992-01-01', DATE '1999-12-31', INTERVAL 1 DAY) AS t(d)
+      |  FROM generate_series(DATE '1992-01-01', DATE '2002-12-31', INTERVAL 1 DAY) AS t(d)
       |), fact AS (
       |  SELECT l_orderkey AS claim_id, l_linenumber AS claim_line_number,
       |    member_sk, provider_sk, date_key AS service_date_key,

@@ -98,8 +98,8 @@ object Pipeline {
     val silver = LayerIO.readLayer(spark, paths.silver)
     val dimMember = Gold.dimMember(Tables.customer(spark, fixturesDir))
     val dimProvider = Gold.dimProvider(Tables.supplier(spark, fixturesDir))
-    // ship dates run ~4 months past the last order date — cover 1999
-    val dimDate = Gold.dimDate(spark, "1992-01-01", "1999-12-31")
+    // calendar covers the full ship-date tail (through 2001)
+    val dimDate = Gold.dimDate(spark, "1992-01-01", "2002-12-31")
     dimMember.write.mode(SaveMode.Overwrite).parquet(paths.dimMember)
     dimProvider.write.mode(SaveMode.Overwrite).parquet(paths.dimProvider)
     dimDate.write.mode(SaveMode.Overwrite).parquet(paths.dimDate)

@@ -69,7 +69,7 @@ object Queries {
       |  FROM lineitem
       |  WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
       |    AND l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
-      |    AND NOT (l_shipdate > TIMESTAMP '1999-01-01')
+      |    AND NOT (l_shipdate > TIMESTAMP '2005-01-01')
       |    AND regexp_matches(l_returnflag, '^[ANR]$')
       |    AND l_extendedprice > 0 AND l_quantity > 0
       |    AND l_discount >= 0 AND l_discount <= 1

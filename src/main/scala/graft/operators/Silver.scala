@@ -30,8 +30,8 @@ object Silver {
 
   /** The fixture-schema analog of the reference's 5 Silver DQ rules
     * (silver/silver_rx_claims_load.py:81-128) over claim lines = lineitem:
-    * required keys non-null, service date not in the future (fixture data
-    * ends 1998), service ≤ received analog (shipdate sanity), code-format
+    * required keys non-null, service date not in the future (fixture
+    * ship dates end 2001; the cutoff literal keeps the rule deterministic), service ≤ received analog (shipdate sanity), code-format
     * regex, positive amounts.
     */
   def lineitemRules: Seq[DqRule] = Seq(
@@ -39,7 +39,7 @@ object Silver {
       "MISSING_REQUIRED_FIELDS",
       col("l_orderkey").isNull || col("l_linenumber").isNull ||
         col("l_partkey").isNull || col("l_suppkey").isNull),
-    DqRule("FUTURE_SERVICE_DATE", col("l_shipdate") > lit("1999-01-01").cast("timestamp")),
+    DqRule("FUTURE_SERVICE_DATE", col("l_shipdate") > lit("2005-01-01").cast("timestamp")),
     DqRule("INVALID_RETURN_FLAG", !col("l_returnflag").rlike("^[ANR]$")),
     DqRule("NON_POSITIVE_AMOUNT", col("l_extendedprice") <= 0 || col("l_quantity") <= 0),
     DqRule("INVALID_DISCOUNT", col("l_discount") < 0 || col("l_discount") > 1),

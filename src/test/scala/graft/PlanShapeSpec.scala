@@ -64,7 +64,7 @@ class PlanShapeSpec extends SparkSpec {
       Tables.lineitem(spark, sf), Tables.orders(spark, sf),
       operators.Gold.dimMember(Tables.customer(spark, sf)),
       operators.Gold.dimProvider(Tables.supplier(spark, sf)),
-      operators.Gold.dimDate(spark, "1992-01-01", "1999-12-31"))
+      operators.Gold.dimDate(spark, "1992-01-01", "2002-12-31"))
     val plan = executed(fact)
     val bhj = count(plan, "BroadcastHashJoin")
     assert(bhj == 4, s"expected exactly 4 broadcast joins, got $bhj:\n$plan")
