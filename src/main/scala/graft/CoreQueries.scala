@@ -267,6 +267,22 @@ object CoreQueries {
        |  max(charge) AS max_charge
        |FROM fact GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q41 — the second aggregation table (per-provider), completing the
+    * reference's intended multi-table rollup layer.
+    */
+  def providerRollup(s: SparkSession, d: String): DataFrame =
+    Gold.providerRollup(fact(s, d)).orderBy("provider_sk")
+
+  val providerRollupOracle: String =
+    s"""$factSql
+       |SELECT provider_sk, count(*) AS n_lines,
+       |  CAST(sum(charge) AS DECIMAL(18,4)) AS total_charge,
+       |  CAST(sum(charge) AS DOUBLE) / count(*) AS avg_charge,
+       |  max(charge) AS max_charge,
+       |  min(service_date_key) AS first_service_key,
+       |  max(service_date_key) AS last_service_key
+       |FROM fact GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- M3/M4
 
   /** q13 — MERGE upsert (J2): restated orders merged into the order book;
@@ -706,6 +722,7 @@ object CoreQueries {
     "q38_pivot_revenue" -> (pivotRevenue(_, _)),
     "q39_range_join" -> (rangeJoinEvents(_, _)),
     "q40_asof_join" -> (asofJoinEvents(_, _)),
+    "q41_provider_rollup" -> (providerRollup(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -737,5 +754,6 @@ object CoreQueries {
     "q38_pivot_revenue" -> pivotRevenueOracle,
     "q39_range_join" -> rangeJoinEventsOracle,
     "q40_asof_join" -> asofJoinEventsOracle,
+    "q41_provider_rollup" -> providerRollupOracle,
   )
 }

@@ -1,0 +1,30 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Lower
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule: WordShingles lowercases its input internally, so a
+  * `lower(...)` feeding it is redundant work per row — strip it. A small
+  * but genuine rule in the normalize-away-idempotent-prework family; it
+  * also documents the full Catalyst extension stack this library uses
+  * (Expression with codegen → Rule[LogicalPlan] → SparkSessionExtensions
+  * injection).
+  */
+object EliminateRedundantLowerUnderShingles extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case WordShingles(Lower(child), n) => WordShingles(child, n)
+    }
+}
+
+/** Session extension entry point:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.expressions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => EliminateRedundantLowerUnderShingles)
+  }
+}

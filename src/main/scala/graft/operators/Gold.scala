@@ -159,6 +159,20 @@ object Gold {
     untouched.unionByName(closed).unionByName(newVersions).unionByName(inserts)
   }
 
+  /** D12: provider-level aggregate table (the reference's truncated
+    * build_aggregation_tables intended per-dimension rollups; gold:10's
+    * imports show sum/count/avg/max).
+    */
+  def providerRollup(fact: DataFrame): DataFrame =
+    fact.groupBy(col("provider_sk"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("charge")).cast(DecimalType(18, 4)).as("total_charge"),
+        (sum(col("charge")).cast("double") / count(lit(1))).as("avg_charge"),
+        max(col("charge")).as("max_charge"),
+        min(col("service_date_key")).as("first_service_key"),
+        max(col("service_date_key")).as("last_service_key"))
+
   /** D12: aggregate rollup of the fact by calendar month — the truncated
     * `build_aggregation_tables` reconstructed with its imported aggregates
     * (sum/count/avg/max, gold:10). Decimal sums make the rollup exactly
