@@ -1,0 +1,57 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("commit / append / merge versions with time travel and history") {
+    val path = Files.createTempDirectory("vt").resolve("orders").toString
+    val v0 = VersionedTable.write(
+      Seq((1L, "A", 10.0), (2L, "B", 20.0)).toDF("k", "status", "amt"),
+      path, SaveMode.Overwrite)
+    val v1 = VersionedTable.write(
+      Seq((3L, "C", 30.0)).toDF("k", "status", "amt"), path, SaveMode.Append)
+    val v2 = VersionedTable.mergeCommit(spark, path,
+      Seq((2L, "B2", 99.0), (4L, "D", 40.0)).toDF("k", "status", "amt"), Seq("k"))
+    assert(Seq(v0, v1, v2) == Seq(0L, 1L, 2L))
+
+    // latest reflects the merge
+    val latest = VersionedTable.read(spark, path)
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(latest == Seq((1L, "A", 10.0), (2L, "B2", 99.0), (3L, "C", 30.0), (4L, "D", 40.0)))
+
+    // time travel: v0 and v1 are unchanged by later commits
+    assert(VersionedTable.readVersion(spark, path, 0).count() == 2)
+    assert(VersionedTable.readVersion(spark, path, 1)
+      .orderBy("k").select("k").as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+
+    val hist = VersionedTable.history(spark, path)
+      .select("version", "op").as[(Long, String)].collect().toSeq
+    assert(hist == Seq((0L, "overwrite"), (1L, "append"), (2L, "overwrite")))
+  }
+
+  test("optimistic concurrency: a stolen version number is retried, nothing lost") {
+    val path = Files.createTempDirectory("vt2").resolve("t").toString
+    VersionedTable.write(Seq((1L, "x")).toDF("k", "v"), path, SaveMode.Overwrite)
+    // another writer steals version 1 before our append commits
+    val logDir = java.nio.file.Paths.get(path, "_graft_log")
+    java.nio.file.Files.writeString(logDir.resolve("v00000001.json"),
+      """{"version":1,"op":"other","files":[]}""")
+    val committed = VersionedTable.write(
+      Seq((2L, "y")).toDF("k", "v"), path, SaveMode.Append)
+    assert(committed == 2L, "loser of the race must retry onto the next version")
+    // append based itself on the winner's (empty) v1 file list... no:
+    // append re-reads the latest version at retry time, which is v1 ([]),
+    // so the new version contains only the new rows — consistent with
+    // Delta's conflict semantics for blind appends over overwrites
+    val latest = VersionedTable.read(spark, path).select("k").as[Long].collect().toSeq
+    assert(latest == Seq(2L))
+    // history intact, v0 still readable
+    assert(VersionedTable.readVersion(spark, path, 0).count() == 1)
+  }
+}
