@@ -75,7 +75,14 @@ object VersionedTable {
     * version's files with the new ones; overwrite replaces them. Returns
     * the committed version.
     */
-  def write(df: DataFrame, path: String, mode: SaveMode): Long = {
+  def write(df: DataFrame, path: String, mode: SaveMode): Long =
+    write(df, path, mode,
+      if (mode == SaveMode.Append) "append" else "overwrite")
+
+  /** As [[write]] with an explicit operation tag (used by the streaming
+    * sink for exactly-once batch bookkeeping).
+    */
+  def write(df: DataFrame, path: String, mode: SaveMode, op: String): Long = {
     val dataDir = s"$path/data/${UUID.randomUUID()}"
     df.write.mode(SaveMode.Overwrite).parquet(dataDir)
     val newFiles = Files.list(Paths.get(dataDir)).iterator().asScala
@@ -88,12 +95,16 @@ object VersionedTable {
         case _ => Seq.empty
       }
       val next = prev.getOrElse(-1L) + 1
-      if (tryCommit(path, next, base ++ newFiles,
-          if (mode == SaveMode.Append) "append" else "overwrite"))
+      if (tryCommit(path, next, base ++ newFiles, op))
         committed = next
     }
     committed
   }
+
+  /** Operation tags already committed (for idempotent re-delivery). */
+  def committedOps(spark: SparkSession, path: String): Set[String] =
+    if (latestVersion(path).isEmpty) Set.empty
+    else history(spark, path).select("op").collect().map(_.getString(0)).toSet
 
   /** The live files of `version` (parsed from its manifest via Spark's
     * JSON reader).

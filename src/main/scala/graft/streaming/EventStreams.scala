@@ -102,6 +102,26 @@ object EventStreams {
         col("view_id"), col("view_ts"))
   }
 
+  /** Streaming sink into a [[graft.sources.VersionedTable]]: each
+    * micro-batch commits as one atomic version tagged with its batch id,
+    * and re-delivered batches (restart replay) are skipped — exactly-once
+    * table commits on top of the at-least-once foreachBatch contract.
+    */
+  def sinkToVersionedTable(df: DataFrame, path: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val tag = s"stream-batch-$batchId"
+        if (!graft.sources.VersionedTable.committedOps(batch.sparkSession, path)
+            .contains(tag)) {
+          graft.sources.VersionedTable.write(batch.toDF(), path,
+            org.apache.spark.sql.SaveMode.Append, tag)
+          ()
+        }
+      }
+      .start()
+
   final case class Event(event_id: Long, ts: java.time.Instant, user_id: Long,
       event_type: String, value: Double)
   /** State in epoch MICROseconds — event time carries µs precision and

@@ -59,6 +59,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(stream.exceptAll(batch).isEmpty)
   }
 
+  test("streaming sink commits micro-batches as atomic versions, replay-safe") {
+    val table = Files.createTempDirectory("vt_sink").resolve("events").toString
+    val q = EventStreams.sinkToVersionedTable(
+      EventStreams.readEvents(spark, eventsDir), table,
+      Files.createTempDirectory("ckpt_sink").toString)
+    q.processAllAvailable(); q.stop()
+    val committed = graft.sources.VersionedTable.read(spark, table)
+    assert(committed.count() == Tables.events(spark, sf).count())
+    // simulate a replay of batch 0: the tagged commit must be skipped
+    val before = graft.sources.VersionedTable.latestVersion(table)
+    val q2 = EventStreams.sinkToVersionedTable(
+      EventStreams.readEvents(spark, eventsDir), table,
+      Files.createTempDirectory("ckpt_sink2").toString) // fresh checkpoint ⇒ redelivery
+    q2.processAllAvailable(); q2.stop()
+    assert(graft.sources.VersionedTable.latestVersion(table) == before,
+      "re-delivered batch ids must not create new versions")
+    assert(graft.sources.VersionedTable.read(spark, table).count() == committed.count())
+  }
+
   test("stream-stream purchase-view join equals the batch interval join") {
     val stream = runStream("pv_join",
       EventStreams.purchaseViewJoin(EventStreams.readEvents(spark, eventsDir)))
