@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
@@ -62,12 +62,17 @@ object VersionedTable {
         files.map(f => "\"" + esc(f) + "\"").mkString(",")}]}"""
     val tmp = logDir(path).resolve(s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, json)
+    // put-if-absent must FAIL when the version exists. ATOMIC_MOVE is the
+    // wrong primitive (POSIX rename silently replaces the target, letting
+    // a racing writer overwrite a committed manifest); createLink is
+    // atomic AND errors on an existing target.
     try {
-      Files.move(tmp, manifestPath(path, version), StandardCopyOption.ATOMIC_MOVE)
+      Files.createLink(manifestPath(path, version), tmp)
       true
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp); false
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      Files.deleteIfExists(tmp); ()
     }
   }
 

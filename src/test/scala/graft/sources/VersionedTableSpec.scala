@@ -35,6 +35,25 @@ class VersionedTableSpec extends SparkSpec {
     assert(hist == Seq((0L, "overwrite"), (1L, "append"), (2L, "overwrite")))
   }
 
+  test("parallel appenders: every commit lands, no version lost or duplicated") {
+    val path = Files.createTempDirectory("vt3").resolve("t").toString
+    VersionedTable.write(Seq((0L, -1L)).toDF("writer", "i"), path, SaveMode.Overwrite)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { w =>
+      new Thread(() =>
+        try (0 until 5).foreach { i =>
+          VersionedTable.write(Seq((w.toLong, i.toLong)).toDF("writer", "i"),
+            path, SaveMode.Append)
+        } catch { case t: Throwable => errors.add(t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"writer thread failed: ${Option(errors.peek())}")
+    assert(VersionedTable.versions(path) == (0L to 20L))
+    val rows = VersionedTable.read(spark, path)
+    assert(rows.count() == 21, "all 20 appends plus the seed must be live")
+    assert(rows.select("writer", "i").distinct().count() == 21)
+  }
+
   test("optimistic concurrency: a stolen version number is retried, nothing lost") {
     val path = Files.createTempDirectory("vt2").resolve("t").toString
     VersionedTable.write(Seq((1L, "x")).toDF("k", "v"), path, SaveMode.Overwrite)
