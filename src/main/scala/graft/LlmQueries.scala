@@ -401,6 +401,112 @@ object LlmQueries {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** q42 — PII scrubbing: emails/URLs/phone runs masked with typed
+    * placeholders; synthetic PII is injected deterministically in-query
+    * (the corpus itself is clean) so the masking is actually exercised.
+    */
+  def piiScrub(s: SparkSession, d: String): DataFrame =
+    docs(s, d).withColumn("dirty",
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" see https://example.org/page/"), col("doc_id")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" call +1 (555) 123-4567"))
+            .otherwise(lit(""))))
+      .select(col("doc_id"),
+        TextAnalysis.scrubPii(col("dirty")).as("clean_text"),
+        (length(col("dirty")) - length(TextAnalysis.scrubPii(col("dirty"))))
+          .as("chars_removed"))
+      .orderBy("doc_id")
+
+  val piiScrubOracle: String = {
+    val scrub = TextAnalysis.piiRules.foldLeft("dirty") { case (c, (pat, repl)) =>
+      // DuckDB string literals do NOT process backslash escapes — the
+      // Java pattern string passes through verbatim
+      s"regexp_replace($c, '$pat', '$repl', 'g')"
+    }
+    s"""WITH dirty_docs AS (
+       |  SELECT doc_id, concat(text,
+       |    CASE WHEN doc_id % 5 = 0 THEN concat(' contact user', doc_id, '@example.com') ELSE '' END,
+       |    CASE WHEN doc_id % 7 = 0 THEN concat(' see https://example.org/page/', doc_id) ELSE '' END,
+       |    CASE WHEN doc_id % 11 = 0 THEN ' call +1 (555) 123-4567' ELSE '' END) AS dirty
+       |  FROM documents
+       |)
+       |SELECT doc_id, $scrub AS clean_text,
+       |  length(dirty) - length($scrub) AS chars_removed
+       |FROM dirty_docs ORDER BY doc_id""".stripMargin
+  }
+
+  /** q43 — repetition scoring (Gopher-style quality rule): the share of
+    * the document occupied by its most frequent 5-gram; near-1 values
+    * flag degenerate/repetitive text.
+    */
+  def repetitionScore(s: SparkSession, d: String): DataFrame = {
+    // non-distinct shingles: repetition is exactly what distinct would erase
+    val toks = TextAnalysis.tokens(col("text"))
+    val allShingles = when(size(toks) >= 5,
+      transform(sequence(lit(1), size(toks) - 4),
+        i => array_join(slice(toks, i, lit(5)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val ex = docs(s, d).select(col("doc_id"), explode(allShingles).as("g"))
+    ex.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("top_ngram_count"), sum(col("n")).as("n_ngrams"))
+      .withColumn("repetition_share",
+        col("top_ngram_count").cast("double") / col("n_ngrams"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionScoreOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+      |), exg AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+      |    THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+      |    ELSE [] END) AS g
+      |  FROM tok
+      |), freq AS (
+      |  SELECT doc_id, g, count(*) AS n FROM exg GROUP BY 1, 2
+      |)
+      |SELECT doc_id, max(n) AS top_ngram_count, sum(n) AS n_ngrams,
+      |  CAST(max(n) AS DOUBLE) / sum(n) AS repetition_share
+      |FROM freq GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q44 — train/eval decontamination: with every 7th document held out
+    * as the eval split, find eval docs whose 5-gram Jaccard overlap with
+    * any training doc exceeds the contamination threshold — the overlap
+    * check run before training on any corpus.
+    */
+  def decontamination(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val eval = all.filter(col("doc_id") % 7 === 0)
+    val train = all.filter(col("doc_id") % 7 =!= 0)
+    DedupOps.crossCorpusOverlap(train, eval, "text", "doc_id",
+        shingleN = 5, threshold = 0.6)
+      .orderBy("eval_id", "train_id")
+  }
+
+  val decontaminationOracle: String =
+    s"""WITH $tokShSql, ex AS (
+       |  SELECT doc_id, unnest(sh) AS g FROM sh
+       |), cand AS (
+       |  SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+       |  FROM ex t JOIN ex e ON t.g = e.g
+       |  WHERE t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
+       |), j AS (
+       |  SELECT train_id, eval_id,
+       |    CAST(len(list_intersect(st.sh, se.sh)) AS DOUBLE)
+       |      / (len(st.sh) + len(se.sh) - len(list_intersect(st.sh, se.sh))) AS overlap
+       |  FROM cand
+       |  JOIN sh st ON train_id = st.doc_id
+       |  JOIN sh se ON eval_id = se.doc_id
+       |)
+       |SELECT eval_id, train_id, round(overlap, 6) AS overlap
+       |FROM j WHERE overlap >= 0.6 ORDER BY eval_id, train_id""".stripMargin
+
   // ----------------------------------------------------------- multimodal
 
   /** q32 — multimodal asset pipeline: opaque binary payloads + typed
@@ -437,6 +543,9 @@ object LlmQueries {
     "q30_ivf_topk" -> (ivfTopK(_, _)),
     "q31_embedding_neardup" -> (embeddingNearDup(_, _)),
     "q32_multimodal_features" -> (multimodalFeatures(_, _)),
+    "q42_pii_scrub" -> (piiScrub(_, _)),
+    "q43_repetition_score" -> (repetitionScore(_, _)),
+    "q44_decontamination" -> (decontamination(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -452,5 +561,8 @@ object LlmQueries {
     "q30_ivf_topk" -> ivfTopKOracle,
     "q31_embedding_neardup" -> embeddingNearDupOracle,
     "q32_multimodal_features" -> multimodalFeaturesOracle,
+    "q42_pii_scrub" -> piiScrubOracle,
+    "q43_repetition_score" -> repetitionScoreOracle,
+    "q44_decontamination" -> decontaminationOracle,
   )
 }

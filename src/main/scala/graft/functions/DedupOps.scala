@@ -123,6 +123,30 @@ object DedupOps {
         TextAnalysis.textShingles(col(textCol), shingleN).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+  /** Cross-corpus overlap (decontamination): eval documents whose shingle
+    * Jaccard with ANY training document reaches `threshold`. Same
+    * inverted-index candidate generation as near-dup detection, joined
+    * ACROSS the two corpora; candidates broadcast into both shingle
+    * tables for verification.
+    */
+  def crossCorpusOverlap(train: DataFrame, eval: DataFrame, textCol: String,
+      idCol: String, shingleN: Int = 5, threshold: Double = 0.6): DataFrame = {
+    val shT = shingleSets(train, textCol, idCol, shingleN)
+    val shE = shingleSets(eval, textCol, idCol, shingleN)
+    val exT = shT.select(col("doc_id").as("train_id"), explode(col("sh")).as("g"))
+    val exE = shE.select(col("doc_id").as("eval_id"), explode(col("sh")).as("g"))
+    val cand = exT.join(exE, "g").select("train_id", "eval_id").distinct()
+    val inter = size(array_intersect(col("sh_t"), col("sh_e")))
+    val union = size(col("sh_t")) + size(col("sh_e")) - inter
+    val withT = shT.select(col("doc_id").as("train_id"), col("sh").as("sh_t"))
+      .join(broadcast(cand), "train_id")
+    shE.select(col("doc_id").as("eval_id"), col("sh").as("sh_e"))
+      .join(broadcast(withT), "eval_id")
+      .withColumn("overlap", inter.cast("double") / union)
+      .filter(col("overlap") >= threshold)
+      .select(col("eval_id"), col("train_id"), round(col("overlap"), 6).as("overlap"))
+  }
+
   /** Exact Jaccard on candidate pairs against per-doc shingle sets. The
     * candidate set is a vanishing fraction of the corpus by construction,
     * so it is BROADCAST into the shingle table twice — the big side never

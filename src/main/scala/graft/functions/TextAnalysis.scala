@@ -64,4 +64,20 @@ object TextAnalysis {
   /** Count of tokens that appear in `words`. */
   def stopwordHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*)))
+
+  /** PII scrubbing for training corpora: mask emails, phone-like number
+    * runs, and URLs with typed placeholder tokens. Plain regexes kept to
+    * the portable common subset (character classes, quantifiers,
+    * alternation) so any engine applies the identical policy.
+    */
+  val piiRules: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("https?://[^\\s]+", "<URL>"),
+    ("\\+?[0-9][0-9() .-]{7,}[0-9]", "<PHONE>"),
+  )
+
+  def scrubPii(text: Column): Column =
+    piiRules.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
 }

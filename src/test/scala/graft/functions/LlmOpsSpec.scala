@@ -94,6 +94,49 @@ class LlmOpsSpec extends SparkSpec {
     assert(f1.out_width >= 1 && f1.out_height >= 1)
   }
 
+  test("PII scrubbing masks emails, urls, phones; clean text untouched") {
+    val df = Seq(
+      ("mail me at bob.smith+x@corp.example.co", "<EMAIL>"),
+      ("docs at https://a.example.com/x?y=1 now", "<URL>"),
+      ("call +1 (555) 123-4567 today", "<PHONE>"),
+      ("no pii here at all", "no pii here at all"),
+    ).toDF("text", "expect")
+    val out = df.select(TextAnalysis.scrubPii($"text").as("clean"), $"expect")
+      .as[(String, String)].collect()
+    out.foreach { case (clean, expect) =>
+      assert(clean.contains(expect), s"'$clean' should contain '$expect'")
+      assert(!clean.contains("@") || expect == "<EMAIL>")
+    }
+  }
+
+  test("repetition score is 1 for degenerate text, low for varied text") {
+    val df = Seq((1L, Seq.fill(30)("spam word soup here now").mkString(" ")),
+      (2L, (1 to 150).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val out = graft.LlmQueries.repetitionScore(spark, sf) // type check only
+    val toks = TextAnalysis.tokens($"text")
+    val sh = explode(transform(sequence(lit(1), size(toks) - 4),
+      i => array_join(slice(toks, i, lit(5)), " ")))
+    val scores = df.select($"doc_id", sh.as("g"))
+      .groupBy($"doc_id", $"g").count()
+      .groupBy($"doc_id").agg((max($"count") / sum($"count")).as("share"))
+      .orderBy("doc_id").select("share").as[Double].collect()
+    assert(scores(0) > 0.15, s"degenerate text must score high: ${scores(0)}")
+    assert(scores(1) < 0.02, s"varied text must score low: ${scores(1)}")
+  }
+
+  test("decontamination finds exactly the near-dup pairs straddling the split") {
+    val hits = graft.LlmQueries.decontamination(spark, sf)
+      .select("train_id", "eval_id").as[(Long, Long)].collect().toSet
+    val nearDups = DedupOps.ngramJaccardPairs(docs, "text", "doc_id")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val straddling = nearDups.collect {
+      case (a, b) if a % 7 == 0 && b % 7 != 0 => (b, a)
+      case (a, b) if b % 7 == 0 && a % 7 != 0 => (a, b)
+    }
+    assert(hits == straddling,
+      s"decontamination hits $hits must equal straddling near-dups $straddling")
+  }
+
   test("language ID + quality + token stats produce full coverage") {
     val lang = graft.LlmQueries.langId(spark, sf)
     assert(lang.filter($"predicted_lang".isNull).count() == 0)
