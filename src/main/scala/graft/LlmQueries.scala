@@ -445,13 +445,10 @@ object LlmQueries {
     * flag degenerate/repetitive text.
     */
   def repetitionScore(s: SparkSession, d: String): DataFrame = {
-    // non-distinct shingles: repetition is exactly what distinct would erase
-    val toks = TextAnalysis.tokens(col("text"))
-    val allShingles = when(size(toks) >= 5,
-      transform(sequence(lit(1), size(toks) - 4),
-        i => array_join(slice(toks, i, lit(5)), " ")))
-      .otherwise(array().cast("array<string>"))
-    val ex = docs(s, d).select(col("doc_id"), explode(allShingles).as("g"))
+    // non-distinct shingles: repetition is exactly what distinct would
+    // erase; native expression, single char-scan pass
+    val ex = docs(s, d).select(col("doc_id"),
+      explode(graft.expressions.WordShingles.shinglesAll(col("text"), 5)).as("g"))
     ex.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
       .groupBy(col("doc_id"))
       .agg(max(col("n")).as("top_ngram_count"), sum(col("n")).as("n_ngrams"))

@@ -15,7 +15,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object EliminateRedundantLowerUnderShingles extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case WordShingles(Lower(child), n) => WordShingles(child, n)
+      case WordShingles(Lower(child), n, d) => WordShingles(child, n, d)
     }
 }
 

@@ -25,7 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CodegenFallback: the eval itself is the tight loop; it feeds
   * codegen'd consumers (explode/aggregate) unchanged.
   */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   require(n >= 1, s"shingle size must be >= 1, got $n")
@@ -60,7 +60,9 @@ case class WordShingles(child: Expression, n: Int)
     }
     tokens += text.substring(start, len)
     if (tokens.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = mutable.LinkedHashSet.empty[UTF8String]
+    val out =
+      if (distinct) mutable.LinkedHashSet.empty[UTF8String]
+      else mutable.ArrayBuffer.empty[UTF8String]
     var t = 0
     val sb = new java.lang.StringBuilder
     while (t <= tokens.length - n) {
@@ -71,10 +73,10 @@ case class WordShingles(child: Expression, n: Int)
         sb.append(tokens(t + j))
         j += 1
       }
-      seen += UTF8String.fromString(sb.toString)
+      out += UTF8String.fromString(sb.toString)
       t += 1
     }
-    new GenericArrayData(seen.toArray[Any])
+    new GenericArrayData(out.toArray[Any])
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -84,4 +86,8 @@ case class WordShingles(child: Expression, n: Int)
 object WordShingles {
   def shingles(text: Column, n: Int): Column =
     toColumn(WordShingles(toExpression(text), n))
+
+  /** All shingles including repeats — the repetition-scoring input. */
+  def shinglesAll(text: Column, n: Int): Column =
+    toColumn(WordShingles(toExpression(text), n, distinct = false))
 }
