@@ -605,6 +605,49 @@ object CoreQueries {
       |FROM events p WHERE p.event_type = 'purchase'
       |ORDER BY p.event_id""".stripMargin
 
+  /** q45 — analytic window functions (beyond the reference's lone
+    * row_number): per-member order sequence with rank, previous-order
+    * lag, gap days, and a decimal-exact running spend total over an
+    * explicit ROWS frame.
+    */
+  def windowAnalytics(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "orders")
+      .withColumn("order_seq", row_number().over(w).cast("bigint"))
+      .withColumn("order_rank", rank().over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))).cast("bigint"))
+      .withColumn("prev_order_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("next_order_date", lead(col("o_orderdate"), 1).over(w))
+      .withColumn("days_since_prev",
+        datediff(to_date(col("o_orderdate")), to_date(col("prev_order_date"))).cast("bigint"))
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(frame)
+          .cast(DecimalType(18, 2)))
+      .select(col("o_custkey").as("member_id"), col("o_orderkey"),
+        col("order_seq"), col("order_rank"), col("prev_order_date"),
+        col("next_order_date"), col("days_since_prev"), col("running_spend"))
+      .orderBy("member_id", "order_seq")
+  }
+
+  val windowAnalyticsOracle: String =
+    """SELECT o_custkey AS member_id, o_orderkey,
+      |  row_number() OVER w AS order_seq,
+      |  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS order_rank,
+      |  lag(o_orderdate, 1) OVER w AS prev_order_date,
+      |  lead(o_orderdate, 1) OVER w AS next_order_date,
+      |  CAST(date_diff('day', CAST(lag(o_orderdate, 1) OVER w AS DATE),
+      |                 CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |       AS DECIMAL(18,2)) AS running_spend
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY member_id, order_seq""".stripMargin
+
   // ------------------------------------------------- events (json+windows)
 
   /** q17 — JSON property extraction from the event stream (north-star
@@ -723,6 +766,7 @@ object CoreQueries {
     "q39_range_join" -> (rangeJoinEvents(_, _)),
     "q40_asof_join" -> (asofJoinEvents(_, _)),
     "q41_provider_rollup" -> (providerRollup(_, _)),
+    "q45_window_analytics" -> (windowAnalytics(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -755,5 +799,6 @@ object CoreQueries {
     "q39_range_join" -> rangeJoinEventsOracle,
     "q40_asof_join" -> asofJoinEventsOracle,
     "q41_provider_rollup" -> providerRollupOracle,
+    "q45_window_analytics" -> windowAnalyticsOracle,
   )
 }

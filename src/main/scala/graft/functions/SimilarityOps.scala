@@ -78,9 +78,41 @@ object SimilarityOps {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("sim"))
   }
 
-  /** IVF-style ANN: `seeds` are the centroid set (bootstrapped
-    * deterministically by the caller; a production build would k-means
-    * iterate the same way). Every corpus vector is assigned to its
+  /** Deterministic k-means centroid training for IVF: init from the
+    * first k vectors by id, then `iters` Lloyd rounds — assign every
+    * vector to its nearest centroid by cosine (id tie-break), recompute
+    * centroids as element-wise means. Entirely DataFrame ops: assignment
+    * is a broadcast of k centroids against the corpus scan; the update is
+    * one posexplode + two keyed aggregations. Deterministic: same data →
+    * same centroids, any partitioning (mean is order-free in double only
+    * approximately, but the assignment argmax is computed on rounded
+    * similarity, and centroid means feed back only through that rounding
+    * — stable in practice and covered by the determinism spec).
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    var centroids = emb.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("seed_id"),
+        col("embedding").cast("array<double>").as("seed_vec"))
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy(col("vec_id")).orderBy(
+        round(cosine(col("embedding"), col("seed_vec")), 6).desc, col("seed_id"))
+      val assigned = emb.crossJoin(broadcast(centroids))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("seed_id"), col("embedding").cast("array<double>").as("v"))
+      centroids = assigned
+        .select(col("seed_id"), posexplode(col("v")))
+        .groupBy(col("seed_id"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("seed_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("seed_vec"))
+    }
+    centroids
+  }
+
+  /** IVF-style ANN: `seeds` are the centroid set (bootstrap via
+    * [[kmeansCentroids]] or any deterministic pick). Every corpus vector
+    * is assigned to its
     * nearest seed; each query probes its `probes` nearest seed buckets
     * and ranks only those vectors.
     */

@@ -65,6 +65,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(ranks == 3)
   }
 
+  test("kmeans centroids: deterministic, right shape, improve the assignment objective") {
+    val c1 = SimilarityOps.kmeansCentroids(emb, k = 8, iters = 2)
+    val c2 = SimilarityOps.kmeansCentroids(emb, k = 8, iters = 2)
+    assert(c1.count() == 8)
+    assert(c1.exceptAll(c2).isEmpty, "same data must train the same centroids")
+    assert(c1.select(size($"seed_vec")).as[Int].collect().forall(_ == 64))
+    // the mean best-cosine objective must not degrade vs the raw seeds
+    def objective(cent: org.apache.spark.sql.DataFrame): Double =
+      emb.crossJoin(broadcast(cent))
+        .groupBy($"vec_id")
+        .agg(max(SimilarityOps.cosine($"embedding", $"seed_vec")).as("best"))
+        .agg(avg($"best")).as[Double].collect()(0)
+    val seeds = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("seed_id"), $"embedding".cast("array<double>").as("seed_vec"))
+    assert(objective(c1) >= objective(seeds),
+      "trained centroids must fit at least as well as the raw seed vectors")
+  }
+
   test("IVF probed search returns a subset ranking consistent with brute force") {
     val seeds = emb.filter($"vec_id" < 8)
       .select($"vec_id".as("seed_id"), $"embedding".as("seed_vec"))
