@@ -648,6 +648,44 @@ object CoreQueries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY member_id, order_seq""".stripMargin
 
+  /** q46 — snowflake join chain across all five star tables
+    * (region→nation→customer→orders→lineitem): revenue per region and
+    * order year, the deepest dimension path the schema offers. Every
+    * dim hop is a broadcast; the fact side never shuffles until the
+    * final keyed aggregation.
+    */
+  def snowflakeRevenue(s: SparkSession, d: String): DataFrame = {
+    val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer").select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_regionkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region").select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), year(col("o_orderdate")).as("order_year"))
+      .agg(sum(rev).cast("double").as("revenue"),
+        countDistinct(col("c_custkey")).as("n_members"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("region", "order_year")
+  }
+
+  val snowflakeRevenueOracle: String =
+    """SELECT r_name AS region, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |       * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  count(DISTINCT c_custkey) AS n_members,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------- events (json+windows)
 
   /** q17 — JSON property extraction from the event stream (north-star
@@ -767,6 +805,7 @@ object CoreQueries {
     "q40_asof_join" -> (asofJoinEvents(_, _)),
     "q41_provider_rollup" -> (providerRollup(_, _)),
     "q45_window_analytics" -> (windowAnalytics(_, _)),
+    "q46_snowflake_revenue" -> (snowflakeRevenue(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -800,5 +839,6 @@ object CoreQueries {
     "q40_asof_join" -> asofJoinEventsOracle,
     "q41_provider_rollup" -> providerRollupOracle,
     "q45_window_analytics" -> windowAnalyticsOracle,
+    "q46_snowflake_revenue" -> snowflakeRevenueOracle,
   )
 }
