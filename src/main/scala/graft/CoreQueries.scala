@@ -140,13 +140,16 @@ object CoreQueries {
       upper(trim(col("p_brand"))).as("brand"),
       upper(trim(col("p_type"))).as("part_type"),
       col("p_size"),
-      col("p_retailprice").cast(DecimalType(18, 2)).as("retail_price"))
+      // decimal round-trip for the 2-decimal money domain, but the FINAL
+      // projection is double: the driver hashes value representations, and
+      // decimal renderings differ across engines (VERDICT r1 "What's wrong" #1)
+      col("p_retailprice").cast(DecimalType(18, 2)).cast("double").as("retail_price"))
       .orderBy("p_partkey")
 
   val cleanseStandardizeOracle: String =
     """SELECT p_partkey, upper(trim(p_name)) AS part_name,
       |  upper(trim(p_brand)) AS brand, upper(trim(p_type)) AS part_type,
-      |  p_size, CAST(p_retailprice AS DECIMAL(18,2)) AS retail_price
+      |  p_size, CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS retail_price
       |FROM part ORDER BY p_partkey""".stripMargin
 
   /** q07 — bronze ingest validation (D1+D2): lineage-stamped load (with
@@ -189,22 +192,28 @@ object CoreQueries {
 
   /** q09 — SCD1 member dimension with deterministic surrogate keys (D10). */
   def dimMember(s: SparkSession, d: String): DataFrame =
-    Gold.dimMember(t(s, d, "customer")).orderBy("member_id")
+    Gold.dimMember(t(s, d, "customer"))
+      .withColumn("account_balance", col("account_balance").cast("double"))
+      .orderBy("member_id")
 
   val dimMemberOracle: String =
     """SELECT c_custkey AS member_id, upper(trim(c_name)) AS member_name,
-      |  c_nationkey AS nation_key, CAST(c_acctbal AS DECIMAL(18,2)) AS account_balance,
+      |  c_nationkey AS nation_key,
+      |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS account_balance,
       |  c_mktsegment AS segment,
       |  row_number() OVER (ORDER BY c_custkey) AS member_sk
       |FROM customer ORDER BY member_id""".stripMargin
 
   /** q10 — SCD1 provider dimension (D10). */
   def dimProvider(s: SparkSession, d: String): DataFrame =
-    Gold.dimProvider(t(s, d, "supplier")).orderBy("provider_id")
+    Gold.dimProvider(t(s, d, "supplier"))
+      .withColumn("account_balance", col("account_balance").cast("double"))
+      .orderBy("provider_id")
 
   val dimProviderOracle: String =
     """SELECT s_suppkey AS provider_id, upper(trim(s_name)) AS provider_name,
-      |  s_nationkey AS nation_key, CAST(s_acctbal AS DECIMAL(18,2)) AS account_balance,
+      |  s_nationkey AS nation_key,
+      |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS account_balance,
       |  row_number() OVER (ORDER BY s_suppkey) AS provider_sk
       |FROM supplier ORDER BY provider_id""".stripMargin
 
@@ -246,13 +255,25 @@ object CoreQueries {
       |  LEFT JOIN dim_date     ON CAST(l_shipdate AS DATE) = date_value
       |)""".stripMargin
 
-  /** q11 — star-schema fact build with surrogate-key resolution (D11). */
+  /** q11 — star-schema fact build with surrogate-key resolution (D11).
+    * Money stays decimal inside the fact; the query's OUTPUT casts to
+    * double (engine-portable representation, VERDICT r1 #1).
+    */
   def factStar(s: SparkSession, d: String): DataFrame =
-    fact(s, d).orderBy("claim_id", "claim_line_number")
+    fact(s, d)
+      .withColumn("billed_amount", col("billed_amount").cast("double"))
+      .withColumn("charge", col("charge").cast("double"))
+      .withColumn("charge_with_tax", col("charge_with_tax").cast("double"))
+      .orderBy("claim_id", "claim_line_number")
 
   val factStarOracle: String =
     s"""$factSql
-       |SELECT * FROM fact ORDER BY claim_id, claim_line_number""".stripMargin
+       |SELECT claim_id, claim_line_number, member_sk, provider_sk,
+       |  service_date_key, order_date, order_status, quantity,
+       |  CAST(billed_amount AS DOUBLE) AS billed_amount,
+       |  CAST(charge AS DOUBLE) AS charge,
+       |  CAST(charge_with_tax AS DOUBLE) AS charge_with_tax
+       |FROM fact ORDER BY claim_id, claim_line_number""".stripMargin
 
   /** q12 — aggregate rollup tables (D12): sum/count/avg/max by month. */
   def monthlyRollup(s: SparkSession, d: String): DataFrame =
@@ -262,9 +283,9 @@ object CoreQueries {
     s"""$factSql
        |SELECT CAST(service_date_key // 100 AS INTEGER) AS year_month,
        |  count(*) AS n_lines,
-       |  CAST(sum(charge) AS DECIMAL(18,4)) AS total_charge,
+       |  CAST(sum(charge) AS DOUBLE) AS total_charge,
        |  CAST(sum(charge) AS DOUBLE) / count(*) AS avg_charge,
-       |  max(charge) AS max_charge
+       |  CAST(max(charge) AS DOUBLE) AS max_charge
        |FROM fact GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q41 — the second aggregation table (per-provider), completing the
@@ -276,9 +297,9 @@ object CoreQueries {
   val providerRollupOracle: String =
     s"""$factSql
        |SELECT provider_sk, count(*) AS n_lines,
-       |  CAST(sum(charge) AS DECIMAL(18,4)) AS total_charge,
+       |  CAST(sum(charge) AS DOUBLE) AS total_charge,
        |  CAST(sum(charge) AS DOUBLE) / count(*) AS avg_charge,
-       |  max(charge) AS max_charge,
+       |  CAST(max(charge) AS DOUBLE) AS max_charge,
        |  min(service_date_key) AS first_service_key,
        |  max(service_date_key) AS last_service_key
        |FROM fact GROUP BY 1 ORDER BY 1""".stripMargin
@@ -393,6 +414,8 @@ object CoreQueries {
       .withColumn("member_id", col("member_id") + 1000000)
     Gold.scdType2(current, changed.unionByName(fresh), Seq("member_id"),
         Seq("member_name", "segment", "balance"), lit("2024-06-01"))
+      // decimal compares drive change detection; the OUTPUT is double
+      .withColumn("balance", col("balance").cast("double"))
       .orderBy("member_id", "effective_from")
   }
 
@@ -416,6 +439,7 @@ object CoreQueries {
       |     OR b.segment IS DISTINCT FROM i.segment
       |     OR b.balance IS DISTINCT FROM i.balance
       |)
+      |, unioned AS (
       |SELECT member_id, member_name, segment, balance,
       |       DATE '2024-01-01' AS effective_from,
       |       CAST(NULL AS DATE) AS effective_to, true AS is_current
@@ -433,7 +457,10 @@ object CoreQueries {
       |       DATE '2024-06-01', CAST(NULL AS DATE), true
       |FROM incoming i
       |WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.member_id = i.member_id)
-      |ORDER BY member_id, effective_from""".stripMargin
+      |)
+      |SELECT member_id, member_name, segment, CAST(balance AS DOUBLE) AS balance,
+      |       effective_from, effective_to, is_current
+      |FROM unioned ORDER BY member_id, effective_from""".stripMargin
 
   /** q34 — hierarchical rollup aggregation (subtotals + grand total) with
     * an engine-portable grouping id derived from the NULL pattern.
@@ -625,7 +652,7 @@ object CoreQueries {
         datediff(to_date(col("o_orderdate")), to_date(col("prev_order_date"))).cast("bigint"))
       .withColumn("running_spend",
         sum(col("o_totalprice").cast(DecimalType(18, 2))).over(frame)
-          .cast(DecimalType(18, 2)))
+          .cast("double"))
       .select(col("o_custkey").as("member_id"), col("o_orderkey"),
         col("order_seq"), col("order_rank"), col("prev_order_date"),
         col("next_order_date"), col("days_since_prev"), col("running_spend"))
@@ -643,7 +670,7 @@ object CoreQueries {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
       |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |       AS DECIMAL(18,2)) AS running_spend
+      |       AS DOUBLE) AS running_spend
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY member_id, order_seq""".stripMargin

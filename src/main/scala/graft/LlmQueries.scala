@@ -468,7 +468,8 @@ object LlmQueries {
       |), freq AS (
       |  SELECT doc_id, g, count(*) AS n FROM exg GROUP BY 1, 2
       |)
-      |SELECT doc_id, max(n) AS top_ngram_count, sum(n) AS n_ngrams,
+      |SELECT doc_id, max(n) AS top_ngram_count,
+      |  CAST(sum(n) AS BIGINT) AS n_ngrams,
       |  CAST(max(n) AS DOUBLE) / sum(n) AS repetition_share
       |FROM freq GROUP BY doc_id ORDER BY doc_id""".stripMargin
 

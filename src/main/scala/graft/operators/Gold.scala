@@ -167,9 +167,11 @@ object Gold {
     fact.groupBy(col("provider_sk"))
       .agg(
         count(lit(1)).as("n_lines"),
-        sum(col("charge")).cast(DecimalType(18, 4)).as("total_charge"),
+        // exact decimal sum internally, double in the OUTPUT: decimal
+        // renderings are not engine-portable (VERDICT r1 #1)
+        sum(col("charge")).cast("double").as("total_charge"),
         (sum(col("charge")).cast("double") / count(lit(1))).as("avg_charge"),
-        max(col("charge")).as("max_charge"),
+        max(col("charge")).cast("double").as("max_charge"),
         min(col("service_date_key")).as("first_service_key"),
         max(col("service_date_key")).as("last_service_key"))
 
@@ -184,10 +186,10 @@ object Gold {
     fact.groupBy(expr("CAST(service_date_key div 100 AS INT)").as("year_month"))
       .agg(
         count(lit(1)).as("n_lines"),
-        sum(col("charge")).cast(DecimalType(18, 4)).as("total_charge"),
+        sum(col("charge")).cast("double").as("total_charge"),
         // avg via exact-decimal sum cast to double, then double division —
         // deterministic and identical to the oracle's CAST(SUM(..) AS
         // DOUBLE)/COUNT(*) (decimal division scale rules differ per engine)
         (sum(col("charge")).cast("double") / count(lit(1))).as("avg_charge"),
-        max(col("charge")).as("max_charge"))
+        max(col("charge")).cast("double").as("max_charge"))
 }

@@ -42,9 +42,11 @@ class GoldMergeSpec extends SparkSpec {
       Gold.dimMember(Tables.customer(spark, sf)),
       Gold.dimProvider(Tables.supplier(spark, sf)), dd)
     val roll = Gold.monthlyRollup(fact)
-    val total = fact.agg(sum($"charge")).collect()(0).getDecimal(0)
-    val rolled = roll.agg(sum($"total_charge")).collect()(0).getDecimal(0)
-    assert(total.compareTo(rolled) == 0)
+    // total_charge is double in the OUTPUT (portable repr); the decimal sum
+    // is exact internally, so the re-aggregated totals agree to double ulps
+    val total = fact.agg(sum($"charge").cast("double")).collect()(0).getDouble(0)
+    val rolled = roll.agg(sum($"total_charge")).collect()(0).getDouble(0)
+    assert(math.abs(total - rolled) <= math.abs(total) * 1e-9)
     assert(roll.agg(sum($"n_lines")).collect()(0).getLong(0) == fact.count())
   }
 

@@ -17,11 +17,32 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(rows, cols):
+    # The driver hashes value REPRESENTATIONS, not Python values: compare
+    # (type-name, str) pairs so Decimal('5.00') != float 5.0 — a decimal
+    # column that merely *equals* the oracle still hash-fails the driver.
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
-        out.append(tuple(r[i] for i in idx))
+        out.append(tuple((type(r[i]).__name__, str(r[i])) if r[i] is not None else None
+                         for i in idx))
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t)), [cols[i] for i in idx]
+
+
+# Output types whose rendering is engine-specific: any query emitting one of
+# these in its FINAL projection will hash-fail the driver even when the
+# values are equal (round-1 lesson: 9 queries failed exactly this way).
+NONPORTABLE = ("DECIMAL", "HUGEINT", "UHUGEINT")
+
+
+def near(a, b):
+    if a == b:
+        return True
+    if a is None or b is None:
+        return False
+    (ta, sa), (tb, sb) = a, b
+    if ta == "float" and tb == "float":
+        return math.isclose(float(sa), float(sb), rel_tol=1e-9, abs_tol=1e-9)
+    return False
 
 
 def main():
@@ -39,14 +60,22 @@ def main():
         if not res_dir.exists():
             print(f"FAIL {name}: no spark result dir"); n_fail += 1; continue
         try:
-            got_rel = con.execute(f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
-            got_cols = [d[0] for d in got_rel.description]
+            got_rel = con.sql(f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
+            got_cols, got_types = got_rel.columns, [str(t) for t in got_rel.types]
             got_rows = got_rel.fetchall()
-            exp_rel = con.execute(oracle[name])
-            exp_cols = [d[0] for d in exp_rel.description]
+            exp_rel = con.sql(oracle[name])
+            exp_cols, exp_types = exp_rel.columns, [str(t) for t in exp_rel.types]
             exp_rows = exp_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        bad_types = [(side, c, t)
+                     for side, cols, types in (("spark", got_cols, got_types),
+                                               ("oracle", exp_cols, exp_types))
+                     for c, t in zip(cols, types)
+                     if any(t.upper().startswith(p) for p in NONPORTABLE)]
+        if bad_types:
+            print(f"FAIL {name}: non-portable output types (driver will hash-fail): {bad_types}")
+            n_fail += 1; continue
         g, gc = canon(got_rows, got_cols)
         e, ec = canon(exp_rows, exp_cols)
         if gc != ec:
@@ -57,10 +86,7 @@ def main():
         for i, (gr, er) in enumerate(zip(g, e)):
             if gr != er:
                 # float near-miss diagnosis
-                close = all(
-                    (a == b) or (isinstance(a, float) and isinstance(b, float)
-                                 and math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9))
-                    for a, b in zip(gr, er))
+                close = all(near(a, b) for a, b in zip(gr, er))
                 bad = (i, gr, er, close)
                 break
         if bad:
