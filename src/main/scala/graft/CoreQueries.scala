@@ -33,7 +33,8 @@ object CoreQueries {
       |  CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL
       |         OR l_partkey IS NULL OR l_suppkey IS NULL THEN 'MISSING_REQUIRED_FIELDS' END,
       |  CASE WHEN l_shipdate > TIMESTAMP '2005-01-01' THEN 'FUTURE_SERVICE_DATE' END,
-      |  CASE WHEN NOT regexp_matches(upper(trim(l_returnflag)), '^[ANR]$') THEN 'INVALID_RETURN_FLAG' END,
+      |  CASE WHEN NOT (regexp_matches(upper(trim(l_returnflag)), '^[ANR]$')
+      |              OR regexp_matches(upper(trim(l_returnflag)), '^RF-[ANR]$')) THEN 'INVALID_RETURN_FLAG' END,
       |  CASE WHEN l_extendedprice <= 0 OR l_quantity <= 0 THEN 'NON_POSITIVE_AMOUNT' END,
       |  CASE WHEN l_discount < 0 OR l_discount > 1 THEN 'INVALID_DISCOUNT' END)""".stripMargin
 
@@ -41,7 +42,8 @@ object CoreQueries {
     s"""SELECT l_orderkey, l_linenumber,
        |  CASE WHEN (l_orderkey IS NULL OR l_linenumber IS NULL OR l_partkey IS NULL OR l_suppkey IS NULL)
        |         OR (l_shipdate > TIMESTAMP '2005-01-01')
-       |         OR (NOT regexp_matches(upper(trim(l_returnflag)), '^[ANR]$$'))
+       |         OR (NOT (regexp_matches(upper(trim(l_returnflag)), '^[ANR]$$')
+       |               OR regexp_matches(upper(trim(l_returnflag)), '^RF-[ANR]$$')))
        |         OR (l_extendedprice <= 0 OR l_quantity <= 0)
        |         OR (l_discount < 0 OR l_discount > 1)
        |       THEN 'FAIL' ELSE 'PASS' END AS dq_status,
@@ -58,8 +60,13 @@ object CoreQueries {
     val corrupted = li.filter(col("l_orderkey") % 97 === 0)
       .withColumn("l_extendedprice", -col("l_extendedprice"))
       .withColumn("l_returnflag", lit("X"))
+    // alternate-format codes are VALID under the second pattern of the
+    // negated-or rule — these rows must stay out of the quarantine
+    val altFormat = li.filter(col("l_orderkey") % 101 === 0)
+      .withColumn("l_returnflag", lit("RF-A"))
     val (_, fail) = Silver.quarantineSplit(
-      Silver.applyDqRules(Silver.cleanseLineitem(li.unionByName(corrupted))))
+      Silver.applyDqRules(Silver.cleanseLineitem(
+        li.unionByName(corrupted).unionByName(altFormat))))
     fail.select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("dq_reasons_csv"))
       .orderBy("l_orderkey", "l_linenumber")
@@ -73,19 +80,26 @@ object CoreQueries {
       |         -l_extendedprice AS l_extendedprice, l_discount, l_tax,
       |         'X' AS l_returnflag, l_linestatus, l_shipdate
       |  FROM lineitem WHERE l_orderkey % 97 = 0
+      |  UNION ALL
+      |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+      |         l_extendedprice, l_discount, l_tax,
+      |         'RF-A' AS l_returnflag, l_linestatus, l_shipdate
+      |  FROM lineitem WHERE l_orderkey % 101 = 0
       |)
       |SELECT l_orderkey, l_linenumber, upper(trim(l_returnflag)) AS l_returnflag,
       |  concat_ws(';',
       |    CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL
       |           OR l_partkey IS NULL OR l_suppkey IS NULL THEN 'MISSING_REQUIRED_FIELDS' END,
       |    CASE WHEN l_shipdate > TIMESTAMP '2005-01-01' THEN 'FUTURE_SERVICE_DATE' END,
-      |    CASE WHEN NOT regexp_matches(upper(trim(l_returnflag)), '^[ANR]$') THEN 'INVALID_RETURN_FLAG' END,
+      |    CASE WHEN NOT (regexp_matches(upper(trim(l_returnflag)), '^[ANR]$')
+      |                OR regexp_matches(upper(trim(l_returnflag)), '^RF-[ANR]$')) THEN 'INVALID_RETURN_FLAG' END,
       |    CASE WHEN l_extendedprice <= 0 OR l_quantity <= 0 THEN 'NON_POSITIVE_AMOUNT' END,
       |    CASE WHEN l_discount < 0 OR l_discount > 1 THEN 'INVALID_DISCOUNT' END) AS dq_reasons_csv
       |FROM feed
       |WHERE (l_orderkey IS NULL OR l_linenumber IS NULL OR l_partkey IS NULL OR l_suppkey IS NULL)
       |   OR (l_shipdate > TIMESTAMP '2005-01-01')
-      |   OR (NOT regexp_matches(upper(trim(l_returnflag)), '^[ANR]$'))
+      |   OR (NOT (regexp_matches(upper(trim(l_returnflag)), '^[ANR]$')
+      |         OR regexp_matches(upper(trim(l_returnflag)), '^RF-[ANR]$')))
       |   OR (l_extendedprice <= 0 OR l_quantity <= 0)
       |   OR (l_discount < 0 OR l_discount > 1)
       |ORDER BY 1, 2""".stripMargin
@@ -111,15 +125,16 @@ object CoreQueries {
 
   /** q05 — watermark incremental read (D3/D4): the stored high-water mark
     * is itself derived from data (max order date before 1997), then the
-    * incremental scan returns only rows above it. The mark is a one-row
-    * broadcast — no driver collect.
+    * incremental scan returns only rows above it. The mark is collected as
+    * ONE literal so the predicate pushes down to the scan (see
+    * PlanShapeSpec) — at 100 TB that pruning is the whole point of D3.
     */
   def watermarkIncremental(s: SparkSession, d: String): DataFrame = {
     val orders = t(s, d, "orders")
     val wm = Silver.watermarkCommit(
       orders.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
       "orders", "o_orderdate")
-    Silver.incrementalAfter(orders, wm, "orders", "o_orderdate")
+    Silver.incrementalAfterLiteral(orders, wm, "orders", "o_orderdate")
       .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
       .orderBy("o_orderkey")
   }
@@ -239,7 +254,8 @@ object CoreQueries {
       |  FROM generate_series(DATE '1992-01-01', DATE '2002-12-31', INTERVAL 1 DAY) AS t(d)
       |), fact AS (
       |  SELECT l_orderkey AS claim_id, l_linenumber AS claim_line_number,
-      |    member_sk, provider_sk, date_key AS service_date_key,
+      |    member_sk, provider_sk, dd_svc.date_key AS service_date_key,
+      |    dd_ord.date_key AS order_date_key,
       |    CAST(o_orderdate AS DATE) AS order_date, o_orderstatus AS order_status,
       |    l_quantity AS quantity,
       |    CAST(l_extendedprice AS DECIMAL(18,2)) AS billed_amount,
@@ -252,7 +268,8 @@ object CoreQueries {
       |  LEFT JOIN orders       ON l_orderkey = o_orderkey
       |  LEFT JOIN dim_member   ON o_custkey = member_id
       |  LEFT JOIN dim_provider ON l_suppkey = provider_id
-      |  LEFT JOIN dim_date     ON CAST(l_shipdate AS DATE) = date_value
+      |  LEFT JOIN dim_date dd_svc ON CAST(l_shipdate AS DATE) = dd_svc.date_value
+      |  LEFT JOIN dim_date dd_ord ON CAST(o_orderdate AS DATE) = dd_ord.date_value
       |)""".stripMargin
 
   /** q11 — star-schema fact build with surrogate-key resolution (D11).
@@ -269,7 +286,7 @@ object CoreQueries {
   val factStarOracle: String =
     s"""$factSql
        |SELECT claim_id, claim_line_number, member_sk, provider_sk,
-       |  service_date_key, order_date, order_status, quantity,
+       |  service_date_key, order_date_key, order_date, order_status, quantity,
        |  CAST(billed_amount AS DOUBLE) AS billed_amount,
        |  CAST(charge AS DOUBLE) AS charge,
        |  CAST(charge_with_tax AS DOUBLE) AS charge_with_tax
@@ -486,9 +503,11 @@ object CoreQueries {
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
   /** q35 — sketch aggregation: HyperLogLog++ approximate distinct counts
-    * next to the exact counts, with observed relative error. Not
-    * SQL-oracle-expressible (sketch internals differ per engine) → no
-    * oracleSql entry; the driver records a rows-only check.
+    * validated against the exact counts. The sketch ESTIMATE itself is
+    * engine-specific, so it stays out of the hashed projection: the
+    * output carries the exact counts plus booleans asserting the HLL
+    * estimate landed within the relative-error bound — all portable, so
+    * the driver gets a full rows+schema+hash oracle instead of rows-only.
     */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem").agg(
@@ -496,8 +515,18 @@ object CoreQueries {
       approx_count_distinct(col("l_partkey")).as("approx_parts"),
       countDistinct(col("l_orderkey")).as("exact_orders"),
       approx_count_distinct(col("l_orderkey")).as("approx_orders"))
-      .withColumn("parts_rel_err",
-        abs(col("approx_parts") - col("exact_parts")).cast("double") / col("exact_parts"))
+      .select(
+        col("exact_parts"), col("exact_orders"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= 0.15).as("parts_within_rel_err"),
+        (abs(col("approx_orders") - col("exact_orders")).cast("double") /
+          col("exact_orders") <= 0.15).as("orders_within_rel_err"))
+
+  val approxDistinctOracle: String =
+    """SELECT count(DISTINCT l_partkey) AS exact_parts,
+      |  count(DISTINCT l_orderkey) AS exact_orders,
+      |  true AS parts_within_rel_err, true AS orders_within_rel_err
+      |FROM lineitem""".stripMargin
 
   /** q36 — exact percentiles (median/p90/p99) of the charge distribution
     * per return flag: linear-interpolation `percentile`, the same
@@ -857,8 +886,7 @@ object CoreQueries {
     "q20_session_windows" -> sessionWindowsOracle,
     "q33_scd2_members" -> scd2MembersOracle,
     "q34_rollup_agg" -> rollupAggOracle,
-    // q35_approx_distinct intentionally has no oracle: HLL sketches are
-    // engine-specific; the driver records a rows-only check
+    "q35_approx_distinct" -> approxDistinctOracle,
     "q36_percentiles" -> percentilesOracle,
     "q37_set_ops" -> setOpsOracle,
     "q38_pivot_revenue" -> pivotRevenueOracle,

@@ -43,15 +43,53 @@ object Gold {
       .withColumn("month_name", date_format(col("date_value"), "MMMM"))
   }
 
-  /** Deterministic surrogate key: dense row_number over the natural key
-    * order. Replaces `monotonically_increasing_id` (gold:108,142,207) whose
-    * values depend on partition layout. The single-partition window is fine
-    * for dimension tables (small by definition); fact-side keys use the
-    * natural business key instead (see fact build).
+  /** Deterministic surrogate key: dense row_number over the ascending
+    * natural-key order. Replaces `monotonically_increasing_id`
+    * (gold:108,142,207) whose values depend on partition layout.
+    *
+    * Scale path: a global `row_number() over (order by key)` window moves
+    * the whole dimension to ONE task. Instead we range-bucket on the
+    * leading key (any monotone bucketing yields the identical global
+    * numbering — the boundaries need not be exact, so approximate
+    * quantiles are fine), number rows within each bucket in parallel,
+    * then add per-bucket offsets from a bucket-count aggregation whose
+    * size is bounded by `buckets`, never by the data. The result is
+    * bit-identical to the single-partition window at any parallelism.
+    *
+    * `naturalOrder` must be ascending; the leading column must be
+    * numeric-castable for spread (a non-numeric leading key degrades to
+    * one bucket — still correct, not parallel).
     */
-  def withSurrogateKey(df: DataFrame, keyName: String, naturalOrder: Seq[Column]): DataFrame =
-    df.withColumn(keyName,
-      row_number().over(Window.orderBy(naturalOrder: _*)).cast("bigint"))
+  def withSurrogateKey(df: DataFrame, keyName: String, naturalOrder: Seq[Column],
+      buckets: Int = 64): DataFrame = {
+    // try_cast: non-numeric leading keys become NULL (one bucket — still
+    // correct) instead of an ANSI cast error
+    val tmp = df.withColumn("__sk_ord", naturalOrder.head.try_cast("double"))
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    // sketch-based, driver receives <= buckets doubles — scale-safe action
+    val bounds = tmp.stat.approxQuantile("__sk_ord", probs, 0.01).distinct.sorted
+    val bucketExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__sk_ord") > lit(b), 1).otherwise(0)
+    }
+    val bucketed = tmp.withColumn("__sk_bucket", bucketExpr)
+    // per-bucket counts -> exclusive prefix-sum offsets. The driver
+    // receives <= `buckets` (bucket, count) rows — bounded by the bucket
+    // constant, never by the data — and the offsets become a codegen'd
+    // when-chain: no extra window, join, or exchange in the plan.
+    val counts = bucketed.groupBy(col("__sk_bucket"))
+      .agg(count(lit(1)).as("__sk_cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(
+      counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    val offsetExpr = offsets.foldLeft(lit(0L)) { case (acc, (b, off)) =>
+      when(col("__sk_bucket") === lit(b), lit(off)).otherwise(acc)
+    }
+    val rn = row_number().over(
+      Window.partitionBy(col("__sk_bucket")).orderBy(naturalOrder: _*))
+    bucketed
+      .withColumn(keyName, (rn.cast("bigint") + offsetExpr).cast("bigint"))
+      .drop("__sk_ord", "__sk_bucket")
+  }
 
   /** D10: SCD Type-1 member dimension from `customer` (full-refresh
     * projection + surrogate key, gold:84-117).
@@ -79,15 +117,22 @@ object Gold {
   /** D11: fact build — resolve surrogate keys via left joins to the dims
     * (gold:167-187) and derive metrics (gold:189-205;
     * member_responsibility ≡ billed − paid → here `charge = price·(1−disc)`
-    * and `charge_with_tax`). Dims are broadcast: the fact side never
-    * shuffles for these joins, which is the property that must hold at
-    * 1000 executors — dimension size is bounded, fact size is not.
+    * and `charge_with_tax`). Member/provider/date dims are broadcast —
+    * dimension size is bounded, so the fact side never shuffles for them
+    * at 1000 executors. The date dim is joined TWICE via aliased reuse
+    * (service role on ship_date, order role on order_date), matching the
+    * reference's dual dim_date resolution (gold:179-187).
+    *
+    * lineitem⋈orders is fact-to-fact (header:line ~ 1:4): it gets NO
+    * broadcast hint — at scale orders is unbounded and must shuffle on the
+    * join key (or arrive bucket-co-located; see LayerIO.writeBucketed).
+    * AQE is free to broadcast it only when runtime stats say it fits.
     */
   def factLines(lineitem: DataFrame, orders: DataFrame, dimMember: DataFrame,
       dimProvider: DataFrame, dimDate: DataFrame): DataFrame = {
     val li = lineitem.withColumn("ship_date", to_date(col("l_shipdate")))
-    li.join(broadcast(orders.select(col("o_orderkey"), col("o_custkey"),
-        to_date(col("o_orderdate")).as("order_date"), col("o_orderstatus"))),
+    li.join(orders.select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("order_date"), col("o_orderstatus")),
         col("l_orderkey") === col("o_orderkey"), "left")
       .join(broadcast(dimMember.select(col("member_id"), col("member_sk"))),
         col("o_custkey") === col("member_id"), "left")
@@ -95,11 +140,15 @@ object Gold {
         col("l_suppkey") === col("provider_id"), "left")
       .join(broadcast(dimDate.select(col("date_value"), col("date_key"))),
         col("ship_date") === col("date_value"), "left")
+      .join(broadcast(dimDate.select(col("date_value").as("order_date_value"),
+        col("date_key").as("order_date_key"))),
+        col("order_date") === col("order_date_value"), "left")
       .select(
         col("l_orderkey").as("claim_id"),
         col("l_linenumber").as("claim_line_number"),
         col("member_sk"), col("provider_sk"),
         col("date_key").as("service_date_key"),
+        col("order_date_key"),
         col("order_date"), col("o_orderstatus").as("order_status"),
         col("l_quantity").as("quantity"),
         col("l_extendedprice").cast(DecimalType(18, 2)).as("billed_amount"),

@@ -40,7 +40,13 @@ object Silver {
       col("l_orderkey").isNull || col("l_linenumber").isNull ||
         col("l_partkey").isNull || col("l_suppkey").isNull),
     DqRule("FUTURE_SERVICE_DATE", col("l_shipdate") > lit("2005-01-01").cast("timestamp")),
-    DqRule("INVALID_RETURN_FLAG", !col("l_returnflag").rlike("^[ANR]$")),
+    // dual code-format validation, negated-or — the reference accepts a
+    // code matching the CPT pattern OR the HCPCS pattern and flags only
+    // rows matching neither (silver:26-27,113-115): here the short flag
+    // form OR the prefixed long form
+    DqRule("INVALID_RETURN_FLAG",
+      !(col("l_returnflag").rlike("^[ANR]$") ||
+        col("l_returnflag").rlike("^RF-[ANR]$"))),
     DqRule("NON_POSITIVE_AMOUNT", col("l_extendedprice") <= 0 || col("l_quantity") <= 0),
     DqRule("INVALID_DISCOUNT", col("l_discount") < 0 || col("l_discount") > 1),
   )
@@ -107,6 +113,25 @@ object Silver {
     df.crossJoin(broadcast(mark))
       .filter(col("wm").isNull || col(eventCol) > col("wm"))
       .drop("wm")
+  }
+
+  /** Literal-mark variant of [[incrementalAfter]] — the default for batch
+    * incremental reads. Collects the single high-water mark to the driver
+    * (ONE row, scale-free by construction) and filters with a literal, so
+    * the predicate lands in the parquet scan's `PushedFilters` and prunes
+    * row groups / partitions. The broadcast-join variant above never
+    * pushes down: a 100 TB Bronze scan would read everything just to
+    * discard it post-join. Keep the join variant only where an action is
+    * unacceptable (e.g. composing one fully-lazy plan).
+    */
+  def incrementalAfterLiteral(df: DataFrame, watermarks: DataFrame,
+      tableName: String, eventCol: String): DataFrame = {
+    val mark = watermarks
+      .filter(col("table_name") === tableName)
+      .agg(max(col("last_processed_timestamp")))
+      .collect()(0)
+    if (mark.isNullAt(0)) df
+    else df.filter(col(eventCol) > lit(mark.get(0)))
   }
 
   /** Watermark commit row (D4, silver:45-63): new high-water mark derived

@@ -35,10 +35,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"plan:\n$plan")
   }
 
-  test("watermark incremental read pushes nothing to the driver (no collect)") {
-    // the watermark is a one-row broadcast join, not a collected literal:
-    // the plan must contain a broadcast join and the query stays lazy
-    val plan = executed(CoreQueries.watermarkIncremental(spark, sf))
+  test("watermark incremental predicate reaches PushedFilters (literal path)") {
+    val orders = Tables.orders(spark, sf)
+    val wm = operators.Silver.watermarkCommit(
+      orders.filter(org.apache.spark.sql.functions.col("o_orderdate") <
+        org.apache.spark.sql.functions.lit("1997-01-01").cast("timestamp")),
+      "orders", "o_orderdate")
+    val inc = operators.Silver.incrementalAfterLiteral(orders, wm, "orders", "o_orderdate")
+      .select("o_orderkey")
+    val scan = inc.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThan(o_orderdate"),
+      s"incremental filter must prune the scan:\n$scan")
+  }
+
+  test("watermark broadcast variant stays lazy (no collect in the plan path)") {
+    val orders = Tables.orders(spark, sf)
+    val wm = operators.Silver.watermarkCommit(
+      orders.filter(org.apache.spark.sql.functions.col("o_orderdate") <
+        org.apache.spark.sql.functions.lit("1997-01-01").cast("timestamp")),
+      "orders", "o_orderdate")
+    val plan = executed(
+      operators.Silver.incrementalAfter(orders, wm, "orders", "o_orderdate"))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"watermark must join as broadcast, plan:\n$plan")
   }
@@ -59,18 +76,35 @@ class PlanShapeSpec extends SparkSpec {
       s"predicate must appear in PushedFilters:\n$scan")
   }
 
-  test("fact build: all four dim joins broadcast (fact side never shuffles)") {
-    val fact = operators.Gold.factLines(
-      Tables.lineitem(spark, sf), Tables.orders(spark, sf),
-      operators.Gold.dimMember(Tables.customer(spark, sf)),
-      operators.Gold.dimProvider(Tables.supplier(spark, sf)),
-      operators.Gold.dimDate(spark, "1992-01-01", "2002-12-31"))
-    val plan = executed(fact)
-    val bhj = count(plan, "BroadcastHashJoin")
-    assert(bhj == 4, s"expected exactly 4 broadcast joins, got $bhj:\n$plan")
-    // the only exchanges allowed are broadcasts — no fact-side shuffle
-    assert(!plan.contains("Exchange hashpartitioning") &&
-      !plan.contains("Exchange rangepartitioning"),
-      s"fact build must not shuffle:\n$plan")
+  private def factDf = operators.Gold.factLines(
+    Tables.lineitem(spark, sf), Tables.orders(spark, sf),
+    operators.Gold.dimMember(Tables.customer(spark, sf)),
+    operators.Gold.dimProvider(Tables.supplier(spark, sf)),
+    operators.Gold.dimDate(spark, "1992-01-01", "2002-12-31"))
+
+  test("fact build: dims broadcast (incl. both date roles), orders join is " +
+      "the ONLY fact-side shuffle join, no single-partition window") {
+    // disable size-based auto-broadcast: at scale orders is unbounded, so
+    // the header:line join must be a shuffle join — simulate that here
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executed(factDf)
+      val bhj = count(plan, "BroadcastHashJoin")
+      assert(bhj >= 4,
+        s"member/provider + service-date/order-date roles must broadcast, got $bhj:\n$plan")
+      val smj = count(plan, "SortMergeJoin") + count(plan, "ShuffledHashJoin")
+      assert(smj == 1,
+        s"exactly one fact-side shuffle join (lineitem⋈orders), got $smj:\n$plan")
+      // the surrogate-key windows must be bucket-partitioned: a global
+      // window serializes the dimension through one task at scale
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"no operator may funnel data to a single partition:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L << 20)
+  }
+
+  test("fact build under AQE defaults: dims still broadcast, orders join free to adapt") {
+    val plan = executed(factDf)
+    assert(count(plan, "BroadcastHashJoin") >= 4, s"plan:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"), s"plan:\n$plan")
   }
 }
