@@ -381,7 +381,8 @@ object LlmQueries {
   }
 
   val embeddingNearDupOracle: String = {
-    val bucket = (1 to 8).map(d =>
+    // 16 sign bits, mirroring SimilarityOps.signBucket's default
+    val bucket = (1 to 16).map(d =>
       s"CASE WHEN embedding[$d] > 0 THEN ${1L << (d - 1)} ELSE 0 END").mkString(" + ")
     s"""WITH feed AS (
        |  SELECT vec_id, embedding FROM embeddings

@@ -29,6 +29,26 @@ object DedupOps {
     */
   val KmPrime: Long = 2147483647L
 
+  /** Default candidate-count gate for broadcasting the candidate-pair set
+    * into verification joins. Below this, the candidates (two longs each)
+    * broadcast in a few MB and the big shingle table never shuffles;
+    * above it, verification falls back to plain shuffle joins — slower,
+    * but immune to the hot-bucket blowup that would OOM every executor if
+    * an unexpectedly dense corpus made "candidates" stop being sparse.
+    */
+  val MaxBroadcastCandidates: Long = 100000L
+
+  /** Default document-frequency cutoff for shingles feeding an inverted
+    * index. A stop-shingle ("of the and of the") present in d documents
+    * generates d²/2 candidate pairs — quadratic in corpus size, the one
+    * hot key that breaks the equality-join shape at 100 TB. Shingles in
+    * more than this many documents are excluded from candidate
+    * GENERATION only (verification always uses full shingle sets), the
+    * standard recall trade: pairs sharing ONLY ubiquitous shingles sit
+    * far below any useful Jaccard threshold anyway.
+    */
+  val MaxShingleDocFreq: Int = 1000
+
   /** Exact dedup: keep the lowest-id row per identical normalized text.
     * One hash shuffle on the 16-byte fingerprint, map-side combinable.
     */
@@ -62,7 +82,8 @@ object DedupOps {
     */
   def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 5, k: Int = 16, bandRows: Int = 4,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6,
+      maxBroadcastCandidates: Long = MaxBroadcastCandidates): DataFrame = {
     val sh = shingleSets(docs, textCol, idCol, shingleN)
     // Kirsch-Mitzenmacher signatures: two 60-bit base hashes from ONE md5
     // per shingle, k derived hashes h1 + i·h2 mod P — 8x less hashing
@@ -92,23 +113,35 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, sh, threshold)
+    verifyJaccard(cand, sh, threshold, maxBroadcastCandidates)
   }
 
   /** Exact n-gram Jaccard near-dup pairs: candidates from the inverted
     * shingle index (equality join on shingle — sparse by construction at
-    * high n), verified against the full shingle sets.
+    * high n, with hot stop-shingles capped out by document frequency),
+    * verified against the full shingle sets.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      shingleN: Int = 5, threshold: Double = 0.6): DataFrame = {
+      shingleN: Int = 5, threshold: Double = 0.6,
+      maxShingleDf: Int = MaxShingleDocFreq,
+      maxBroadcastCandidates: Long = MaxBroadcastCandidates): DataFrame = {
     val sh = shingleSets(docs, textCol, idCol, shingleN)
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val ex = dropHotShingles(
+      sh.select(col("doc_id"), explode(col("sh")).as("g")), maxShingleDf)
     val cand = ex.as("a").join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, sh, threshold)
+    verifyJaccard(cand, sh, threshold, maxBroadcastCandidates)
   }
+
+  /** Document-frequency cap (see [[MaxShingleDocFreq]]): drop shingles
+    * whose posting list exceeds `maxDf` docs before pair generation. The
+    * hot set is tiny by definition (few shingles can be that common), so
+    * it broadcasts into an anti-join — no extra shuffle on the big side.
+    */
+  private def dropHotShingles(ex: DataFrame, maxDf: Int): DataFrame =
+    ex.join(broadcast(dropHotShinglesKeys(ex, maxDf)), Seq("g"), "left_anti")
 
   /** The shingle-set projection every near-dup pipeline starts from.
     * Persisted MEMORY_AND_DISK: each pipeline consumes it 3–4 times
@@ -125,41 +158,80 @@ object DedupOps {
 
   /** Cross-corpus overlap (decontamination): eval documents whose shingle
     * Jaccard with ANY training document reaches `threshold`. Same
-    * inverted-index candidate generation as near-dup detection, joined
-    * ACROSS the two corpora; candidates broadcast into both shingle
-    * tables for verification.
+    * inverted-index candidate generation as near-dup detection (with the
+    * same document-frequency cap, counted across BOTH corpora), joined
+    * ACROSS the two corpora; candidate verification broadcasts while the
+    * candidate set is provably small and falls back to shuffle joins
+    * beyond `maxBroadcastCandidates`.
     */
   def crossCorpusOverlap(train: DataFrame, eval: DataFrame, textCol: String,
-      idCol: String, shingleN: Int = 5, threshold: Double = 0.6): DataFrame = {
+      idCol: String, shingleN: Int = 5, threshold: Double = 0.6,
+      maxShingleDf: Int = MaxShingleDocFreq,
+      maxBroadcastCandidates: Long = MaxBroadcastCandidates): DataFrame = {
     val shT = shingleSets(train, textCol, idCol, shingleN)
     val shE = shingleSets(eval, textCol, idCol, shingleN)
     val exT = shT.select(col("doc_id").as("train_id"), explode(col("sh")).as("g"))
     val exE = shE.select(col("doc_id").as("eval_id"), explode(col("sh")).as("g"))
-    val cand = exT.join(exE, "g").select("train_id", "eval_id").distinct()
+    // df counted over the union: a shingle hot in either corpus is a hot
+    // join key in the cross-corpus candidate join all the same
+    val hot = dropHotShinglesKeys(
+      exT.select(col("train_id").as("doc_id"), col("g"))
+        .unionByName(exE.select(col("eval_id").as("doc_id"), col("g"))),
+      maxShingleDf)
+    val cand = exT.join(broadcast(hot), Seq("g"), "left_anti")
+      .join(exE.join(broadcast(hot), Seq("g"), "left_anti"), "g")
+      .select("train_id", "eval_id").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val gate = candidateGate(cand, maxBroadcastCandidates)
     val inter = size(array_intersect(col("sh_t"), col("sh_e")))
     val union = size(col("sh_t")) + size(col("sh_e")) - inter
     val withT = shT.select(col("doc_id").as("train_id"), col("sh").as("sh_t"))
-      .join(broadcast(cand), "train_id")
+      .join(gate(cand), "train_id")
     shE.select(col("doc_id").as("eval_id"), col("sh").as("sh_e"))
-      .join(broadcast(withT), "eval_id")
+      .join(gate(withT), "eval_id")
       .withColumn("overlap", inter.cast("double") / union)
       .filter(col("overlap") >= threshold)
       .select(col("eval_id"), col("train_id"), round(col("overlap"), 6).as("overlap"))
   }
 
+  /** The hot-shingle key set for [[dropHotShingles]], reusable when two
+    * exploded sides must be filtered by the same combined-df cutoff.
+    */
+  private def dropHotShinglesKeys(ex: DataFrame, maxDf: Int): DataFrame =
+    ex.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Size-gated broadcast: count the (persisted) candidate set ONCE —
+    * a bounded driver-side long, not data — and broadcast the
+    * verification probe sides only while candidates are provably sparse.
+    * Past the gate, verification degrades to plain shuffle joins on
+    * doc id instead of OOMing executors with an unbounded broadcast.
+    */
+  private def candidateGate(cand: DataFrame,
+      maxBroadcast: Long): DataFrame => DataFrame = {
+    val useBroadcast = cand.count() <= maxBroadcast
+    df => if (useBroadcast) broadcast(df) else df
+  }
+
   /** Exact Jaccard on candidate pairs against per-doc shingle sets. The
     * candidate set is a vanishing fraction of the corpus by construction,
-    * so it is BROADCAST into the shingle table twice — the big side never
-    * shuffles for verification.
+    * so it is normally BROADCAST into the shingle table twice — the big
+    * side never shuffles for verification — with a size-gated fallback to
+    * shuffle joins when a dense corpus breaks that assumption.
     */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxBroadcast: Long): DataFrame = {
+    val c = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    val gate = candidateGate(c, maxBroadcast)
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(col("sh_a")) + size(col("sh_b")) - inter
     val withA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      .join(broadcast(cand), "doc_a")
+      .join(gate(c), "doc_a")
     sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      .join(broadcast(withA), "doc_b")
+      .join(gate(withA), "doc_b")
       .withColumn("jaccard", inter.cast("double") / union)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate/exact nearest-neighbor search over embedding columns
@@ -11,12 +10,16 @@ import org.apache.spark.sql.functions._
   * Scale shapes:
   * - brute-force top-k: queries broadcast against the corpus scan — the
   *   corpus never shuffles; cost is |Q|·|C| dot products, the baseline.
-  * - sign-LSH blocking: bucket by leading-dimension sign bits (an
-  *   axis-aligned random-hyperplane LSH); near-identical vectors land in
-  *   the same bucket, turning all-pairs near-dup into an equality join.
-  * - IVF: assign every vector to its nearest seed centroid (one shuffle
-  *   by bucket), probe the top-P buckets per query — |C|/buckets·P dot
-  *   products per query instead of |C|.
+  *   Ranking is a bounded top-k AGGREGATION (see [[TopK]]), not a window:
+  *   the exchange carries |Q| buffers of k entries, never the |Q|·|C|
+  *   scored rows.
+  * - sign-LSH blocking: bucket by per-dimension sign bits (axis-aligned
+  *   random-hyperplane LSH — portable to any engine because the planes
+  *   are the coordinate axes); near-identical vectors land in the same
+  *   bucket, turning all-pairs near-dup into an equality join.
+  * - IVF: assign every vector to its nearest seed centroid (one bounded
+  *   `max_by` aggregation), probe the top-P buckets per query — only
+  *   |C|/buckets·P dot products per query instead of |C|.
   */
 object SimilarityOps {
 
@@ -40,6 +43,21 @@ object SimilarityOps {
     dot / (na * nb)
   }
 
+  /** Deterministic per-group top-k ranking of pre-scored candidates:
+    * (group, rank, neighbor_id, sim) with rank 1..k by sim DESC, id ASC.
+    * Bounded-buffer aggregation — map-side partials truncate to k before
+    * the shuffle (see [[TopK]] for why this replaces the row_number
+    * window form at scale).
+    */
+  private def rankTopK(scored: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame =
+    scored.groupBy(col(groupCol))
+      .agg(TopK.top_k(col("sim"), col(idCol), k).as("tk"))
+      .select(col(groupCol), posexplode(col("tk")))
+      .select(col(groupCol), (col("pos") + 1).cast("bigint").as("rank"),
+        col("col").getField("id").as("neighbor_id"),
+        col("col").getField("sim").as("sim"))
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self excluded), rank-deterministic via rounded
     * similarity + id tie-break.
@@ -48,18 +66,17 @@ object SimilarityOps {
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("sim", round(cosine(col("query_vec"), col("embedding")), 4))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("bigint").as("rank"),
-        col("vec_id").as("neighbor_id"), col("sim"))
+    rankTopK(scored, "query_id", "vec_id", k)
   }
 
   /** Sign-LSH bucket key over the first `dims` dimensions: bit d set iff
     * v[d] > 0. Scale-invariant, so exact and scaled duplicates share a
-    * bucket.
+    * bucket. 16 bits by default → 65,536 buckets: within-bucket all-pairs
+    * work stays sub-quadratic far longer than the 256-bucket 8-bit key
+    * (expected bucket size |C|/2^dims, so candidate pairs scale as
+    * |C|²/2^dims — every extra bit halves them).
     */
-  def signBucket(v: Column, dims: Int = 8): Column =
+  def signBucket(v: Column, dims: Int = 16): Column =
     (1 to dims).map(d =>
       when(element_at(v, d) > 0f, lit(1L << (d - 1))).otherwise(lit(0L)))
       .reduce(_ + _)
@@ -68,7 +85,7 @@ object SimilarityOps {
     * exact cosine ≥ threshold verification within buckets.
     */
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.999,
-      dims: Int = 8): DataFrame = {
+      dims: Int = 16): DataFrame = {
     val b = emb.select(col("vec_id"), col("embedding"),
       signBucket(col("embedding"), dims).as("bucket"))
     b.as("a").join(b.as("b"),
@@ -78,14 +95,30 @@ object SimilarityOps {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("sim"))
   }
 
+  /** Nearest-seed assignment: every vector keyed to its best seed by
+    * rounded cosine (seed_id tie-break) via ONE `max_by` aggregation over
+    * the k-seed cross product — identical result to the
+    * `row_number()=1` window but the exchange carries |C| rows, not
+    * |C|·k scored rows.
+    */
+  private def assignNearestSeed(vecs: DataFrame, seeds: DataFrame,
+      vecCol: String, idCol: String): DataFrame =
+    vecs.crossJoin(broadcast(seeds))
+      .withColumn("s6", round(cosine(col(vecCol), col("seed_vec")), 6))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col("seed_id"), struct(col("s6"), (-col("seed_id")).as("nid")))
+          .as("bucket"),
+        first(col(vecCol)).as(vecCol))
+
   /** Deterministic k-means centroid training for IVF: init from the
     * first k vectors by id, then `iters` Lloyd rounds — assign every
     * vector to its nearest centroid by cosine (id tie-break), recompute
     * centroids as element-wise means. Entirely DataFrame ops: assignment
-    * is a broadcast of k centroids against the corpus scan; the update is
-    * one posexplode + two keyed aggregations. Deterministic: same data →
-    * same centroids, any partitioning (mean is order-free in double only
-    * approximately, but the assignment argmax is computed on rounded
+    * is a broadcast of k centroids against the corpus scan folded into a
+    * bounded `max_by` aggregation; the update is one posexplode + two
+    * keyed aggregations. Deterministic: same data → same centroids, any
+    * partitioning (the assignment argmax is computed on rounded
     * similarity, and centroid means feed back only through that rounding
     * — stable in practice and covered by the determinism spec).
     */
@@ -94,12 +127,9 @@ object SimilarityOps {
       .select(col("vec_id").as("seed_id"),
         col("embedding").cast("array<double>").as("seed_vec"))
     for (_ <- 0 until iters) {
-      val w = Window.partitionBy(col("vec_id")).orderBy(
-        round(cosine(col("embedding"), col("seed_vec")), 6).desc, col("seed_id"))
-      val assigned = emb.crossJoin(broadcast(centroids))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("seed_id"), col("embedding").cast("array<double>").as("v"))
+      val assigned = assignNearestSeed(emb, centroids, "embedding", "vec_id")
+        .select(col("bucket").as("seed_id"),
+          col("embedding").cast("array<double>").as("v"))
       centroids = assigned
         .select(col("seed_id"), posexplode(col("v")))
         .groupBy(col("seed_id"), col("pos")).agg(avg(col("col")).as("m"))
@@ -112,31 +142,23 @@ object SimilarityOps {
 
   /** IVF-style ANN: `seeds` are the centroid set (bootstrap via
     * [[kmeansCentroids]] or any deterministic pick). Every corpus vector
-    * is assigned to its
-    * nearest seed; each query probes its `probes` nearest seed buckets
-    * and ranks only those vectors.
+    * is assigned to its nearest seed (bounded `max_by` aggregation); each
+    * query probes its `probes` nearest seed buckets (bounded [[TopK]]
+    * aggregation) and ranks only those vectors.
     */
   def ivfTopK(corpus: DataFrame, seeds: DataFrame, queries: DataFrame,
       k: Int, probes: Int = 2): DataFrame = {
-    def nearestSeeds(vecs: DataFrame, vecCol: String, idCol: String,
-        n: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(
-        round(cosine(col(vecCol), col("seed_vec")), 6).desc, col("seed_id"))
-      vecs.crossJoin(broadcast(seeds))
-        .withColumn("seed_rank", row_number().over(w))
-        .filter(col("seed_rank") <= n)
-    }
-    val assigned = nearestSeeds(corpus, "embedding", "vec_id", 1)
-      .select(col("vec_id"), col("embedding"), col("seed_id").as("bucket"))
-    val probed = nearestSeeds(queries, "query_vec", "query_id", probes)
-      .select(col("query_id"), col("query_vec"), col("seed_id").as("bucket"))
+    val assigned = assignNearestSeed(corpus, seeds, "embedding", "vec_id")
+    val probed = queries.crossJoin(broadcast(seeds))
+      .withColumn("s6", round(cosine(col("query_vec"), col("seed_vec")), 6))
+      .groupBy(col("query_id"))
+      .agg(TopK.top_k(col("s6"), col("seed_id"), probes).as("tk"),
+        first(col("query_vec")).as("query_vec"))
+      .select(col("query_id"), col("query_vec"),
+        explode(col("tk").getField("id")).as("bucket"))
     val scored = probed.join(assigned, "bucket")
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("sim", round(cosine(col("query_vec"), col("embedding")), 4))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("bigint").as("rank"),
-        col("vec_id").as("neighbor_id"), col("sim"))
+    rankTopK(scored, "query_id", "vec_id", k)
   }
 }

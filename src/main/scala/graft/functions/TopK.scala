@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Bounded-buffer top-k aggregation: keeps the k best (sim, id) entries
+  * per group in a sorted buffer of size ≤ k, ordered by sim DESC with id
+  * ASC tie-break — the exact semantics of
+  * `row_number() over (partition by g order by sim desc, id) <= k`.
+  *
+  * The window form shuffles EVERY scored row to its group's reducer — for
+  * ANN ranking that is |queries|·|corpus| rows through the exchange. As a
+  * typed Aggregator it runs as a normal two-phase aggregate: map-side
+  * partials truncate to k entries before the shuffle, so the exchange
+  * carries |groups| buffers of ≤ k entries regardless of corpus size.
+  * That is the difference between an ANN ranking that scales with the
+  * corpus and one that scales with the candidate count.
+  *
+  * Exact, not approximate: top-k under a total order is mergeable
+  * (truncating partials can never evict a global top-k entry, since any
+  * entry it beats locally it also beats globally).
+  */
+object TopK {
+
+  /** One scored candidate. `sim` should already be rounded to the
+    * precision the caller ranks at, so order is engine-portable.
+    */
+  final case class Scored(sim: Double, id: Long)
+
+  /** sim DESC, id ASC — the deterministic ranking order. */
+  private val ord: Ordering[Scored] = Ordering.by((s: Scored) => (-s.sim, s.id))
+
+  final case class TopKAgg(k: Int)
+      extends Aggregator[Scored, List[Scored], Seq[Scored]] {
+    require(k >= 1, s"k must be positive, got $k")
+
+    override def zero: List[Scored] = Nil
+
+    // buffer invariant: sorted by `ord`, length ≤ k
+    override def reduce(b: List[Scored], a: Scored): List[Scored] = insert(b, a)
+
+    override def merge(b1: List[Scored], b2: List[Scored]): List[Scored] =
+      b2.foldLeft(b1)(insert)
+
+    override def finish(b: List[Scored]): Seq[Scored] = b
+
+    private def insert(b: List[Scored], a: Scored): List[Scored] =
+      if (b.lengthCompare(k) >= 0 && ord.gteq(a, b.last)) b // below the cut
+      else {
+        val (better, worse) = b.span(x => ord.lt(x, a))
+        (better ::: a :: worse).take(k)
+      }
+
+    override def bufferEncoder: Encoder[List[Scored]] =
+      ExpressionEncoder[List[Scored]]()
+    override def outputEncoder: Encoder[Seq[Scored]] =
+      ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /** Column API: `df.groupBy(g).agg(top_k($"sim", $"id", 5))` →
+    * array<struct<sim double, id bigint>> sorted best-first.
+    */
+  def top_k(sim: Column, id: Column, k: Int): Column =
+    udaf(TopKAgg(k), Encoders.product[Scored]).apply(sim, id)
+}

@@ -29,6 +29,71 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh == exact, s"LSH missed pairs: ${exact diff lsh}")
   }
 
+  test("candidate verification: shuffle fallback returns identical pairs to broadcast") {
+    val viaBroadcast = DedupOps.ngramJaccardPairs(docs, "text", "doc_id")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // gate 0 → every candidate set exceeds it → shuffle-join verification;
+    // auto-broadcast disabled so the fallback actually executes as shuffles
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val viaShuffle =
+      try DedupOps.ngramJaccardPairs(docs, "text", "doc_id",
+          maxBroadcastCandidates = 0L)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L << 20)
+    assert(viaBroadcast.nonEmpty)
+    assert(viaShuffle == viaBroadcast, "fallback path must not change results")
+  }
+
+  test("decontamination shuffle fallback matches the broadcast path") {
+    val eval = docs.filter($"doc_id" % 7 === 0)
+    val train = docs.filter($"doc_id" % 7 =!= 0)
+    val a = DedupOps.crossCorpusOverlap(train, eval, "text", "doc_id")
+      .select("eval_id", "train_id").as[(Long, Long)].collect().toSet
+    val b = DedupOps.crossCorpusOverlap(train, eval, "text", "doc_id",
+        maxBroadcastCandidates = 0L)
+      .select("eval_id", "train_id").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("document-frequency cap drops stop-shingle candidates, keeps rare-shingle pairs") {
+    // 12 identical docs sharing only ubiquitous shingles (df=12) + one
+    // isolated identical pair with its own rare shingles (df=2)
+    val hotText = (1 to 40).map(_ => "common phrase words repeat here").mkString(" ")
+    val rareText = (1 to 50).map(i => s"unique$i token$i").mkString(" ")
+    val corpus = ((1 to 12).map(i => (i.toLong, hotText)) ++
+      Seq((21L, rareText), (22L, rareText))).toDF("doc_id", "text")
+    val capped = DedupOps.ngramJaccardPairs(corpus, "text", "doc_id",
+        maxShingleDf = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((21L, 22L)),
+      s"df>10 shingles must not generate candidates, got $capped")
+    val uncapped = DedupOps.ngramJaccardPairs(corpus, "text", "doc_id")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 12 * 11 / 2 + 1, "default cap must not fire here")
+  }
+
+  test("topK aggregation ranks exactly like the row_number window form") {
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.filter($"vec_id" < 6)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val viaAgg = SimilarityOps.bruteForceTopK(q, emb, 7)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val scored = emb.crossJoin(broadcast(q))
+      .filter($"query_id" =!= $"vec_id")
+      .withColumn("sim", round(SimilarityOps.cosine($"query_vec", $"embedding"), 4))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+    val viaWindow = scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 7)
+      .select($"query_id", $"rank".cast("long"), $"vec_id", $"sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaAgg == viaWindow)
+    // the whole point: ranking must be an aggregation, not a window
+    val plan = SimilarityOps.bruteForceTopK(q, emb, 7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no window operator allowed:\n$plan")
+  }
+
   test("simhash near-dup pairs overlap heavily with exact Jaccard pairs") {
     val sim = DedupOps.simhashPairs(
       DedupOps.simhashSignatures(docs, "text", "doc_id"))
