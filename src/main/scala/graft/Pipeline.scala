@@ -79,14 +79,15 @@ object Pipeline {
         Merge.upsert(LayerIO.readLayer(spark, paths.silver), deduped,
           Seq("l_orderkey", "l_linenumber"))
       else deduped
-    // overwrite to a staging dir then swap is the real-cluster move; in
-    // one JVM we materialize then overwrite
-    val out = merged.cache()
-    val n = out.count()
-    out.write.mode(SaveMode.Overwrite).parquet(paths.silver)
+    // staging + swap: the merge plan READS paths.silver, so an in-place
+    // overwrite (even behind cache+count) recomputes from deleted files
+    // if partitions evict mid-write — the staged write keeps the source
+    // table live until the new one is complete
+    LayerIO.overwriteViaStaging(spark, merged, paths.silver)
+    val n = LayerIO.readLayer(spark, paths.silver).count()
     val wm = Silver.watermarkCommit(incr, "silver_claims", "ingestion_timestamp")
     wm.write.mode(SaveMode.Append).parquet(paths.watermarks)
-    tagged.unpersist(); out.unpersist()
+    tagged.unpersist()
     n
   }
 
@@ -112,12 +113,9 @@ object Pipeline {
         Merge.upsert(LayerIO.readLayer(spark, paths.fact), fact,
           Seq("claim_id", "claim_line_number"))
       else fact
-    val out = merged.cache()
-    out.count()
-    out.write.mode(SaveMode.Overwrite)
-      .parquet(paths.fact)
+    // same staging + swap discipline: the merge plan reads paths.fact
+    LayerIO.overwriteViaStaging(spark, merged, paths.fact)
     Gold.monthlyRollup(LayerIO.readLayer(spark, paths.fact))
       .write.mode(SaveMode.Overwrite).parquet(paths.rollup)
-    out.unpersist()
   }
 }

@@ -47,6 +47,59 @@ object LayerIO {
   def appendLayer(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
 
+  /** S4 with schema evolution — the mergeSchema analog of the
+    * reference's `option("mergeSchema", "true")` append
+    * (bronze_rx_claims_load.py:61, readme.md:64-66). A widened feed
+    * (new columns) appends as-is; reads go through [[readLayerEvolved]],
+    * which unions the file schemas so pre-widening files surface NULL
+    * for the new columns. Type CHANGES are not evolution — they fail
+    * fast here instead of producing an unreadable mixed-type table.
+    */
+  def appendEvolved(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    if (layerExists(spark, path)) {
+      val existing = readLayer(spark, path).schema
+      val conflicts = df.schema.filter(f =>
+        existing.exists(e => e.name == f.name && e.dataType != f.dataType))
+      require(conflicts.isEmpty,
+        s"schema evolution adds columns, never retypes them; conflicting: " +
+          conflicts.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", "))
+    }
+    df.write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** Merge-on-read for evolved layers: union of all file schemas, NULL
+    * where a file predates a column. (Plain [[readLayer]] picks one
+    * footer's schema — fine for homogeneous tables, silently drops the
+    * new columns after an evolved append.)
+    */
+  def readLayerEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Overwrite `path` via staging + swap: the full result is written to a
+    * sibling staging directory FIRST, then swapped in with two renames.
+    * Overwriting a path in-place while the plan still reads from it
+    * (even behind a cache) recomputes from deleted files if partitions
+    * evict or an executor dies mid-write — this makes the source files
+    * live until the new table is complete. The swap window is two
+    * metadata renames, and the previous table survives as `.old` until
+    * the swap succeeds.
+    */
+  def overwriteViaStaging(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(path + ".staging-" + java.util.UUID.randomUUID())
+    val old = new Path(path + ".old-" + java.util.UUID.randomUUID())
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val target = new Path(path)
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(s"cannot stage out current table at $path")
+    if (!fs.rename(staging, target)) {
+      fs.rename(old, target) // restore; staging remains for inspection
+      throw new java.io.IOException(s"cannot swap staged table into $path")
+    }
+    fs.delete(old, true)
+    ()
+  }
+
   /** S5: overwrite write partitioned by a DATE column (B3 fix). Callers
     * derive `partitionCol` with to_date — one directory per day, the
     * pruning unit for incremental readers.

@@ -17,15 +17,22 @@ import org.apache.spark.sql.functions._
   * - each commit is a JSON manifest `_graft_log/v{N}.json` listing the
   *   table's live files for that version plus operation metadata;
   * - commits are ATOMIC: the manifest is staged to a temp file and
-  *   atomically renamed into the log — readers see either the old or the
+  *   atomically linked into the log — readers see either the old or the
   *   new version, never a partial table;
-  * - concurrent writers race on the version number; the loser's rename
+  * - concurrent writers race on the version number; the loser's link
   *   fails and retries against the next version (optimistic concurrency,
-  *   as Delta does);
+  *   as Delta does). Read-modify-write transactions ([[mergeCommit]])
+  *   additionally re-run against the new latest version when they lose —
+  *   a blind retry would silently discard the concurrent commit;
+  * - [[writeOnce]] makes an operation tag part of the commit race, so
+  *   at-least-once re-deliveries (streaming batch replays) cannot commit
+  *   twice even from concurrent writers;
   * - `readVersion` time-travels by reading an old manifest — old data
-  *   files are never mutated.
+  *   files are never mutated. Reads union file schemas (merge-on-read),
+  *   so a commit may WIDEN the schema and older files surface NULL for
+  *   the new columns — the mergeSchema evolution story.
   *
-  * Local-filesystem rename is atomic here; on an object store the same
+  * Local-filesystem link is atomic here; on an object store the same
   * protocol runs against a log store with put-if-absent.
   */
 object VersionedTable {
@@ -35,21 +42,32 @@ object VersionedTable {
   private def manifestPath(path: String, v: Long): Path =
     logDir(path).resolve(f"v$v%08d.json")
 
+  /** Run `f` over a directory listing, closing the stream afterwards
+    * (Files.list leaks an open fd until closed; versions() runs per
+    * commit retry and per micro-batch, so leaks accumulate fast).
+    */
+  private def listDir[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   /** Versions present in the log, ascending. */
   def versions(path: String): Seq[Long] = {
     val dir = logDir(path)
     if (!Files.exists(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
+    else listDir(dir)(_.map(_.getFileName.toString)
       .collect { case n if n.matches("v\\d{8}\\.json") =>
         n.stripPrefix("v").stripSuffix(".json").toLong }
-      .toSeq.sorted
+      .toSeq.sorted)
   }
 
   def latestVersion(path: String): Option[Long] = versions(path).lastOption
 
   private def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+
+  private def unesc(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
 
   /** Stage + atomically commit manifest for `version`; false if that
     * version already exists (lost the race).
@@ -76,9 +94,37 @@ object VersionedTable {
     }
   }
 
+  /** Write the batch's data files (immutable, never visible until a
+    * manifest references them). Returns (dataDir, file list).
+    */
+  private def writeData(df: DataFrame, path: String): (Path, Seq[String]) = {
+    val dataDir = Paths.get(s"$path/data/${UUID.randomUUID()}")
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    val newFiles = listDir(dataDir)(
+      _.map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted)
+    (dataDir, newFiles)
+  }
+
+  /** Remove a data dir whose commit lost its race — the files were never
+    * referenced by any manifest, so this is garbage collection, not
+    * deletion of table state.
+    */
+  private def discardData(dataDir: Path): Unit =
+    if (Files.exists(dataDir)) {
+      listDir(dataDir)(_.toSeq).foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(dataDir)
+      ()
+    }
+
   /** Write `df` as a new commit. Append mode unions the previous
     * version's files with the new ones; overwrite replaces them. Returns
     * the committed version.
+    *
+    * Blind writes only: append bases itself on whatever the latest
+    * version is at commit time, and overwrite is last-writer-wins — both
+    * are conflict-free under retry. A write whose CONTENT depends on a
+    * read of the table must go through [[mergeCommit]], which detects
+    * the lost-update race instead of retrying a stale snapshot.
     */
   def write(df: DataFrame, path: String, mode: SaveMode): Long =
     write(df, path, mode,
@@ -88,10 +134,7 @@ object VersionedTable {
     * sink for exactly-once batch bookkeeping).
     */
   def write(df: DataFrame, path: String, mode: SaveMode, op: String): Long = {
-    val dataDir = s"$path/data/${UUID.randomUUID()}"
-    df.write.mode(SaveMode.Overwrite).parquet(dataDir)
-    val newFiles = Files.list(Paths.get(dataDir)).iterator().asScala
-      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    val (_, newFiles) = writeData(df, path)
     var committed = -1L
     while (committed < 0) {
       val prev = latestVersion(path)
@@ -106,10 +149,53 @@ object VersionedTable {
     committed
   }
 
-  /** Operation tags already committed (for idempotent re-delivery). */
+  /** Exactly-once tagged commit: commit `df` under `op` unless a
+    * manifest already carries that tag. The tag check is part of the
+    * commit RACE, not a separate check-then-write: losing a version race
+    * re-checks only the manifests that appeared since, so two concurrent
+    * replays of the same batch commit exactly one version between them.
+    * Returns the committed version, or None when the tag already won.
+    */
+  def writeOnce(df: DataFrame, path: String, mode: SaveMode,
+      op: String): Option[Long] = {
+    val start = versions(path)
+    if (start.exists(opOf(path, _) == op)) return None
+    val (dataDir, newFiles) = writeData(df, path)
+    val startSet = start.toSet
+    var result: Option[Option[Long]] = None
+    while (result.isEmpty) {
+      val prev = latestVersion(path)
+      val base = mode match {
+        case SaveMode.Append => prev.map(files(path, _)).getOrElse(Seq.empty)
+        case _ => Seq.empty
+      }
+      val next = prev.getOrElse(-1L) + 1
+      if (tryCommit(path, next, base ++ newFiles, op)) result = Some(Some(next))
+      else if (versions(path).exists(v =>
+          !startSet.contains(v) && opOf(path, v) == op)) {
+        // a concurrent replay of this very batch won the race: our data
+        // files must not become a duplicate commit
+        discardData(dataDir)
+        result = Some(None)
+      }
+    }
+    result.get
+  }
+
+  /** The operation tag of a committed version, parsed straight off the
+    * manifest (cheap driver-side read — no Spark job per lookup).
+    */
+  def opOf(path: String, version: Long): String = {
+    val json = Files.readString(manifestPath(path, version))
+    val m = """"op":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
+    m.map(g => unesc(g.group(1))).getOrElse("")
+  }
+
+  /** Operation tags already committed (for idempotent re-delivery).
+    * Driver-side manifest reads — O(versions) small files, no Spark job.
+    */
   def committedOps(spark: SparkSession, path: String): Set[String] =
-    if (latestVersion(path).isEmpty) Set.empty
-    else history(spark, path).select("op").collect().map(_.getString(0)).toSet
+    versions(path).map(opOf(path, _)).toSet
 
   /** The live files of `version` (parsed from its manifest via Spark's
     * JSON reader).
@@ -121,12 +207,16 @@ object VersionedTable {
       .collect().map(_.getString(0)).toSeq
   }
 
-  /** Read the table as of `version` (time travel). */
+  /** Read the table as of `version` (time travel). Schemas are unioned
+    * across files (merge-on-read), so versions written after a widening
+    * append surface the full evolved schema with NULLs where a file
+    * predates a column.
+    */
   def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
     val fs = files(path, version)
     if (fs.isEmpty)
       spark.emptyDataFrame
-    else spark.read.parquet(fs: _*)
+    else spark.read.option("mergeSchema", "true").parquet(fs: _*)
   }
 
   /** Read the latest version. */
@@ -144,10 +234,26 @@ object VersionedTable {
   /** MERGE as a transaction: upsert `source` into the latest version on
     * `keys`, committed as a single new overwrite version (readers never
     * observe the intermediate state).
+    *
+    * Read-modify-write under optimistic concurrency: the merge is
+    * computed against a CAPTURED base version and committed at exactly
+    * base+1. If another writer commits first, the stale merge result is
+    * DISCARDED and the merge re-runs against the new latest — the
+    * lost-update behavior Delta's conflict detection prevents, prevented
+    * the same way (detect, then re-execute rather than abort).
     */
   def mergeCommit(spark: SparkSession, path: String, source: DataFrame,
       keys: Seq[String]): Long = {
-    val merged = graft.operators.Merge.upsert(read(spark, path), source, keys)
-    write(merged, path, SaveMode.Overwrite)
+    var committed = -1L
+    while (committed < 0) {
+      val base = latestVersion(path).getOrElse(
+        throw new IllegalStateException(s"no versions at $path"))
+      val merged = graft.operators.Merge.upsert(
+        readVersion(spark, path, base), source, keys)
+      val (dataDir, newFiles) = writeData(merged, path)
+      if (tryCommit(path, base + 1, newFiles, "merge")) committed = base + 1
+      else discardData(dataDir) // conflicting commit won: re-read, re-merge
+    }
+    committed
   }
 }

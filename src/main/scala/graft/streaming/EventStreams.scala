@@ -106,21 +106,35 @@ object EventStreams {
     * micro-batch commits as one atomic version tagged with its batch id,
     * and re-delivered batches (restart replay) are skipped — exactly-once
     * table commits on top of the at-least-once foreachBatch contract.
+    *
+    * Idempotence is enforced by [[graft.sources.VersionedTable.writeOnce]],
+    * where the batch tag is part of the commit race itself — concurrent
+    * replays (zombie executors, a second query on the same path) cannot
+    * both commit. The driver-side tag cache seeded from the log on the
+    * first batch makes the common skip path O(1) per batch instead of
+    * re-reading the whole log history every micro-batch.
     */
   def sinkToVersionedTable(df: DataFrame, path: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    var seeded = false
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val tag = s"stream-batch-$batchId"
-        if (!graft.sources.VersionedTable.committedOps(batch.sparkSession, path)
-            .contains(tag)) {
-          graft.sources.VersionedTable.write(batch.toDF(), path,
+        if (!seeded) {
+          seen ++= graft.sources.VersionedTable.committedOps(batch.sparkSession, path)
+          seeded = true
+        }
+        if (!seen.contains(tag)) {
+          graft.sources.VersionedTable.writeOnce(batch.toDF(), path,
             org.apache.spark.sql.SaveMode.Append, tag)
+          seen += tag
           ()
         }
       }
       .start()
+  }
 
   final case class Event(event_id: Long, ts: java.time.Instant, user_id: Long,
       event_type: String, value: Double)

@@ -45,6 +45,46 @@ class LayerIOSpec extends SparkSpec {
       "partition filter must be pushed to the scan")
   }
 
+  test("appendEvolved: widened batch appends; merge-on-read surfaces old rows with NULLs") {
+    val path = Files.createTempDirectory("layer").resolve("evolved").toString
+    LayerIO.appendEvolved(spark,
+      Seq(("C1", 10.0)).toDF("claim_id", "amount"), path)
+    // the feed widens: a new source starts shipping `channel`
+    LayerIO.appendEvolved(spark,
+      Seq(("C2", 20.0, "web")).toDF("claim_id", "amount", "channel"), path)
+    val back = LayerIO.readLayerEvolved(spark, path)
+    assert(back.columns.sorted.toSeq == Seq("amount", "channel", "claim_id"))
+    val rows = back.orderBy("claim_id")
+      .select("claim_id", "channel").as[(String, Option[String])].collect().toSeq
+    assert(rows == Seq(("C1", None), ("C2", Some("web"))),
+      "pre-widening rows must read back with NULL for the new column")
+  }
+
+  test("appendEvolved rejects type changes (evolution adds columns, never retypes)") {
+    val path = Files.createTempDirectory("layer").resolve("retype").toString
+    LayerIO.appendEvolved(spark, Seq(("C1", 10.0)).toDF("claim_id", "amount"), path)
+    val err = intercept[IllegalArgumentException] {
+      LayerIO.appendEvolved(spark,
+        Seq(("C2", "twenty")).toDF("claim_id", "amount"), path)
+    }
+    assert(err.getMessage.contains("amount"))
+  }
+
+  test("overwriteViaStaging replaces a table the new plan reads from") {
+    val path = Files.createTempDirectory("layer").resolve("swap").toString
+    Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").write.parquet(path)
+    // the replacement plan READS the current table — the in-place
+    // overwrite hazard this API exists to remove
+    val doubled = LayerIO.readLayer(spark, path).withColumn("v", $"v" * 2)
+    LayerIO.overwriteViaStaging(spark, doubled, path)
+    val back = LayerIO.readLayer(spark, path).orderBy("k")
+      .as[(Long, Double)].collect().toSeq
+    assert(back == Seq((1L, 2.0), (2L, 4.0)))
+    // no staging/old residue left beside the table
+    val parent = new java.io.File(path).getParentFile.list().toSeq
+    assert(parent == Seq("swap"), s"residue: $parent")
+  }
+
   test("registerTable makes the layer SQL-addressable") {
     val path = Files.createTempDirectory("layer").resolve("gold").toString
     Seq((1L, "a")).toDF("k", "v").write.parquet(path)

@@ -32,7 +32,7 @@ class VersionedTableSpec extends SparkSpec {
 
     val hist = VersionedTable.history(spark, path)
       .select("version", "op").as[(Long, String)].collect().toSeq
-    assert(hist == Seq((0L, "overwrite"), (1L, "append"), (2L, "overwrite")))
+    assert(hist == Seq((0L, "overwrite"), (1L, "append"), (2L, "merge")))
   }
 
   test("parallel appenders: every commit lands, no version lost or duplicated") {
@@ -52,6 +52,66 @@ class VersionedTableSpec extends SparkSpec {
     val rows = VersionedTable.read(spark, path)
     assert(rows.count() == 21, "all 20 appends plus the seed must be live")
     assert(rows.select("writer", "i").distinct().count() == 21)
+  }
+
+  test("writeOnce: same tag commits exactly once, even from concurrent writers") {
+    val path = Files.createTempDirectory("vt4").resolve("t").toString
+    VersionedTable.write(Seq((0L, 0L)).toDF("w", "i"), path, SaveMode.Overwrite)
+    // serial re-delivery: second call is a no-op
+    assert(VersionedTable.writeOnce(Seq((1L, 1L)).toDF("w", "i"), path,
+      SaveMode.Append, "batch-7").contains(1L))
+    assert(VersionedTable.writeOnce(Seq((9L, 9L)).toDF("w", "i"), path,
+      SaveMode.Append, "batch-7").isEmpty)
+    // concurrent replays of one batch: exactly one commit between them
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Option[Long]]()
+    val threads = (1 to 4).map { w =>
+      new Thread(() => {
+        results.add(VersionedTable.writeOnce(
+          Seq((w.toLong, 8L)).toDF("w", "i"), path, SaveMode.Append, "batch-8"))
+        ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.count(_.isDefined) == 1,
+      s"exactly one replica may commit: ${results.asScala.toSeq}")
+    assert(VersionedTable.read(spark, path).filter($"i" === 8L).count() == 1)
+  }
+
+  test("mergeCommit re-runs on conflict: concurrent merges both land (no lost update)") {
+    val path = Files.createTempDirectory("vt5").resolve("t").toString
+    VersionedTable.write(Seq((1L, "base")).toDF("k", "v"), path, SaveMode.Overwrite)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (2 to 5).map { k =>
+      new Thread(() =>
+        try {
+          VersionedTable.mergeCommit(spark, path,
+            Seq((k.toLong, s"m$k")).toDF("k", "v"), Seq("k"))
+          ()
+        } catch { case t: Throwable => errors.add(t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"merge thread failed: ${Option(errors.peek())}")
+    // a stale-snapshot retry would drop a concurrent merge's rows; the
+    // re-run-on-conflict loop must preserve every upsert plus the base
+    val keys = VersionedTable.read(spark, path).select("k").as[Long]
+      .collect().toSeq.sorted
+    assert(keys == Seq(1L, 2L, 3L, 4L, 5L), s"lost update: $keys")
+  }
+
+  test("schema evolution: a widened append reads back merged with NULLs") {
+    val path = Files.createTempDirectory("vt6").resolve("t").toString
+    VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), path, SaveMode.Overwrite)
+    VersionedTable.write(Seq((2L, "b", 9.5)).toDF("k", "v", "score"), path,
+      SaveMode.Append)
+    val back = VersionedTable.read(spark, path)
+    assert(back.columns.sorted.toSeq == Seq("k", "score", "v"))
+    val rows = back.orderBy("k").select("k", "score")
+      .as[(Long, Option[Double])].collect().toSeq
+    assert(rows == Seq((1L, None), (2L, Some(9.5))))
+    // time travel to the pre-widening version keeps the original schema
+    assert(VersionedTable.readVersion(spark, path, 0).columns.sorted.toSeq ==
+      Seq("k", "v"))
   }
 
   test("optimistic concurrency: a stolen version number is retried, nothing lost") {
