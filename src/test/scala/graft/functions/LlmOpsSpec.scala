@@ -72,6 +72,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(uncapped.size == 12 * 11 / 2 + 1, "default cap must not fire here")
   }
 
+  test("q22 min-shingle fingerprint: codegen agg form equals the HOF reference form") {
+    val viaAgg = graft.LlmQueries.fingerprints(spark, sf)
+      .select("doc_id", "min_shingle_fp")
+      .as[(Long, Option[String])].collect().toMap
+    val viaHof = docs.select($"doc_id",
+        TextAnalysis.minShingleFingerprint(TextAnalysis.tokens($"text"), 5))
+      .as[(Long, Option[String])].collect().toMap
+    assert(viaAgg == viaHof)
+  }
+
   test("topK aggregation ranks exactly like the row_number window form") {
     import org.apache.spark.sql.expressions.Window
     val q = emb.filter($"vec_id" < 6)
