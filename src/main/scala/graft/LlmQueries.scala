@@ -513,6 +513,135 @@ object LlmQueries {
        |SELECT eval_id, train_id, round(overlap, 6) AS overlap
        |FROM j WHERE overlap >= 0.6 ORDER BY eval_id, train_id""".stripMargin
 
+  /** q47 — decontamination, 100 TB shape: identical semantics and OUTPUT
+    * to q44, but the train-side shingle stream is prefiltered through a
+    * distributed Bloom filter built over the eval corpus's shingles
+    * (native BloomFilterAggregate / BloomFilterMightContain — Spark's own
+    * runtime-filter machinery). Bloom false positives die in the exact
+    * verification; false negatives don't exist — so the oracle is q44's,
+    * verbatim, and a hash match here *proves* the prefilter is lossless.
+    */
+  def bloomDecontamination(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val eval = all.filter(col("doc_id") % 7 === 0)
+    val train = all.filter(col("doc_id") % 7 =!= 0)
+    DedupOps.bloomDecontamination(train, eval, "text", "doc_id",
+        shingleN = 5, threshold = 0.6)
+      .orderBy("eval_id", "train_id")
+  }
+
+  val bloomDecontaminationOracle: String = decontaminationOracle
+
+  /** q48 — deterministic stratified sampling for corpus mixing: rebalance
+    * the over-represented language by hash-bucket membership (md5 of the
+    * salted doc id), not a random draw — the same subcorpus is selected
+    * at any parallelism, on any engine, on every rerun.
+    */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    functions.Sampling.stratifiedSample(docs(s, d), col("lang"), col("doc_id"),
+        ratesPct = Map("en" -> 35, "de" -> 80, "fr" -> 80, "es" -> 80, "zh" -> 80),
+        defaultPct = 0, salt = "mix-v1|")
+      .select(col("doc_id"), col("lang"), col("sample_bucket"))
+      .orderBy("doc_id")
+
+  val stratifiedSampleOracle: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |    CAST(CAST('0x' || substr(md5('mix-v1|' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |         AS BIGINT) % 100 AS INTEGER) AS sample_bucket
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang, sample_bucket FROM b
+      |WHERE sample_bucket < CASE lang WHEN 'en' THEN 35
+      |  WHEN 'de' THEN 80 WHEN 'fr' THEN 80 WHEN 'es' THEN 80
+      |  WHEN 'zh' THEN 80 ELSE 0 END
+      |ORDER BY doc_id""".stripMargin
+
+  /** q49 — sequence packing (concat-and-chunk): documents concatenated in
+    * doc_id order into one token stream, cut into capacity-2048 windows;
+    * each doc gets the window holding its first token and its offset
+    * within it. The running token count is the bucketed distributed
+    * prefix sum — no single-partition window at any corpus size.
+    */
+  def packSequences(s: SparkSession, d: String): DataFrame =
+    functions.Packing.packSequences(docs(s, d), col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))), capacity = 2048)
+      .orderBy("doc_id")
+
+  val packSequencesOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, n_tokens,
+      |    sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      |      AS start_offset
+      |  FROM t
+      |)
+      |SELECT doc_id, n_tokens,
+      |  CAST(start_offset AS BIGINT) AS start_offset,
+      |  CAST(start_offset // 2048 AS BIGINT) AS pack_id,
+      |  CAST(start_offset % 2048 AS BIGINT) AS pack_offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** q50 — corpus curation gate: the DQ-rule-engine pattern (rules →
+    * reasons → keep/reject) applied to training-data quality signals, in
+    * ONE codegen'd scan: length, punctuation density, English-stopword
+    * signal, and a garbage-token (overlong run) detector.
+    */
+  def corpusQualityGate(s: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val nToks = size(toks)
+    val punctRatio =
+      size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("double") / col("n_chars")
+    val stopRatio =
+      TextAnalysis.stopwordHits(toks, TextAnalysis.stopwords("en"))
+        .cast("double") / nToks
+    val maxTokLen = array_max(transform(toks, t => length(t)))
+    docs(s, d).select(
+        col("doc_id"), col("lang"),
+        nToks.as("n_tokens"),
+        maxTokLen.as("max_token_len"),
+        // concat_ws skips the NULLs unfired rules leave behind — reasons
+        // keep declaration order with no array juggling
+        concat_ws("|",
+          when(nToks < 20, "too_short"),
+          when(punctRatio > 0.25, "too_punctuated"),
+          when(col("lang") === "en" && stopRatio < 0.01, "no_stopwords"),
+          when(maxTokLen > 40, "garbage_token")).as("reject_reasons"))
+      .withColumn("keep", col("reject_reasons") === "")
+      .orderBy("doc_id")
+  }
+
+  val corpusQualityGateOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split_regex(lower(text), '\s+')) AS INTEGER) AS n_tokens,
+      |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+      |      / n_chars AS punct_ratio,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |         t -> t IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE)
+      |      / len(string_split_regex(lower(text), '\s+')) AS stopword_ratio,
+      |    CAST(list_max(list_transform(string_split_regex(lower(text), '\s+'),
+      |         x -> len(x))) AS INTEGER) AS max_token_len
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang, n_tokens, max_token_len,
+      |  concat_ws('|',
+      |    CASE WHEN n_tokens < 20 THEN 'too_short' END,
+      |    CASE WHEN punct_ratio > 0.25 THEN 'too_punctuated' END,
+      |    CASE WHEN lang = 'en' AND stopword_ratio < 0.01 THEN 'no_stopwords' END,
+      |    CASE WHEN max_token_len > 40 THEN 'garbage_token' END) AS reject_reasons,
+      |  concat_ws('|',
+      |    CASE WHEN n_tokens < 20 THEN 'too_short' END,
+      |    CASE WHEN punct_ratio > 0.25 THEN 'too_punctuated' END,
+      |    CASE WHEN lang = 'en' AND stopword_ratio < 0.01 THEN 'no_stopwords' END,
+      |    CASE WHEN max_token_len > 40 THEN 'garbage_token' END) = '' AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- multimodal
 
   /** q32 — multimodal asset pipeline: opaque binary payloads + typed
@@ -552,6 +681,10 @@ object LlmQueries {
     "q42_pii_scrub" -> (piiScrub(_, _)),
     "q43_repetition_score" -> (repetitionScore(_, _)),
     "q44_decontamination" -> (decontamination(_, _)),
+    "q47_bloom_decontamination" -> (bloomDecontamination(_, _)),
+    "q48_stratified_sample" -> (stratifiedSample(_, _)),
+    "q49_pack_sequences" -> (packSequences(_, _)),
+    "q50_quality_gate" -> (corpusQualityGate(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -570,5 +703,9 @@ object LlmQueries {
     "q42_pii_scrub" -> piiScrubOracle,
     "q43_repetition_score" -> repetitionScoreOracle,
     "q44_decontamination" -> decontaminationOracle,
+    "q47_bloom_decontamination" -> bloomDecontaminationOracle,
+    "q48_stratified_sample" -> stratifiedSampleOracle,
+    "q49_pack_sequences" -> packSequencesOracle,
+    "q50_quality_gate" -> corpusQualityGateOracle,
   )
 }

@@ -167,15 +167,61 @@ object DedupOps {
   def crossCorpusOverlap(train: DataFrame, eval: DataFrame, textCol: String,
       idCol: String, shingleN: Int = 5, threshold: Double = 0.6,
       maxShingleDf: Int = MaxShingleDocFreq,
-      maxBroadcastCandidates: Long = MaxBroadcastCandidates): DataFrame = {
+      maxBroadcastCandidates: Long = MaxBroadcastCandidates): DataFrame =
+    overlapImpl(train, eval, textCol, idCol, shingleN, threshold,
+      maxShingleDf, maxBroadcastCandidates, trainPrefilter = (exT, _) => exT)
+
+  /** [[crossCorpusOverlap]] with a Bloom-filter prefilter on the train
+    * side — the 100 TB shape. The eval corpus's shingles compress into a
+    * few MB of bloom bits (a distributed [[BloomOps.bloomAgg]], merged
+    * like any aggregate); train shingles that definitely don't occur in
+    * eval are dropped AT THE SCAN, before the inverted-index join ever
+    * shuffles them. Since a Bloom filter has no false negatives and every
+    * surviving candidate still passes exact Jaccard verification against
+    * full shingle sets, the output is byte-identical to
+    * [[crossCorpusOverlap]] — only the intermediate volume changes
+    * (on a decontamination workload, train >> eval, so the join input
+    * shrinks from corpus-scale to roughly the contaminated fraction).
+    *
+    * `expectedEvalShingles` sizes the filter; it is a capacity bound, not
+    * a count — oversizing costs bits (10 bits/item at fpp=0.01), never
+    * correctness.
+    */
+  def bloomDecontamination(train: DataFrame, eval: DataFrame, textCol: String,
+      idCol: String, shingleN: Int = 5, threshold: Double = 0.6,
+      maxShingleDf: Int = MaxShingleDocFreq,
+      maxBroadcastCandidates: Long = MaxBroadcastCandidates,
+      expectedEvalShingles: Long = 1L << 22, fpp: Double = 0.01): DataFrame =
+    overlapImpl(train, eval, textCol, idCol, shingleN, threshold,
+      maxShingleDf, maxBroadcastCandidates,
+      trainPrefilter = (exT, exE) => {
+        // scalar subquery: the one-row bloom aggregate evaluates once and
+        // reaches every task as a literal — exactly how Spark's own
+        // InjectRuntimeFilter plans its bloom probes
+        val bloom = exE.agg(
+          BloomOps.bloomAgg(col("g"), expectedEvalShingles, fpp).as("__bf"))
+        exT.filter(BloomOps.mightContain(bloom.scalar(), col("g")))
+      })
+
+  /** Shared decontamination body; `trainPrefilter(exT, exE)` may thin the
+    * exploded train shingles (it must never drop a shingle that occurs in
+    * eval — bloom/anti-join prefilters satisfy this by construction). The
+    * hot-shingle document-frequency cap is always computed over the
+    * UNFILTERED union so prefiltering cannot shift candidate semantics.
+    */
+  private def overlapImpl(train: DataFrame, eval: DataFrame, textCol: String,
+      idCol: String, shingleN: Int, threshold: Double,
+      maxShingleDf: Int, maxBroadcastCandidates: Long,
+      trainPrefilter: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val shT = shingleSets(train, textCol, idCol, shingleN)
     val shE = shingleSets(eval, textCol, idCol, shingleN)
-    val exT = shT.select(col("doc_id").as("train_id"), explode(col("sh")).as("g"))
+    val exT0 = shT.select(col("doc_id").as("train_id"), explode(col("sh")).as("g"))
     val exE = shE.select(col("doc_id").as("eval_id"), explode(col("sh")).as("g"))
+    val exT = trainPrefilter(exT0, exE)
     // df counted over the union: a shingle hot in either corpus is a hot
     // join key in the cross-corpus candidate join all the same
     val hot = dropHotShinglesKeys(
-      exT.select(col("train_id").as("doc_id"), col("g"))
+      exT0.select(col("train_id").as("doc_id"), col("g"))
         .unionByName(exE.select(col("eval_id").as("doc_id"), col("g"))),
       maxShingleDf)
     val cand = exT.join(broadcast(hot), Seq("g"), "left_anti")

@@ -48,48 +48,16 @@ object Gold {
     * (gold:108,142,207) whose values depend on partition layout.
     *
     * Scale path: a global `row_number() over (order by key)` window moves
-    * the whole dimension to ONE task. Instead we range-bucket on the
-    * leading key (any monotone bucketing yields the identical global
-    * numbering — the boundaries need not be exact, so approximate
-    * quantiles are fine), number rows within each bucket in parallel,
-    * then add per-bucket offsets from a bucket-count aggregation whose
-    * size is bounded by `buckets`, never by the data. The result is
+    * the whole dimension to ONE task; instead this is the bucketed
+    * two-phase [[PrefixSum]] (row_number ≡ exclusive running count + 1),
     * bit-identical to the single-partition window at any parallelism.
-    *
-    * `naturalOrder` must be ascending; the leading column must be
-    * numeric-castable for spread (a non-numeric leading key degrades to
-    * one bucket — still correct, not parallel).
+    * `naturalOrder` must be ascending and a total order; the leading
+    * column must be numeric-castable for bucket spread.
     */
   def withSurrogateKey(df: DataFrame, keyName: String, naturalOrder: Seq[Column],
-      buckets: Int = 64): DataFrame = {
-    // try_cast: non-numeric leading keys become NULL (one bucket — still
-    // correct) instead of an ANSI cast error
-    val tmp = df.withColumn("__sk_ord", naturalOrder.head.try_cast("double"))
-    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    // sketch-based, driver receives <= buckets doubles — scale-safe action
-    val bounds = tmp.stat.approxQuantile("__sk_ord", probs, 0.01).distinct.sorted
-    val bucketExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("__sk_ord") > lit(b), 1).otherwise(0)
-    }
-    val bucketed = tmp.withColumn("__sk_bucket", bucketExpr)
-    // per-bucket counts -> exclusive prefix-sum offsets. The driver
-    // receives <= `buckets` (bucket, count) rows — bounded by the bucket
-    // constant, never by the data — and the offsets become a codegen'd
-    // when-chain: no extra window, join, or exchange in the plan.
-    val counts = bucketed.groupBy(col("__sk_bucket"))
-      .agg(count(lit(1)).as("__sk_cnt"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = counts.map(_._1).zip(
-      counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
-    val offsetExpr = offsets.foldLeft(lit(0L)) { case (acc, (b, off)) =>
-      when(col("__sk_bucket") === lit(b), lit(off)).otherwise(acc)
-    }
-    val rn = row_number().over(
-      Window.partitionBy(col("__sk_bucket")).orderBy(naturalOrder: _*))
-    bucketed
-      .withColumn(keyName, (rn.cast("bigint") + offsetExpr).cast("bigint"))
-      .drop("__sk_ord", "__sk_bucket")
-  }
+      buckets: Int = 64): DataFrame =
+    PrefixSum.exclusiveRunningTotal(df, naturalOrder, lit(1L), keyName, buckets)
+      .withColumn(keyName, col(keyName) + lit(1L))
 
   /** D10: SCD Type-1 member dimension from `customer` (full-refresh
     * projection + surrogate key, gold:84-117).

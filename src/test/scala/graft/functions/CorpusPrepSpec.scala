@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class CorpusPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sf)
+
+  test("stratified sample: deterministic, layout-independent, rate-bounded") {
+    val rates = Map("en" -> 35, "de" -> 80, "fr" -> 80, "es" -> 80, "zh" -> 80)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.stratifiedSample(df, $"lang", $"doc_id", rates, salt = "mix-v1|")
+        .select("doc_id").as[Long].collect().toSet
+    val a = run(docs)
+    val b = run(docs.repartition(13)) // different layout, same sample
+    assert(a == b, "hash sampling must not depend on partitioning")
+    assert(a.nonEmpty && a.size < docs.count())
+    // buckets are uniform-ish: the en rate cut should keep roughly 35%
+    val en = docs.filter($"lang" === "en")
+    val enKept = Sampling.stratifiedSample(en, $"lang", $"doc_id", rates,
+      salt = "mix-v1|").count().toDouble / en.count()
+    assert(enKept > 0.2 && enKept < 0.5, s"en keep-rate $enKept far from 35%")
+  }
+
+  test("stratified sample: rate 100 keeps all, rate 0 / unlisted keeps none") {
+    val all = Sampling.stratifiedSample(docs, $"lang", $"doc_id",
+      Map("en" -> 100), defaultPct = 0)
+    assert(all.count() == docs.filter($"lang" === "en").count())
+    assert(all.filter($"lang" =!= "en").count() == 0)
+  }
+
+  test("different salts draw near-independent samples") {
+    val rates = Map("en" -> 50)
+    def run(salt: String) =
+      Sampling.stratifiedSample(docs, $"lang", $"doc_id", rates, salt = salt)
+        .select("doc_id").as[Long].collect().toSet
+    val a = run("s1|")
+    val b = run("s2|")
+    assert(a != b, "independent salts must not select the identical subset")
+  }
+
+  test("packSequences matches the naive global-window packing") {
+    val cap = 512
+    val got = Packing.packSequences(docs.repartition(11), $"doc_id",
+        size(TextAnalysis.tokens($"text")), cap)
+      .select($"doc_id", $"n_tokens", $"start_offset", $"pack_id", $"pack_offset")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val naive = docs
+      .select($"doc_id", size(TextAnalysis.tokens($"text")).cast("bigint").as("n"))
+      .withColumn("start", sum($"n").over(Window.orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - $"n")
+      .select($"doc_id", $"n", $"start",
+        expr(s"CAST(start div $cap AS BIGINT)"), $"start" % cap)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == naive.toSeq)
+    // invariants: stream starts at zero, offsets are consistent
+    assert(got.head._3 == 0L)
+    got.foreach { case (_, _, start, packId, off) =>
+      assert(packId == start / cap && off == start % cap)
+    }
+  }
+}

@@ -55,6 +55,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("bloom-prefiltered decontamination is byte-identical to the exact path") {
+    val eval = docs.filter($"doc_id" % 7 === 0)
+    val train = docs.filter($"doc_id" % 7 =!= 0)
+    val exact = DedupOps.crossCorpusOverlap(train, eval, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().toSet
+    val bloomed = DedupOps.bloomDecontamination(train, eval, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted contamination")
+    assert(bloomed == exact, "bloom prefilter must be lossless")
+    // a deliberately tiny/saturated filter still cannot lose results —
+    // false positives only add candidates for verification to kill
+    val saturated = DedupOps.bloomDecontamination(train, eval, "text", "doc_id",
+        expectedEvalShingles = 16L, fpp = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(saturated == exact)
+  }
+
+  test("BloomOps probe: no false negatives, rejects most absent keys") {
+    val present = (0L until 1000L).map(i => s"key-$i").toDF("k")
+    val bloom = present.agg(BloomOps.bloomAgg($"k", 1000L, 0.01).as("bf"))
+    val probed = (0L until 2000L).map(i => s"key-$i").toDF("k")
+      .filter(BloomOps.mightContain(bloom.scalar(), $"k"))
+      .select("k").as[String].collect().toSet
+    assert((0L until 1000L).map(i => s"key-$i").toSet.subsetOf(probed),
+      "a present key must never be rejected")
+    val falsePos = probed.size - 1000
+    assert(falsePos <= 100, s"fpp=0.01 filter rejected too little: $falsePos/1000 escaped")
+  }
+
   test("document-frequency cap drops stop-shingle candidates, keeps rare-shingle pairs") {
     // 12 identical docs sharing only ubiquitous shingles (df=12) + one
     // isolated identical pair with its own rare shingles (df=2)

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PrefixSumSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naive(df: org.apache.spark.sql.DataFrame,
+      order: Seq[org.apache.spark.sql.Column]) =
+    df.withColumn("run",
+      sum($"v").over(Window.orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - $"v")
+
+  test("exclusiveRunningTotal is bit-identical to the global window") {
+    val df = spark.range(10000)
+      .select($"id", ($"id" * 7919 % 101).cast("bigint").as("v"))
+      .repartition(16) // scatter the input: result must not depend on layout
+    val got = PrefixSum.exclusiveRunningTotal(df, Seq($"id"), $"v", "run")
+      .select($"id", $"run").as[(Long, Long)].collect().toMap
+    val want = naive(df, Seq($"id"))
+      .select($"id", $"run").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("tied leading order values: ties broken by trailing columns, still exact") {
+    // leading key has heavy ties (100 rows per value) — bucketing keys on
+    // the leading column only, ordering uses the full total order
+    val df = spark.range(5000)
+      .select(($"id" / 100).cast("bigint").as("grp"), $"id",
+        lit(3L).as("v"))
+      .repartition(8)
+    val got = PrefixSum.exclusiveRunningTotal(df, Seq($"grp", $"id"), $"v", "run")
+      .select($"id", $"run").as[(Long, Long)].collect().toMap
+    val want = naive(df, Seq($"grp", $"id"))
+      .select($"id", $"run").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("no single-partition exchange in the plan") {
+    val df = spark.range(10000).select($"id", lit(1L).as("v"))
+    val out = PrefixSum.exclusiveRunningTotal(df, Seq($"id"), $"v", "run")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"prefix sum must not funnel data through one task:\n$plan")
+  }
+}
