@@ -529,8 +529,11 @@ object CoreQueries {
       |FROM lineitem""".stripMargin
 
   /** q36 — exact percentiles (median/p90/p99) of the charge distribution
-    * per return flag: linear-interpolation `percentile`, the same
-    * estimator as ANSI percentile_cont / DuckDB quantile_cont.
+    * per return flag: linear interpolation (ANSI percentile_cont / DuckDB
+    * quantile_cont) via the primitive-buffer
+    * [[graft.functions.ExactPercentiles]] aggregator — one buffered pass
+    * and one sort for all three points, bit-identical to the built-in
+    * `percentile` at a fraction of its boxed-hash-map cost.
     */
   def percentiles(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
@@ -539,10 +542,11 @@ object CoreQueries {
           (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).cast("double"))
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("percentile(charge, 0.5)").as("p50"),
-        expr("percentile(charge, 0.9)").as("p90"),
-        expr("percentile(charge, 0.99)").as("p99"),
+        graft.functions.ExactPercentiles
+          .percentiles(col("charge"), Seq(0.5, 0.9, 0.99)).as("ps"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("ps")(0).as("p50"),
+        col("ps")(1).as("p90"), col("ps")(2).as("p99"), col("n"))
       .orderBy("l_returnflag")
 
   val percentilesOracle: String =

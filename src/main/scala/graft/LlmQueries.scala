@@ -168,21 +168,20 @@ object LlmQueries {
   // ------------------------------------------------------ text analysis
 
   /** q22 — document fingerprints: exact md5 of normalized text + min
-    * shingle hash (rolling-fingerprint family). The min-shingle hash runs
-    * as native shingling + explode + codegen'd min aggregation — the
-    * interpreted-HOF form (`TextAnalysis.minShingleFingerprint`) computes
-    * the same value ~10x slower and is kept only as the spec's reference
-    * implementation. explode_outer keeps short documents (no shingles) in
-    * the result with a NULL fingerprint, as the oracle's left join does.
+    * shingle hash (rolling-fingerprint family). The min-shingle hash is
+    * the native single-pass [[graft.expressions.MinShingleHash]] — no
+    * shingle array, no explode, no aggregation shuffle; the query is a
+    * pure scan. The interpreted-HOF form
+    * (`TextAnalysis.minShingleFingerprint`) computes the same value an
+    * order of magnitude slower and is kept as the spec's reference
+    * implementation. NULL for short documents (< n tokens), as the
+    * oracle's left join yields.
     */
   def fingerprints(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"),
-        explode_outer(TextAnalysis.textShingles(col("text"), 5)).as("g"))
-      .groupBy(col("doc_id"))
-      .agg(first(col("fingerprint")).as("fingerprint"),
-        min(md5(col("g"))).as("min_shingle_fp"))
+        TextAnalysis.minShingleHash(col("text"), 5).as("min_shingle_fp"))
       .orderBy("doc_id")
 
   val fingerprintsOracle: String =

@@ -1,0 +1,105 @@
+package graft.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The minimum md5 over a text's word n-gram shingles — the 1-hash
+  * MinHash special case used as a rolling document fingerprint — in ONE
+  * expression: tokenize, shingle, hash, and min-track in a single pass
+  * with no intermediate array, no explode, and no aggregation.
+  *
+  * The composed form (`min(md5(g))` grouped after exploding
+  * [[WordShingles]]) materializes every shingle as a row and pays a
+  * hash shuffle per document; this evaluates to the same value (md5-hex
+  * min is the byte-wise unsigned min, and min over repeats equals min
+  * over distincts) at scan speed. NULL when the text has fewer than `n`
+  * tokens, matching the explode_outer/min-over-empty convention.
+  *
+  * Tokenization is char-for-char identical to [[WordShingles]] (split on
+  * `\s+` runs, leading/trailing empties kept, single-space joins).
+  */
+case class MinShingleHash(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "min_shingle_hash"
+
+  private def isSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Unsigned lexicographic byte compare — equivalent to comparing the
+    * lowercase-hex renderings, so the min digest IS the min hex string.
+    */
+  private def lessThan(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val ai = a(i) & 0xff
+      val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val tokens = scala.collection.mutable.ArrayBuffer.empty[String]
+    val len = text.length
+    var i = 0
+    var start = 0
+    while (i < len) {
+      if (isSpace(text.charAt(i))) {
+        tokens += text.substring(start, i)
+        while (i < len && isSpace(text.charAt(i))) i += 1
+        start = i
+      } else i += 1
+    }
+    tokens += text.substring(start, len)
+    if (tokens.length < n) return null
+    val md = MessageDigest.getInstance("MD5")
+    var min: Array[Byte] = null
+    var t = 0
+    val sb = new java.lang.StringBuilder
+    while (t <= tokens.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(t + j))
+        j += 1
+      }
+      val d = md.digest(sb.toString.getBytes("UTF-8")) // digest() resets
+      if (min == null || lessThan(d, min)) min = d
+      t += 1
+    }
+    val hex = new java.lang.StringBuilder(32)
+    min.foreach { b =>
+      hex.append(Character.forDigit((b >> 4) & 0xf, 16))
+      hex.append(Character.forDigit(b & 0xf, 16))
+    }
+    UTF8String.fromString(hex.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinShingleHash {
+  def minShingleHash(text: Column, n: Int): Column =
+    toColumn(MinShingleHash(toExpression(text), n))
+}

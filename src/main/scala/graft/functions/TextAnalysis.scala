@@ -51,6 +51,13 @@ object TextAnalysis {
   def minShingleFingerprint(toks: Column, n: Int): Column =
     array_min(transform(shingles(toks, n), s => md5(s)))
 
+  /** Native single-pass form of [[minShingleFingerprint]] straight from
+    * the raw text — tokenize, shingle, hash, min in one expression with
+    * no intermediate arrays (the scan-speed path).
+    */
+  def minShingleHash(text: Column, n: Int): Column =
+    graft.expressions.MinShingleHash.minShingleHash(text, n)
+
   /** Tiny per-language stopword lists for the n-gram-heuristic language
     * ID. Public common function words.
     */

@@ -29,6 +29,24 @@ class WordShinglesSpec extends SparkSpec {
       diff.sparkSession.emptyDataFrame.toString() + "native/HOF divergence on edge strings")
   }
 
+  test("min shingle hash equals min(md5) over HOF shingles, incl. edge strings") {
+    val edge = Seq(
+      "", " ", "a", "a b c d e", "  leading ws five tokens x",
+      "A\tB\nCD\fE\rF G", "four tokens only here",
+      "repeat repeat repeat repeat repeat repeat").toDF("text")
+    val docs = Tables.documents(spark, sf).select(col("text")).unionByName(edge)
+    val diff = docs.select(
+      TextAnalysis.minShingleHash(col("text"), 5).as("native"),
+      TextAnalysis.minShingleFingerprint(
+        TextAnalysis.tokens(col("text")), 5).as("hof"))
+      .filter(!(col("native") <=> col("hof")))
+    assert(diff.count() == 0)
+    // short text → NULL, like array_min over an empty shingle set
+    assert(edge.filter(col("text") === "a")
+      .select(TextAnalysis.minShingleHash(col("text"), 5))
+      .collect()(0).isNullAt(0))
+  }
+
   test("shingle n=1 yields distinct tokens; n larger than doc yields empty") {
     val df = Seq("a b a c").toDF("text")
     assert(df.select(TextAnalysis.textShingles(col("text"), 1))
