@@ -245,7 +245,11 @@ object DedupOps {
     */
   private def dropHotShinglesKeys(ex: DataFrame, maxDf: Int): DataFrame =
     ex.groupBy(col("g"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+      // plain count, not countDistinct: every caller feeds exploded
+      // DISTINCT per-doc shingle sets, so (doc_id, g) is already unique
+      // and the cheap map-side-combinable count IS the document frequency
+      // (countDistinct would add a second dedup aggregation pass)
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("g"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -33,9 +33,13 @@ object Skew {
     * used to decide a salt factor (run on a sample at scale).
     */
   def keySkewProfile(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
-    val total = df.count().toDouble
-    df.groupBy(col(key)).count()
-      .withColumn("share", col("count") / total)
+    // one action, one input scan: the grand total is a scalar subquery
+    // summing the per-key counts (the groupBy exchange is reused for both
+    // consumers), not a separate df.count() job re-scanning the input
+    val counts = df.groupBy(col(key)).count()
+    counts
+      .withColumn("share",
+        col("count") / counts.agg(sum(col("count"))).scalar())
       .orderBy(col("count").desc, col(key))
       .limit(topK)
   }

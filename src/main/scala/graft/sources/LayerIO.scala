@@ -139,14 +139,23 @@ object LayerIO {
   }
 
   /** Compaction to the 128–256 MB files the reference's OPTIMIZE guidance
-    * targets (/root/reference/bronze_silver_gold/readme.md:96,107): size
-    * output files by row-byte estimate instead of inheriting however many
-    * shuffle partitions produced the data.
+    * targets (/root/reference/bronze_silver_gold/readme.md:96,107).
+    * REBALANCE + AQE sizes partitions from RUNTIME statistics in the same
+    * job — no pre-count scan (the old two-pass count-then-coalesce shape)
+    * and no fixed row-byte guess: AQE merges small shuffle outputs and
+    * splits skewed ones toward the advisory size, so one hot partition
+    * can't produce one giant file.
     */
-  def compact(df: DataFrame, path: String, targetFileBytes: Long = 192L << 20,
-      approxRowBytes: Int = 128): Unit = {
-    val rows = df.count()
-    val files = math.max(1, (rows * approxRowBytes / targetFileBytes).toInt)
-    df.coalesce(files).write.mode(SaveMode.Overwrite).parquet(path)
+  def compact(df: DataFrame, path: String,
+      targetFileBytes: Long = 192L << 20): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, targetFileBytes.toString)
+    try df.hint("rebalance").write.mode(SaveMode.Overwrite).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 }

@@ -25,6 +25,20 @@ class LayerIOSpec extends SparkSpec {
     assert(df.filter($"_corrupt_record".isNull).count() == 2)
   }
 
+  test("compact merges a fragmented layout into few files, same rows") {
+    val path = Files.createTempDirectory("compact").resolve("t").toString
+    val frag = spark.range(10000).select($"id", ($"id" % 7).as("v"))
+      .repartition(64) // 64 tiny input partitions
+    LayerIO.compact(frag, path)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 10000)
+    assert(back.agg(sum($"v")).as[Long].collect()(0) ==
+      frag.agg(sum($"v")).as[Long].collect()(0))
+    val files = new java.io.File(path).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files < 8, s"AQE rebalance should merge 64 fragments, wrote $files")
+  }
+
   test("appendOrCreate: partitioned create, then append; partition pruning works") {
     val path = Files.createTempDirectory("layer").resolve("bronze").toString
     val day1 = Seq(("C1", 10.0, "2024-01-01"), ("C2", 20.0, "2024-01-02"))
