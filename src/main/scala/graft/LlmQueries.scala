@@ -641,6 +641,95 @@ object LlmQueries {
       |    CASE WHEN max_token_len > 40 THEN 'garbage_token' END) = '' AS keep
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Shared q24/q51/q52 quality composite (rounded to 6 — the rounding
+    * makes the double portable AND gives ties a deterministic doc_id
+    * tie-break downstream).
+    */
+  private def qualityScore: Column = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val nToks = size(toks)
+    val punct =
+      size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val stopHits = TextAnalysis.stopwordHits(toks, TextAnalysis.stopwords("en"))
+    round(least(nToks.cast("double") / 100.0, lit(1.0)) * 0.4 +
+      (stopHits.cast("double") / nToks) * 0.4 +
+      (lit(1.0) - punct.cast("double") / col("n_chars")) * 0.2, 6)
+  }
+
+  private val qualityScoreSql: String =
+    """round(least(CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
+      |      + (CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |           t -> t IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE)
+      |         / len(string_split_regex(lower(text), '\s+'))) * 0.4
+      |      + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+      |         / n_chars) * 0.2, 6)""".stripMargin
+
+  /** q51 — per-source document cap (the per-domain cap of web-crawl
+    * curation): keep the top-3 documents of each source by quality. The
+    * rank-filter plans as WindowGroupLimit — each task keeps only its
+    * top-3 per source BEFORE the shuffle, so a source with millions of
+    * pages never materializes more than (tasks × 3) rows.
+    */
+  def sourceCap(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    docs(s, d)
+      .select(col("doc_id"), col("source"), qualityScore.as("quality_score"))
+      .withColumn("source_rank", row_number().over(w))
+      .filter(col("source_rank") <= 3)
+      .orderBy("source", "source_rank")
+  }
+
+  val sourceCapOracle: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, source, $qualityScoreSql AS quality_score
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, source, quality_score,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY quality_score DESC, doc_id) AS INTEGER) AS source_rank
+       |  FROM m
+       |)
+       |SELECT doc_id, source, quality_score, source_rank FROM r
+       |WHERE source_rank <= 3 ORDER BY source, source_rank""".stripMargin
+
+  /** q52 — token-budget fill: admit documents best-quality-first until a
+    * global token budget is exhausted (the "train on the best N tokens"
+    * selection). The cumulative token count over the quality ordering is
+    * the distributed [[graft.operators.PrefixSum]] (descending quality =
+    * ascending negated quality for monotone bucketing) — a document is
+    * admitted iff the budget isn't spent before it starts.
+    */
+  def tokenBudgetFill(s: SparkSession, d: String, budget: Long = 15000L): DataFrame = {
+    val base = docs(s, d).select(
+      col("doc_id"),
+      qualityScore.as("quality_score"),
+      size(TextAnalysis.tokens(col("text"))).cast("bigint").as("n_tokens"))
+    graft.operators.PrefixSum.exclusiveRunningTotal(
+        base.withColumn("__negq", -col("quality_score")),
+        Seq(col("__negq"), col("doc_id")), col("n_tokens"), "tokens_before")
+      .filter(col("tokens_before") < budget)
+      .select("doc_id", "quality_score", "n_tokens", "tokens_before")
+      .orderBy("doc_id")
+  }
+
+  val tokenBudgetFillOracle: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, $qualityScoreSql AS quality_score,
+       |    CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, quality_score, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+       |      AS tokens_before
+       |  FROM m
+       |)
+       |SELECT doc_id, quality_score, n_tokens,
+       |  CAST(tokens_before AS BIGINT) AS tokens_before
+       |FROM c WHERE tokens_before < 15000 ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- multimodal
 
   /** q32 — multimodal asset pipeline: opaque binary payloads + typed
@@ -684,6 +773,8 @@ object LlmQueries {
     "q48_stratified_sample" -> (stratifiedSample(_, _)),
     "q49_pack_sequences" -> (packSequences(_, _)),
     "q50_quality_gate" -> (corpusQualityGate(_, _)),
+    "q51_source_cap" -> (sourceCap(_, _)),
+    "q52_token_budget" -> (tokenBudgetFill(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -706,5 +797,7 @@ object LlmQueries {
     "q48_stratified_sample" -> stratifiedSampleOracle,
     "q49_pack_sequences" -> packSequencesOracle,
     "q50_quality_gate" -> corpusQualityGateOracle,
+    "q51_source_cap" -> sourceCapOracle,
+    "q52_token_budget" -> tokenBudgetFillOracle,
   )
 }

@@ -43,6 +43,28 @@ class CorpusPrepSpec extends SparkSpec {
     assert(a != b, "independent salts must not select the identical subset")
   }
 
+  test("token-budget fill admits exactly a quality-ordered prefix") {
+    val out = graft.LlmQueries.tokenBudgetFill(spark, sf, budget = 5000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.nonEmpty && out.size < docs.count(), "budget must bind")
+    // the admitted set must be a PREFIX of the (quality desc, doc_id)
+    // global order whose token sum stays under budget
+    val ordered = graft.LlmQueries.tokenBudgetFill(spark, sf, budget = Long.MaxValue)
+      .orderBy($"tokens_before")
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect()
+    var cum = 0L
+    val prefix = ordered.takeWhile { case (_, n) => val ok = cum < 5000L; cum += n; ok }
+      .map(_._1).toSet
+    assert(out == prefix)
+  }
+
+  test("source cap plans as WindowGroupLimit (top-k pushed before shuffle)") {
+    val plan = graft.LlmQueries.sourceCap(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k filter should push a group limit below the window:\n$plan")
+  }
+
   test("packSequences matches the naive global-window packing") {
     val cap = 512
     val got = Packing.packSequences(docs.repartition(11), $"doc_id",
