@@ -3,11 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.graftbridge.toColumn
 
-import graft.expressions.{CosineSimilarity, WordShingles}
+import graft.expressions.{CosineSimilarity, MinShingleHash, WordShingles}
 
 /** SQL registration for the native expressions, so `spark.sql` users get
   * the same operators as the Column API:
-  * `SELECT cosine_similarity(a, b)`, `SELECT word_shingles(text, 5)`.
+  * `SELECT cosine_similarity(a, b)`, `SELECT word_shingles(text, 5)`,
+  * `SELECT min_shingle_hash(text, 5)`.
   */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
@@ -16,6 +17,9 @@ object GraftFunctions {
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("word_shingles",
       exprs => WordShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+    registry.createOrReplaceTempFunction("min_shingle_hash",
+      exprs => MinShingleHash(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")
     spark.udf.register("heavy_hitters_10",
       org.apache.spark.sql.functions.udaf(

@@ -81,5 +81,9 @@ class MedallionPipelineSpec extends SparkSpec {
     val sh = spark.sql("SELECT word_shingles('a b c', 2) AS g")
       .as[Seq[String]].collect()(0)
     assert(sh == Seq("a b", "b c"))
+    val msh = spark.sql(
+      "SELECT min_shingle_hash('a b c', 2) AS m, md5('a b') AS h1, md5('b c') AS h2")
+      .as[(String, String, String)].collect()(0)
+    assert(msh._1 == Seq(msh._2, msh._3).min)
   }
 }
