@@ -1,0 +1,52 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.functions.TextAnalysis
+import graft.sources.VersionedTable
+
+class CorpusStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup-on-ingest admits each distinct fingerprint once across batches") {
+    val feedDir = Files.createTempDirectory("docs_feed")
+    val table = Files.createTempDirectory("corpus_vt").resolve("docs").toString
+
+    // batch 1: the corpus itself
+    Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      feedDir.resolve("a.parquet"))
+    val q = CorpusStreams.ingestDeduped(
+      CorpusStreams.readDocuments(spark, feedDir.toString), table,
+      Files.createTempDirectory("ckpt_corpus").toString)
+    q.processAllAvailable()
+
+    val distinctFps = Tables.documents(spark, sf)
+      .select(TextAnalysis.fingerprint($"text")).distinct().count()
+    assert(VersionedTable.read(spark, table).count() == distinctFps)
+
+    // batch 2: full replay under NEW ids + genuinely new docs — only the
+    // new docs may be admitted
+    Tables.documents(spark, sf)
+      .select(($"doc_id" + 5000000L).as("doc_id"), $"text", $"lang",
+        $"source", $"n_chars")
+      .unionByName(Seq((9000001L, "a genuinely novel document about prefix sums",
+        "en", "src99", 44L),
+        (9000002L, "another novel document mentioning bloom filters",
+          "en", "src99", 47L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .coalesce(1).write.mode("append").parquet(feedDir.toString)
+    q.processAllAvailable()
+    q.stop()
+
+    val admitted = VersionedTable.read(spark, table)
+    assert(admitted.count() == distinctFps + 2,
+      "re-fingered duplicates must not be re-admitted; novel docs must be")
+    assert(admitted.filter($"doc_id" >= 9000000L).count() == 2)
+    assert(admitted.filter($"doc_id" >= 5000000L && $"doc_id" < 9000000L).count() == 0,
+      "replayed content under new ids must be rejected by fingerprint")
+    // fingerprints are unique in the admitted corpus — the table invariant
+    assert(admitted.select("fp").distinct().count() == admitted.count())
+  }
+}
