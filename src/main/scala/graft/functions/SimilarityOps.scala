@@ -149,6 +149,14 @@ object SimilarityOps {
   def ivfTopK(corpus: DataFrame, seeds: DataFrame, queries: DataFrame,
       k: Int, probes: Int = 2): DataFrame = {
     val assigned = assignNearestSeed(corpus, seeds, "embedding", "vec_id")
+    rankProbed(assigned, seeds, queries, k, probes)
+  }
+
+  /** Probe + rank against an existing assignment table (shared by
+    * [[ivfTopK]] and the persisted-index path).
+    */
+  private def rankProbed(assigned: DataFrame, seeds: DataFrame,
+      queries: DataFrame, k: Int, probes: Int): DataFrame = {
     val probed = queries.crossJoin(broadcast(seeds))
       .withColumn("s6", round(cosine(col("query_vec"), col("seed_vec")), 6))
       .groupBy(col("query_id"))
@@ -160,5 +168,39 @@ object SimilarityOps {
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("sim", round(cosine(col("query_vec"), col("embedding")), 4))
     rankTopK(scored, "query_id", "vec_id", k)
+  }
+
+  /** Persist an IVF index: trained centroids plus the corpus assignment
+    * table written `partitionBy(bucket)` — one directory per centroid.
+    * Building pays the assignment scan ONCE; every later query batch
+    * reads only its probed buckets' directories (partition pruning),
+    * instead of re-assigning a 100 TB corpus per query.
+    */
+  def buildIvfIndex(emb: DataFrame, indexDir: String, k: Int,
+      iters: Int = 3): Unit = {
+    val centroids = kmeansCentroids(emb, k, iters)
+    centroids.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    assignNearestSeed(emb, centroids, "embedding", "vec_id")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/assignments")
+  }
+
+  /** Query a persisted IVF index. The probed bucket set is collected to
+    * the driver — bounded by the centroid count k, never by data — and
+    * applied as a literal `isin` filter, so the assignments scan
+    * statically prunes to the probed partition directories.
+    */
+  def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, k: Int, probes: Int = 2): DataFrame = {
+    val seeds = spark.read.parquet(s"$indexDir/centroids")
+    val assigned = spark.read.parquet(s"$indexDir/assignments")
+    val probedBuckets = queries.crossJoin(broadcast(seeds))
+      .withColumn("s6", round(cosine(col("query_vec"), col("seed_vec")), 6))
+      .groupBy(col("query_id"))
+      .agg(TopK.top_k(col("s6"), col("seed_id"), probes).as("tk"))
+      .select(explode(col("tk").getField("id")).as("bucket"))
+      .distinct().collect().map(_.getLong(0))
+    rankProbed(assigned.filter(col("bucket").isin(probedBuckets: _*)),
+      seeds, queries, k, probes)
   }
 }

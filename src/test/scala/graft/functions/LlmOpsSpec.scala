@@ -199,6 +199,24 @@ class LlmOpsSpec extends SparkSpec {
       bf.select("neighbor_id").as[Long].collect().toSeq)
   }
 
+  test("persisted IVF index: identical results to in-memory IVF, pruned scan") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    val e = emb.select($"vec_id", $"embedding")
+    SimilarityOps.buildIvfIndex(e, dir, k = 8, iters = 1)
+    val q = emb.filter($"vec_id" % 200 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val viaIndex = SimilarityOps.queryIvfIndex(spark, dir, q, k = 3, probes = 2)
+    val inMem = SimilarityOps.ivfTopK(e,
+      SimilarityOps.kmeansCentroids(e, 8, iters = 1), q, k = 3, probes = 2)
+    assert(viaIndex.collect().toSet.nonEmpty)
+    assert(viaIndex.as[(Long, Long, Long, Double)].collect().toSet ==
+      inMem.as[(Long, Long, Long, Double)].collect().toSet)
+    // the probed-bucket literal filter must reach the partitioned scan
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"probe filter should prune assignment partitions:\n$plan")
+  }
+
   test("multimodal feature extraction: stubbed decode is deterministic, schema typed") {
     val feats = Multimodal.extractFeatures(
       Multimodal.assetsFromDocuments(spark, docs))

@@ -39,6 +39,30 @@ class PrefixSumSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("edge cases: empty input, single row, null order keys") {
+    val empty = spark.range(0).select($"id", lit(1L).as("v"))
+    assert(PrefixSum.exclusiveRunningTotal(empty, Seq($"id"), $"v", "run")
+      .count() == 0)
+    val one = spark.range(1).select($"id", lit(7L).as("v"))
+    assert(PrefixSum.exclusiveRunningTotal(one, Seq($"id"), $"v", "run")
+      .select("run").as[Long].collect().toSeq == Seq(0L))
+    // null order keys sort first (Spark's null-first ascending), and the
+    // bucketed form must agree with the global window on that too
+    val withNulls = spark.range(100)
+      .select(when($"id" % 10 === 0, lit(null)).otherwise($"id").as("k"),
+        $"id", lit(2L).as("v"))
+      .repartition(5)
+    val got = PrefixSum.exclusiveRunningTotal(withNulls, Seq($"k", $"id"), $"v", "run")
+      .select($"id", $"run").as[(Long, Long)].collect().toMap
+    val want = withNulls.withColumn("run",
+        sum($"v").over(org.apache.spark.sql.expressions.Window
+          .orderBy($"k", $"id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)) - $"v")
+      .select($"id", $"run").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("no single-partition exchange in the plan") {
     val df = spark.range(10000).select($"id", lit(1L).as("v"))
     val out = PrefixSum.exclusiveRunningTotal(df, Seq($"id"), $"v", "run")
