@@ -305,6 +305,30 @@ object CoreQueries {
        |  CAST(max(charge) AS DOUBLE) AS max_charge
        |FROM fact GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q53 — incremental aggregate maintenance (materialized-view refresh):
+    * the fact splits at month 1998-01 into an "existing" slab and a
+    * "delta" batch; each rolls up to its exact-decimal PARTIAL form, the
+    * partials merge by key, and the presentation projection runs once at
+    * the end. Partials are count/sum/max in decimal — no double rounding
+    * before the merge — so the merged table is byte-identical to the full
+    * recompute, which sharing q12's oracle PROVES. At 100 TB this is the
+    * refresh path: a delta scan plus a merge over the (tiny) aggregate
+    * keys, never a rescan of the full fact.
+    */
+  def incrementalRollup(s: SparkSession, d: String): DataFrame = {
+    // persisted: the existing/delta split reads the fact twice, and the
+    // fact build itself (dims + joins) is the expensive part
+    val f = fact(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val existing = Gold.monthlyRollupPartial(
+      f.filter(col("service_date_key") < 19980000))
+    val delta = f.filter(col("service_date_key") >= 19980000)
+    Gold.presentRollup(
+        Gold.mergeRollup(existing, Gold.monthlyRollupPartial(delta)))
+      .orderBy("year_month")
+  }
+
+  val incrementalRollupOracle: String = monthlyRollupOracle
+
   /** q41 — the second aggregation table (per-provider), completing the
     * reference's intended multi-table rollup layer.
     */
@@ -847,6 +871,7 @@ object CoreQueries {
     "q10_dim_provider" -> (dimProvider(_, _)),
     "q11_fact_star" -> (factStar(_, _)),
     "q12_monthly_rollup" -> (monthlyRollup(_, _)),
+    "q53_incremental_rollup" -> (incrementalRollup(_, _)),
     "q13_merge_upsert" -> (mergeUpsert(_, _)),
     "q14_refint_orphans" -> (refintOrphans(_, _)),
     "q15_table_stats" -> (tableStats(_, _)),
@@ -880,6 +905,7 @@ object CoreQueries {
     "q10_dim_provider" -> dimProviderOracle,
     "q11_fact_star" -> factStarOracle,
     "q12_monthly_rollup" -> monthlyRollupOracle,
+    "q53_incremental_rollup" -> incrementalRollupOracle,
     "q13_merge_upsert" -> mergeUpsertOracle,
     "q14_refint_orphans" -> refintOrphansOracle,
     "q15_table_stats" -> tableStatsOracle,

@@ -198,15 +198,48 @@ object Gold {
     * order-independent, so results are identical on 1 or 1000 executors.
     */
   def monthlyRollup(fact: DataFrame): DataFrame =
+    presentRollup(monthlyRollupPartial(fact))
+
+  /** The rollup's MERGEABLE partial form: exact decimal sums and maxes,
+    * no derived columns. Because every column is an exact partial
+    * aggregate (count/sum/max — no avg, no double rounding), two partial
+    * tables merge with [[mergeRollup]] into EXACTLY the table a full
+    * recompute yields — the invariant incremental maintenance rests on.
+    */
+  def monthlyRollupPartial(fact: DataFrame): DataFrame =
     // integer `div`, not `/`+cast: Spark casts double→int by truncation but
     // other engines round, so floating division is not oracle-portable
     fact.groupBy(expr("CAST(service_date_key div 100 AS INT)").as("year_month"))
       .agg(
         count(lit(1)).as("n_lines"),
-        sum(col("charge")).cast("double").as("total_charge"),
-        // avg via exact-decimal sum cast to double, then double division —
-        // deterministic and identical to the oracle's CAST(SUM(..) AS
-        // DOUBLE)/COUNT(*) (decimal division scale rules differ per engine)
-        (sum(col("charge")).cast("double") / count(lit(1))).as("avg_charge"),
-        max(col("charge")).cast("double").as("max_charge"))
+        sum(col("charge")).as("total_charge_dec"),
+        max(col("charge")).as("max_charge_dec"))
+
+  /** Incremental-maintenance merge: combine partial rollups (an existing
+    * aggregate table plus a delta batch's partials) by key — counts and
+    * decimal sums add, maxes max. At 100 TB this is the materialized-view
+    * refresh path: the delta scan plus a merge over the (tiny) aggregate
+    * keys, never a rescan of the full fact.
+    */
+  def mergeRollup(parts: DataFrame*): DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy(col("year_month"))
+      .agg(
+        sum(col("n_lines")).as("n_lines"),
+        sum(col("total_charge_dec")).as("total_charge_dec"),
+        max(col("max_charge_dec")).as("max_charge_dec"))
+
+  /** Presentation projection shared by the full and incremental paths:
+    * exact decimal partials → portable double outputs (+ derived avg via
+    * double division of the exact sum — identical to the oracle's
+    * CAST(SUM(..) AS DOUBLE)/COUNT(*); decimal division scale rules
+    * differ per engine).
+    */
+  def presentRollup(partial: DataFrame): DataFrame =
+    partial.select(
+      col("year_month"),
+      col("n_lines"),
+      col("total_charge_dec").cast("double").as("total_charge"),
+      (col("total_charge_dec").cast("double") / col("n_lines")).as("avg_charge"),
+      col("max_charge_dec").cast("double").as("max_charge"))
 }

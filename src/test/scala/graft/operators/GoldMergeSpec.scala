@@ -50,6 +50,28 @@ class GoldMergeSpec extends SparkSpec {
     assert(roll.agg(sum($"n_lines")).collect()(0).getLong(0) == fact.count())
   }
 
+  test("mergeRollup of split partials is byte-identical to the full recompute") {
+    val fact = Gold.factLines(
+      Tables.lineitem(spark, sf), Tables.orders(spark, sf),
+      Gold.dimMember(Tables.customer(spark, sf)),
+      Gold.dimProvider(Tables.supplier(spark, sf)),
+      Gold.dimDate(spark, "1992-01-01", "2002-12-31")).cache()
+    val full = Gold.monthlyRollup(fact)
+      .orderBy("year_month").collect().toSeq
+    // three-way split on arbitrary boundaries, merged pairwise then all
+    val parts = Seq(
+      fact.filter($"service_date_key" < 19960000),
+      fact.filter($"service_date_key" >= 19960000 && $"service_date_key" < 19990000),
+      fact.filter($"service_date_key" >= 19990000))
+      .map(Gold.monthlyRollupPartial)
+    val merged = Gold.presentRollup(Gold.mergeRollup(parts: _*))
+      .orderBy("year_month").collect().toSeq
+    assert(merged == full,
+      "decimal partials must merge into exactly the full-recompute table")
+    fact.unpersist()
+    ()
+  }
+
   test("Merge.upsert: updateAll + insertAll semantics, idempotent") {
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "v", "x")
     val source = Seq((2L, "B", 99.0), (3L, "c", 30.0)).toDF("k", "v", "x")
