@@ -231,6 +231,47 @@ object VersionedTable {
       .select(col("version"), col("op"), size(col("files")).as("n_files"))
       .orderBy("version")
 
+  /** Retention cleanup — the reference's "table retention policies to
+    * auto-delete old files" (/root/reference/bronze_silver_gold/
+    * readme.md:117), Delta's VACUUM analog: drop every manifest older
+    * than the newest `retainLast` versions, then delete data files no
+    * retained manifest references. Time travel to a vacuumed version
+    * fails by design (its manifest is gone); readers of RETAINED versions
+    * are untouched because their files are, too. Manifests go first so an
+    * expired version disappears atomically before any of its exclusive
+    * files do. Returns the number of data files deleted.
+    */
+  def vacuum(path: String, retainLast: Int = 1): Int = {
+    require(retainLast >= 1, "must retain at least the latest version")
+    val vs = versions(path)
+    if (vs.size <= retainLast) return 0
+    val live = vs.takeRight(retainLast).flatMap(files(path, _)).toSet
+    vs.dropRight(retainLast).foreach { v =>
+      Files.deleteIfExists(manifestPath(path, v)); ()
+    }
+    var deleted = 0
+    val dataRoot = Paths.get(s"$path/data")
+    if (Files.exists(dataRoot)) {
+      val subs = listDir(dataRoot)(_.filter(Files.isDirectory(_)).toSeq)
+      subs.foreach { sub =>
+        val entries = listDir(sub)(_.toSeq)
+        val parqs = entries.filter(_.toString.endsWith(".parquet"))
+        parqs.filterNot(p => live.contains(p.toString)).foreach { p =>
+          Files.deleteIfExists(p); deleted += 1
+        }
+        if (!parqs.exists(p => live.contains(p.toString))) {
+          // no retained version reaches into this commit dir: remove the
+          // leftover markers (_SUCCESS etc.) and the dir itself
+          entries.filterNot(_.toString.endsWith(".parquet"))
+            .foreach(Files.deleteIfExists(_))
+          Files.deleteIfExists(sub)
+          ()
+        }
+      }
+    }
+    deleted
+  }
+
   /** MERGE as a transaction: upsert `source` into the latest version on
     * `keys`, committed as a single new overwrite version (readers never
     * observe the intermediate state).

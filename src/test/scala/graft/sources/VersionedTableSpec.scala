@@ -35,6 +35,34 @@ class VersionedTableSpec extends SparkSpec {
     assert(hist == Seq((0L, "overwrite"), (1L, "append"), (2L, "merge")))
   }
 
+  test("vacuum retains the newest versions, deletes unreferenced files") {
+    val path = Files.createTempDirectory("vt_vac").resolve("t").toString
+    VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), path, SaveMode.Overwrite) // v0
+    VersionedTable.write(Seq((2L, "b")).toDF("k", "v"), path, SaveMode.Overwrite) // v1: v0's files now orphaned
+    VersionedTable.write(Seq((3L, "c")).toDF("k", "v"), path, SaveMode.Append)    // v2: shares v1's files
+    val latestBefore = VersionedTable.read(spark, path)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+
+    // nothing expires while everything is inside the retention window
+    assert(VersionedTable.vacuum(path, retainLast = 3) == 0)
+    assert(VersionedTable.versions(path) == Seq(0L, 1L, 2L))
+
+    val deleted = VersionedTable.vacuum(path, retainLast = 2)
+    assert(deleted >= 1, "v0's exclusive files must be deleted")
+    assert(VersionedTable.versions(path) == Seq(1L, 2L))
+    // retained versions read back intact — v2 shares v1's files, both live
+    assert(VersionedTable.read(spark, path)
+      .orderBy("k").as[(Long, String)].collect().toSeq == latestBefore)
+    assert(VersionedTable.readVersion(spark, path, 1)
+      .as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+    // time travel past the retention window is gone by design
+    intercept[Exception] { VersionedTable.files(path, 0L) }
+    // append after vacuum continues the version sequence
+    val v3 = VersionedTable.write(Seq((4L, "d")).toDF("k", "v"), path, SaveMode.Append)
+    assert(v3 == 3L)
+    assert(VersionedTable.read(spark, path).count() == 3)
+  }
+
   test("parallel appenders: every commit lands, no version lost or duplicated") {
     val path = Files.createTempDirectory("vt3").resolve("t").toString
     VersionedTable.write(Seq((0L, -1L)).toDF("writer", "i"), path, SaveMode.Overwrite)
