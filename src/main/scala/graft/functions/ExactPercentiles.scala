@@ -66,7 +66,9 @@ object ExactPercentiles {
   }
 
   /** Column API: `df.groupBy(...).agg(percentiles($"x", Seq(0.5, 0.9)))`
-    * → array<double> in the requested order.
+    * → array<double> in the requested order. Inputs must be non-null
+    * (filter first): the built-in `percentile` silently skips NULLs,
+    * while a typed aggregator's primitive input channel cannot see them.
     */
   def percentiles(value: Column, ps: Seq[Double]): Column =
     udaf(PercentilesAgg(ps), Encoders.scalaDouble).apply(value)

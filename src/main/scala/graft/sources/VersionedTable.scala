@@ -240,15 +240,29 @@ object VersionedTable {
     * are untouched because their files are, too. Manifests go first so an
     * expired version disappears atomically before any of its exclusive
     * files do. Returns the number of data files deleted.
+    *
+    * `minAgeMs` guards the in-flight-commit window: a concurrent writer
+    * stages data files BEFORE its manifest lands, and a zero-horizon
+    * sweep would delete them as unreferenced, corrupting the commit the
+    * moment it wins its race. Unreferenced files younger than the horizon
+    * are left for the next vacuum — the same defense Delta's VACUUM
+    * retention period provides. Pass 0 only when no writer can be active.
     */
-  def vacuum(path: String, retainLast: Int = 1): Int = {
+  def vacuum(path: String, retainLast: Int = 1,
+      minAgeMs: Long = 24L * 3600 * 1000): Int = {
     require(retainLast >= 1, "must retain at least the latest version")
     val vs = versions(path)
-    if (vs.size <= retainLast) return 0
+    // the sweep always runs (never short-circuit on version count): files
+    // orphaned by an earlier manifest drop but protected by the age
+    // horizon at the time, and leftovers of lost commit races, are
+    // collected by whichever later vacuum finds them old enough
     val live = vs.takeRight(retainLast).flatMap(files(path, _)).toSet
     vs.dropRight(retainLast).foreach { v =>
       Files.deleteIfExists(manifestPath(path, v)); ()
     }
+    val horizon = System.currentTimeMillis() - minAgeMs
+    def expired(p: Path): Boolean =
+      Files.getLastModifiedTime(p).toMillis <= horizon
     var deleted = 0
     val dataRoot = Paths.get(s"$path/data")
     if (Files.exists(dataRoot)) {
@@ -256,12 +270,13 @@ object VersionedTable {
       subs.foreach { sub =>
         val entries = listDir(sub)(_.toSeq)
         val parqs = entries.filter(_.toString.endsWith(".parquet"))
-        parqs.filterNot(p => live.contains(p.toString)).foreach { p =>
-          Files.deleteIfExists(p); deleted += 1
-        }
-        if (!parqs.exists(p => live.contains(p.toString))) {
-          // no retained version reaches into this commit dir: remove the
-          // leftover markers (_SUCCESS etc.) and the dir itself
+        val dead = parqs.filter(p => !live.contains(p.toString) && expired(p))
+        dead.foreach { p => Files.deleteIfExists(p); deleted += 1 }
+        if (!parqs.exists(p => live.contains(p.toString)) &&
+            dead.size == parqs.size) {
+          // no retained version reaches into this commit dir and every
+          // data file is confirmed dead: remove the leftover markers
+          // (_SUCCESS etc.) and the dir itself
           entries.filterNot(_.toString.endsWith(".parquet"))
             .foreach(Files.deleteIfExists(_))
           Files.deleteIfExists(sub)

@@ -44,10 +44,17 @@ class VersionedTableSpec extends SparkSpec {
       .orderBy("k").as[(Long, String)].collect().toSeq
 
     // nothing expires while everything is inside the retention window
-    assert(VersionedTable.vacuum(path, retainLast = 3) == 0)
+    assert(VersionedTable.vacuum(path, retainLast = 3, minAgeMs = 0) == 0)
     assert(VersionedTable.versions(path) == Seq(0L, 1L, 2L))
+    // the age horizon protects seconds-old unreferenced files — the
+    // in-flight-commit window a concurrent writer's staged data sits in.
+    // The v0 manifest expires now; its files survive until they age out.
+    assert(VersionedTable.vacuum(path, retainLast = 2) == 0,
+      "default horizon must not delete freshly staged files")
+    assert(VersionedTable.versions(path) == Seq(1L, 2L))
 
-    val deleted = VersionedTable.vacuum(path, retainLast = 2)
+    // a later vacuum sweeps the previously-protected orphans
+    val deleted = VersionedTable.vacuum(path, retainLast = 2, minAgeMs = 0)
     assert(deleted >= 1, "v0's exclusive files must be deleted")
     assert(VersionedTable.versions(path) == Seq(1L, 2L))
     // retained versions read back intact — v2 shares v1's files, both live
