@@ -87,6 +87,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefix sum: equals the global window for random sizes, skew, negatives") {
+    val tblGen = for {
+      n <- Gen.choose(0, 300)
+      rows <- Gen.listOfN(n, for {
+        ord <- Gen.choose(-100L, 100L) // heavy ties + negatives
+        v <- Gen.choose(-1000L, 1000L) // negative running values too
+      } yield (ord, v))
+    } yield rows
+    forAll(tblGen, n = 8) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((ord, v), i) => (ord, i.toLong, v) }
+        .toDF("ord", "uid", "v").repartition(7)
+      val got = PrefixSum.exclusiveRunningTotal(
+          df, Seq($"ord", $"uid"), $"v", "run", buckets = 5)
+        .select($"uid", $"run").as[(Long, Long)].collect().toMap
+      val want = df.withColumn("run",
+          sum($"v").over(org.apache.spark.sql.expressions.Window
+            .orderBy($"ord", $"uid")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)) - $"v")
+        .select($"uid", $"run").as[(Long, Long)].collect().toMap
+      assert(got == want)
+    }
+  }
+
   test("watermark: incremental read after commit is empty (monotone frontier)") {
     forAll(tableGen) { rows =>
       whenever(rows.nonEmpty) {
