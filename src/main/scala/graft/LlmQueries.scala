@@ -730,6 +730,37 @@ object LlmQueries {
        |  CAST(tokens_before AS BIGINT) AS tokens_before
        |FROM c WHERE tokens_before < 15000 ORDER BY doc_id""".stripMargin
 
+  /** q54 — deterministic corpus shuffle: the pseudo-random training order
+    * between curation and packing. The shuffle key is a salted md5-prefix
+    * hash (doc_id tie-break), so the permutation is reproducible on any
+    * engine at any parallelism — rerunning a 100 TB shard job yields the
+    * identical order. Ranks are assigned with the bucketed distributed
+    * [[graft.operators.PrefixSum]] (counting 1s = dense rank), never a
+    * single-partition row_number window.
+    */
+  def shuffleOrder(s: SparkSession, d: String): DataFrame = {
+    val key = conv(substring(md5(concat(lit("shuffle-v1|"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("bigint")
+    val base = docs(s, d).select(col("doc_id"), key.as("shuffle_key"))
+    graft.operators.PrefixSum.exclusiveRunningTotal(base,
+        Seq(col("shuffle_key"), col("doc_id")), lit(1L), "shuffle_rank")
+      .withColumn("shuffle_rank", col("shuffle_rank") + 1L)
+      .select("doc_id", "shuffle_key", "shuffle_rank")
+      .orderBy("doc_id")
+  }
+
+  val shuffleOrderOracle: String =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5('shuffle-v1|' || CAST(doc_id AS VARCHAR)), 1, 15)
+      |         AS BIGINT) AS shuffle_key
+      |  FROM documents
+      |)
+      |SELECT doc_id, shuffle_key,
+      |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+      |    AS shuffle_rank
+      |FROM k ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- multimodal
 
   /** q32 — multimodal asset pipeline: opaque binary payloads + typed
@@ -775,6 +806,7 @@ object LlmQueries {
     "q50_quality_gate" -> (corpusQualityGate(_, _)),
     "q51_source_cap" -> (sourceCap(_, _)),
     "q52_token_budget" -> (tokenBudgetFill(_, _)),
+    "q54_shuffle_order" -> (shuffleOrder(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -799,5 +831,6 @@ object LlmQueries {
     "q50_quality_gate" -> corpusQualityGateOracle,
     "q51_source_cap" -> sourceCapOracle,
     "q52_token_budget" -> tokenBudgetFillOracle,
+    "q54_shuffle_order" -> shuffleOrderOracle,
   )
 }

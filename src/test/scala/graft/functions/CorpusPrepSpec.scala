@@ -65,6 +65,19 @@ class CorpusPrepSpec extends SparkSpec {
       s"rank<=k filter should push a group limit below the window:\n$plan")
   }
 
+  test("shuffle order is a deterministic, layout-independent permutation") {
+    def run(d: org.apache.spark.sql.DataFrame) = graft.LlmQueries.shuffleOrder(spark, sf)
+      .select("doc_id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    val a = run(docs)
+    val b = run(docs.repartition(9))
+    assert(a == b, "the permutation must not depend on partitioning")
+    val n = docs.count()
+    assert(a.values.toSeq.sorted == (1L to n), "ranks form a dense permutation")
+    // and it actually shuffles: rank order differs from id order
+    val byId = a.toSeq.sortBy(_._1).map(_._2)
+    assert(byId != byId.sorted, "hash order must not equal id order")
+  }
+
   test("packSequences matches the naive global-window packing") {
     val cap = 512
     val got = Packing.packSequences(docs.repartition(11), $"doc_id",
