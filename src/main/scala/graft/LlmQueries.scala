@@ -129,7 +129,11 @@ object LlmQueries {
       DedupOps.simhashSignatures(docs(s, d), "text", "doc_id"))
       .orderBy("doc_a", "doc_b")
 
-  val simhashOracle: String = {
+  /** CTE list ending in `cand(doc_a, doc_b, sig_a, sig_b)` — the SimHash
+    * candidate pipeline, shared by the q28 oracle and the q55 cluster
+    * oracle built on its pairs.
+    */
+  private val simhashCandSql: String = {
     // nibble p (1-based hex char) of the shingle digest
     def nib(p: Int) = s"(strpos('0123456789abcdef', substr(h, $p, 1)) - 1)"
     val votes = (0 until 32).map { i =>
@@ -141,7 +145,7 @@ object LlmQueries {
     val chunks = (0 until 4).map(j =>
       s"SELECT doc_id, simhash, $j AS chunk_idx, (simhash // CAST(${1L << (8 * j)} AS BIGINT)) % 256 AS chunk_val FROM sigs"
     ).mkString("\n  UNION ALL\n  ")
-    s"""WITH $tokShSql, exg AS (
+    s"""$tokShSql, exg AS (
        |  SELECT doc_id, unnest(sh) AS g FROM sh
        |), ex AS (
        |  SELECT doc_id, md5(g) AS h FROM exg
@@ -159,11 +163,54 @@ object LlmQueries {
        |  FROM chunks a JOIN chunks b
        |    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
        |   AND a.doc_id < b.doc_id
-       |)
+       |)""".stripMargin
+  }
+
+  val simhashOracle: String =
+    s"""WITH $simhashCandSql
        |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
        |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q55 — near-duplicate CLUSTERS: SimHash pairs lifted to connected
+    * components ([[graft.operators.ConnectedComponents]], alternating
+    * large-star/small-star), the step that lets curation keep exactly
+    * one canonical document per duplicate group instead of reasoning
+    * about pairs. `component_id` is the minimum doc_id in the cluster;
+    * the oracle recomputes it with a recursive min-label CTE.
+    */
+  def dupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = DedupOps.simhashPairs(
+      DedupOps.simhashSignatures(docs(s, d), "text", "doc_id"))
+    val cc = graft.operators.ConnectedComponents
+      .components(pairs, "doc_a", "doc_b")
+    val sizes = cc.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "component")
+      .select(col("id").as("doc_id"), col("component").as("component_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
   }
+
+  val dupClustersOracle: String =
+    s"""WITH RECURSIVE $simhashCandSql, pairs AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  WHERE bit_count(xor(sig_a, sig_b)) <= 3
+       |), e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), reach(id, comp) AS (
+       |  SELECT src, src FROM e
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id
+       |), cc AS (
+       |  SELECT id AS doc_id, min(comp) AS component_id FROM reach GROUP BY id
+       |), sz AS (
+       |  SELECT component_id, count(*) AS cluster_size FROM cc GROUP BY 1
+       |)
+       |SELECT cc.doc_id, cc.component_id,
+       |  CAST(sz.cluster_size AS BIGINT) AS cluster_size
+       |FROM cc JOIN sz USING (component_id) ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------ text analysis
 
@@ -761,6 +808,158 @@ object LlmQueries {
       |    AS shuffle_rank
       |FROM k ORDER BY doc_id""".stripMargin
 
+  /** q56 — per-language quality-quantile gate: keep documents at or
+    * above their language's median quality. The thresholds are a
+    * per-language exact-percentile AGGREGATION (a handful of rows)
+    * broadcast back onto the scan — never a percent_rank window over
+    * the full corpus, which would shuffle and sort every document per
+    * language at 100 TB. [[graft.functions.ExactPercentiles]] uses the
+    * same linear interpolation as ANSI percentile_cont / DuckDB
+    * quantile_cont, bit-identically.
+    */
+  def qualityQuantileGate(s: SparkSession, d: String,
+      p: Double = 0.5): DataFrame = {
+    val scored = docs(s, d).select(col("doc_id"), col("lang"),
+      qualityScore.as("quality_score"))
+    val thr = scored.groupBy(col("lang"))
+      .agg(graft.functions.ExactPercentiles
+        .percentiles(col("quality_score"), Seq(p)).as("ps"))
+      .select(col("lang"), col("ps")(0).as("lang_threshold"))
+    scored.join(broadcast(thr), "lang")
+      .filter(col("quality_score") >= col("lang_threshold"))
+      .select("doc_id", "lang", "quality_score", "lang_threshold")
+      .orderBy("doc_id")
+  }
+
+  val qualityQuantileGateOracle: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, lang, $qualityScoreSql AS quality_score
+       |  FROM documents
+       |), t AS (
+       |  SELECT lang, quantile_cont(quality_score, 0.5) AS lang_threshold
+       |  FROM m GROUP BY lang
+       |)
+       |SELECT m.doc_id, m.lang, m.quality_score, t.lang_threshold
+       |FROM m JOIN t USING (lang)
+       |WHERE m.quality_score >= t.lang_threshold
+       |ORDER BY m.doc_id""".stripMargin
+
+  /** q57 — temperature-weighted mixture sampling: per-source keep rate
+    * ∝ share^(α−1) = 1/sqrt(share) at α = 0.5, normalized so the
+    * smallest source keeps everything — sampling at these rates
+    * reshapes the corpus toward the tempered mixture p_s^α that
+    * flattens source imbalance. Membership is a deterministic
+    * salted-hash uniform per document. The per-source rate table is a
+    * tiny aggregation broadcast onto the scan, so the sample is ONE
+    * pass over the corpus with no shuffle of document rows — and
+    * re-running a 100 TB job reproduces the exact sample.
+    *
+    * The fixture's sources are uniform (every rate would be 1.0), so
+    * the query simulates the real-world skew in-feed: half the corpus
+    * is relabeled as one giant crawl source, which the sampler then
+    * visibly downsamples.
+    */
+  def mixtureSample(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, lit("megacrawl"))
+        .otherwise(col("source")).as("source"))
+    val counts = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"))
+    // scalar totals via tiny crossJoins — a partitionless window would
+    // log the single-partition WindowExec warning for no reason
+    val tot = counts.agg(sum(col("n_src")).as("n_tot"))
+    val weights = counts.crossJoin(broadcast(tot))
+      .withColumn("wgt",
+        sqrt(col("n_tot").cast("double") / col("n_src").cast("double")))
+    val wmax = weights.agg(max(col("wgt")).as("wgt_max"))
+    val rates = weights.crossJoin(broadcast(wmax))
+      .select(col("source"), (col("wgt") / col("wgt_max")).as("sample_rate"))
+    val uni = conv(substring(md5(concat(lit("mix-v1|"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("bigint").cast("double") / lit(1152921504606846976.0) // 2^60
+    base.withColumn("uni", uni)
+      .join(broadcast(rates), "source")
+      .filter(col("uni") < col("sample_rate"))
+      .select("doc_id", "source", "sample_rate")
+      .orderBy("doc_id")
+  }
+
+  val mixtureSampleOracle: String =
+    """WITH feed AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'megacrawl' ELSE source END AS source
+      |  FROM documents
+      |), c AS (
+      |  SELECT source, count(*) AS n_src FROM feed GROUP BY source
+      |), t AS (
+      |  SELECT sum(n_src) AS n_tot FROM c
+      |), w AS (
+      |  SELECT source,
+      |    sqrt(CAST((SELECT n_tot FROM t) AS DOUBLE) / CAST(n_src AS DOUBLE))
+      |      AS wgt
+      |  FROM c
+      |), r AS (
+      |  SELECT source, wgt / (SELECT max(wgt) FROM w) AS sample_rate FROM w
+      |), u AS (
+      |  SELECT doc_id, source,
+      |    CAST(CAST('0x' || substr(md5('mix-v1|' || CAST(doc_id AS VARCHAR)), 1, 15)
+      |         AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS uni
+      |  FROM feed
+      |)
+      |SELECT u.doc_id, u.source, r.sample_rate
+      |FROM u JOIN r USING (source)
+      |WHERE u.uni < r.sample_rate
+      |ORDER BY u.doc_id""".stripMargin
+
+  /** q58 — cluster-aware train/holdout split: assign the split by
+    * hashing the DUPLICATE-CLUSTER id (q55's connected components), not
+    * the document id, so near-duplicates can never straddle the
+    * boundary and leak training text into the holdout. Documents in no
+    * cluster are their own singleton component.
+    */
+  def clusterSplit(s: SparkSession, d: String,
+      holdoutFrac: Double = 0.1): DataFrame = {
+    val pairs = DedupOps.simhashPairs(
+      DedupOps.simhashSignatures(docs(s, d), "text", "doc_id"))
+    val cc = graft.operators.ConnectedComponents
+      .components(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component").as("component_id"))
+    val all = docs(s, d).select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("component_id", coalesce(col("component_id"), col("doc_id")))
+    val uni = conv(substring(md5(concat(lit("split-v1|"),
+      col("component_id").cast("string"))), 1, 15), 16, 10)
+      .cast("bigint").cast("double") / lit(1152921504606846976.0)
+    all.withColumn("split",
+        when(uni < lit(1.0 - holdoutFrac), lit("train")).otherwise(lit("holdout")))
+      .select("doc_id", "component_id", "split")
+      .orderBy("doc_id")
+  }
+
+  val clusterSplitOracle: String =
+    s"""WITH RECURSIVE $simhashCandSql, pairs AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  WHERE bit_count(xor(sig_a, sig_b)) <= 3
+       |), e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), reach(id, comp) AS (
+       |  SELECT src, src FROM e
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id
+       |), cc AS (
+       |  SELECT id AS doc_id, min(comp) AS component_id FROM reach GROUP BY id
+       |), allc AS (
+       |  SELECT d.doc_id, coalesce(cc.component_id, d.doc_id) AS component_id
+       |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+       |)
+       |SELECT doc_id, component_id,
+       |  CASE WHEN CAST(CAST('0x' || substr(md5('split-v1|'
+       |         || CAST(component_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+       |       / 1152921504606846976.0 < 0.9
+       |       THEN 'train' ELSE 'holdout' END AS split
+       |FROM allc ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- multimodal
 
   /** q32 — multimodal asset pipeline: opaque binary payloads + typed
@@ -807,6 +1006,10 @@ object LlmQueries {
     "q51_source_cap" -> (sourceCap(_, _)),
     "q52_token_budget" -> (tokenBudgetFill(_, _)),
     "q54_shuffle_order" -> (shuffleOrder(_, _)),
+    "q55_dup_clusters" -> (dupClusters(_, _)),
+    "q56_quantile_gate" -> (qualityQuantileGate(_, _)),
+    "q57_mixture_sample" -> (mixtureSample(_, _)),
+    "q58_cluster_split" -> (clusterSplit(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -832,5 +1035,9 @@ object LlmQueries {
     "q51_source_cap" -> sourceCapOracle,
     "q52_token_budget" -> tokenBudgetFillOracle,
     "q54_shuffle_order" -> shuffleOrderOracle,
+    "q55_dup_clusters" -> dupClustersOracle,
+    "q56_quantile_gate" -> qualityQuantileGateOracle,
+    "q57_mixture_sample" -> mixtureSampleOracle,
+    "q58_cluster_split" -> clusterSplitOracle,
   )
 }

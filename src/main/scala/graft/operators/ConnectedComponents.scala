@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components over a pair list — the step that
+  * turns near-duplicate PAIRS (MinHash/SimHash/Jaccard output) into
+  * duplicate CLUSTERS so a curation pipeline can keep one canonical
+  * document per cluster.
+  *
+  * Implements the alternating large-star / small-star algorithm
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14): each round is two self-join + min-aggregation passes that
+  * monotonically re-point edges at smaller node ids until every edge is
+  * a (node → component-min) star edge. Both passes are plain
+  * groupBy-min + equality joins — no per-node neighbor lists are ever
+  * collected, so a hot node with millions of neighbors stays a
+  * hash-aggregate, not an OOM. Rounds converge in O(log n) (in
+  * practice 2–4 for dedup graphs, whose components are small), which is
+  * why this — and not driver-side union-find or a single giant window —
+  * is the 100 TB shape.
+  *
+  * Determinism: every step is a min over node ids; the result depends
+  * only on the input edge set, never on partitioning or visit order.
+  */
+object ConnectedComponents {
+
+  /** Component assignment for every node appearing in `pairs`.
+    *
+    * @param pairs two-column DataFrame of undirected edges (self-loops
+    *              and duplicate/reversed pairs are fine)
+    * @return DataFrame(id, component) — `component` is the MINIMUM node
+    *         id reachable from `id`; one row per distinct node
+    */
+  def components(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+
+    // localCheckpoint (eager, MEMORY_AND_DISK) both materializes each
+    // round AND truncates the logical plan — without it the lineage of
+    // an iterative join doubles per round and plan processing alone
+    // OOMs the driver long before the data does. On a real cluster with
+    // lossy executors, set a checkpoint dir and swap in checkpoint().
+    // materialize the (possibly expensive) upstream pair pipeline once —
+    // both the node set and the edge set derive from it
+    val canon = pairs
+      .select(greatest(col(aCol), col(bCol)).cast("bigint").as("u"),
+        least(col(aCol), col(bCol)).cast("bigint").as("v"))
+      .localCheckpoint(true)
+    // node set comes from the RAW pairs: a node whose only edge is a
+    // self-loop is still a (singleton) component
+    val nodes = canon.select(explode(array($"u", $"v")).as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count()
+    var edges = canon
+      .filter($"u" =!= $"v")
+      .distinct()
+      .localCheckpoint(true)
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // large-star: for every node, point all LARGER neighbors at the
+      // minimum of its neighborhood (incl. itself)
+      val nbrs = edges.select($"u", $"v")
+        .union(edges.select($"v".as("u"), $"u".as("v")))
+      val mins = nbrs.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"mn", $"u").as("m"))
+      val large = nbrs.join(mins, "u")
+        .filter($"v" > $"u")
+        .select(greatest($"v", $"m").as("u"), least($"v", $"m").as("v"))
+        .filter($"u" =!= $"v")
+        .distinct()
+      // small-star: for every node, point all smaller-or-equal
+      // neighbors (and itself) at the minimum of that set
+      val sMins = large.groupBy($"u").agg(min($"v").as("m"))
+      val next = large.join(sMins, "u")
+        .select($"v".as("u"), $"m".as("v"))
+        .union(sMins.select($"u", $"m".as("v")))
+        .filter($"u" =!= $"v")
+        .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // converged when the (canonical, deduped) edge set is unchanged —
+      // both sides are materialized checkpoints, so the exact
+      // symmetric-difference check runs over stored partitions
+      val changed = next.except(edges).count() + edges.except(next).count()
+      edges.unpersist()
+      edges = next
+      converged = changed == 0
+      iter += 1
+    }
+
+    // at fixpoint every edge is (node, component-min); nodes that ended
+    // up as roots appear only on the v side → they map to themselves
+    val starMap = edges.groupBy($"u".as("id")).agg(min($"v").as("component"))
+    val out = nodes.join(starMap, Seq("id"), "left")
+      .select($"id", coalesce($"component", $"id").as("component"))
+    out
+  }
+}
