@@ -107,4 +107,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan, "BroadcastHashJoin") >= 4, s"plan:\n$plan")
     assert(!plan.contains("Exchange SinglePartition"), s"plan:\n$plan")
   }
+
+  test("quantile gate: threshold broadcast onto a cached scored scan, no corpus window") {
+    val df = LlmQueries.qualityQuantileGate(spark, sf)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"per-lang thresholds must broadcast, plan:\n$plan")
+    assert(!plan.contains("Window"),
+      s"gating must not sort the corpus in a window, plan:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"the scored scan must be reused from cache, not re-scored, plan:\n$plan")
+  }
+
+  test("mixture sample: rate table broadcast, document rows never shuffled or windowed") {
+    val plan = executed(LlmQueries.mixtureSample(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-source rates must broadcast, plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"no shuffle join of document rows, plan:\n$plan")
+    assert(!plan.contains("Window"), s"plan:\n$plan")
+  }
 }
