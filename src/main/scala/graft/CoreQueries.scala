@@ -770,6 +770,30 @@ object CoreQueries {
       |JOIN region   ON n_regionkey = r_regionkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q60 — skew-resistant salted join ([[graft.operators.Skew.saltedJoin]]):
+    * the fact side's hot key is spread over 8 deterministic salt
+    * sub-keys and the dimension replicated across them, so one melting
+    * reducer becomes 8 balanced ones. The oracle is the PLAIN join —
+    * hash-equality proves salting changes the physical distribution and
+    * nothing else.
+    */
+  def saltedSkewJoin(s: SparkSession, d: String): DataFrame = {
+    val facts = t(s, d, "lineitem").select(col("l_suppkey"), col("l_quantity"))
+    val dim = t(s, d, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    graft.operators.Skew.saltedJoin(facts, dim, "l_suppkey")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+      .orderBy("s_name")
+  }
+
+  val saltedSkewJoinOracle: String =
+    """SELECT s_name, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name ORDER BY s_name""".stripMargin
+
   // ------------------------------------------------- events (json+windows)
 
   /** q17 — JSON property extraction from the event stream (north-star
@@ -891,6 +915,7 @@ object CoreQueries {
     "q41_provider_rollup" -> (providerRollup(_, _)),
     "q45_window_analytics" -> (windowAnalytics(_, _)),
     "q46_snowflake_revenue" -> (snowflakeRevenue(_, _)),
+    "q60_salted_skew_join" -> (saltedSkewJoin(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -925,5 +950,6 @@ object CoreQueries {
     "q41_provider_rollup" -> providerRollupOracle,
     "q45_window_analytics" -> windowAnalyticsOracle,
     "q46_snowflake_revenue" -> snowflakeRevenueOracle,
+    "q60_salted_skew_join" -> saltedSkewJoinOracle,
   )
 }

@@ -964,6 +964,43 @@ object LlmQueries {
        |       THEN 'train' ELSE 'holdout' END AS split
        |FROM allc ORDER BY doc_id""".stripMargin
 
+  /** q59 — exact corpus heavy hitters in two bounded passes: a
+    * Misra–Gries sketch pass ([[graft.functions.HeavyHitters]], k
+    * counters per task, no shuffle of the token stream) nominates a
+    * candidate superset — guaranteed to contain every token with
+    * frequency > n/(k+1) — and a confirmation pass exact-counts ONLY
+    * the broadcast candidates. At 100 TB that is two scans and a
+    * k-sized shuffle instead of a full groupBy-count over every
+    * distinct token; the exact filter then makes the output identical
+    * to the brute-force answer, which is what the oracle computes.
+    */
+  def heavyHitterTokens(s: SparkSession, d: String,
+      k: Int = 50): DataFrame = {
+    val toks = docs(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val cand = toks
+      .agg(graft.functions.HeavyHitters.heavy_hitters(col("token"), k).as("mg"))
+      .select(explode(map_keys(col("mg"))).as("token"))
+    val total = toks.agg(count(lit(1)).as("n")).scalar()
+    toks.join(broadcast(cand), "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit((k + 1).toLong) > total)
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  val heavyHitterTokensOracle: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+      |  FROM documents
+      |), t AS (
+      |  SELECT count(*) AS n FROM tok
+      |), c AS (
+      |  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+      |)
+      |SELECT token, cnt FROM c
+      |WHERE cnt * 51 > (SELECT n FROM t)
+      |ORDER BY cnt DESC, token""".stripMargin
+
   // ----------------------------------------------------------- multimodal
 
   /** q32 — multimodal asset pipeline: opaque binary payloads + typed
@@ -1014,6 +1051,7 @@ object LlmQueries {
     "q56_quantile_gate" -> (qualityQuantileGate(_, _)),
     "q57_mixture_sample" -> (mixtureSample(_, _)),
     "q58_cluster_split" -> (clusterSplit(_, _)),
+    "q59_heavy_hitters" -> (heavyHitterTokens(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1043,5 +1081,6 @@ object LlmQueries {
     "q56_quantile_gate" -> qualityQuantileGateOracle,
     "q57_mixture_sample" -> mixtureSampleOracle,
     "q58_cluster_split" -> clusterSplitOracle,
+    "q59_heavy_hitters" -> heavyHitterTokensOracle,
   )
 }
