@@ -526,6 +526,30 @@ object CoreQueries {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** q61 — CUBE aggregation: all four grouping combinations (both keys,
+    * each alone, grand total) in one pass, with the same portable
+    * NULL-pattern grouping id as the q34 rollup.
+    */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+      .withColumn("gid",
+        when(col("l_returnflag").isNull, 2).otherwise(0) +
+          when(col("l_linestatus").isNull, 1).otherwise(0))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val cubeAggOracle: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  (CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END
+      |   + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS gid
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   /** q35 — sketch aggregation: HyperLogLog++ approximate distinct counts
     * validated against the exact counts. The sketch ESTIMATE itself is
     * engine-specific, so it stays out of the hashed projection: the
@@ -916,6 +940,7 @@ object CoreQueries {
     "q45_window_analytics" -> (windowAnalytics(_, _)),
     "q46_snowflake_revenue" -> (snowflakeRevenue(_, _)),
     "q60_salted_skew_join" -> (saltedSkewJoin(_, _)),
+    "q61_cube_agg" -> (cubeAgg(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -951,5 +976,6 @@ object CoreQueries {
     "q45_window_analytics" -> windowAnalyticsOracle,
     "q46_snowflake_revenue" -> snowflakeRevenueOracle,
     "q60_salted_skew_join" -> saltedSkewJoinOracle,
+    "q61_cube_agg" -> cubeAggOracle,
   )
 }

@@ -1001,6 +1001,45 @@ object LlmQueries {
       |WHERE cnt * 51 > (SELECT n FROM t)
       |ORDER BY cnt DESC, token""".stripMargin
 
+  /** q62 — edit-distance verification of near-dup candidates: the
+    * fourth similarity family (Levenshtein, character-level) alongside
+    * Jaccard (q26/q27), Hamming (q28), and cosine (q29–q31). The O(m·n)
+    * dynamic program only ever runs on the SimHash candidate pairs over
+    * a normalized 120-char prefix — never all pairs, never full texts —
+    * which is the only shape that survives a 100 TB corpus.
+    */
+  def editDistancePairs(s: SparkSession, d: String,
+      maxDist: Int = 20): DataFrame = {
+    val cand = DedupOps.simhashPairs(
+      DedupOps.simhashSignatures(docs(s, d), "text", "doc_id"))
+    val txt = docs(s, d).select(col("doc_id"),
+      substring(regexp_replace(lower(col("text")), "\\s+", " "), 1, 120).as("t"))
+    cand
+      .join(txt.select(col("doc_id").as("doc_a"), col("t").as("ta")), "doc_a")
+      .join(txt.select(col("doc_id").as("doc_b"), col("t").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).as("edit_distance"))
+      .filter(col("edit_distance") <= maxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val editDistancePairsOracle: String =
+    s"""WITH $simhashCandSql, pairs AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  WHERE bit_count(xor(sig_a, sig_b)) <= 3
+       |), norm AS (
+       |  SELECT doc_id,
+       |    substr(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 120) AS t
+       |  FROM documents
+       |)
+       |SELECT p.doc_a, p.doc_b,
+       |  levenshtein(na.t, nb.t) AS edit_distance
+       |FROM pairs p
+       |JOIN norm na ON p.doc_a = na.doc_id
+       |JOIN norm nb ON p.doc_b = nb.doc_id
+       |WHERE levenshtein(na.t, nb.t) <= 20
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+
   // ----------------------------------------------------------- multimodal
 
   /** q32 — multimodal asset pipeline: opaque binary payloads + typed
@@ -1052,6 +1091,7 @@ object LlmQueries {
     "q57_mixture_sample" -> (mixtureSample(_, _)),
     "q58_cluster_split" -> (clusterSplit(_, _)),
     "q59_heavy_hitters" -> (heavyHitterTokens(_, _)),
+    "q62_edit_distance" -> (editDistancePairs(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1082,5 +1122,6 @@ object LlmQueries {
     "q57_mixture_sample" -> mixtureSampleOracle,
     "q58_cluster_split" -> clusterSplitOracle,
     "q59_heavy_hitters" -> heavyHitterTokensOracle,
+    "q62_edit_distance" -> editDistancePairsOracle,
   )
 }
