@@ -127,4 +127,12 @@ class PlanShapeSpec extends SparkSpec {
       s"no shuffle join of document rows, plan:\n$plan")
     assert(!plan.contains("Window"), s"plan:\n$plan")
   }
+
+  test("heavy hitters: candidate set broadcast; token stream never shuffle-joined") {
+    val plan = executed(LlmQueries.heavyHitterTokens(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"MG candidates must broadcast onto the token stream, plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the full token stream must not shuffle-join, plan:\n$plan")
+  }
 }

@@ -98,4 +98,35 @@ class CorpusPrepSpec extends SparkSpec {
       assert(packId == start / cap && off == start % cap)
     }
   }
+
+  test("dupClusters: every near-dup pair lands inside one cluster") {
+    val pairs = DedupOps.simhashPairs(
+        DedupOps.simhashSignatures(docs, "text", "doc_id"))
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture should contain planted near-duplicates")
+    val comp = graft.LlmQueries.dupClusters(spark, sf)
+      .select($"doc_id", $"component_id").as[(Long, Long)].collect().toMap
+    pairs.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"pair ($a,$b) split across clusters")
+    }
+    // canonical representative: the component id is a member of the cluster
+    comp.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keySet.contains(cid))
+      assert(cid == members.keySet.min, "component id must be the cluster min")
+    }
+  }
+
+  test("clusterSplit: near-duplicates never straddle the train/holdout boundary") {
+    val split = graft.LlmQueries.clusterSplit(spark, sf)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(split.size == docs.count(), "every document gets a side")
+    assert(split.values.toSet == Set("train", "holdout"),
+      "both sides must be non-empty at this scale")
+    val pairs = DedupOps.simhashPairs(
+        DedupOps.simhashSignatures(docs, "text", "doc_id"))
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"near-dup pair ($a,$b) leaks across the split")
+    }
+  }
 }
