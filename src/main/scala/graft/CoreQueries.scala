@@ -550,6 +550,67 @@ object CoreQueries {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** q63 — Z-order clustering keys ([[graft.sources.Clustering.zorder2]]):
+    * the bit-interleaved value that `writeZOrdered` range-partitions and
+    * sorts by so parquet min/max stats prune on EITHER dimension. The
+    * oracle re-derives the interleave with plain bit arithmetic,
+    * verifying the clustering math an OPTIMIZE ZORDER depends on.
+    */
+  def zorderKeys(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.sources.Clustering.zorder2(col("l_partkey"), col("l_suppkey"))
+          .as("z_value"))
+      .orderBy("l_orderkey", "l_linenumber", "z_value")
+
+  val zorderKeysOracle: String = {
+    val terms = (0 until 16).map { i =>
+      s"(((l_partkey >> $i) & 1) << ${2 * i + 1}) | (((l_suppkey >> $i) & 1) << ${2 * i})"
+    }.mkString(" | ")
+    s"""SELECT l_orderkey, l_linenumber,
+       |  CAST($terms AS BIGINT) AS z_value
+       |FROM lineitem
+       |ORDER BY l_orderkey, l_linenumber, z_value""".stripMargin
+  }
+
+  /** q64 — approximate-percentile sketch with a rank-error certificate:
+    * the same pattern as q35's HLL check — the sketch ESTIMATE is
+    * engine-specific and stays out of the hashed projection; what the
+    * oracle verifies is the exact percentile plus a boolean asserting
+    * the sketch's rank error landed inside its guarantee (accuracy 100
+    * → ≤ 1% rank error; 2% asserted for discretization headroom).
+    */
+  def approxPercentileSketch(s: SparkSession, d: String): DataFrame = {
+    val charged = t(s, d, "lineitem")
+      .withColumn("charge",
+        (col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).cast("double"))
+    val sketch = charged.groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("charge"), lit(0.5), lit(100)).as("approx_p50"))
+    charged.join(broadcast(sketch), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        graft.functions.ExactPercentiles
+          .percentiles(col("charge"), Seq(0.5)).as("ps"),
+        count(lit(1)).as("n"),
+        (sum(when(col("charge") <= col("approx_p50"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("rank_of_approx"))
+      .select(col("l_returnflag"), col("ps")(0).as("exact_p50"), col("n"),
+        (abs(col("rank_of_approx") - 0.5) <= 0.02).as("rank_err_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  val approxPercentileSketchOracle: String =
+    """WITH c AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |         * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS charge
+      |  FROM lineitem
+      |)
+      |SELECT l_returnflag, quantile_cont(charge, 0.5) AS exact_p50,
+      |  count(*) AS n, true AS rank_err_ok
+      |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** q35 — sketch aggregation: HyperLogLog++ approximate distinct counts
     * validated against the exact counts. The sketch ESTIMATE itself is
     * engine-specific, so it stays out of the hashed projection: the
@@ -941,6 +1002,8 @@ object CoreQueries {
     "q46_snowflake_revenue" -> (snowflakeRevenue(_, _)),
     "q60_salted_skew_join" -> (saltedSkewJoin(_, _)),
     "q61_cube_agg" -> (cubeAgg(_, _)),
+    "q63_zorder_keys" -> (zorderKeys(_, _)),
+    "q64_approx_percentile" -> (approxPercentileSketch(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -977,5 +1040,7 @@ object CoreQueries {
     "q46_snowflake_revenue" -> snowflakeRevenueOracle,
     "q60_salted_skew_join" -> saltedSkewJoinOracle,
     "q61_cube_agg" -> cubeAggOracle,
+    "q63_zorder_keys" -> zorderKeysOracle,
+    "q64_approx_percentile" -> approxPercentileSketchOracle,
   )
 }
