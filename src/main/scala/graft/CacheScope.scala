@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Query-scoped cache lifecycle.
+  *
+  * Operators that persist intermediates (shingle sets, candidate pairs,
+  * prefix-sum inputs, …) register them here instead of calling
+  * `.persist` directly; the harness (Verify / Bench / specs) calls
+  * [[drain]] after each query's TERMINAL action. Without this, a
+  * 60-query session strands one to three MEMORY_AND_DISK datasets per
+  * heavy query — on a shared cluster that steals executor storage
+  * memory from every later query, and nothing ever frees it because
+  * the caller of a composable operator cannot see its internal caches.
+  *
+  * Drain order matters for completeness:
+  *   1. registered datasets unpersist through the CacheManager (removes
+  *      the plan-fingerprint entry, so a future identical plan does not
+  *      silently re-populate the cache);
+  *   2. `catalog.clearCache()` sweeps table caches and any `.persist`
+  *      that bypassed the registry;
+  *   3. a final pass over `getPersistentRDDs` frees RDDs persisted
+  *      OUTSIDE the CacheManager — `localCheckpoint` pins its blocks
+  *      this way (ConnectedComponents), invisible to steps 1–2.
+  *
+  * A drained result must not be re-executed: localCheckpointed plans
+  * have truncated lineage and cannot recompute once their blocks are
+  * dropped. The harness only drains after the result is fully consumed.
+  */
+object CacheScope {
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+
+  /** Persist `ds` at `level` and register it for the next [[drain]]. */
+  def persisted[T](ds: Dataset[T],
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] = {
+    ds.persist(level)
+    live.add(ds)
+    ds
+  }
+
+  /** Free every cache accumulated since the last drain (see class doc
+    * for the three sweeps). Non-blocking: block removal is async, but
+    * the bookkeeping (CacheManager entries, `getPersistentRDDs`) is
+    * updated synchronously, so a post-drain emptiness assertion holds.
+    */
+  def drain(spark: SparkSession): Unit = {
+    var ds = live.poll()
+    while (ds != null) { ds.unpersist(blocking = false); ds = live.poll() }
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+}

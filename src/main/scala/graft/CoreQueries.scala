@@ -318,7 +318,7 @@ object CoreQueries {
   def incrementalRollup(s: SparkSession, d: String): DataFrame = {
     // persisted: the existing/delta split reads the fact twice, and the
     // fact build itself (dims + joins) is the expensive part
-    val f = fact(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val f = CacheScope.persisted(fact(s, d))
     val existing = Gold.monthlyRollupPartial(
       f.filter(col("service_date_key") < 19980000))
     val delta = f.filter(col("service_date_key") >= 19980000)

@@ -822,9 +822,9 @@ object LlmQueries {
     // persist the scored scan: it feeds both the threshold aggregation
     // and the gate itself, and the quality regexes are the expensive
     // part — without this the corpus is re-scored per consumer
-    val scored = docs(s, d).select(col("doc_id"), col("lang"),
-      qualityScore.as("quality_score"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = CacheScope.persisted(
+      docs(s, d).select(col("doc_id"), col("lang"),
+        qualityScore.as("quality_score")))
     val thr = scored.groupBy(col("lang"))
       .agg(graft.functions.ExactPercentiles
         .percentiles(col("quality_score"), Seq(p)).as("ps"))

@@ -103,10 +103,10 @@ object DedupOps {
     val bands = sigs.select(Seq(col("doc_id")) ++ lshBands(k, bandRows): _*)
     // persist the tiny band table: the self-join would otherwise compute
     // the full signature pipeline once per side
-    val exploded = bands.select(col("doc_id"), posexplode(
-      array((0 until k / bandRows).map(b => col(s"band_$b")): _*)))
-      .toDF("doc_id", "band_idx", "band_hash")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val exploded = graft.CacheScope.persisted(
+      bands.select(col("doc_id"), posexplode(
+        array((0 until k / bandRows).map(b => col(s"band_$b")): _*)))
+        .toDF("doc_id", "band_idx", "band_hash"))
     val cand = exploded.as("a").join(exploded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -152,9 +152,9 @@ object DedupOps {
     */
   private def shingleSets(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        TextAnalysis.textShingles(col(textCol), shingleN).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.CacheScope.persisted(
+      docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.textShingles(col(textCol), shingleN).as("sh")))
 
   /** Cross-corpus overlap (decontamination): eval documents whose shingle
     * Jaccard with ANY training document reaches `threshold`. Same
@@ -224,10 +224,10 @@ object DedupOps {
       exT0.select(col("train_id").as("doc_id"), col("g"))
         .unionByName(exE.select(col("eval_id").as("doc_id"), col("g"))),
       maxShingleDf)
-    val cand = exT.join(broadcast(hot), Seq("g"), "left_anti")
-      .join(exE.join(broadcast(hot), Seq("g"), "left_anti"), "g")
-      .select("train_id", "eval_id").distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = graft.CacheScope.persisted(
+      exT.join(broadcast(hot), Seq("g"), "left_anti")
+        .join(exE.join(broadcast(hot), Seq("g"), "left_anti"), "g")
+        .select("train_id", "eval_id").distinct())
     val gate = candidateGate(cand, maxBroadcastCandidates)
     val inter = size(array_intersect(col("sh_t"), col("sh_e")))
     val union = size(col("sh_t")) + size(col("sh_e")) - inter
@@ -244,15 +244,15 @@ object DedupOps {
     * exploded sides must be filtered by the same combined-df cutoff.
     */
   private def dropHotShinglesKeys(ex: DataFrame, maxDf: Int): DataFrame =
-    ex.groupBy(col("g"))
-      // plain count, not countDistinct: every caller feeds exploded
-      // DISTINCT per-doc shingle sets, so (doc_id, g) is already unique
-      // and the cheap map-side-combinable count IS the document frequency
-      // (countDistinct would add a second dedup aggregation pass)
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf)
-      .select(col("g"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.CacheScope.persisted(
+      ex.groupBy(col("g"))
+        // plain count, not countDistinct: every caller feeds exploded
+        // DISTINCT per-doc shingle sets, so (doc_id, g) is already unique
+        // and the cheap map-side-combinable count IS the document frequency
+        // (countDistinct would add a second dedup aggregation pass)
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf)
+        .select(col("g")))
 
   /** Size-gated broadcast: count the (persisted) candidate set ONCE —
     * a bounded driver-side long, not data — and broadcast the
@@ -274,7 +274,7 @@ object DedupOps {
     */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame,
       threshold: Double, maxBroadcast: Long): DataFrame = {
-    val c = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    val c = graft.CacheScope.persisted(cand)
     val gate = candidateGate(c, maxBroadcast)
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(col("sh_a")) + size(col("sh_b")) - inter
@@ -302,12 +302,12 @@ object DedupOps {
       val bit = (nib(i / 4 + 1) / math.pow(2, i % 4).toInt).cast("int") % 2
       sum(bit * 2 - 1).as(s"s_$i")
     }
-    ex.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-      .withColumn("simhash",
-        (0 until bits).map(i =>
-          when(col(s"s_$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _))
-      .select(col("doc_id"), col("simhash"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // consumed by both chunk sides
+    graft.CacheScope.persisted( // consumed by both chunk sides
+      ex.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+        .withColumn("simhash",
+          (0 until bits).map(i =>
+            when(col(s"s_$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _))
+        .select(col("doc_id"), col("simhash")))
   }
 
   /** SimHash near-dup pairs: block on 8-bit signature chunks (equality

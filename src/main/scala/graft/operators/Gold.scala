@@ -152,10 +152,10 @@ object Gold {
     val cur = current.filter(col("is_current"))
     // persisted: three consumers below each broadcast this set, and
     // without it every broadcast re-runs the change-detection join
-    val changedKeys = cur.as("c").join(incoming.as("i"), keys)
-      .filter(compareCols.map(c => !(col(s"c.$c") <=> col(s"i.$c"))).reduce(_ || _))
-      .select(keys.map(k => col(s"c.$k")): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val changedKeys = graft.CacheScope.persisted(
+      cur.as("c").join(incoming.as("i"), keys)
+        .filter(compareCols.map(c => !(col(s"c.$c") <=> col(s"i.$c"))).reduce(_ || _))
+        .select(keys.map(k => col(s"c.$k")): _*))
     val closed = cur.join(broadcast(changedKeys), keys, "left_semi")
       .withColumn("effective_to", effective.cast("date"))
       .withColumn("is_current", lit(false))

@@ -36,10 +36,9 @@ object PrefixSum {
     // output plan itself) would otherwise each recompute the input. The
     // cache holds the caller's input plus two derived columns — callers
     // pass narrow projections — and spills to disk when it doesn't fit
-    val tmp = df
+    val tmp = graft.CacheScope.persisted(df
       .withColumn("__ps_ord", orderCols.head.try_cast("double"))
-      .withColumn("__ps_val", valueCol.cast("bigint"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("__ps_val", valueCol.cast("bigint")))
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     // sketch-based split points: driver receives <= buckets doubles
     val bounds = tmp.stat.approxQuantile("__ps_ord", probs, 0.01).distinct.sorted
