@@ -23,15 +23,31 @@ object Bench {
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     try run(SparkEntry.entry(spark)) catch { case _: Throwable => () }
+    finally CacheScope.drain(spark)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query must be VISIBLE (err field + nonzero exit), not a
+      // near-zero time that reads as a speed-up
+      val err = try { run(fn(spark, sfDir)); None }
+        catch { case e: Throwable =>
+          Option(e.getMessage).orElse(Some(e.getClass.getName)) }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // drain OUTSIDE the timed region: cache teardown is harness
+      // hygiene, not query cost
+      CacheScope.drain(spark)
+      (name, sec, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal times keep the one-line JSON short enough for the
+    // driver's bounded output-tail capture to parse it whole
+    def f3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120) + "\"" }
+    val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errs.nonEmpty) sys.exit(1)
   }
 }

@@ -20,7 +20,11 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally
+        // after the terminal action (parquet fully written), free every
+        // cache the query registered — without this a 60+-query session
+        // strands MEMORY_AND_DISK datasets from each heavy query
+        CacheScope.drain(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
