@@ -32,18 +32,28 @@ object Bench {
         catch { case e: Throwable =>
           Option(e.getMessage).orElse(Some(e.getClass.getName)) }
       val sec = (System.nanoTime() - t0) / 1e9
-      // drain OUTSIDE the timed region: cache teardown is harness
-      // hygiene, not query cost
-      CacheScope.drain(spark)
+      // drain OUTSIDE the timed region, and BLOCKING: an async drain
+      // lets block-removal RPCs run during the next query's timed
+      // region (r3/r4 showed 5-9× blowups on the cheap query after a
+      // heavy one); blocking charges the teardown to the untimed gap
+      CacheScope.drain(spark, blocking = true)
       (name, sec, err)
     }
     // 3-decimal times keep the one-line JSON short enough for the
-    // driver's bounded output-tail capture to parse it whole
-    def f3(v: Double): String = f"$v%.3f"
+    // driver's bounded output-tail capture to parse it whole;
+    // Locale.ROOT so a comma-decimal default locale cannot emit
+    // "value":139,093 (invalid JSON → the driver loses the round)
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // keep printable ASCII only (exception messages can carry any
+    // control char, all illegal in JSON), THEN truncate — so take()
+    // cannot split a multi-byte char either
+    def safe(e: String): String =
+      e.filter(c => c >= ' ' && c < 0x7f).take(120)
     val errs = results.collect { case (k, _, Some(e)) =>
-      "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120) + "\"" }
+      "\"" + k + "\":\"" + safe(e.replaceAll("[\"\\\\]", " ")) + "\"" }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")

@@ -40,15 +40,21 @@ object CacheScope {
   }
 
   /** Free every cache accumulated since the last drain (see class doc
-    * for the three sweeps). Non-blocking: block removal is async, but
-    * the bookkeeping (CacheManager entries, `getPersistentRDDs`) is
-    * updated synchronously, so a post-drain emptiness assertion holds.
+    * for the three sweeps). Blocking by default: harness call sites
+    * (Verify's finally, Bench's untimed gap, specs) sit outside any
+    * timed region, and an async removal lets block-cleanup RPCs and the
+    * localCheckpoint RDD sweep execute DURING the next query's timed
+    * run — observed as 5-9× slowdowns on the cheap query following a
+    * heavy drain. A blocking drain charges teardown to nobody.
+    * `clearCache()` itself is async internally, so the final
+    * `getPersistentRDDs` pass (which sees CacheManager-owned RDDs too)
+    * re-unpersists blocking to fence every block's removal.
     */
-  def drain(spark: SparkSession): Unit = {
+  def drain(spark: SparkSession, blocking: Boolean = true): Unit = {
     var ds = live.poll()
-    while (ds != null) { ds.unpersist(blocking = false); ds = live.poll() }
+    while (ds != null) { ds.unpersist(blocking = blocking); ds = live.poll() }
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = blocking))
   }
 }

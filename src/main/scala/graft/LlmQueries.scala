@@ -976,12 +976,20 @@ object LlmQueries {
     */
   def heavyHitterTokens(s: SparkSession, d: String,
       k: Int = 50): DataFrame = {
+    import s.implicits._
     val toks = docs(s, d)
       .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
-    val cand = toks
-      .agg(graft.functions.HeavyHitters.heavy_hitters(col("token"), k).as("mg"))
-      .select(explode(map_keys(col("mg"))).as("token"))
-    val total = toks.agg(count(lit(1)).as("n")).scalar()
+    // ONE sketch pass carries both the MG counters and the grand total
+    // (a separate count would re-scan the token stream — 3 scans where
+    // 2 suffice); the single agg row moves ≤k tokens + one long to the
+    // driver, bounded by the sketch size, never by data
+    val row = toks
+      .agg(graft.functions.HeavyHitters.heavy_hitters(col("token"), k).as("mg"),
+        count(lit(1)).as("n"))
+      .select(map_keys(col("mg")).as("cands"), col("n"))
+      .head()
+    val total = row.getLong(1)
+    val cand = row.getSeq[String](0).toDF("token")
     toks.join(broadcast(cand), "token")
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * lit((k + 1).toLong) > total)

@@ -59,6 +59,24 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(true)
 
+    // convergence check: an order-independent fingerprint of the edge
+    // set — (count, bit_xor of a per-edge 64-bit hash) — compared to
+    // the prior round. The exact alternative (two full `except`
+    // anti-joins per round) costs two extra shuffles of the whole edge
+    // set every iteration; the fingerprint is ONE scan of the
+    // already-checkpointed partitions and a 1-row aggregate. Edges are
+    // distinct, so xor is a sound (multiset-free) set fingerprint;
+    // a missed change needs a 64-bit xor collision AND an identical
+    // count in the same round (~2⁻⁶⁴ — far below any hardware error
+    // rate). xor/count cannot overflow, so this stays ANSI-safe at any
+    // scale, unlike sum(id).
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prevFp = fingerprint(edges)
+
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -84,12 +102,14 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint(true)
       // converged when the (canonical, deduped) edge set is unchanged —
-      // both sides are materialized checkpoints, so the exact
-      // symmetric-difference check runs over stored partitions
-      val changed = next.except(edges).count() + edges.except(next).count()
+      // detected by fingerprint equality against the prior round (see
+      // above); the algorithm monotonically re-points edges at smaller
+      // ids, so the first unchanged round IS the fixpoint
+      val nextFp = fingerprint(next)
       edges.unpersist()
       edges = next
-      converged = changed == 0
+      converged = nextFp == prevFp
+      prevFp = nextFp
       iter += 1
     }
 

@@ -16,13 +16,36 @@ object Skew {
   /** Inner equi-join of skewed `facts` with small `dim` on `key`,
     * salt-spread over `saltFactor` sub-keys. `dim` rows are replicated
     * `saltFactor` times (keep it broadcast-small or the factor modest).
+    *
+    * @param saltFrom columns the salt is hashed from (with `key`). The
+    *   salt must VARY WITHIN a key — a key-only hash would land every
+    *   hot-key row in one bucket, un-spreading the join — but hashing
+    *   the whole row (as a naive implementation does) makes every fact
+    *   row pay for hashing wide payload strings. Default: the fact's
+    *   cheap fixed-width columns (numeric/date/timestamp/boolean),
+    *   which carry enough entropy to spread a hot key at a few bytes
+    *   of hashing each.
     */
   def saltedJoin(facts: DataFrame, dim: DataFrame, key: String,
-      saltFactor: Int = 8): DataFrame = {
+      saltFactor: Int = 8, saltFrom: Seq[String] = Nil): DataFrame = {
     require(saltFactor >= 1)
+    import org.apache.spark.sql.types._
+    val cheap =
+      if (saltFrom.nonEmpty) saltFrom
+      else {
+        val atomic = facts.schema.fields.collect {
+          case f if f.name != key && (f.dataType match {
+            case _: NumericType => true
+            case DateType | TimestampType | BooleanType => true
+            case _ => false
+          }) => f.name
+        }.toSeq
+        if (atomic.nonEmpty) atomic.take(3)
+        else facts.columns.filterNot(_ == key).take(1).toSeq
+      }
     // deterministic salt from a row hash, NOT rand(): reproducible runs
     val salted = facts.withColumn("__salt",
-      pmod(xxhash64(facts.columns.map(col).toSeq: _*), lit(saltFactor)))
+      pmod(xxhash64((key +: cheap).map(col): _*), lit(saltFactor)))
     val replicated = dim
       .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
       .withColumn("__salt", col("__salt").cast("bigint"))
@@ -42,5 +65,17 @@ object Skew {
         col("count") / counts.agg(sum(col("count"))).scalar())
       .orderBy(col("count").desc, col(key))
       .limit(topK)
+  }
+
+  /** Salt factor implied by a [[keySkewProfile]]: spread the hottest
+    * key over enough sub-keys that its per-reducer share drops to the
+    * average partition's (share × partitions rounded up), clamped to
+    * [1, partitions] — salting past the parallelism buys nothing and
+    * multiplies the dim replication for free.
+    */
+  def suggestedSaltFactor(profile: DataFrame, partitions: Int): Int = {
+    val rows = profile.select(col("share")).limit(1).collect()
+    val maxShare = if (rows.isEmpty) 0.0 else rows(0).getDouble(0)
+    math.max(1, math.min(partitions, math.ceil(maxShare * partitions).toInt))
   }
 }

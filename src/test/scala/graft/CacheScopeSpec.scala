@@ -40,9 +40,13 @@ class CacheScopeSpec extends SparkSpec {
   }
 
   test("drained query re-runs correctly (no stale CacheManager entry)") {
-    val a = SparkEntry.queries("q27_minhash_lsh")(spark, sf).collect().toSet
+    // multiset compare (sorted seq, not toSet): a stale-cache bug that
+    // duplicated or dropped repeated rows must not slip through
+    val a = SparkEntry.queries("q27_minhash_lsh")(spark, sf)
+      .collect().toSeq.map(_.toString).sorted
     CacheScope.drain(spark)
-    val b = SparkEntry.queries("q27_minhash_lsh")(spark, sf).collect().toSet
+    val b = SparkEntry.queries("q27_minhash_lsh")(spark, sf)
+      .collect().toSeq.map(_.toString).sorted
     CacheScope.drain(spark)
     assert(a == b)
   }
