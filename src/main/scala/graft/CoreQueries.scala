@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.operators.{Bronze, Gold, Merge, Silver, Temporal}
+import graft.sources.LayerIO
 
 /** Reference-surface query registry: Silver operators D3–D8 (q02–q07),
   * Gold star schema D9–D12 (q08–q12), MERGE J2 (q13), the doc-declared
@@ -371,6 +372,106 @@ object CoreQueries {
       |SELECT t.* FROM target t
       |WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
+
+  /** q65 — MERGE with schema evolution (J2 + S4): the reference pairs
+    * `mergeSchema=true` with upsert; this exercises
+    * [[graft.operators.Merge.upsertEvolved]] end-to-end. The member
+    * book (key, name, balance) is merged with an order-derived delta
+    * that UPDATES the balance and CARRIES A NEW COLUMN `order_count`:
+    * matched members get the new balance, keep their name, and gain the
+    * count; members with no orders survive untouched with a NULL count.
+    * Balances are summed in DECIMAL (exact) and presented as DOUBLE
+    * (portable).
+    */
+  def mergeEvolved(s: SparkSession, d: String): DataFrame = {
+    val target = t(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("decimal(18,2)").as("c_acctbal"))
+    val source = t(s, d, "orders")
+      .select(col("o_custkey").as("c_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("c_custkey")
+      .agg(sum(col("p")).cast("decimal(18,2)").as("c_acctbal"),
+        count(lit(1)).as("order_count"))
+    Merge.upsertEvolved(target, source, Seq("c_custkey"))
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("c_acctbal"), col("order_count"))
+      .orderBy("c_custkey")
+  }
+
+  val mergeEvolvedOracle: String =
+    """WITH t AS (
+      |  SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+      |  FROM customer
+      |), s AS (
+      |  SELECT o_custkey AS c_custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS c_acctbal,
+      |    count(*) AS order_count
+      |  FROM orders GROUP BY 1
+      |), merged AS (
+      |  SELECT s.c_custkey, t.c_name, s.c_acctbal, s.order_count
+      |  FROM s LEFT JOIN t USING (c_custkey)
+      |  UNION ALL
+      |  SELECT t.c_custkey, t.c_name, t.c_acctbal, CAST(NULL AS BIGINT) AS order_count
+      |  FROM t
+      |  WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.c_custkey = t.c_custkey)
+      |)
+      |SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal, order_count
+      |FROM merged ORDER BY c_custkey""".stripMargin
+
+  /** q66 — CSV PERMISSIVE ingest (S1), the reference pipeline's entry
+    * point (bronze_rx_claims_load.py:37-42: header, PERMISSIVE,
+    * `_corrupt_record`), under the oracle for the first time. The query
+    * renders the fixed 25-row nation dim to CSV WITH two injected
+    * corrupt lines (a distributed write — no driver collect), ingests
+    * it back through [[graft.sources.LayerIO.readCsv]], and surfaces
+    * Spark's exact PERMISSIVE semantics: parseable fields of a corrupt
+    * line are KEPT, failed fields are NULL, and the raw line lands in
+    * the corrupt-record column. The DuckDB oracle replays the same file
+    * via all-varchar read + try_cast.
+    */
+  def csvPermissive(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = "/tmp/graft_q66_csv"
+    val asStrings = t(s, d, "nation")
+      .select(col("n_nationkey").cast("string"), col("n_name"),
+        col("n_regionkey").cast("string"))
+    val corrupt = Seq(("900", "CORRUPT_RATE", "x%"), ("bad", "CORRUPT_KEY", "4"))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    asStrings.union(corrupt).coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_nationkey",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("n_name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_regionkey",
+        org.apache.spark.sql.types.IntegerType)))
+    // cache before projecting: Spark disallows queries over raw CSV that
+    // reference only the corrupt-record column, and the terminal write
+    // re-reads the scan — a 27-row table, so the cache is free
+    CacheScope.persisted(LayerIO.readCsv(s, dir, schema))
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        col("_corrupt_record").as("corrupt_raw"),
+        col("_corrupt_record").isNotNull.as("is_corrupt"))
+      .orderBy("n_name")
+  }
+
+  val csvPermissiveOracle: String =
+    """WITH raw AS (
+      |  SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS rk
+      |  FROM read_csv('/tmp/graft_q66_csv/*.csv', header=true, all_varchar=true)
+      |), parsed AS (
+      |  SELECT try_cast(k AS INTEGER) AS n_nationkey, nm AS n_name,
+      |    try_cast(rk AS INTEGER) AS n_regionkey,
+      |    CASE WHEN (k IS NOT NULL AND try_cast(k AS INTEGER) IS NULL)
+      |           OR (rk IS NOT NULL AND try_cast(rk AS INTEGER) IS NULL)
+      |      THEN k || ',' || nm || ',' || rk END AS corrupt_raw
+      |  FROM raw
+      |)
+      |SELECT n_nationkey, n_name, n_regionkey, corrupt_raw,
+      |  corrupt_raw IS NOT NULL AS is_corrupt
+      |FROM parsed ORDER BY n_name""".stripMargin
 
   /** q14 — referential-integrity anti-join (the automated test the
     * reference docs declare): members that never placed an order.
@@ -982,6 +1083,8 @@ object CoreQueries {
     "q12_monthly_rollup" -> (monthlyRollup(_, _)),
     "q53_incremental_rollup" -> (incrementalRollup(_, _)),
     "q13_merge_upsert" -> (mergeUpsert(_, _)),
+    "q65_merge_evolved" -> (mergeEvolved(_, _)),
+    "q66_csv_permissive" -> (csvPermissive(_, _)),
     "q14_refint_orphans" -> (refintOrphans(_, _)),
     "q15_table_stats" -> (tableStats(_, _)),
     "q16_top_members" -> (topMembers(_, _)),
@@ -1020,6 +1123,8 @@ object CoreQueries {
     "q12_monthly_rollup" -> monthlyRollupOracle,
     "q53_incremental_rollup" -> incrementalRollupOracle,
     "q13_merge_upsert" -> mergeUpsertOracle,
+    "q65_merge_evolved" -> mergeEvolvedOracle,
+    "q66_csv_permissive" -> csvPermissiveOracle,
     "q14_refint_orphans" -> refintOrphansOracle,
     "q15_table_stats" -> tableStatsOracle,
     "q16_top_members" -> topMembersOracle,

@@ -28,4 +28,42 @@ object Merge {
     val untouched = target.join(source.select(keys.map(col): _*), keys, "left_anti")
     src.unionByName(untouched)
   }
+
+  /** J2 + schema evolution: the `mergeSchema=true` analog for MERGE —
+    * Delta's `merge … withSchemaEvolution` pairing the reference
+    * declares alongside upsert (readme.md:64-70). Result schema is
+    * target ∪ source (target column order, new source columns
+    * appended). Semantics match Delta updateAll/insertAll under
+    * evolution:
+    *   - matched rows take source values for source columns and KEEP
+    *     the target's values for target-only columns;
+    *   - inserted rows NULL-fill target-only columns;
+    *   - untouched target rows NULL-fill the new source-only columns.
+    * Shared columns must agree in type — evolution adds columns, never
+    * retypes (same contract as LayerIO.appendEvolved).
+    *
+    * Scale shape: the target-only columns reach matched rows through a
+    * key-projection left join (column-pruned to keys + kept columns);
+    * the source side is the small delta batch, so the join broadcasts
+    * and the full-width target is only touched by the same anti-join
+    * [[upsert]] already pays.
+    */
+  def upsertEvolved(target: DataFrame, source: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val conflicts = source.schema.filter(f =>
+      target.schema.exists(e => e.name == f.name && e.dataType != f.dataType))
+    require(conflicts.isEmpty,
+      "schema evolution adds columns, never retypes them; conflicting: " +
+        conflicts.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", "))
+    val keptCols = target.columns.toSeq.filterNot(source.columns.contains)
+    val srcFull =
+      if (keptCols.isEmpty) source
+      else source.join(
+        target.select((keys ++ keptCols).map(col): _*), keys, "left")
+    val outCols =
+      target.columns.toSeq ++ source.columns.filterNot(target.columns.contains)
+    val untouched = target.join(source.select(keys.map(col): _*), keys, "left_anti")
+    srcFull.select(outCols.map(col): _*)
+      .unionByName(untouched, allowMissingColumns = true)
+  }
 }

@@ -61,6 +61,65 @@ object VersionedTable {
       .toSeq.sorted)
   }
 
+  // ------------------------------------------------- log checkpoints
+  //
+  // Delta compacts its JSON log into a checkpoint every 10 commits so
+  // that log replay reads one checkpoint + a bounded tail instead of
+  // every manifest since table creation. Same here: every
+  // `checkpointInterval`-th commit folds the cumulative (version, op)
+  // history into `chk-v{N}.json`; [[committedOps]] (the exactly-once
+  // hot path, consulted per micro-batch) then costs O(interval), not
+  // O(versions) — at 10⁵ commits that is the difference between 10
+  // driver-side file reads and 100,000. Checkpoints are committed with
+  // the same put-if-absent link as manifests, so racing writers cannot
+  // corrupt one, and they survive [[vacuum]] (which keeps the newest),
+  // preserving the op-dedup history of vacuumed versions.
+
+  /** Every N-th commit writes a log checkpoint. */
+  val checkpointInterval: Int = 10
+
+  private def checkpointPath(path: String, v: Long): Path =
+    logDir(path).resolve(f"chk-v$v%08d.json")
+
+  private def checkpoints(path: String): Seq[Long] = {
+    val dir = logDir(path)
+    if (!Files.exists(dir)) Seq.empty
+    else listDir(dir)(_.map(_.getFileName.toString)
+      .collect { case n if n.matches("chk-v\\d{8}\\.json") =>
+        n.stripPrefix("chk-v").stripSuffix(".json").toLong }
+      .toSeq.sorted)
+  }
+
+  private val cpEntryRe = """\[(\d+),"((?:[^"\\]|\\.)*)"\]""".r
+
+  private def readCheckpoint(path: String, v: Long): Seq[(Long, String)] =
+    cpEntryRe.findAllMatchIn(Files.readString(checkpointPath(path, v)))
+      .map(m => (m.group(1).toLong, unesc(m.group(2)))).toSeq
+
+  /** (version, op) pairs committed through `upTo`: the newest
+    * checkpoint at or below `upTo`, plus the manifest tail after it —
+    * O(interval) manifest reads once checkpoints exist.
+    */
+  private def opsThrough(path: String, upTo: Long): Seq[(Long, String)] = {
+    val cp = checkpoints(path).filter(_ <= upTo).lastOption
+    val base = cp.map(readCheckpoint(path, _)).getOrElse(Seq.empty)
+    val from = cp.getOrElse(-1L)
+    base ++ versions(path).filter(v => v > from && v <= upTo)
+      .map(v => (v, opOf(path, v)))
+  }
+
+  private def maybeCheckpoint(path: String, version: Long): Unit =
+    if (version > 0 && version % checkpointInterval == 0 &&
+        !Files.exists(checkpointPath(path, version))) {
+      val entries = opsThrough(path, version)
+        .map { case (v, o) => s"""[$v,"${esc(o)}"]""" }.mkString(",")
+      val tmp = logDir(path).resolve(s".tmp-${UUID.randomUUID()}")
+      Files.writeString(tmp, s"""{"version":$version,"ops":[$entries]}""")
+      try { Files.createLink(checkpointPath(path, version), tmp); () }
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally { Files.deleteIfExists(tmp); () }
+    }
+
   def latestVersion(path: String): Option[Long] = versions(path).lastOption
 
   private def esc(s: String): String =
@@ -146,6 +205,7 @@ object VersionedTable {
       if (tryCommit(path, next, base ++ newFiles, op))
         committed = next
     }
+    maybeCheckpoint(path, committed)
     committed
   }
 
@@ -159,7 +219,9 @@ object VersionedTable {
   def writeOnce(df: DataFrame, path: String, mode: SaveMode,
       op: String): Option[Long] = {
     val start = versions(path)
-    if (start.exists(opOf(path, _) == op)) return None
+    // checkpointed read: O(interval), not O(versions) — this check runs
+    // per micro-batch in the streaming sink
+    if (opsThrough(path, Long.MaxValue).exists(_._2 == op)) return None
     val (dataDir, newFiles) = writeData(df, path)
     val startSet = start.toSet
     var result: Option[Option[Long]] = None
@@ -170,7 +232,10 @@ object VersionedTable {
         case _ => Seq.empty
       }
       val next = prev.getOrElse(-1L) + 1
-      if (tryCommit(path, next, base ++ newFiles, op)) result = Some(Some(next))
+      if (tryCommit(path, next, base ++ newFiles, op)) {
+        maybeCheckpoint(path, next)
+        result = Some(Some(next))
+      }
       else if (versions(path).exists(v =>
           !startSet.contains(v) && opOf(path, v) == op)) {
         // a concurrent replay of this very batch won the race: our data
@@ -192,10 +257,12 @@ object VersionedTable {
   }
 
   /** Operation tags already committed (for idempotent re-delivery).
-    * Driver-side manifest reads — O(versions) small files, no Spark job.
+    * Driver-side file reads bounded by the checkpoint interval — the
+    * newest checkpoint plus the manifest tail, never the whole log.
+    * Includes ops of vacuumed versions when a checkpoint covers them.
     */
   def committedOps(spark: SparkSession, path: String): Set[String] =
-    versions(path).map(opOf(path, _)).toSet
+    opsThrough(path, Long.MaxValue).map(_._2).toSet
 
   /** The live files of `version` (parsed from its manifest via Spark's
     * JSON reader).
@@ -260,6 +327,11 @@ object VersionedTable {
     vs.dropRight(retainLast).foreach { v =>
       Files.deleteIfExists(manifestPath(path, v)); ()
     }
+    // superseded checkpoints go with them; the NEWEST survives so the
+    // op-dedup history of vacuumed versions remains consultable
+    checkpoints(path).dropRight(1).foreach { v =>
+      Files.deleteIfExists(checkpointPath(path, v)); ()
+    }
     val horizon = System.currentTimeMillis() - minAgeMs
     def expired(p: Path): Boolean =
       Files.getLastModifiedTime(p).toMillis <= horizon
@@ -310,6 +382,7 @@ object VersionedTable {
       if (tryCommit(path, base + 1, newFiles, "merge")) committed = base + 1
       else discardData(dataDir) // conflicting commit won: re-read, re-merge
     }
+    maybeCheckpoint(path, committed)
     committed
   }
 }

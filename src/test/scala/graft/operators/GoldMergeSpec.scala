@@ -83,6 +83,29 @@ class GoldMergeSpec extends SparkSpec {
     assert(again.exceptAll(merged).isEmpty && merged.exceptAll(again).isEmpty)
   }
 
+  test("Merge.upsertEvolved: evolution adds columns, keeps target-only values") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "bal")
+    // source updates bal, drops name (kept from target), adds cnt (new)
+    val source = Seq((2L, 99.0, 5L), (3L, 30.0, 7L)).toDF("k", "bal", "cnt")
+    val merged = Merge.upsertEvolved(target, source, Seq("k"))
+    assert(merged.columns.toSeq == Seq("k", "name", "bal", "cnt"),
+      "schema = target columns then new source columns")
+    val got = merged.orderBy("k")
+      .select($"k", $"name", $"bal", $"cnt").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got == Seq(
+      (1L, "a", 10.0, -1L),   // untouched: new column NULL
+      (2L, "b", 99.0, 5L),    // matched: bal updated, name KEPT, cnt gained
+      (3L, null, 30.0, 7L)))  // inserted: target-only name NULL
+    // retyping a shared column is NOT evolution — fail fast
+    val retyped = Seq((2L, "99", 5L)).toDF("k", "bal", "cnt")
+    intercept[IllegalArgumentException] {
+      Merge.upsertEvolved(target, retyped, Seq("k"))
+    }
+    ()
+  }
+
   test("flagship returns rows on sf0.001 (smoke)") {
     val df = graft.SparkEntry.entry(spark)
     assert(df.count() > 0)

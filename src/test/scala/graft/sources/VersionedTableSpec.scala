@@ -149,6 +149,40 @@ class VersionedTableSpec extends SparkSpec {
       Seq("k", "v"))
   }
 
+  test("log checkpoints: committedOps reads checkpoint + tail, survives manifest loss") {
+    val path = Files.createTempDirectory("vt7").resolve("t").toString
+    val n = 23 // crosses two checkpoint boundaries (v10, v20)
+    (0 until n).foreach { i =>
+      VersionedTable.writeOnce(Seq((i.toLong, i.toLong)).toDF("k", "v"), path,
+        SaveMode.Append, s"batch-$i")
+    }
+    val logDir = java.nio.file.Paths.get(path, "_graft_log")
+    assert(Files.exists(logDir.resolve("chk-v00000010.json")) &&
+      Files.exists(logDir.resolve("chk-v00000020.json")),
+      "every 10th commit must write a log checkpoint")
+    val expected = (0 until n).map(i => s"batch-$i").toSet
+    assert(VersionedTable.committedOps(spark, path) == expected)
+    // delete the manifests a checkpoint covers (what vacuum does at a
+    // deeper retention): the op history must come from the checkpoint,
+    // proving committedOps does NOT replay every manifest
+    (0L to 9L).foreach { v =>
+      Files.delete(logDir.resolve(f"v$v%08d.json"))
+    }
+    assert(VersionedTable.committedOps(spark, path) == expected,
+      "ops of checkpointed versions must survive manifest removal")
+    // exactly-once dedup still holds for a tag that now lives only in
+    // the checkpoint
+    assert(VersionedTable.writeOnce(Seq((99L, 99L)).toDF("k", "v"), path,
+      SaveMode.Append, "batch-3").isEmpty)
+    // vacuum keeps the newest checkpoint only
+    VersionedTable.vacuum(path, retainLast = 2, minAgeMs = 0)
+    assert(!Files.exists(logDir.resolve("chk-v00000010.json")) &&
+      Files.exists(logDir.resolve("chk-v00000020.json")),
+      "vacuum must drop superseded checkpoints and retain the newest")
+    assert(VersionedTable.committedOps(spark, path).contains("batch-3"),
+      "checkpointed op history must survive vacuum")
+  }
+
   test("optimistic concurrency: a stolen version number is retried, nothing lost") {
     val path = Files.createTempDirectory("vt2").resolve("t").toString
     VersionedTable.write(Seq((1L, "x")).toDF("k", "v"), path, SaveMode.Overwrite)
