@@ -1051,23 +1051,46 @@ object LlmQueries {
   // ----------------------------------------------------------- multimodal
 
   /** q32 — multimodal asset pipeline: opaque binary payloads + typed
-    * metadata through the partition-mapped feature extractor; the
-    * oracle checks the portable columns (the stubbed feature vector is
-    * covered by MultimodalSpec).
+    * metadata through the partition-mapped feature extractor. The
+    * oracle now covers the FULL output: metadata, the aspect-preserving
+    * resize geometry, and the golden feature vector itself (md5-derived
+    * on a 1/1024 dyadic grid — see MediaCodec.decodeStub), recomputed
+    * independently by DuckDB.
     */
   def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
     val feats = Multimodal.extractFeatures(
       Multimodal.assetsFromDocuments(s, docs(s, d)))
-    feats.toDF().select("asset_id", "media_type", "byte_len", "frames_sampled")
+    feats.toDF().select("asset_id", "media_type", "byte_len",
+        "frames_sampled", "out_width", "out_height", "feature")
       .orderBy("asset_id")
   }
 
-  val multimodalFeaturesOracle: String =
-    """SELECT doc_id AS asset_id,
-      |  (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
-      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
-      |  CAST(greatest(1, (n_chars * 10) // 1000) AS INTEGER) AS frames_sampled
-      |FROM documents ORDER BY asset_id""".stripMargin
+  val multimodalFeaturesOracle: String = {
+    // slot s of the golden vector: 60-bit md5 prefix of payload ++ ('a'+s)
+    def slot(s: Int): String =
+      s"(CAST('0x' || substr(md5(text || chr(${97 + s})), 1, 15) AS BIGINT) % 1024) / 1024.0"
+    val vec = (0 until 8).map(slot).mkString("[", ", ", "]")
+    s"""WITH a AS (
+       |  SELECT doc_id, text, n_chars,
+       |    CAST(n_chars % 640 AS INTEGER) AS w,
+       |    CAST(n_chars % 480 AS INTEGER) AS h
+       |  FROM documents
+       |)
+       |SELECT doc_id AS asset_id,
+       |  (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+       |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+       |  CAST(greatest(1, (n_chars * 10) // 1000) AS INTEGER) AS frames_sampled,
+       |  CAST(CASE WHEN w <= 0 OR h <= 0 THEN 224
+       |            WHEN w >= h THEN 224
+       |            ELSE greatest(1, CAST(floor(w * 224.0 / h + 0.5) AS INTEGER))
+       |       END AS INTEGER) AS out_width,
+       |  CAST(CASE WHEN w <= 0 OR h <= 0 THEN 224
+       |            WHEN w >= h THEN greatest(1, CAST(floor(h * 224.0 / w + 0.5) AS INTEGER))
+       |            ELSE 224
+       |       END AS INTEGER) AS out_height,
+       |  $vec AS feature
+       |FROM a ORDER BY asset_id""".stripMargin
+  }
 
   // ------------------------------------------------------- registries
 

@@ -30,17 +30,23 @@ object Multimodal {
 
   object MediaCodec {
     /** STUB decode: a real build calls the image/audio codec here. The
-      * fake is deterministic in the payload bytes (rolling byte hash per
-      * feature slot) so tests and oracles are stable.
+      * fake is a GOLDEN vector, replayable by an independent engine:
+      * slot `s` is the 60-bit prefix of `md5(payload ++ ('a'+s))`,
+      * reduced mod 1024 and scaled into [0,1). Every value lands on a
+      * 1/1024 grid — a dyadic rational, exactly representable in both
+      * float32 and float64 — so the vector round-trips bit-identically
+      * through parquet and the DuckDB oracle (q32 verifies the full
+      * vector end-to-end, not just the metadata).
       */
     def decodeStub(payload: Array[Byte], slots: Int = 8): Array[Float] = {
-      val acc = new Array[Long](slots)
-      var i = 0
-      while (i < payload.length) {
-        acc(i % slots) = acc(i % slots) * 31 + (payload(i) & 0xff)
-        i += 1
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(slots) { s =>
+        md.reset()
+        md.update(payload)
+        md.update(('a' + s).toByte)
+        val hex = md.digest().take(8).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex.take(15), 16) % 1024L) / 1024.0f
       }
-      acc.map(v => (java.lang.Long.remainderUnsigned(v, 1000L)) / 1000.0f)
     }
 
     /** Frame-sampling plan a video decoder would follow: one frame per
