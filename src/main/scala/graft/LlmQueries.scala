@@ -1092,6 +1092,210 @@ object LlmQueries {
        |FROM a ORDER BY asset_id""".stripMargin
   }
 
+  /** q67 — IVF recall@k: the ANN quality/latency trade made measurable.
+    * The same query set (vec_id % 200 == 0) runs through brute-force
+    * top-3 (exhaustive truth — every corpus vector scored) and the q30
+    * IVF path (8 seed buckets, 2 probed); recall@3 = |IVF ∩ truth| / 3
+    * per query. At 100 TB the truth side is the one you can't afford —
+    * this query is the offline audit you run on a sample to pick
+    * (buckets, probes) before trusting IVF for the full corpus.
+    */
+  def ivfRecall(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+    val q = e.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val truth = SimilarityOps.bruteForceTopK(q, e, 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = SimilarityOps.ivfTopK(e, seeds, q, k = 3, probes = 2)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), col("hits").cast("bigint").as("hits"),
+        round(col("hits") / 3.0, 4).as("recall_at_3"))
+      .orderBy("query_id")
+  }
+
+  val ivfRecallOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id % 200 = 0
+      |), truth AS (
+      |  SELECT query_id, vec_id AS neighbor_id FROM (
+      |    SELECT q.query_id, e.vec_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 4) DESC,
+      |                 e.vec_id) AS rank
+      |    FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+      |  WHERE rank <= 3
+      |), seeds AS (
+      |  SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+      |  FROM embeddings WHERE vec_id < 8
+      |), assigned AS (
+      |  SELECT vec_id, embedding, bucket FROM (
+      |    SELECT e.vec_id, e.embedding, s.seed_id AS bucket,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.sv), 6) DESC,
+      |                 s.seed_id) AS rn
+      |    FROM embeddings e, seeds s)
+      |  WHERE rn = 1
+      |), probed AS (
+      |  SELECT query_id, qv, bucket FROM (
+      |    SELECT q.query_id, q.qv, s.seed_id AS bucket,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY round(list_cosine_similarity(q.qv, s.sv), 6) DESC,
+      |                 s.seed_id) AS rn
+      |    FROM q, seeds s)
+      |  WHERE rn <= 2
+      |), approx AS (
+      |  SELECT query_id, vec_id AS neighbor_id FROM (
+      |    SELECT p.query_id, a.vec_id,
+      |      row_number() OVER (PARTITION BY p.query_id
+      |        ORDER BY round(list_cosine_similarity(p.qv, CAST(a.embedding AS DOUBLE[])), 4) DESC,
+      |                 a.vec_id) AS rank
+      |    FROM probed p JOIN assigned a ON p.bucket = a.bucket
+      |    WHERE p.query_id <> a.vec_id)
+      |  WHERE rank <= 3
+      |)
+      |SELECT t.query_id,
+      |  CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+      |  round(count(a.neighbor_id) / 3.0, 4) AS recall_at_3
+      |FROM truth t LEFT JOIN approx a
+      |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+      |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+
+  /** q68 — bigram-LM quality scoring, the CCNet-style "perplexity
+    * filter" shape: train a bigram model ON the corpus (conditional
+    * probability p(w2|w1) = c(w1,w2)/c(w1·), bigrams below a min-count
+    * cut dropped), then score every document by its mean bigram
+    * probability. Low scores flag boilerplate/gibberish whose word
+    * transitions the corpus never supports — the standard LM gate before
+    * training-data selection (CCNet trains the LM on Wikipedia; same
+    * plumbing, different model source).
+    *
+    * Scale shape: the model is two map-combinable aggregations over the
+    * bigram stream, bounded by the min-count cap (at 100 TB you'd also
+    * top-K it and broadcast); scoring is one equality join of the pair
+    * stream against the model — AQE handles hot bigrams. The per-doc
+    * mean is a position-sorted sequential fold, NOT an unordered double
+    * sum, so the result is bit-reproducible on any partitioning and in
+    * any engine (the per-doc array is doc-length-bounded — the same row
+    * the document itself already occupies).
+    *
+    * Uses mean probability rather than log-space perplexity so every
+    * arithmetic step (count ratio, ordered add) is IEEE-exact across
+    * engines — `log` ulp differences between libm implementations would
+    * make the oracle flaky.
+    */
+  def bigramLmScore(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val pairs = toks.select(col("doc_id"),
+        posexplode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))))
+      .select(col("doc_id"), col("pos"),
+        col("col.w1").as("w1"), col("col.w2").as("w2"))
+    val uni = pairs.groupBy("w1").agg(count(lit(1)).as("c_u"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_b"))
+      .filter(col("c_b") >= 3)
+    val model = big.join(uni, "w1")
+      .select(col("w1"), col("w2"),
+        (col("c_b").cast("double") / col("c_u")).as("p"))
+    pairs.join(model, Seq("w1", "w2"), "left")
+      .select(col("doc_id"), col("pos"), coalesce(col("p"), lit(0.0)).as("p"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("pos"), col("p"))).as("ps"))
+      .select(col("doc_id"),
+        size(col("ps")).cast("bigint").as("n_bigrams"),
+        size(filter(col("ps"), x => x.getField("p") > 0))
+          .cast("bigint").as("hits"),
+        round(
+          aggregate(transform(array_sort(col("ps")), x => x.getField("p")),
+            lit(0.0), (acc, x) => acc + x) / size(col("ps")),
+          4).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  val bigramLmScoreOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      |  FROM documents
+      |), pairs AS (
+      |  SELECT doc_id, i AS pos, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+      |  WHERE len(toks) >= 2
+      |), uni AS (
+      |  SELECT w1, count(*) AS c_u FROM pairs GROUP BY w1
+      |), big AS (
+      |  SELECT w1, w2, count(*) AS c_b FROM pairs GROUP BY w1, w2
+      |  HAVING count(*) >= 3
+      |), model AS (
+      |  SELECT b.w1, b.w2, CAST(b.c_b AS DOUBLE) / u.c_u AS p
+      |  FROM big b JOIN uni u USING (w1)
+      |), scored AS (
+      |  SELECT pr.doc_id, pr.pos, coalesce(m.p, 0.0) AS p
+      |  FROM pairs pr LEFT JOIN model m ON pr.w1 = m.w1 AND pr.w2 = m.w2
+      |)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+      |  round(list_reduce(list(p ORDER BY pos), (acc, x) -> acc + x)
+      |        / count(*), 4) AS lm_score
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q69 — document chunking for training/RAG: overlapping token
+    * windows of width 64 with stride 48 (16-token overlap), the unit a
+    * downstream embedder or packer consumes. Chunk boundaries depend
+    * only on the document's own token array — generated with
+    * `sequence` + `explode` per row, so chunking is embarrassingly
+    * parallel (no shuffle at all until a consumer asks for one) and the
+    * chunk count per doc is ceil((n-64)/48)+1, tail included. Emits the
+    * chunk fingerprint rather than the text to keep the verified result
+    * narrow; a real pipeline would carry `chunk_text` forward.
+    */
+  def chunkDocuments(s: SparkSession, d: String): DataFrame = {
+    val W = 64
+    val S = 48
+    val toks = docs(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 1)
+    toks
+      .withColumn("n_chunks",
+        when(col("n") <= W, lit(1))
+          .otherwise(ceil((col("n") - W).cast("double") / S).cast("int") + 1))
+      .select(col("doc_id"), col("n"), col("toks"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("bigint").as("chunk_id"),
+        least(lit(W), col("n") - col("chunk_id") * S).cast("bigint")
+          .as("n_tokens"),
+        md5(array_join(slice(col("toks"), col("chunk_id") * S + 1, lit(W)), " "))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val chunkDocumentsOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks,
+      |    len(string_split_regex(lower(text), '\s+')) AS n
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, n, toks,
+      |    CASE WHEN n <= 64 THEN 1
+      |         ELSE CAST(ceil((n - 64) / 48.0) AS INTEGER) + 1 END AS n_chunks
+      |  FROM t WHERE n >= 1
+      |)
+      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+      |  CAST(least(64, n - i * 48) AS BIGINT) AS n_tokens,
+      |  md5(array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ')) AS chunk_md5
+      |FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1123,6 +1327,9 @@ object LlmQueries {
     "q58_cluster_split" -> (clusterSplit(_, _)),
     "q59_heavy_hitters" -> (heavyHitterTokens(_, _)),
     "q62_edit_distance" -> (editDistancePairs(_, _)),
+    "q67_ivf_recall" -> (ivfRecall(_, _)),
+    "q68_bigram_lm_score" -> (bigramLmScore(_, _)),
+    "q69_chunk_documents" -> (chunkDocuments(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1154,5 +1361,8 @@ object LlmQueries {
     "q58_cluster_split" -> clusterSplitOracle,
     "q59_heavy_hitters" -> heavyHitterTokensOracle,
     "q62_edit_distance" -> editDistancePairsOracle,
+    "q67_ivf_recall" -> ivfRecallOracle,
+    "q68_bigram_lm_score" -> bigramLmScoreOracle,
+    "q69_chunk_documents" -> chunkDocumentsOracle,
   )
 }

@@ -26,9 +26,13 @@ object Skew {
     *   which carry enough entropy to spread a hot key at a few bytes
     *   of hashing each.
     */
-  def saltedJoin(facts: DataFrame, dim: DataFrame, key: String,
-      saltFactor: Int = 8, saltFrom: Seq[String] = Nil): DataFrame = {
-    require(saltFactor >= 1)
+  /** The deterministic fact-side salt in [0, saltFactor): a hash of the
+    * key plus cheap fixed-width columns (see [[saltedJoin]]'s saltFrom
+    * doc), NOT rand() — runs are reproducible. Exposed so specs can
+    * measure the spread the join will see.
+    */
+  def saltExpr(facts: DataFrame, key: String, saltFactor: Int,
+      saltFrom: Seq[String] = Nil): Column = {
     import org.apache.spark.sql.types._
     val cheap =
       if (saltFrom.nonEmpty) saltFrom
@@ -43,9 +47,14 @@ object Skew {
         if (atomic.nonEmpty) atomic.take(3)
         else facts.columns.filterNot(_ == key).take(1).toSeq
       }
-    // deterministic salt from a row hash, NOT rand(): reproducible runs
+    pmod(xxhash64((key +: cheap).map(col): _*), lit(saltFactor))
+  }
+
+  def saltedJoin(facts: DataFrame, dim: DataFrame, key: String,
+      saltFactor: Int = 8, saltFrom: Seq[String] = Nil): DataFrame = {
+    require(saltFactor >= 1)
     val salted = facts.withColumn("__salt",
-      pmod(xxhash64((key +: cheap).map(col): _*), lit(saltFactor)))
+      saltExpr(facts, key, saltFactor, saltFrom))
     val replicated = dim
       .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
       .withColumn("__salt", col("__salt").cast("bigint"))

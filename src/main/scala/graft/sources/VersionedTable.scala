@@ -359,6 +359,55 @@ object VersionedTable {
     deleted
   }
 
+  /** OPTIMIZE-style file compaction — the reference's "OPTIMIZE command
+    * to compact small files" with a 128-256MB target
+    * (/root/reference/bronze_silver_gold/readme.md:96,107). Files of the
+    * latest version smaller than `targetBytes` are bin-packed into
+    * ~target-sized rewrites and committed as one new version whose
+    * manifest lists (kept large files ++ compacted files); table CONTENT
+    * is bit-identical (pure file-layout change), old versions still
+    * time-travel, and the superseded small files become vacuumable.
+    *
+    * Scale shape: the driver touches only file METADATA (one size stat
+    * per live file — what Delta reads from its log); the data move is a
+    * distributed scan + repartition of just the small files, never the
+    * whole table. Rewriting mixed-schema files materializes the unioned
+    * schema with NULLs — exactly what merge-on-read surfaces, so reads
+    * are unchanged.
+    *
+    * Optimistic concurrency as [[mergeCommit]]: the plan is computed
+    * against a captured base and committed at base+1; losing the race
+    * discards the rewrite and re-plans, so a concurrent append's files
+    * are never dropped from the manifest.
+    *
+    * Returns the committed version, or None when fewer than 2 files are
+    * below target (nothing to compact).
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Option[Long] = {
+    var result: Option[Option[Long]] = None
+    while (result.isEmpty) {
+      val base = latestVersion(path).getOrElse(
+        throw new IllegalStateException(s"no versions at $path"))
+      val all = files(path, base)
+      val small = all.filter(f => Files.size(Paths.get(f)) < targetBytes)
+      if (small.size < 2) result = Some(None)
+      else {
+        val keep = all.filterNot(small.toSet)
+        val total = small.map(f => Files.size(Paths.get(f))).sum
+        val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+        val compacted = spark.read.option("mergeSchema", "true")
+          .parquet(small: _*).repartition(nOut)
+        val (dataDir, newFiles) = writeData(compacted, path)
+        if (tryCommit(path, base + 1, keep ++ newFiles, "compact")) {
+          maybeCheckpoint(path, base + 1)
+          result = Some(Some(base + 1))
+        } else discardData(dataDir) // concurrent commit won: re-plan
+      }
+    }
+    result.get
+  }
+
   /** MERGE as a transaction: upsert `source` into the latest version on
     * `keys`, committed as a single new overwrite version (readers never
     * observe the intermediate state).

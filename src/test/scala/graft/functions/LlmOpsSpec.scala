@@ -238,6 +238,45 @@ class LlmOpsSpec extends SparkSpec {
     assert(f1.out_width >= 1 && f1.out_height >= 1)
   }
 
+  test("chunking covers every token with 16-token overlap, tail included") {
+    val out = graft.LlmQueries.chunkDocuments(spark, sf)
+    val t = docs.select($"doc_id",
+      size(TextAnalysis.tokens($"text")).as("n"))
+    // chunk count and coverage: ceil((n-64)/48)+1 chunks; last chunk's
+    // start + its token count reaches exactly n
+    val joined = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        max($"chunk_id" * 48 + $"n_tokens").as("covered"))
+      .join(t, "doc_id")
+    assert(joined.filter($"covered" =!= $"n").count() == 0,
+      "chunks must cover the full token stream")
+    assert(joined.filter($"n" <= 64 && $"n_chunks" =!= 1).count() == 0)
+    val bad = joined.filter($"n" > 64 &&
+      $"n_chunks" =!= ceil(($"n" - 64).cast("double") / 48).cast("int") + 1)
+    assert(bad.count() == 0)
+    // every non-tail chunk is exactly the window width
+    val widths = out.join(t, "doc_id")
+      .filter($"chunk_id" * 48 + 64 <= $"n")
+    assert(widths.filter($"n_tokens" =!= 64).count() == 0)
+  }
+
+  test("bigram LM score: scores in [0,1], planted duplicates score high") {
+    val out = graft.LlmQueries.bigramLmScore(spark, sf)
+    assert(out.filter($"lm_score" < 0 || $"lm_score" > 1).count() == 0,
+      "mean bigram probability must be a probability")
+    assert(out.filter($"hits" > $"n_bigrams").count() == 0)
+    // a doc made of one high-frequency bigram repeated must score near 1:
+    // its single transition dominates the corpus model
+    val planted = (0L until 20L).map(i => (i, "alpha beta " * 50))
+      .toDF("doc_id", "text")
+    // run the same pipeline over a self-contained corpus
+    val dir = java.nio.file.Files.createTempDirectory("lmdocs").toString
+    planted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val scored = graft.LlmQueries.bigramLmScore(spark, dir)
+    assert(scored.filter($"lm_score" < 0.9).count() == 0,
+      "degenerate repeated-bigram docs must score high")
+  }
+
   test("PII scrubbing masks emails, urls, phones; clean text untouched") {
     val df = Seq(
       ("mail me at bob.smith+x@corp.example.co", "<EMAIL>"),

@@ -47,4 +47,35 @@ class BucketedJoinSpec extends SparkSpec {
     val profile = Skew.keySkewProfile(facts, "l_suppkey", 3)
     assert(profile.count() == 3)
   }
+
+  test("auto-derived salt factor spreads a 90%-hot-key input evenly") {
+    // 90k rows on one hot key, 10k spread over 100 cold keys — the shape
+    // that melts one reducer in an unsalted shuffle join
+    val skewed = spark.range(100000).select(
+      when($"id" < 90000, lit(7L)).otherwise($"id" % 100).as("k"),
+      ($"id" * 31 % 1009).as("m1"), ($"id" % 13).as("m2"))
+    val profile = Skew.keySkewProfile(skewed, "k", 5)
+    val top = profile.orderBy($"count".desc).select("share").as[Double].head()
+    assert(top > 0.85 && top <= 0.95, s"hot key share should be ~0.9, got $top")
+
+    val partitions = 32
+    val factor = Skew.suggestedSaltFactor(profile, partitions)
+    // 0.9 share × 32 partitions → ceil = 29 sub-keys
+    assert(factor == math.ceil(top * partitions).toInt, s"factor $factor")
+
+    // post-salt spread of the hot key: max bucket < 2× the mean bucket
+    val buckets = skewed.filter($"k" === 7L)
+      .withColumn("salt", Skew.saltExpr(skewed, "k", factor))
+      .groupBy("salt").count()
+      .select("count").as[Long].collect()
+    assert(buckets.length == factor, "hot key must reach every sub-key")
+    val mean = buckets.sum.toDouble / buckets.length
+    assert(buckets.max < 2 * mean,
+      s"post-salt spread must be < 2x mean: max=${buckets.max} mean=$mean")
+
+    // and the salted join still equals the plain join
+    val dim = (0L until 100L).map(k => (k, s"d$k")).toDF("k", "v")
+    val plain = skewed.join(dim, "k").count()
+    assert(Skew.saltedJoin(skewed, dim, "k", factor).count() == plain)
+  }
 }

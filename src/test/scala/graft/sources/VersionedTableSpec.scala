@@ -183,6 +183,53 @@ class VersionedTableSpec extends SparkSpec {
       "checkpointed op history must survive vacuum")
   }
 
+  test("compact: bin-packs small files, content identical, old files vacuumable") {
+    val path = Files.createTempDirectory("vt8").resolve("t").toString
+    // 8 append commits of one tiny file each → 8 live files
+    VersionedTable.write(Seq((0L, "r0")).toDF("k", "v"), path, SaveMode.Overwrite)
+    (1 to 7).foreach { i =>
+      VersionedTable.write(Seq((i.toLong, s"r$i")).toDF("k", "v"), path,
+        SaveMode.Append)
+    }
+    val before = VersionedTable.read(spark, path)
+      .as[(Long, String)].collect().toSeq.sorted
+    val filesBefore = VersionedTable.files(path, 7L)
+    assert(filesBefore.size >= 8)
+
+    val v = VersionedTable.compact(spark, path)
+    assert(v.contains(8L))
+    assert(VersionedTable.opOf(path, 8L) == "compact")
+    // pure layout change: multiset-identical rows, strictly fewer files
+    val filesAfter = VersionedTable.files(path, 8L)
+    assert(filesAfter.size < filesBefore.size,
+      s"compaction must shrink the file count: ${filesBefore.size} -> ${filesAfter.size}")
+    assert(VersionedTable.read(spark, path)
+      .as[(Long, String)].collect().toSeq.sorted == before)
+    // pre-compaction version still time-travels off the original files
+    assert(VersionedTable.readVersion(spark, path, 7L)
+      .as[(Long, String)].collect().toSeq.sorted == before)
+    // everything already at target: compact is a no-op
+    assert(VersionedTable.compact(spark, path).isEmpty)
+    // vacuum sweeps the superseded small files; the compacted table reads intact
+    assert(VersionedTable.vacuum(path, retainLast = 1, minAgeMs = 0) >= 8)
+    assert(VersionedTable.read(spark, path)
+      .as[(Long, String)].collect().toSeq.sorted == before)
+  }
+
+  test("compact: mixed-schema files rewrite to the merge-on-read result") {
+    val path = Files.createTempDirectory("vt9").resolve("t").toString
+    VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), path, SaveMode.Overwrite)
+    VersionedTable.write(Seq((2L, "b", 9.5)).toDF("k", "v", "score"), path,
+      SaveMode.Append) // widened
+    val before = VersionedTable.read(spark, path).orderBy("k")
+      .select("k", "v", "score").as[(Long, String, Option[Double])]
+      .collect().toSeq
+    assert(VersionedTable.compact(spark, path).contains(2L))
+    assert(VersionedTable.read(spark, path).orderBy("k")
+      .select("k", "v", "score").as[(Long, String, Option[Double])]
+      .collect().toSeq == before)
+  }
+
   test("optimistic concurrency: a stolen version number is retried, nothing lost") {
     val path = Files.createTempDirectory("vt2").resolve("t").toString
     VersionedTable.write(Seq((1L, "x")).toDF("k", "v"), path, SaveMode.Overwrite)
