@@ -1296,6 +1296,132 @@ object LlmQueries {
       |FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** q70 — duplicated-span coverage: the exact-substring-dedup analysis
+    * (Lee et al. 2022) — per document, how many 8-token spans recur
+    * anywhere in the corpus and how many tokens their union covers (the
+    * amount substring dedup would cut). The planted near-duplicates make
+    * the coverage non-trivial.
+    */
+  def spanDedup(s: SparkSession, d: String): DataFrame =
+    DedupOps.duplicatedSpanStats(docs(s, d), "text", "doc_id")
+      .orderBy("doc_id")
+
+  val spanDedupOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+      |), g AS (
+      |  SELECT doc_id, u.i - 1 AS pos,
+      |    md5(array_to_string(t[u.i : u.i + 7], ' ')) AS h
+      |  FROM tok, UNNEST(range(1, len(t) - 6)) AS u(i)
+      |  WHERE len(t) >= 8
+      |), d AS (
+      |  SELECT h FROM g GROUP BY h HAVING count(*) > 1
+      |), p AS (
+      |  SELECT g.doc_id, g.pos FROM g JOIN d USING (h)
+      |), c AS (
+      |  SELECT doc_id, pos,
+      |    greatest(0, pos + 8 - greatest(coalesce(
+      |      max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos), pos)) AS new_tokens
+      |  FROM p
+      |), perdoc AS (
+      |  SELECT doc_id, count(*) AS n_dup_positions,
+      |    CAST(sum(new_tokens) AS BIGINT) AS dup_tokens_covered
+      |  FROM c GROUP BY 1
+      |), tot AS (
+      |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+      |    CAST(greatest(len(t) - 7, 0) AS BIGINT) AS n_positions
+      |  FROM tok
+      |)
+      |SELECT tot.doc_id, n_tokens, n_positions,
+      |  coalesce(n_dup_positions, 0) AS n_dup_positions,
+      |  coalesce(dup_tokens_covered, 0) AS dup_tokens_covered,
+      |  round(coalesce(dup_tokens_covered, 0) * 1.0 / n_tokens, 6) AS dup_ratio
+      |FROM tot LEFT JOIN perdoc USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q71 — TF-IDF keyword extraction: top-5 terms per document by
+    * tf · (N/df) (multiplicative inverse document frequency — the
+    * rational form is IEEE-exact cross-engine, where `ln` rounding is
+    * implementation-defined; the rank order per term count is the same).
+    * Term-keyed shuffle for df, doc-partitioned top-k (WindowGroupLimit
+    * pushes the limit below the sort) — no driver traffic, no global
+    * window.
+    */
+  def tfidfTerms(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val toks = dd.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = dd.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+      // tf·N is exact in long and exact in double; the division is
+      // correctly rounded — identical doubles in any IEEE engine
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("rank").cast("bigint").as("rank"), col("term"),
+        col("tf"), col("df"), round(col("score"), 6).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val tfidfTermsOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+      |), df AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+      |), n AS (
+      |  SELECT count(*) AS n_docs FROM documents
+      |), s AS (
+      |  SELECT doc_id, term, tf, df, CAST(tf * n_docs AS DOUBLE) / df AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, term) AS rank FROM s
+      |)
+      |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df,
+      |  round(score, 6) AS tfidf
+      |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
+  /** q72 — int8 scalar-quantized ANN: top-3 neighbors per query ranked
+    * by EXACT integer dot products over fixed-scale quantized codes
+    * ([[SimilarityOps.quantize8]]) — the 4×-memory-reduction scale path
+    * for ANN, with no floating-point anywhere in the ranking.
+    */
+  def quantizedAnn(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    SimilarityOps.quantizedTopK(q, e, k = 3).orderBy("query_id", "rank")
+  }
+
+  val quantizedAnnOracle: String =
+    """WITH qz AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(floor(x * 127) AS BIGINT)) AS v
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS query_id, v AS qv FROM qz WHERE vec_id % 200 = 0
+      |), s AS (
+      |  SELECT query_id, vec_id,
+      |    CAST(list_sum(list_transform(range(1, len(qv) + 1),
+      |      i -> qv[i] * v[i])) AS BIGINT) AS qdot
+      |  FROM q, qz WHERE vec_id <> query_id
+      |), r AS (
+      |  SELECT query_id, vec_id, qdot,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY qdot DESC, vec_id) AS rank
+      |  FROM s
+      |)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, qdot
+      |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1330,6 +1456,9 @@ object LlmQueries {
     "q67_ivf_recall" -> (ivfRecall(_, _)),
     "q68_bigram_lm_score" -> (bigramLmScore(_, _)),
     "q69_chunk_documents" -> (chunkDocuments(_, _)),
+    "q70_span_dedup" -> (spanDedup(_, _)),
+    "q71_tfidf_terms" -> (tfidfTerms(_, _)),
+    "q72_quantized_ann" -> (quantizedAnn(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1364,5 +1493,8 @@ object LlmQueries {
     "q67_ivf_recall" -> ivfRecallOracle,
     "q68_bigram_lm_score" -> bigramLmScoreOracle,
     "q69_chunk_documents" -> chunkDocumentsOracle,
+    "q70_span_dedup" -> spanDedupOracle,
+    "q71_tfidf_terms" -> tfidfTermsOracle,
+    "q72_quantized_ann" -> quantizedAnnOracle,
   )
 }

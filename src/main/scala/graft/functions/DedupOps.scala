@@ -310,6 +310,57 @@ object DedupOps {
         .select(col("doc_id"), col("simhash")))
   }
 
+  /** Duplicated-span coverage — the per-document analysis behind exact
+    * substring deduplication (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": remove any span of ≥ N tokens
+    * that occurs more than once in the corpus). For every document:
+    * how many of its N-gram start positions are duplicated anywhere in
+    * the corpus (including within the document), and how many TOKENS the
+    * union of those duplicated spans covers — the exact byte count a
+    * substring-dedup pass would cut.
+    *
+    * Scale shape: one generation pass (positions explode map-side), one
+    * map-combinable count per n-gram hash, one equality semi-join back,
+    * and a per-document window for the interval union — partitioned by
+    * doc id, never global. Driver traffic: none.
+    */
+  def duplicatedSpanStats(docs: DataFrame, textCol: String, idCol: String,
+      spanN: Int = 8): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("t"))
+    // (doc, pos, hash of the N tokens starting at pos), 0-based positions
+    val grams = graft.CacheScope.persisted( // consumed by count + semi-join probe
+      toks.filter(size(col("t")) >= spanN)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(t) - $spanN), " +
+            s"i -> md5(array_join(slice(t, i + 1, $spanN), ' ')))")))
+        .toDF("doc_id", "pos", "h"))
+    val dupHashes = grams.groupBy("h").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1).select("h")
+    val dupPos = grams.join(dupHashes, Seq("h"), "left_semi")
+    // interval union per doc: tokens [pos, pos+N) not already covered by
+    // an earlier duplicated span = pos+N − max(prev span ends, pos)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val covered = dupPos
+      .withColumn("prev_end", max(col("pos") + spanN).over(w))
+      .withColumn("new_tokens", greatest(lit(0),
+        col("pos") + spanN - greatest(coalesce(col("prev_end"), col("pos")), col("pos"))))
+    val perDoc = covered.groupBy("doc_id").agg(
+      count(lit(1)).as("n_dup_positions"),
+      sum(col("new_tokens")).as("dup_tokens_covered"))
+    toks.select(col("doc_id"),
+        size(col("t")).cast("bigint").as("n_tokens"),
+        greatest(size(col("t")) - (spanN - 1), lit(0)).cast("bigint").as("n_positions"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_positions"),
+        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
+        coalesce(col("dup_tokens_covered"), lit(0L)).cast("bigint").as("dup_tokens_covered"),
+        round(coalesce(col("dup_tokens_covered"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("dup_ratio"))
+  }
+
   /** SimHash near-dup pairs: block on 8-bit signature chunks (equality
     * join — candidates must agree on ≥1 of 4 chunks, which any pair at
     * hamming ≤ 3 necessarily does), verify hamming ≤ maxHamming.

@@ -69,6 +69,37 @@ object SimilarityOps {
     rankTopK(scored, "query_id", "vec_id", k)
   }
 
+  /** Int8 scalar quantization with a fixed [-1, 1] → [-127, 127] scale:
+    * q[d] = floor(v[d] · 127). The 100 TB memory lever for ANN — 4×
+    * smaller vectors (and integer SIMD dot products on real hardware)
+    * at a bounded rank error. Float→double is exact and double·127 is
+    * correctly rounded, so the quantized codes are bit-identical in any
+    * IEEE engine — unlike a trained codebook, nothing here depends on
+    * iteration order.
+    */
+  def quantize8(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * lit(127)).cast("long"))
+
+  /** Brute-force top-k over int8-quantized codes: integer dot products
+    * (exact — no float ordering anywhere), rank by dot DESC with id
+    * tie-break. Same scale shape as [[bruteForceTopK]]: queries
+    * broadcast, corpus never shuffles, bounded top-k aggregation.
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val qq = queries.select(col("query_id"), quantize8(col("query_vec")).as("qv"))
+    val cc = corpus.select(col("vec_id"), quantize8(col("embedding")).as("cv"))
+    val scored = cc.crossJoin(broadcast(qq))
+      .filter(col("query_id") =!= col("vec_id"))
+      // integer dot as the TopK sort key: values ≤ 127²·dims ≪ 2⁵³, so
+      // the double carrier is exact
+      .withColumn("sim",
+        aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y),
+          lit(0L), (s, x) => s + x).cast("double"))
+    rankTopK(scored, "query_id", "vec_id", k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim").cast("bigint").as("qdot"))
+  }
+
   /** Sign-LSH bucket key over the first `dims` dimensions: bit d set iff
     * v[d] > 0. Scale-invariant, so exact and scaled duplicates share a
     * bucket. 16 bits by default → 65,536 buckets: within-bucket all-pairs

@@ -5,7 +5,7 @@ import java.util.UUID
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Minimal versioned table format — the Delta-style transaction-log
@@ -129,14 +129,19 @@ object VersionedTable {
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
   /** Stage + atomically commit manifest for `version`; false if that
-    * version already exists (lost the race).
+    * version already exists (lost the race). `dv` lists the version's
+    * deletion-vector parquet files (omitted from the JSON when empty, so
+    * pre-DV manifests and DV-free tables are byte-identical to before).
     */
   private def tryCommit(path: String, version: Long, files: Seq[String],
-      op: String): Boolean = {
+      op: String, dv: Seq[String] = Seq.empty): Boolean = {
     Files.createDirectories(logDir(path))
+    val dvField =
+      if (dv.isEmpty) ""
+      else s""","dv":[${dv.map(f => "\"" + esc(f) + "\"").mkString(",")}]"""
     val json =
       s"""{"version":$version,"op":"${esc(op)}","files":[${
-        files.map(f => "\"" + esc(f) + "\"").mkString(",")}]}"""
+        files.map(f => "\"" + esc(f) + "\"").mkString(",")}]$dvField}"""
     val tmp = logDir(path).resolve(s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, json)
     // put-if-absent must FAIL when the version exists. ATOMIC_MOVE is the
@@ -156,8 +161,9 @@ object VersionedTable {
   /** Write the batch's data files (immutable, never visible until a
     * manifest references them). Returns (dataDir, file list).
     */
-  private def writeData(df: DataFrame, path: String): (Path, Seq[String]) = {
-    val dataDir = Paths.get(s"$path/data/${UUID.randomUUID()}")
+  private def writeData(df: DataFrame, path: String,
+      sub: String = "data"): (Path, Seq[String]) = {
+    val dataDir = Paths.get(s"$path/$sub/${UUID.randomUUID()}")
     df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
     val newFiles = listDir(dataDir)(
       _.map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted)
@@ -274,16 +280,230 @@ object VersionedTable {
       .collect().map(_.getString(0)).toSeq
   }
 
+  // ------------------------------------------------- deletion vectors
+  //
+  // DELETE / MERGE at 100 TB must not rewrite 100 TB. Copy-on-write
+  // [[mergeCommit]] rewrites the whole table per merge; Delta's answer is
+  // (a) rewrite only the files a merge touches and (b) deletion vectors —
+  // mark deleted ROW POSITIONS in a side file and let readers subtract
+  // them, so a delete/merge commit costs O(changed rows), not O(table).
+  // Same here: a DV is a parquet file of (file, pos) pairs recorded from
+  // the scan's `_metadata.file_path`/`_metadata.row_index`, listed in the
+  // manifest's `dv` field. Readers anti-join the DV (broadcast while the
+  // DV is small, shuffle beyond the gate — production Delta refines this
+  // to a roaring bitmap per file; the protocol shape is identical). DV
+  // entries that reference files no longer in the manifest are inert, so
+  // rewrites (compaction, pruned merge) simply drop rows from the DV's
+  // effective domain without editing DV files — immutability everywhere.
+
+  private val FileCol = "_vt_file"
+  private val PosCol = "_vt_pos"
+  /** Above this total DV size the read-side anti-join stops broadcasting. */
+  private val dvBroadcastBytes: Long = 64L << 20
+
+  /** Deletion-vector files of `version` (empty for DV-free manifests). */
+  def dvFiles(path: String, version: Long): Seq[String] = {
+    val json = Files.readString(manifestPath(path, version))
+    """"dv":\[([^\]]*)\]""".r.findFirstMatchIn(json).map { m =>
+      """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m.group(1))
+        .map(g => unesc(g.group(1))).toSeq
+    }.getOrElse(Seq.empty)
+  }
+
+  /** Scan `fs` with the file/position metadata columns attached. */
+  private def withPos(spark: SparkSession, fs: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(fs: _*)
+      .withColumn(FileCol, col("_metadata.file_path"))
+      .withColumn(PosCol, col("_metadata.row_index"))
+
+  /** Subtract DV positions from a [[withPos]] scan. Broadcast is gated on
+    * the DVs' on-disk size (a driver-side stat, no extra job).
+    */
+  private def subtractDv(spark: SparkSession, scan: DataFrame,
+      dvs: Seq[String]): DataFrame =
+    if (dvs.isEmpty) scan
+    else {
+      val dv = spark.read.parquet(dvs: _*).select(col("file"), col("pos"))
+      val bytes = dvs.map(f => Files.size(Paths.get(f))).sum
+      val probe = if (bytes <= dvBroadcastBytes) broadcast(dv) else dv
+      scan.join(probe,
+        scan(FileCol) === probe("file") && scan(PosCol) === probe("pos"),
+        "left_anti")
+    }
+
+  /** The live rows of a version, position columns attached (the common
+    * read under every DV-aware operation).
+    */
+  private def liveWithPos(spark: SparkSession, fs: Seq[String],
+      dvs: Seq[String]): DataFrame =
+    subtractDv(spark, withPos(spark, fs), dvs)
+
+  /** `_metadata.file_path` is a URI (`file:///…`); manifests store plain
+    * paths. Driver-side mapping for pruned-merge's touched-file list.
+    */
+  private def uriToPath(u: String): String = new java.net.URI(u).getPath
+
+  /** DV-based DELETE: mark rows matching `cond` deleted — data files are
+    * untouched, the commit writes only the matched (file, pos) pairs.
+    * Optimistic-concurrency loop as [[mergeCommit]]. Returns the
+    * committed version.
+    */
+  def deleteWhere(spark: SparkSession, path: String, cond: Column): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val base = latestVersion(path).getOrElse(
+        throw new IllegalStateException(s"no versions at $path"))
+      val fs = files(path, base)
+      val dvs = dvFiles(path, base)
+      val hits = liveWithPos(spark, fs, dvs).filter(cond)
+        .select(col(FileCol).as("file"), col(PosCol).as("pos"))
+      val (dvDir, newDv) = writeData(hits, path, "dv")
+      if (tryCommit(path, base + 1, fs, "delete", dvs ++ newDv))
+        committed = base + 1
+      else discardData(dvDir) // concurrent commit won: recompute positions
+    }
+    maybeCheckpoint(path, committed)
+    committed
+  }
+
+  /** MERGE via deletion vectors: matched target rows are DV-masked and
+    * the source lands as new data files — NO target file is rewritten,
+    * so commit cost is O(source + matched positions) regardless of table
+    * size. Result is observably identical to [[mergeCommit]]. Same
+    * precondition as [[graft.operators.Merge.upsert]]: one source row
+    * per key.
+    */
+  def mergeCommitDV(spark: SparkSession, path: String, source: DataFrame,
+      keys: Seq[String]): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val base = latestVersion(path).getOrElse(
+        throw new IllegalStateException(s"no versions at $path"))
+      val fs = files(path, base)
+      val dvs = dvFiles(path, base)
+      val matched = liveWithPos(spark, fs, dvs)
+        .join(source.select(keys.map(col): _*), keys, "left_semi")
+        .select(col(FileCol).as("file"), col(PosCol).as("pos"))
+      val (dvDir, newDv) = writeData(matched, path, "dv")
+      val (dataDir, newFiles) = writeData(source, path)
+      if (tryCommit(path, base + 1, fs ++ newFiles, "merge-dv", dvs ++ newDv))
+        committed = base + 1
+      else { discardData(dvDir); discardData(dataDir) }
+    }
+    maybeCheckpoint(path, committed)
+    committed
+  }
+
+  /** MERGE with file pruning: rewrite ONLY the files that contain a
+    * matched key; untouched files carry over by reference (Delta's
+    * copy-on-write merge). The driver handles a file-name list (metadata
+    * scale); the data job reads just the touched files plus the source.
+    * Prefer [[mergeCommitDV]] when updates are sparse and rewrite
+    * amplification matters; prefer this when DV accumulation (read-side
+    * anti-join growth) matters.
+    */
+  def mergeCommitPruned(spark: SparkSession, path: String, source: DataFrame,
+      keys: Seq[String]): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val base = latestVersion(path).getOrElse(
+        throw new IllegalStateException(s"no versions at $path"))
+      val fs = files(path, base)
+      val dvs = dvFiles(path, base)
+      val live = liveWithPos(spark, fs, dvs)
+      // bounded driver traffic: one row per TOUCHED FILE, never per data row
+      val touched = live
+        .join(source.select(keys.map(col): _*), keys, "left_semi")
+        .select(FileCol).distinct()
+        .collect().map(r => uriToPath(r.getString(0))).toSet
+      val untouched = fs.filterNot(touched)
+      val targetSlice =
+        if (touched.isEmpty) live.drop(FileCol, PosCol).limit(0)
+        else liveWithPos(spark, fs.filter(touched), dvs).drop(FileCol, PosCol)
+      val merged = graft.operators.Merge.upsert(targetSlice, source, keys)
+      val (dataDir, newFiles) = writeData(merged, path)
+      // DV entries for rewritten files go inert with the files themselves
+      if (tryCommit(path, base + 1, untouched ++ newFiles, "merge-pruned", dvs))
+        committed = base + 1
+      else discardData(dataDir)
+    }
+    maybeCheckpoint(path, committed)
+    committed
+  }
+
+  // ---------------------------------------------------- change data feed
+
+  /** Row-level change feed for `(fromVersion, toVersion]` — Delta CDF's
+    * shape: the table columns plus `_change_type` (`insert` | `delete`;
+    * a merge's update surfaces as delete-of-preimage + insert-of-
+    * postimage) and `_commit_version`. Exact for commits that only add
+    * files and/or DV entries (append, [[writeOnce]], [[deleteWhere]],
+    * [[mergeCommitDV]]); `compact` commits are pure layout and yield no
+    * changes; rewrite commits (overwrite, [[mergeCommit]],
+    * [[mergeCommitPruned]]) destroy row identity and raise — a CDF
+    * consumer pins the table to DV-based operations, exactly as Delta
+    * requires CDF to be enabled before it records changes.
+    */
+  def changes(spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion, s"bad range ($fromVersion, $toVersion]")
+    val meta = Seq(FileCol, PosCol)
+    val deltas = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val op = opOf(path, v)
+      if (op == "compact") Seq.empty
+      else {
+        val prevFiles = files(path, v - 1).toSet
+        val curFiles = files(path, v)
+        val removed = prevFiles -- curFiles.toSet
+        if (removed.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"version $v (op=$op) rewrites files; the change feed supports " +
+              "append/delete/merge-dv commits (and skips compact)")
+        val addedFiles = curFiles.filterNot(prevFiles)
+        val addedDv = dvFiles(path, v).filterNot(dvFiles(path, v - 1).toSet)
+        val inserts =
+          if (addedFiles.isEmpty) Seq.empty
+          else Seq(spark.read.option("mergeSchema", "true")
+            .parquet(addedFiles: _*)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v)))
+        val deletes =
+          if (addedDv.isEmpty) Seq.empty
+          else {
+            val dv = spark.read.parquet(addedDv: _*).select(col("file"), col("pos"))
+            val scan = withPos(spark, files(path, v - 1))
+            Seq(scan.join(broadcast(dv),
+                scan(FileCol) === dv("file") && scan(PosCol) === dv("pos"),
+                "left_semi")
+              .drop(meta: _*)
+              .withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_version", lit(v)))
+          }
+        inserts ++ deletes
+      }
+    }
+    val empty = readVersion(spark, path, toVersion).limit(0)
+      .withColumn("_change_type", lit(""))
+      .withColumn("_commit_version", lit(0L))
+    deltas.foldLeft(empty)(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Read the table as of `version` (time travel). Schemas are unioned
     * across files (merge-on-read), so versions written after a widening
     * append surface the full evolved schema with NULLs where a file
-    * predates a column.
+    * predates a column. Deletion vectors, when present, are subtracted
+    * by a size-gated anti-join; DV-free versions keep the plain scan
+    * (zero overhead).
     */
   def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
     val fs = files(path, version)
     if (fs.isEmpty)
       spark.emptyDataFrame
-    else spark.read.option("mergeSchema", "true").parquet(fs: _*)
+    else {
+      val dvs = dvFiles(path, version)
+      if (dvs.isEmpty) spark.read.option("mergeSchema", "true").parquet(fs: _*)
+      else liveWithPos(spark, fs, dvs).drop(FileCol, PosCol)
+    }
   }
 
   /** Read the latest version. */
@@ -323,7 +543,11 @@ object VersionedTable {
     // orphaned by an earlier manifest drop but protected by the age
     // horizon at the time, and leftovers of lost commit races, are
     // collected by whichever later vacuum finds them old enough
-    val live = vs.takeRight(retainLast).flatMap(files(path, _)).toSet
+    val retained = vs.takeRight(retainLast)
+    // deletion-vector files are table state like data files: live while
+    // any retained manifest lists them, swept from their own root after
+    val live = retained.flatMap(v =>
+      files(path, v) ++ dvFiles(path, v)).toSet
     vs.dropRight(retainLast).foreach { v =>
       Files.deleteIfExists(manifestPath(path, v)); ()
     }
@@ -336,9 +560,9 @@ object VersionedTable {
     def expired(p: Path): Boolean =
       Files.getLastModifiedTime(p).toMillis <= horizon
     var deleted = 0
-    val dataRoot = Paths.get(s"$path/data")
-    if (Files.exists(dataRoot)) {
-      val subs = listDir(dataRoot)(_.filter(Files.isDirectory(_)).toSeq)
+    Seq(s"$path/data", s"$path/dv").map(Paths.get(_))
+      .filter(Files.exists(_)).foreach { root =>
+      val subs = listDir(root)(_.filter(Files.isDirectory(_)).toSeq)
       subs.foreach { sub =>
         val entries = listDir(sub)(_.toSeq)
         val parqs = entries.filter(_.toString.endsWith(".parquet"))
@@ -394,12 +618,16 @@ object VersionedTable {
       if (small.size < 2) result = Some(None)
       else {
         val keep = all.filterNot(small.toSet)
+        val dvs = dvFiles(path, base)
         val total = small.map(f => Files.size(Paths.get(f))).sum
         val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-        val compacted = spark.read.option("mergeSchema", "true")
-          .parquet(small: _*).repartition(nOut)
+        // DV-masked rows must NOT resurrect in the rewrite: compact the
+        // LIVE rows of the small files (their DV entries then go inert);
+        // kept files retain their DV subtraction through the carried list
+        val compacted = liveWithPos(spark, small, dvs)
+          .drop(FileCol, PosCol).repartition(nOut)
         val (dataDir, newFiles) = writeData(compacted, path)
-        if (tryCommit(path, base + 1, keep ++ newFiles, "compact")) {
+        if (tryCommit(path, base + 1, keep ++ newFiles, "compact", dvs)) {
           maybeCheckpoint(path, base + 1)
           result = Some(Some(base + 1))
         } else discardData(dataDir) // concurrent commit won: re-plan

@@ -230,6 +230,125 @@ class VersionedTableSpec extends SparkSpec {
       .collect().toSeq == before)
   }
 
+  test("deleteWhere: DV masks rows, data files untouched, time travel intact") {
+    val path = Files.createTempDirectory("vt_dv1").resolve("t").toString
+    VersionedTable.write(
+      (1L to 10L).map(i => (i, s"r$i")).toDF("k", "v"), path, SaveMode.Overwrite)
+    val filesBefore = VersionedTable.files(path, 0L)
+    val v1 = VersionedTable.deleteWhere(spark, path, $"k" % 3 === 0)
+    assert(v1 == 1L && VersionedTable.opOf(path, 1L) == "delete")
+    // delete commits NO data files — same list, only a DV was added
+    assert(VersionedTable.files(path, 1L) == filesBefore)
+    assert(VersionedTable.dvFiles(path, 1L).nonEmpty)
+    assert(VersionedTable.read(spark, path).select("k").as[Long]
+      .collect().toSeq.sorted == Seq(1L, 2L, 4L, 5L, 7L, 8L, 10L))
+    // pre-delete version still reads all rows (DVs are per-version state)
+    assert(VersionedTable.readVersion(spark, path, 0L).count() == 10)
+    // a second delete accumulates on top of the first DV
+    VersionedTable.deleteWhere(spark, path, $"k" === 1L)
+    assert(VersionedTable.read(spark, path).select("k").as[Long]
+      .collect().toSeq.sorted == Seq(2L, 4L, 5L, 7L, 8L, 10L))
+  }
+
+  test("mergeCommitDV: upsert semantics with zero target-file rewrites") {
+    val path = Files.createTempDirectory("vt_dv2").resolve("t").toString
+    VersionedTable.write(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("k", "v", "x"),
+      path, SaveMode.Overwrite)
+    val baseFiles = VersionedTable.files(path, 0L)
+    val v = VersionedTable.mergeCommitDV(spark, path,
+      Seq((2L, "B2", 9.0), (4L, "d", 4.0)).toDF("k", "v", "x"), Seq("k"))
+    assert(v == 1L && VersionedTable.opOf(path, 1L) == "merge-dv")
+    // every base file carries over by reference — the merge rewrote nothing
+    assert(baseFiles.forall(VersionedTable.files(path, 1L).contains))
+    assert(VersionedTable.read(spark, path).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 1.0), (2L, "B2", 9.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+    // re-merging the same source is idempotent in CONTENT
+    VersionedTable.mergeCommitDV(spark, path,
+      Seq((2L, "B2", 9.0), (4L, "d", 4.0)).toDF("k", "v", "x"), Seq("k"))
+    assert(VersionedTable.read(spark, path).count() == 4)
+  }
+
+  test("mergeCommitPruned: untouched files carry over, touched files rewrite") {
+    val path = Files.createTempDirectory("vt_dv3").resolve("t").toString
+    // three commits → three file sets with disjoint key ranges
+    VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path, SaveMode.Overwrite)
+    VersionedTable.write(Seq((10L, "j"), (11L, "k")).toDF("k", "v"), path, SaveMode.Append)
+    VersionedTable.write(Seq((20L, "t"), (21L, "u")).toDF("k", "v"), path, SaveMode.Append)
+    val before = VersionedTable.files(path, 2L)
+    // touch only the middle commit's keys (+ a fresh insert)
+    val v = VersionedTable.mergeCommitPruned(spark, path,
+      Seq((10L, "J!"), (99L, "z")).toDF("k", "v"), Seq("k"))
+    assert(v == 3L && VersionedTable.opOf(path, 3L) == "merge-pruned")
+    val after = VersionedTable.files(path, 3L)
+    val carried = before.filter(after.contains)
+    // the two untouched commits' files survive by reference; the touched
+    // one is replaced (strictly fewer carried files than before)
+    assert(carried.nonEmpty && carried.size < before.size,
+      s"expected partial carry-over: before=${before.size} carried=${carried.size}")
+    assert(VersionedTable.read(spark, path).orderBy("k")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (10L, "J!"), (11L, "k"), (20L, "t"),
+        (21L, "u"), (99L, "z")))
+    // a source matching nothing appends only inserts, carries all files
+    val v2 = VersionedTable.mergeCommitPruned(spark, path,
+      Seq((100L, "q")).toDF("k", "v"), Seq("k"))
+    assert(after.forall(VersionedTable.files(path, v2).contains))
+    assert(VersionedTable.read(spark, path).count() == 8)
+  }
+
+  test("change data feed: exact row-level inserts and deletes across versions") {
+    val path = Files.createTempDirectory("vt_cdf").resolve("t").toString
+    VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path, SaveMode.Overwrite)
+    VersionedTable.write(Seq((3L, "c")).toDF("k", "v"), path, SaveMode.Append) // v1
+    VersionedTable.deleteWhere(spark, path, $"k" === 1L)                       // v2
+    VersionedTable.mergeCommitDV(spark, path,
+      Seq((2L, "B2"), (4L, "d")).toDF("k", "v"), Seq("k"))                     // v3
+    val feed = VersionedTable.changes(spark, path, 0L, 3L)
+      .select($"_commit_version", $"_change_type", $"k", $"v")
+      .as[(Long, String, Long, String)].collect().toSeq.sorted
+    assert(feed == Seq(
+      (1L, "insert", 3L, "c"),
+      (2L, "delete", 1L, "a"),
+      (3L, "delete", 2L, "b"),   // merge preimage
+      (3L, "insert", 2L, "B2"),  // merge postimage
+      (3L, "insert", 4L, "d")))
+    // replaying the feed over v0 reconstructs the latest state
+    val v0 = VersionedTable.readVersion(spark, path, 0L)
+      .as[(Long, String)].collect().toSet
+    val inserted = feed.collect { case (_, "insert", k, v) => (k, v) }.toSet
+    val deleted = feed.collect { case (_, "delete", k, v) => (k, v) }.toSet
+    assert((v0 -- deleted) ++ inserted ==
+      VersionedTable.read(spark, path).as[(Long, String)].collect().toSet)
+    // a rewrite commit in range raises — CDF demands DV-based ops
+    VersionedTable.mergeCommit(spark, path, Seq((5L, "e")).toDF("k", "v"), Seq("k"))
+    intercept[UnsupportedOperationException] {
+      VersionedTable.changes(spark, path, 3L, 4L).collect()
+    }
+  }
+
+  test("compact + vacuum respect deletion vectors: no resurrection, DVs survive") {
+    val path = Files.createTempDirectory("vt_dv4").resolve("t").toString
+    VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), path, SaveMode.Overwrite)
+    (2 to 6).foreach { i =>
+      VersionedTable.write(Seq((i.toLong, s"r$i")).toDF("k", "v"), path, SaveMode.Append)
+    }
+    VersionedTable.deleteWhere(spark, path, $"k" <= 2L)
+    val expect = Seq(3L, 4L, 5L, 6L)
+    assert(VersionedTable.read(spark, path).select("k").as[Long]
+      .collect().toSeq.sorted == expect)
+    // compaction rewrites the small files DV-applied — deleted rows stay dead
+    val cv = VersionedTable.compact(spark, path)
+    assert(cv.nonEmpty)
+    assert(VersionedTable.read(spark, path).select("k").as[Long]
+      .collect().toSeq.sorted == expect, "compaction must not resurrect DV-deleted rows")
+    // vacuum to latest only: referenced DV files survive, content intact
+    VersionedTable.vacuum(path, retainLast = 1, minAgeMs = 0)
+    assert(VersionedTable.read(spark, path).select("k").as[Long]
+      .collect().toSeq.sorted == expect)
+  }
+
   test("optimistic concurrency: a stolen version number is retried, nothing lost") {
     val path = Files.createTempDirectory("vt2").resolve("t").toString
     VersionedTable.write(Seq((1L, "x")).toDF("k", "v"), path, SaveMode.Overwrite)
