@@ -203,12 +203,16 @@ object VersionedTable {
     var committed = -1L
     while (committed < 0) {
       val prev = latestVersion(path)
-      val base = mode match {
-        case SaveMode.Append => prev.map(files(path, _)).getOrElse(Seq.empty)
-        case _ => Seq.empty
+      // append carries BOTH the file list and the deletion vectors
+      // forward — dropping the DVs would resurrect deleted rows
+      val (base, dvBase) = mode match {
+        case SaveMode.Append => (
+          prev.map(files(path, _)).getOrElse(Seq.empty),
+          prev.map(dvFiles(path, _)).getOrElse(Seq.empty))
+        case _ => (Seq.empty, Seq.empty)
       }
       val next = prev.getOrElse(-1L) + 1
-      if (tryCommit(path, next, base ++ newFiles, op))
+      if (tryCommit(path, next, base ++ newFiles, op, dvBase))
         committed = next
     }
     maybeCheckpoint(path, committed)
@@ -233,12 +237,14 @@ object VersionedTable {
     var result: Option[Option[Long]] = None
     while (result.isEmpty) {
       val prev = latestVersion(path)
-      val base = mode match {
-        case SaveMode.Append => prev.map(files(path, _)).getOrElse(Seq.empty)
-        case _ => Seq.empty
+      val (base, dvBase) = mode match {
+        case SaveMode.Append => (
+          prev.map(files(path, _)).getOrElse(Seq.empty),
+          prev.map(dvFiles(path, _)).getOrElse(Seq.empty))
+        case _ => (Seq.empty, Seq.empty)
       }
       val next = prev.getOrElse(-1L) + 1
-      if (tryCommit(path, next, base ++ newFiles, op)) {
+      if (tryCommit(path, next, base ++ newFiles, op, dvBase)) {
         maybeCheckpoint(path, next)
         result = Some(Some(next))
       }

@@ -135,4 +135,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"the full token stream must not shuffle-join, plan:\n$plan")
   }
+
+  test("tfidf: per-doc top-k plans as WindowGroupLimit, doc count broadcasts") {
+    val plan = executed(LlmQueries.tfidfTerms(spark, sf))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=5 must push the limit below the sort, plan:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 1-row corpus count must broadcast, plan:\n$plan")
+  }
+
+  test("quantized ANN: queries broadcast, corpus never shuffles, no window") {
+    val plan = executed(LlmQueries.quantizedAnn(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"query codes must broadcast against the corpus scan, plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus must not shuffle-join, plan:\n$plan")
+    assert(!plan.contains("WindowGroupLimit") &&
+      count(plan, "Window") == 0,
+      s"top-k must be the bounded aggregation, not a window, plan:\n$plan")
+  }
+
+  test("span dedup: no cartesian product, per-doc window only") {
+    val plan = executed(graft.functions.DedupOps.duplicatedSpanStats(
+      Tables.documents(spark, sf), "text", "doc_id"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span dedup must stay equality-join-shaped, plan:\n$plan")
+    graft.CacheScope.drain(spark, blocking = true)
+  }
 }

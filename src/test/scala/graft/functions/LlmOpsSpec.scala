@@ -320,6 +320,48 @@ class LlmOpsSpec extends SparkSpec {
       s"decontamination hits $hits must equal straddling near-dups $straddling")
   }
 
+  test("duplicatedSpanStats: cross-doc dup, within-doc repeat, interval union") {
+    val df = Seq(
+      // cross-doc: d1/d2 share exactly the 8-gram at position 0
+      (1L, "c1a c1b c1c c1d c1e c1f c1g c1h c1i c1j"),
+      (2L, "c1a c1b c1c c1d c1e c1f c1g c1h c1x c1y"),
+      // within-doc repeat: the first 8 tokens recur at position 8
+      (3L, "c2a c2b c2c c2d c2e c2f c2g c2h c2a c2b c2c c2d c2e c2f c2g c2h"),
+      // overlapping dup spans at positions 0 and 1 must union to 9, not 16
+      (4L, "c3a c3b c3c c3d c3e c3f c3g c3h c3i"),
+      (5L, "c3a c3b c3c c3d c3e c3f c3g c3h c3i c3z"),
+      // shorter than one span: zero positions, zero coverage
+      (6L, "c4a c4b c4c")).toDF("doc_id", "text")
+    val out = DedupOps.duplicatedSpanStats(df, "text", "doc_id")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_positions", "n_dup_positions",
+        "dup_tokens_covered")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 10L, 3L, 1L, 8L),
+      (2L, 10L, 3L, 1L, 8L),
+      (3L, 16L, 9L, 2L, 16L),
+      (4L, 9L, 2L, 2L, 9L),
+      (5L, 10L, 3L, 2L, 9L),
+      (6L, 3L, 0L, 0L, 0L)), s"got $out")
+    graft.CacheScope.drain(spark, blocking = true)
+  }
+
+  test("quantize8 floors toward -inf; quantized ranking tracks exact cosine") {
+    val df = Seq((Array(0.5f, -0.5f, 0.0f, 1.0f, -1.0f))).toDF("v")
+    val q = df.select(SimilarityOps.quantize8($"v")).as[Seq[Long]].head()
+    assert(q == Seq(63L, -64L, 0L, 127L, -127L), s"got $q")
+    // top-1 by integer dot agrees with exact cosine top-1 on the fixture
+    val queries = emb.filter($"vec_id" % 200 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val qTop = SimilarityOps.quantizedTopK(queries, emb, k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exactTop = SimilarityOps.bruteForceTopK(queries, emb, k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(qTop == exactTop,
+      s"int8 quantization should preserve top-1 on well-separated data: $qTop vs $exactTop")
+  }
+
   test("language ID + quality + token stats produce full coverage") {
     val lang = graft.LlmQueries.langId(spark, sf)
     assert(lang.filter($"predicted_lang".isNull).count() == 0)
