@@ -92,7 +92,12 @@ object LlmQueries {
     DedupOps.minhashLshPairs(docs(s, d), "text", "doc_id")
       .orderBy("doc_a", "doc_b")
 
-  val minhashLshOracle: String = {
+  /** CTE chain `exg … band(doc_id, band_idx, band_hash)` — the MinHash
+    * signature + LSH band pipeline over `sh`, shared by the q27 self-join
+    * oracle and the q73 cross-corpus oracle. Mirrors
+    * [[DedupOps.lshBandTable]] formula for formula.
+    */
+  private val minhashBandSql: String = {
     val p = graft.functions.DedupOps.KmPrime
     val sigCols = (0 until 16).map(i =>
       s"min((h1 + $i * h2) % $p) AS sig_$i").mkString(",\n    ")
@@ -100,7 +105,7 @@ object LlmQueries {
       val cols = (0 until 4).map(r => s"sig_${b * 4 + r}").mkString(", ")
       s"SELECT doc_id, $b AS band_idx, md5(concat_ws('|', $cols)) AS band_hash FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH $tokShSql, exg AS (
+    s"""exg AS (
        |  SELECT doc_id, unnest(sh) AS g FROM sh
        |), hh AS (
        |  SELECT doc_id,
@@ -113,13 +118,16 @@ object LlmQueries {
        |  FROM hh GROUP BY doc_id
        |), band AS (
        |  $bandRows
-       |), cand AS (
+       |)""".stripMargin
+  }
+
+  val minhashLshOracle: String =
+    s"""WITH $tokShSql, $minhashBandSql, cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM band a JOIN band b
        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        |   AND a.doc_id < b.doc_id
        |), $jaccardVerifySql""".stripMargin
-  }
 
   /** q28 — SimHash near-dup pairs: 32-bit signatures from shingle md5
     * nibbles, 8-bit chunk blocking, hamming ≤ 3.
@@ -577,6 +585,43 @@ object LlmQueries {
   }
 
   val bloomDecontaminationOracle: String = decontaminationOracle
+
+  /** q73 — fuzzy decontamination at LSH scale: the q44 split, but
+    * candidates come from MinHash band-bucket collisions across the two
+    * corpora instead of the exact inverted shingle index. Candidate
+    * volume per document is a CONSTANT (k/bandRows band rows) instead of
+    * scaling with document length and shingle frequency — the shape that
+    * survives when the train corpus is 100 TB — traded for probabilistic
+    * recall near the threshold (pairs at j→1, where contamination lives,
+    * are caught almost surely). Survivors are exactly verified, so every
+    * reported pair is a true ≥0.6 overlap and the oracle replays the
+    * identical band formulas.
+    */
+  def fuzzyDecontamination(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val eval = all.filter(col("doc_id") % 7 === 0)
+    val train = all.filter(col("doc_id") % 7 =!= 0)
+    DedupOps.lshDecontamination(train, eval, "text", "doc_id",
+        shingleN = 5, k = 16, bandRows = 4, threshold = 0.6)
+      .orderBy("eval_id", "train_id")
+  }
+
+  val fuzzyDecontaminationOracle: String =
+    s"""WITH $tokShSql, $minhashBandSql, cand AS (
+       |  SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+       |  FROM band t JOIN band e
+       |    ON t.band_idx = e.band_idx AND t.band_hash = e.band_hash
+       |  WHERE t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
+       |), j AS (
+       |  SELECT eval_id, train_id,
+       |    CAST(len(list_intersect(st.sh, se.sh)) AS DOUBLE)
+       |      / (len(st.sh) + len(se.sh) - len(list_intersect(st.sh, se.sh))) AS overlap
+       |  FROM cand
+       |  JOIN sh st ON train_id = st.doc_id
+       |  JOIN sh se ON eval_id = se.doc_id
+       |)
+       |SELECT eval_id, train_id, round(overlap, 6) AS overlap
+       |FROM j WHERE overlap >= 0.6 ORDER BY eval_id, train_id""".stripMargin
 
   /** q48 — deterministic stratified sampling for corpus mixing: rebalance
     * the over-represented language by hash-bucket membership (md5 of the
@@ -1340,6 +1385,49 @@ object LlmQueries {
       |FROM tot LEFT JOIN perdoc USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q74 — segment-level boilerplate removal with rewrite (the
+    * CCNet-style corpus pass q70 only ANALYZES): drop every 10-token
+    * segment shared by more than one document, rebuild each document
+    * from its surviving segments in original order, and fingerprint the
+    * rewritten text. Planted near-duplicate pairs share most aligned
+    * segments, so both members come back substantially (often fully)
+    * emptied — the dedup actually rewrites, it doesn't just count.
+    */
+  def segmentDedup(s: SparkSession, d: String): DataFrame =
+    DedupOps.segmentDedupRewrite(docs(s, d), "text", "doc_id",
+        segTokens = 10, maxDocFreq = 1)
+      .orderBy("doc_id")
+
+  val segmentDedupOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+      |), seg AS (
+      |  SELECT doc_id, u.i AS seg_idx,
+      |    array_to_string(t[u.i * 10 + 1 : u.i * 10 + 10], ' ') AS seg
+      |  FROM tok, UNNEST(generate_series(0,
+      |    CAST(ceil(len(t) / 10.0) AS INTEGER) - 1)) AS u(i)
+      |  WHERE len(t) >= 1
+      |), h AS (
+      |  SELECT doc_id, seg_idx, seg, md5(seg) AS h FROM seg
+      |), hot AS (
+      |  SELECT h FROM h GROUP BY h HAVING count(DISTINCT doc_id) > 1
+      |), kept AS (
+      |  SELECT doc_id, seg_idx, seg FROM h
+      |  WHERE h NOT IN (SELECT h FROM hot)
+      |), reb AS (
+      |  SELECT doc_id, count(*) AS kept_segments,
+      |    md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS new_md5
+      |  FROM kept GROUP BY doc_id
+      |), tot AS (
+      |  SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  coalesce(n_segments, CAST(0 AS BIGINT)) AS n_segments,
+      |  coalesce(kept_segments, CAST(0 AS BIGINT)) AS kept_segments,
+      |  coalesce(new_md5, md5('')) AS new_md5
+      |FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** q71 — TF-IDF keyword extraction: top-5 terms per document by
     * tf · (N/df) (multiplicative inverse document frequency — the
     * rational form is IEEE-exact cross-engine, where `ln` rounding is
@@ -1459,6 +1547,8 @@ object LlmQueries {
     "q70_span_dedup" -> (spanDedup(_, _)),
     "q71_tfidf_terms" -> (tfidfTerms(_, _)),
     "q72_quantized_ann" -> (quantizedAnn(_, _)),
+    "q73_fuzzy_decontamination" -> (fuzzyDecontamination(_, _)),
+    "q74_segment_dedup" -> (segmentDedup(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1496,5 +1586,7 @@ object LlmQueries {
     "q70_span_dedup" -> spanDedupOracle,
     "q71_tfidf_terms" -> tfidfTermsOracle,
     "q72_quantized_ann" -> quantizedAnnOracle,
+    "q73_fuzzy_decontamination" -> fuzzyDecontaminationOracle,
+    "q74_segment_dedup" -> segmentDedupOracle,
   )
 }

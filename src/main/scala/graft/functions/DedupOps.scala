@@ -85,12 +85,29 @@ object DedupOps {
       threshold: Double = 0.6,
       maxBroadcastCandidates: Long = MaxBroadcastCandidates): DataFrame = {
     val sh = shingleSets(docs, textCol, idCol, shingleN)
-    // Kirsch-Mitzenmacher signatures: two 60-bit base hashes from ONE md5
-    // per shingle, k derived hashes h1 + i·h2 mod P — 8x less hashing
-    // than k independent digests, and the min-aggregation runs as
-    // explode + codegen'd integer ops with map-side partial mins (one
-    // hash shuffle on doc_id). Docs with no shingles drop out (they
-    // cannot be near-dups of anything).
+    val exploded = lshBandTable(sh, k, bandRows)
+    val cand = exploded.as("a").join(exploded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold, maxBroadcastCandidates)
+  }
+
+  /** The persisted, exploded LSH band table (doc_id, band_idx, band_hash)
+    * a bucket join consumes — one row per (doc, band).
+    *
+    * Kirsch-Mitzenmacher signatures: two 60-bit base hashes from ONE md5
+    * per shingle, k derived hashes h1 + i·h2 mod P — 8x less hashing
+    * than k independent digests, and the min-aggregation runs as
+    * explode + codegen'd integer ops with map-side partial mins (one
+    * hash shuffle on doc_id). Docs with no shingles drop out (they
+    * cannot be near-dups of anything). Persisted because every caller
+    * joins the band table against itself or a sibling corpus — without
+    * it the full signature pipeline would recompute once per join side.
+    */
+  private def lshBandTable(sh: DataFrame, k: Int, bandRows: Int): DataFrame = {
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
       .withColumn("h", md5(col("g")))
       .select(col("doc_id"),
@@ -101,19 +118,41 @@ object DedupOps {
       (1 until k).map(i =>
         min((col("h1") + col("h2") * lit(i.toLong)) % KmPrime).as(s"sig_$i")): _*)
     val bands = sigs.select(Seq(col("doc_id")) ++ lshBands(k, bandRows): _*)
-    // persist the tiny band table: the self-join would otherwise compute
-    // the full signature pipeline once per side
-    val exploded = graft.CacheScope.persisted(
+    graft.CacheScope.persisted(
       bands.select(col("doc_id"), posexplode(
         array((0 until k / bandRows).map(b => col(s"band_$b")): _*)))
         .toDF("doc_id", "band_idx", "band_hash"))
-    val cand = exploded.as("a").join(exploded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  }
+
+  /** Fuzzy decontamination via MinHash+LSH: eval documents whose shingle
+    * Jaccard with ANY training document reaches `threshold`, with
+    * candidates generated by LSH band-bucket collision ACROSS the two
+    * corpora instead of the exact inverted index ([[crossCorpusOverlap]]).
+    *
+    * The trade vs the exact path is the standard LSH one: candidate
+    * volume no longer scales with shingle document frequency at all —
+    * each doc emits exactly k/bandRows band rows regardless of length or
+    * content, so the cross join is |T|·(k/r) vs |E|·(k/r) equality rows —
+    * at the cost of probabilistic recall near the threshold (a ≥0.6 pair
+    * missing all 4 bands has probability (1−j⁴)⁴ ≈ 0.55 at j=0.6,
+    * vanishing as j→1 where contamination actually lives). Every
+    * surviving candidate is still EXACTLY verified, so precision is 1 —
+    * the output is a strict subset of [[crossCorpusOverlap]]'s.
+    */
+  def lshDecontamination(train: DataFrame, eval: DataFrame, textCol: String,
+      idCol: String, shingleN: Int = 5, k: Int = 16, bandRows: Int = 4,
+      threshold: Double = 0.6,
+      maxBroadcastCandidates: Long = MaxBroadcastCandidates): DataFrame = {
+    val shT = shingleSets(train, textCol, idCol, shingleN)
+    val shE = shingleSets(eval, textCol, idCol, shingleN)
+    val bandsT = lshBandTable(shT, k, bandRows)
+    val bandsE = lshBandTable(shE, k, bandRows)
+    val cand = bandsT.as("t").join(bandsE.as("e"),
+        col("t.band_idx") === col("e.band_idx") &&
+          col("t.band_hash") === col("e.band_hash"))
+      .select(col("t.doc_id").as("train_id"), col("e.doc_id").as("eval_id"))
       .distinct()
-    verifyJaccard(cand, sh, threshold, maxBroadcastCandidates)
+    verifyOverlap(cand, shT, shE, threshold, maxBroadcastCandidates)
   }
 
   /** Exact n-gram Jaccard near-dup pairs: candidates from the inverted
@@ -224,15 +263,27 @@ object DedupOps {
       exT0.select(col("train_id").as("doc_id"), col("g"))
         .unionByName(exE.select(col("eval_id").as("doc_id"), col("g"))),
       maxShingleDf)
-    val cand = graft.CacheScope.persisted(
-      exT.join(broadcast(hot), Seq("g"), "left_anti")
-        .join(exE.join(broadcast(hot), Seq("g"), "left_anti"), "g")
-        .select("train_id", "eval_id").distinct())
-    val gate = candidateGate(cand, maxBroadcastCandidates)
+    val cand = exT.join(broadcast(hot), Seq("g"), "left_anti")
+      .join(exE.join(broadcast(hot), Seq("g"), "left_anti"), "g")
+      .select("train_id", "eval_id").distinct()
+    verifyOverlap(cand, shT, shE, threshold, maxBroadcastCandidates)
+  }
+
+  /** Exact cross-corpus Jaccard on (train_id, eval_id) candidates against
+    * the two shingle-set tables — the verification tail shared by every
+    * decontamination variant (inverted-index, Bloom-prefiltered, LSH).
+    * Candidates persist once (consumed by the gate count + two joins) and
+    * broadcast while provably sparse, with the same shuffle fallback as
+    * [[verifyJaccard]].
+    */
+  private def verifyOverlap(cand: DataFrame, shT: DataFrame, shE: DataFrame,
+      threshold: Double, maxBroadcast: Long): DataFrame = {
+    val c = graft.CacheScope.persisted(cand)
+    val gate = candidateGate(c, maxBroadcast)
     val inter = size(array_intersect(col("sh_t"), col("sh_e")))
     val union = size(col("sh_t")) + size(col("sh_e")) - inter
     val withT = shT.select(col("doc_id").as("train_id"), col("sh").as("sh_t"))
-      .join(gate(cand), "train_id")
+      .join(gate(c), "train_id")
     shE.select(col("doc_id").as("eval_id"), col("sh").as("sh_e"))
       .join(gate(withT), "eval_id")
       .withColumn("overlap", inter.cast("double") / union)
@@ -286,6 +337,57 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Segment-level boilerplate removal (the CCNet/RefinedWeb "dedup the
+    * corpus by paragraph" pass, over fixed token windows since the
+    * fixture has no newlines): split each document into consecutive
+    * `segTokens`-token segments, drop every occurrence of segments whose
+    * corpus DOCUMENT frequency exceeds `maxDocFreq`, and rebuild the
+    * remaining text in original order. Returns per doc: total segments,
+    * kept segments, and the md5 of the rewritten text (md5("") when a
+    * document was pure boilerplate).
+    *
+    * Scale shape: segment generation is embarrassingly parallel
+    * (transform+posexplode at the scan), frequency is a distinct + one
+    * map-combinable count on the 16-byte segment hash, removal is an
+    * anti-join on the same hash, and the rebuild is one groupBy(doc) with
+    * an in-group sort (array_sort over collect_list — group-sized, never
+    * a global window). Driver traffic: none.
+    */
+  def segmentDedupRewrite(docs: DataFrame, textCol: String, idCol: String,
+      segTokens: Int = 10, maxDocFreq: Int = 1): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("t"))
+    val segs = graft.CacheScope.persisted( // consumed by df-count + rebuild
+      toks.filter(size(col("t")) >= 1)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, cast(ceil(size(t) / $segTokens.0) as int) - 1), " +
+            s"i -> array_join(slice(t, i * $segTokens + 1, $segTokens), ' '))")))
+        .toDF("doc_id", "seg_idx", "seg")
+        .withColumn("h", md5(col("seg"))))
+    // document frequency, not occurrence count: a segment repeated inside
+    // one document is that document's own text, not corpus boilerplate
+    val hot = segs.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select(col("h"))
+    val kept = segs.join(hot, Seq("h"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("kept_segments"),
+      md5(array_join(transform(
+        array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+        x => x.getField("seg")), " ")).as("new_md5"))
+    val totals = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segments"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("kept_segments"), lit(0L)).as("kept_segments"),
+        coalesce(col("new_md5"), lit(md5Empty)).as("new_md5"))
+  }
+
+  /** md5("") — the rewrite fingerprint of a fully-deduplicated document. */
+  private val md5Empty: String = "d41d8cd98f00b204e9800998ecf8427e"
 
   /** 32-bit SimHash signature over shingles: one md5 per shingle, bit i
     * taken from nibble i/4 of the hex digest; signature bit i is the sign
