@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.graftbridge.toColumn
 
-import graft.expressions.{CosineSimilarity, MinShingleHash, WordShingles}
+import graft.expressions.{CosineSimilarity, MinShingleHash, UnicodeNormalize, WordShingles}
 
 /** SQL registration for the native expressions, so `spark.sql` users get
   * the same operators as the Column API:
@@ -21,6 +21,11 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("min_shingle_hash",
       exprs => MinShingleHash(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")
+    registry.createOrReplaceTempFunction("unicode_normalize",
+      exprs => UnicodeNormalize(exprs(0), exprs(1).eval() match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case s: String => s
+      }), "built-in")
     spark.udf.register("heavy_hitters_10",
       org.apache.spark.sql.functions.udaf(
         graft.functions.HeavyHitters.MisraGries(10),

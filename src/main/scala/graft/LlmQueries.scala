@@ -1428,6 +1428,49 @@ object LlmQueries {
       |FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q75 — Unicode canonicalization ([[graft.expressions.UnicodeNormalize]],
+    * a codegen'd native expression — Spark ships no normalizer and a UDF
+    * would fence whole-stage codegen): the corpus is deterministically
+    * "mangled" into decomposed form (every `a` becomes `a` + U+0301
+    * combining acute — how text actually arrives from some OCR/legacy
+    * sources), then NFC-normalized, which recomposes each pair into the
+    * single code point U+00E1. Char counts prove the recomposition
+    * happened (the decomposed surplus vanishes); the md5 proves
+    * byte-exact agreement with DuckDB's nfc_normalize.
+    */
+  def unicodeNormalize(s: SparkSession, d: String): DataFrame = {
+    import graft.expressions.UnicodeNormalize.unicode_normalize
+    // the replacement is "a" + U+0301 COMBINING ACUTE, written as an
+    // escape so no editor/formatter can silently precompose it to U+00E1
+    val decomposed = regexp_replace(col("text"), "a", "a\u0301")
+    docs(s, d)
+      .withColumn("decomposed", decomposed)
+      .withColumn("nfc", unicode_normalize(col("decomposed"), "NFC"))
+      .select(col("doc_id"),
+        length(col("text")).cast("bigint").as("raw_chars"),
+        length(col("decomposed")).cast("bigint").as("decomposed_chars"),
+        length(col("nfc")).cast("bigint").as("nfc_chars"),
+        md5(col("nfc")).as("nfc_md5"))
+      .orderBy("doc_id")
+  }
+
+  val unicodeNormalizeOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id, text,
+      |    replace(text, 'a', 'a' || chr(769)) AS decomposed
+      |  FROM documents
+      |), n AS (
+      |  SELECT doc_id, text, decomposed,
+      |    nfc_normalize(decomposed) AS nfc
+      |  FROM m
+      |)
+      |SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS raw_chars,
+      |  CAST(length(decomposed) AS BIGINT) AS decomposed_chars,
+      |  CAST(length(nfc) AS BIGINT) AS nfc_chars,
+      |  md5(nfc) AS nfc_md5
+      |FROM n ORDER BY doc_id""".stripMargin
+
   /** q71 — TF-IDF keyword extraction: top-5 terms per document by
     * tf · (N/df) (multiplicative inverse document frequency — the
     * rational form is IEEE-exact cross-engine, where `ln` rounding is
@@ -1549,6 +1592,7 @@ object LlmQueries {
     "q72_quantized_ann" -> (quantizedAnn(_, _)),
     "q73_fuzzy_decontamination" -> (fuzzyDecontamination(_, _)),
     "q74_segment_dedup" -> (segmentDedup(_, _)),
+    "q75_unicode_normalize" -> (unicodeNormalize(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1588,5 +1632,6 @@ object LlmQueries {
     "q72_quantized_ann" -> quantizedAnnOracle,
     "q73_fuzzy_decontamination" -> fuzzyDecontaminationOracle,
     "q74_segment_dedup" -> segmentDedupOracle,
+    "q75_unicode_normalize" -> unicodeNormalizeOracle,
   )
 }
