@@ -712,6 +712,68 @@ object CoreQueries {
       |  count(*) AS n, true AS rank_err_ok
       |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q76 — PageRank over the customer–supplier trade graph
+    * ([[graft.operators.PageRank]]): nodes are customers and suppliers
+    * (disjoint id spaces via a prefix), edges link a customer to every
+    * supplier it ordered from, symmetrized; 3 power iterations at
+    * damping 0.85. The per-mille rank is rounded to 6 decimals — the two
+    * engines sum float contributions in different orders, and the
+    * rounding absorbs the last-bit drift (same convention as the cosine
+    * queries). Suppliers accumulate ~15× a customer's rank (hub side of
+    * the bipartite graph), so the ordering is genuinely informative.
+    */
+  def pageRank(s: SparkSession, d: String): DataFrame = {
+    val edges = t(s, d, "orders").join(t(s, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    graft.operators.PageRank.ranks(edges, "src", "dst",
+        iters = 3, damping = 0.85)
+      .select(col("id"), round(col("rank") * 1000, 6).as("rank_pm"))
+      .orderBy("id")
+  }
+
+  val pageRankOracle: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+      |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |), sym AS (
+      |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+      |), deg AS (
+      |  SELECT src, count(*) AS outdeg FROM sym GROUP BY src
+      |), nn AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n FROM deg
+      |), r0 AS (
+      |  SELECT src AS id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+      |  FROM deg
+      |), c1 AS (
+      |  SELECT s.dst AS id, sum(r.rank / d.outdeg) AS c
+      |  FROM sym s JOIN deg d ON s.src = d.src JOIN r0 r ON r.id = s.src
+      |  GROUP BY s.dst
+      |), r1 AS (
+      |  SELECT r0.id, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+      |    + CAST(0.85 AS DOUBLE) * coalesce(c1.c, 0) AS rank
+      |  FROM r0 LEFT JOIN c1 USING (id)
+      |), c2 AS (
+      |  SELECT s.dst AS id, sum(r.rank / d.outdeg) AS c
+      |  FROM sym s JOIN deg d ON s.src = d.src JOIN r1 r ON r.id = s.src
+      |  GROUP BY s.dst
+      |), r2 AS (
+      |  SELECT r1.id, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+      |    + CAST(0.85 AS DOUBLE) * coalesce(c2.c, 0) AS rank
+      |  FROM r1 LEFT JOIN c2 USING (id)
+      |), c3 AS (
+      |  SELECT s.dst AS id, sum(r.rank / d.outdeg) AS c
+      |  FROM sym s JOIN deg d ON s.src = d.src JOIN r2 r ON r.id = s.src
+      |  GROUP BY s.dst
+      |), r3 AS (
+      |  SELECT r2.id, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+      |    + CAST(0.85 AS DOUBLE) * coalesce(c3.c, 0) AS rank
+      |  FROM r2 LEFT JOIN c3 USING (id)
+      |)
+      |SELECT id, round(rank * 1000, 6) AS rank_pm FROM r3 ORDER BY id""".stripMargin
+
   /** q35 — sketch aggregation: HyperLogLog++ approximate distinct counts
     * validated against the exact counts. The sketch ESTIMATE itself is
     * engine-specific, so it stays out of the hashed projection: the
@@ -1107,6 +1169,7 @@ object CoreQueries {
     "q61_cube_agg" -> (cubeAgg(_, _)),
     "q63_zorder_keys" -> (zorderKeys(_, _)),
     "q64_approx_percentile" -> (approxPercentileSketch(_, _)),
+    "q76_pagerank" -> (pageRank(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1147,5 +1210,6 @@ object CoreQueries {
     "q61_cube_agg" -> cubeAggOracle,
     "q63_zorder_keys" -> zorderKeysOracle,
     "q64_approx_percentile" -> approxPercentileSketchOracle,
+    "q76_pagerank" -> pageRankOracle,
   )
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank by power iteration — the canonical iterative
+  * join-aggregate graph computation (Page et al. 1999; the MapReduce
+  * formulation is Dean & Ghemawat's original motivating example). Used
+  * in data curation to rank documents/hosts by link authority (e.g.
+  * harvesting seed lists for a crawl corpus).
+  *
+  * Each iteration is one equality join (rank onto out-edges) and one
+  * map-combinable sum by destination — both plain hash shuffles on node
+  * id, the shape that scales out linearly; no adjacency list is ever
+  * collected per node, so hub nodes with millions of edges stay
+  * aggregate rows, not OOMs. A FIXED iteration count keeps the result
+  * deterministic and cross-engine checkable (convergence-threshold
+  * stopping would couple the result to float noise).
+  *
+  * The edge set is symmetrized (u→v ⇒ v→u), which removes dangling
+  * nodes by construction — every node that appears has out-degree ≥ 1,
+  * so no rank mass leaks and the total stays 1 without the dangling
+  * redistribution term (the variant to add when feeding a genuinely
+  * directed graph).
+  */
+object PageRank {
+
+  /** Ranks after `iters` power iterations over the symmetrized edge set
+    * of `edges` (two string/long columns). Returns (id, rank) — rank is
+    * a raw double; callers round for presentation.
+    */
+  def ranks(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    // (src, dst, outdeg): rank flows src→dst scaled by 1/outdeg(src).
+    // Persisted — every iteration joins against it, and it carries the
+    // distinct() shuffle nobody wants to repeat per round.
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val weights = graft.CacheScope.persisted(sym.join(deg, "src"))
+    val nodes = graft.CacheScope.persisted(deg.select(col("src").as("id")))
+    // one bounded driver scalar (like the watermark read) — N appears as
+    // a literal in every iteration's plan
+    val n = nodes.count()
+    val base = lit(1.0 - damping) / lit(n.toDouble)
+    var rank = nodes.select(col("id"), (lit(1.0) / lit(n.toDouble)).as("rank"))
+    (1 to iters).foreach { _ =>
+      val contrib = weights
+        .join(rank, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("outdeg")).as("c"))
+      // symmetric graph ⇒ every node receives mass; left join + coalesce
+      // keeps the operator correct for general edge sets anyway
+      rank = nodes.join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (base + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+    }
+    rank
+  }
+}

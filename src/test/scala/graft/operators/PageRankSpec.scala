@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rank mass is conserved and hubs outrank leaves") {
+    // star: hub 1 connected to 2..9, plus a separate edge 10-11
+    val edges = ((2L to 9L).map(i => (1L, i)) :+ (10L, 11L)).toDF("src", "dst")
+    val r = PageRank.ranks(edges, "src", "dst").cache()
+    val total = r.agg(sum($"rank")).head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9, s"rank mass drifted: $total")
+    val byId = r.as[(Long, Double)].collect().toMap
+    assert((2L to 9L).forall(byId(1L) > byId(_)), "hub must outrank its leaves")
+    // symmetric pair: equal ranks by symmetry
+    assert(math.abs(byId(10L) - byId(11L)) < 1e-12)
+    r.unpersist()
+    graft.CacheScope.drain(spark)
+  }
+
+  test("result is independent of partitioning") {
+    val edges = (1L to 200L).map(i => (i % 37, i % 23)).toDF("src", "dst")
+    val a = PageRank.ranks(edges, "src", "dst")
+      .as[(Long, Double)].collect().toMap
+    val b = PageRank.ranks(edges.repartition(13), "src", "dst")
+      .as[(Long, Double)].collect().toMap
+    assert(a.keySet == b.keySet)
+    // identical join/agg plans over the same data: values match to
+    // double noise regardless of input partitioning
+    assert(a.forall { case (k, v) => math.abs(v - b(k)) < 1e-12 })
+    graft.CacheScope.drain(spark)
+  }
+
+  test("more iterations move toward the fixpoint, never away") {
+    // the (2,3) edge breaks bipartiteness — a pure star oscillates with
+    // period 2 under power iteration (λ = −1 eigenvalue), which would
+    // make adjacent-iteration deltas misleading
+    val edges = ((2L to 9L).map(i => (1L, i)) ++ Seq((9L, 10L), (2L, 3L)))
+      .toDF("src", "dst")
+    def at(k: Int) = PageRank.ranks(edges, "src", "dst", iters = k)
+      .as[(Long, Double)].collect().toMap
+    val (r3, r5, r9, r11) = (at(3), at(5), at(9), at(11))
+    val dLate = r9.map { case (k, v) => math.abs(v - r11(k)) }.max
+    val dEarly = r3.map { case (k, v) => math.abs(v - r5(k)) }.max
+    assert(dLate < dEarly, "two-step delta must shrink as iterations grow")
+    assert(dLate < 1e-2, s"near fixpoint after 9 rounds, delta=$dLate")
+    graft.CacheScope.drain(spark)
+  }
+}
