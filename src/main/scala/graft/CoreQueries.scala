@@ -964,6 +964,65 @@ object CoreQueries {
       .orderBy("member_id", "order_seq")
   }
 
+  /** q77 — ranking/distribution window surface q45 leaves out: ntile,
+    * dense_rank, percent_rank, cume_dist, first/last value over an
+    * explicit ROWS frame, and a RANGE frame (peers by order date) —
+    * together with q45 this is the full ANSI window-function family.
+    * percent_rank and cume_dist are exact small-integer ratios, so the
+    * doubles are bit-identical cross-engine (no rounding needed); the
+    * spend aggregates ride the same decimal-then-double convention as
+    * every money column.
+    */
+  def windowAnalytics2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val bySpend = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").cast(DecimalType(18, 2)), col("o_orderkey"))
+    // RANGE frame keyed on the date's day number: all orders up to and
+    // including the current ORDER DATE (peers included — differs from a
+    // ROWS frame exactly when a customer has two orders on one day)
+    val byDay = Window.partitionBy(col("o_custkey"))
+      .orderBy(unix_date(to_date(col("o_orderdate"))).cast("long"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "orders")
+      .withColumn("spend_quartile", ntile(4).over(bySpend).cast("bigint"))
+      .withColumn("date_dense_rank",
+        dense_rank().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"))).cast("bigint"))
+      .withColumn("spend_pct_rank", percent_rank().over(bySpend))
+      .withColumn("spend_cume_dist", cume_dist().over(bySpend))
+      .withColumn("first_order_date",
+        first(col("o_orderdate")).over(
+          byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("spend_to_date",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(byDay)
+          .cast("double"))
+      .select(col("o_custkey").as("member_id"), col("o_orderkey"),
+        col("spend_quartile"), col("date_dense_rank"), col("spend_pct_rank"),
+        col("spend_cume_dist"), col("first_order_date"), col("spend_to_date"))
+      .orderBy("member_id", "o_orderkey")
+  }
+
+  val windowAnalytics2Oracle: String =
+    """SELECT o_custkey AS member_id, o_orderkey,
+      |  CAST(ntile(4) OVER ws AS BIGINT) AS spend_quartile,
+      |  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate)
+      |       AS BIGINT) AS date_dense_rank,
+      |  percent_rank() OVER ws AS spend_pct_rank,
+      |  cume_dist() OVER ws AS spend_cume_dist,
+      |  first_value(o_orderdate) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order_date,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS DOUBLE) AS spend_to_date
+      |FROM orders
+      |WINDOW ws AS (PARTITION BY o_custkey
+      |  ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+      |ORDER BY member_id, o_orderkey""".stripMargin
+
   val windowAnalyticsOracle: String =
     """SELECT o_custkey AS member_id, o_orderkey,
       |  row_number() OVER w AS order_seq,
@@ -1170,6 +1229,7 @@ object CoreQueries {
     "q63_zorder_keys" -> (zorderKeys(_, _)),
     "q64_approx_percentile" -> (approxPercentileSketch(_, _)),
     "q76_pagerank" -> (pageRank(_, _)),
+    "q77_window_analytics2" -> (windowAnalytics2(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1211,5 +1271,6 @@ object CoreQueries {
     "q63_zorder_keys" -> zorderKeysOracle,
     "q64_approx_percentile" -> approxPercentileSketchOracle,
     "q76_pagerank" -> pageRankOracle,
+    "q77_window_analytics2" -> windowAnalytics2Oracle,
   )
 }

@@ -1471,6 +1471,89 @@ object LlmQueries {
       |  md5(nfc) AS nfc_md5
       |FROM n ORDER BY doc_id""".stripMargin
 
+  /** q79 — deterministic fractional epoch upsampling
+    * ([[functions.Sampling.epochUpsample]]): the oversampling half of
+    * corpus mixing (q48/q57 downsample; a 2.5×-weighted source must also
+    * be REPEATABLE). Weight 1.3 ⇒ every doc once, the hash-selected 30%
+    * twice — per-row deterministic, shuffle-free, and numbered by epoch
+    * so downstream packing treats copies as distinct samples.
+    */
+  def epochUpsample(s: SparkSession, d: String): DataFrame =
+    functions.Sampling.epochUpsample(docs(s, d), col("lang"), col("doc_id"),
+        weightsPctX100 = Map("en" -> 130, "de" -> 250, "zh" -> 400),
+        defaultPctX100 = 100, salt = "epoch-v1|")
+      .select(col("doc_id"), col("lang"), col("n_epochs"), col("epoch"))
+      .orderBy("doc_id", "epoch")
+
+  val epochUpsampleOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, lang,
+      |    CASE lang WHEN 'en' THEN 130 WHEN 'de' THEN 250
+      |              WHEN 'zh' THEN 400 ELSE 100 END AS w,
+      |    CAST(CAST('0x' || substr(md5('epoch-v1|' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |         AS BIGINT) % 100 AS INTEGER) AS b
+      |  FROM documents
+      |), n AS (
+      |  SELECT doc_id, lang,
+      |    (w // 100) + CASE WHEN b < (w % 100) THEN 1 ELSE 0 END AS n_epochs
+      |  FROM w
+      |)
+      |SELECT doc_id, lang, CAST(n_epochs AS BIGINT) AS n_epochs,
+      |  CAST(u.e AS BIGINT) AS epoch
+      |FROM n, UNNEST(generate_series(1, n_epochs)) AS u(e)
+      |WHERE n_epochs >= 1
+      |ORDER BY doc_id, epoch""".stripMargin
+
+  /** q78 — tokenizer vocabulary sizing: for each target coverage level,
+    * the smallest frequency-ranked vocabulary covering that share of all
+    * token OCCURRENCES (the curve a tokenizer team reads before fixing a
+    * vocab size). The global frequency-descending running total rides
+    * the bucketed [[graft.operators.PrefixSum]] — never a
+    * single-partition window — and the coverage test is exact integer
+    * arithmetic (`excl·100 < pct·total`), so no float crosses the
+    * engine boundary. A token is in the minimal vocabulary iff the mass
+    * strictly before it is below the target.
+    */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = docs(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val ranked = graft.operators.PrefixSum.exclusiveRunningTotal(
+      counts.withColumn("neg_cnt", -col("cnt")),
+      Seq(col("neg_cnt"), col("token")), col("cnt"), "excl")
+    val total = counts.agg(sum(col("cnt"))).scalar()
+    val thresholds = Seq(50L, 90L, 95L, 99L).toDF("pct")
+    ranked.crossJoin(broadcast(thresholds))
+      .filter(col("excl") * lit(100L) < col("pct") * total)
+      .groupBy(col("pct"))
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(col("cnt")).as("covered_tokens"))
+      .orderBy("pct")
+  }
+
+  val vocabCoverageOracle: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+      |  FROM documents
+      |), c AS (
+      |  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+      |), w AS (
+      |  SELECT token, cnt, coalesce(sum(cnt) OVER (
+      |    ORDER BY cnt DESC, token
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+      |  FROM c
+      |), t AS (
+      |  SELECT sum(cnt) AS total FROM c
+      |), th AS (
+      |  SELECT CAST(unnest([50, 90, 95, 99]) AS BIGINT) AS pct
+      |)
+      |SELECT pct, count(*) AS vocab_size,
+      |  CAST(sum(cnt) AS BIGINT) AS covered_tokens
+      |FROM w, th, t
+      |WHERE excl * 100 < pct * total
+      |GROUP BY pct ORDER BY pct""".stripMargin
+
   /** q71 — TF-IDF keyword extraction: top-5 terms per document by
     * tf · (N/df) (multiplicative inverse document frequency — the
     * rational form is IEEE-exact cross-engine, where `ln` rounding is
@@ -1593,6 +1676,8 @@ object LlmQueries {
     "q73_fuzzy_decontamination" -> (fuzzyDecontamination(_, _)),
     "q74_segment_dedup" -> (segmentDedup(_, _)),
     "q75_unicode_normalize" -> (unicodeNormalize(_, _)),
+    "q78_vocab_coverage" -> (vocabCoverage(_, _)),
+    "q79_epoch_upsample" -> (epochUpsample(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1633,5 +1718,7 @@ object LlmQueries {
     "q73_fuzzy_decontamination" -> fuzzyDecontaminationOracle,
     "q74_segment_dedup" -> segmentDedupOracle,
     "q75_unicode_normalize" -> unicodeNormalizeOracle,
+    "q78_vocab_coverage" -> vocabCoverageOracle,
+    "q79_epoch_upsample" -> epochUpsampleOracle,
   )
 }

@@ -22,6 +22,38 @@ object Sampling {
     (conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
       .cast("bigint") % buckets).cast("int")
 
+  /** Deterministic fractional upsampling (oversampling with replacement)
+    * for epoch weighting: a row with weight w appears floor(w) times,
+    * plus once more iff its hash bucket falls under the fractional part —
+    * so a 2.3-weighted stratum is seen 2.3× per epoch IN EXPECTATION
+    * while every individual decision is a pure function of the row id
+    * (reruns and engines agree row-for-row; nothing depends on partition
+    * layout). The repeat is `explode(sequence(...))` at the scan — no
+    * shuffle, no driver involvement — and `epoch` numbers the copies so
+    * downstream shuffling/packing can treat them as distinct samples.
+    * This is how quality-weighted data budgets are realized in LLM
+    * pretraining mixes (high-quality sources repeated 2-5×).
+    *
+    * `weightsPctX100` maps stratum → weight in hundredths (230 = 2.3×) —
+    * integers keep the oracle arithmetic exact. Unlisted strata default
+    * to 100 (seen exactly once).
+    */
+  def epochUpsample(df: DataFrame, stratumCol: Column, idCol: Column,
+      weightsPctX100: Map[String, Int], defaultPctX100: Int = 100,
+      salt: String = ""): DataFrame = {
+    require((defaultPctX100 +: weightsPctX100.values.toSeq).forall(_ >= 0),
+      "weights are non-negative hundredths")
+    val w = weightsPctX100.foldLeft(lit(defaultPctX100)) { case (acc, (k, v)) =>
+      when(stratumCol === lit(k), lit(v)).otherwise(acc)
+    }
+    val base = floor(w / 100).cast("int")
+    val extra = when(hashBucket(idCol, 100, salt) < (w % 100), 1).otherwise(0)
+    df.withColumn("n_epochs", (base + extra).cast("bigint"))
+      .filter(col("n_epochs") >= 1)
+      .withColumn("epoch",
+        explode(sequence(lit(1L), col("n_epochs"))))
+  }
+
   /** Per-stratum deterministic subsample: keep a row iff its hash bucket
     * falls below the stratum's percentage. `ratesPct` maps stratum value →
     * keep-percentage (0-100); unlisted strata fall back to `defaultPct`.

@@ -26,6 +26,33 @@ class CorpusPrepSpec extends SparkSpec {
     assert(enKept > 0.2 && enKept < 0.5, s"en keep-rate $enKept far from 35%")
   }
 
+  test("epoch upsample: copies match weights, deterministic, epochs numbered") {
+    val w = Map("en" -> 130, "de" -> 250, "zh" -> 400)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.epochUpsample(df, $"lang", $"doc_id", w, salt = "epoch-v1|")
+    val out = run(docs).cache()
+    // every source doc appears (all weights >= 1.0) with epochs 1..n
+    assert(out.select("doc_id").distinct().count() == docs.count())
+    val badSeq = out.groupBy($"doc_id").agg(
+        count(lit(1)).as("n"), max($"epoch").as("mx"), min($"epoch").as("mn"),
+        first($"n_epochs").as("ne"))
+      .filter($"n" =!= $"ne" || $"mx" =!= $"ne" || $"mn" =!= 1)
+    assert(badSeq.count() == 0, "epoch numbering must be 1..n_epochs")
+    // realized per-lang copy rate tracks the weight (hash buckets uniform)
+    val rates = out.groupBy($"lang").agg(
+        (count(lit(1)).cast("double") /
+          countDistinct($"doc_id")).as("copies"))
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(rates("de") - 2.5) <= 0.5, s"de copies ${rates("de")}")
+    assert(math.abs(rates.getOrElse("fr", 1.0) - 1.0) < 1e-9, "default is 1x")
+    // layout-independence: same multiset of (doc_id, epoch)
+    val a = out.select("doc_id", "epoch").collect().map(_.toString).sorted
+    val b = run(docs.repartition(13)).select("doc_id", "epoch")
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    out.unpersist()
+  }
+
   test("stratified sample: rate 100 keeps all, rate 0 / unlisted keeps none") {
     val all = Sampling.stratifiedSample(docs, $"lang", $"doc_id",
       Map("en" -> 100), defaultPct = 0)
