@@ -518,6 +518,76 @@ object VersionedTable {
       latestVersion(path).getOrElse(
         throw new IllegalStateException(s"no versions at $path")))
 
+  // ---------------------------------------------------- data skipping
+  //
+  // Delta stores per-file column min/max in its log and prunes files
+  // before the scan. Here the stats live in a sidecar parquet per
+  // indexed column (`_graft_stats/<col>/`), keyed by data-file path.
+  // Data files are IMMUTABLE, so a file's stats never change: the
+  // sidecar is append-only, missing entries are computed lazily (one
+  // aggregation over just the unindexed files), and entries for
+  // vacuumed files are inert. Deletion vectors only shrink a file's
+  // live rows, so manifest-file stats stay sound bounds — a fully
+  // deleted range costs one false-positive file read, never a wrong
+  // result.
+
+  private def statsDir(path: String, column: String): Path =
+    Paths.get(path, "_graft_stats", column)
+
+  /** Range read with file skipping: the rows of the latest version
+    * satisfying `lo <= column <= hi`, scanning only files whose
+    * [min,max] intersects the range. Result is identical to
+    * `read(...).filter(...)`; only the files touched differ. Returns
+    * (rows, filesRead, filesTotal).
+    *
+    * First call over new files pays one stats aggregation for exactly
+    * those files (grouped by `_metadata.file_path` — the shuffle is
+    * file-count wide); later calls prune from the sidecar alone. All
+    * range comparisons run in the engine with its own type coercion —
+    * no driver-side value comparisons. Driver traffic is bounded by
+    * the FILE count (the same order as reading the manifest), never by
+    * rows. All-null files (mn = mx = NULL) are skipped: the range
+    * filter excludes null rows regardless.
+    */
+  def readWhere(spark: SparkSession, path: String, column: String,
+      lo: Any, hi: Any): (DataFrame, Long, Long) = {
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalStateException(s"no versions at $path"))
+    val fs = files(path, v)
+    if (fs.isEmpty) return (spark.emptyDataFrame, 0L, 0L)
+    val dir = statsDir(path, column)
+    val have: Set[String] =
+      if (Files.exists(dir))
+        spark.read.parquet(dir.toString)
+          .select("file").collect().map(_.getString(0)).toSet
+      else Set.empty
+    val missing = fs.filterNot(have)
+    if (missing.nonEmpty)
+      spark.read.option("mergeSchema", "true").parquet(missing: _*)
+        .groupBy(col("_metadata.file_path").as("uri"))
+        .agg(min(col(column)).as("mn"), max(col(column)).as("mx"))
+        // manifests store plain paths; `file_path` is a file: URI on the
+        // local FS — strip the scheme so sidecar keys match manifests
+        .select(regexp_replace(col("uri"), "^file:(//)?", "").as("file"),
+          col("mn"), col("mx"))
+        .coalesce(1)
+        .write.mode(SaveMode.Append).parquet(dir.toString)
+    val stats = spark.read.parquet(dir.toString)
+      .filter(col("file").isInCollection(fs))
+    val kept = stats
+      .filter(col("mx") >= lit(lo) && col("mn") <= lit(hi))
+      .select("file").collect().map(_.getString(0)).distinct.toSeq
+    // a file with no stats row (lost append race) is read conservatively
+    val haveNow = stats.select("file").collect().map(_.getString(0)).toSet
+    val toRead = kept ++ fs.filterNot(haveNow)
+    val cond = col(column) >= lit(lo) && col(column) <= lit(hi)
+    val out =
+      if (toRead.isEmpty) read(spark, path).filter(cond).limit(0)
+      else liveWithPos(spark, toRead, dvFiles(path, v))
+        .drop(FileCol, PosCol).filter(cond)
+    (out, toRead.size.toLong, fs.size.toLong)
+  }
+
   /** Commit history as a DataFrame (version, op, n_files). */
   def history(spark: SparkSession, path: String): DataFrame =
     spark.read.json(s"${logDir(path)}/v*.json")

@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DataSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Three appends with disjoint key ranges — each commit's files carry
+    * a narrow [min,max], so a range probe should touch one commit.
+    */
+  private def clusteredTable(): String = {
+    val path = Files.createTempDirectory("vt_skip").resolve("t").toString
+    VersionedTable.write((0L until 100L).map(i => (i, s"r$i"))
+      .toDF("k", "v").coalesce(1), path, SaveMode.Overwrite)
+    VersionedTable.write((100L until 200L).map(i => (i, s"r$i"))
+      .toDF("k", "v").coalesce(1), path, SaveMode.Append)
+    VersionedTable.write((200L until 300L).map(i => (i, s"r$i"))
+      .toDF("k", "v").coalesce(1), path, SaveMode.Append)
+    path
+  }
+
+  test("readWhere equals read+filter and skips non-intersecting files") {
+    val path = clusteredTable()
+    val (df, read, total) = VersionedTable.readWhere(spark, path, "k", 120L, 150L)
+    val expect = VersionedTable.read(spark, path)
+      .filter($"k" >= 120 && $"k" <= 150)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(df.as[(Long, String)].collect().sorted.toSeq == expect)
+    assert(expect.size == 31)
+    assert(total == 3, s"expected 3 files, got $total")
+    assert(read == 1, s"range covers one commit's file, read $read")
+    // second call prunes from the sidecar alone and agrees
+    val (df2, read2, _) = VersionedTable.readWhere(spark, path, "k", 120L, 150L)
+    assert(read2 == 1)
+    assert(df2.as[(Long, String)].collect().sorted.toSeq == expect)
+  }
+
+  test("empty intersection reads zero files and returns empty with schema") {
+    val path = clusteredTable()
+    val (df, read, total) = VersionedTable.readWhere(spark, path, "k", 900L, 999L)
+    assert(read == 0 && total == 3)
+    assert(df.count() == 0)
+    assert(df.columns.toSeq == Seq("k", "v"))
+  }
+
+  test("skipping stays sound under deletion vectors and new appends") {
+    val path = clusteredTable()
+    VersionedTable.readWhere(spark, path, "k", 0L, 0L) // build sidecar
+    // DV-delete part of the probed range: stats are now over-approximate
+    // (sound); the read must subtract the DV
+    VersionedTable.deleteWhere(spark, path, $"k" >= 120 && $"k" <= 130)
+    val (df, _, _) = VersionedTable.readWhere(spark, path, "k", 100L, 150L)
+    val expect = VersionedTable.read(spark, path)
+      .filter($"k" >= 100 && $"k" <= 150)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(df.as[(Long, String)].collect().sorted.toSeq == expect)
+    assert(expect.size == 51 - 11)
+    // a fresh append is indexed lazily on the next readWhere
+    VersionedTable.write((300L until 400L).map(i => (i, s"r$i"))
+      .toDF("k", "v").coalesce(1), path, SaveMode.Append)
+    val (df2, read2, total2) = VersionedTable.readWhere(spark, path, "k", 320L, 330L)
+    assert(total2 == 4 && read2 == 1)
+    assert(df2.count() == 11)
+  }
+
+  test("skipping survives compaction (new files re-indexed lazily)") {
+    val path = clusteredTable()
+    VersionedTable.readWhere(spark, path, "k", 0L, 10L)
+    VersionedTable.compact(spark, path)
+    val (df, read, total) = VersionedTable.readWhere(spark, path, "k", 120L, 150L)
+    val expect = VersionedTable.read(spark, path)
+      .filter($"k" >= 120 && $"k" <= 150).count()
+    assert(df.count() == expect)
+    assert(read <= total)
+  }
+}
