@@ -723,13 +723,21 @@ object CoreQueries {
     * the bipartite graph), so the ordering is genuinely informative.
     */
   def pageRank(s: SparkSession, d: String): DataFrame = {
+    // numeric node ids through the iterations (customers even, suppliers
+    // odd — a bijection onto the 'c…'/'s…' names): long join/agg keys
+    // hash and compare in registers, where string keys byte-compare per
+    // row; the presentation names are restored in one final projection
     val edges = t(s, d, "orders").join(t(s, d, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
     graft.operators.PageRank.ranks(edges, "src", "dst",
         iters = 3, damping = 0.85)
-      .select(col("id"), round(col("rank") * 1000, 6).as("rank_pm"))
+      .select(
+        when(col("id") % 2 === 0, concat(lit("c"), (col("id") / 2).cast("bigint")))
+          .otherwise(concat(lit("s"), ((col("id") - 1) / 2).cast("bigint")))
+          .as("id"),
+        round(col("rank") * 1000, 6).as("rank_pm"))
       .orderBy("id")
   }
 

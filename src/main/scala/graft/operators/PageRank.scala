@@ -31,15 +31,28 @@ object PageRank {
     */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, damping: Double = 0.85): DataFrame = {
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // dedupe BEFORE symmetrizing, and persist the deduped set: the
+    // upstream pair pipeline (often a join) would otherwise run once per
+    // union branch, and the post-union distinct would shuffle the raw
+    // edge multiplicity instead of the (usually far smaller) edge set
+    val e0 = graft.CacheScope.persisted(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    // sym has exactly one consumer (weights, itself persisted) — keep it
+    // a plan, both union branches read the e0 cache
     val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
     // (src, dst, outdeg): rank flows src→dst scaled by 1/outdeg(src).
-    // Persisted — every iteration joins against it, and it carries the
-    // distinct() shuffle nobody wants to repeat per round.
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val weights = graft.CacheScope.persisted(sym.join(deg, "src"))
-    val nodes = graft.CacheScope.persisted(deg.select(col("src").as("id")))
+    // The out-degree rides a whole-partition window instead of a
+    // groupBy + self-join: ONE hash(src) exchange computes the degree
+    // AND leaves the table partitioned exactly as every iteration's
+    // rank join requires — each round then shuffles only the
+    // node-sized rank table. nodes reuses that partitioning (distinct
+    // on the partition key plans exchange-free).
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val weights = graft.CacheScope.persisted(
+      sym.withColumn("outdeg", count(lit(1)).over(bySrc)))
+    val nodes = graft.CacheScope.persisted(
+      weights.select(col("src").as("id")).distinct())
     // one bounded driver scalar (like the watermark read) — N appears as
     // a literal in every iteration's plan
     val n = nodes.count()
@@ -51,10 +64,16 @@ object PageRank {
         .groupBy(col("dst"))
         .agg(sum(col("rank") / col("outdeg")).as("c"))
       // symmetric graph ⇒ every node receives mass; left join + coalesce
-      // keeps the operator correct for general edge sets anyway
+      // keeps the operator correct for general edge sets anyway.
+      // localCheckpoint (eager, node-sized) truncates the lineage so
+      // each round optimizes and codegens a ONE-round plan — without it
+      // the final plan nests every previous round and Catalyst +
+      // codegen compile time grows superlinearly in `iters` (the same
+      // per-round materialization ConnectedComponents uses).
       rank = nodes.join(contrib, col("id") === col("dst"), "left")
         .select(col("id"),
           (base + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
     }
     rank
   }
