@@ -782,6 +782,64 @@ object CoreQueries {
       |)
       |SELECT id, round(rank * 1000, 6) AS rank_pm FROM r3 ORDER BY id""".stripMargin
 
+  /** q80 — time-series gap fill + forward fill: each member's monthly
+    * activity on a dense month spine (their first active month through
+    * their last), absent months filled with zeros and a forward-filled
+    * "last active month" (`last(..., ignoreNulls)` over an ordered
+    * per-member frame — the carry-forward every balance/state timeline
+    * needs). The spine is `sequence(lo, hi, interval 1 month)` exploded
+    * per member — generated at the row, no driver loop, no cross join
+    * against a global calendar — and the fill window is partitioned by
+    * member, so both scale with members × months, shuffled once.
+    */
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = t(s, d, "orders")
+      .groupBy(col("o_custkey").as("member_id"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"))
+    val spine = monthly.groupBy(col("member_id"))
+      .agg(min(col("month")).as("lo"), max(col("month")).as("hi"))
+      .select(col("member_id"),
+        explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 month"))).as("month"))
+    val w = Window.partitionBy(col("member_id")).orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(monthly, Seq("member_id", "month"), "left")
+      .select(col("member_id"), col("month"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0).cast(DecimalType(18, 2)))
+          .cast("double").as("spend"),
+        last(when(col("n_orders") > 0, col("month")), ignoreNulls = true)
+          .over(w).as("last_active_month"))
+      .orderBy("member_id", "month")
+  }
+
+  val gapFillOracle: String =
+    """WITH m AS (
+      |  SELECT o_custkey AS member_id,
+      |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |    count(*) AS n_orders,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |  FROM orders GROUP BY 1, 2
+      |), b AS (
+      |  SELECT member_id, min(month) AS lo, max(month) AS hi FROM m GROUP BY 1
+      |), spine AS (
+      |  SELECT member_id, CAST(u.g AS DATE) AS month
+      |  FROM b, UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+      |    CAST(hi AS TIMESTAMP), INTERVAL 1 MONTH)) AS u(g)
+      |)
+      |SELECT s.member_id, s.month,
+      |  coalesce(m.n_orders, 0) AS n_orders,
+      |  CAST(coalesce(m.spend, 0) AS DOUBLE) AS spend,
+      |  last_value(CASE WHEN m.n_orders > 0 THEN s.month END IGNORE NULLS)
+      |    OVER (PARTITION BY s.member_id ORDER BY s.month
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS last_active_month
+      |FROM spine s LEFT JOIN m ON s.member_id = m.member_id AND s.month = m.month
+      |ORDER BY s.member_id, s.month""".stripMargin
+
   /** q35 — sketch aggregation: HyperLogLog++ approximate distinct counts
     * validated against the exact counts. The sketch ESTIMATE itself is
     * engine-specific, so it stays out of the hashed projection: the
@@ -1238,6 +1296,7 @@ object CoreQueries {
     "q64_approx_percentile" -> (approxPercentileSketch(_, _)),
     "q76_pagerank" -> (pageRank(_, _)),
     "q77_window_analytics2" -> (windowAnalytics2(_, _)),
+    "q80_gap_fill" -> (gapFill(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1280,5 +1339,6 @@ object CoreQueries {
     "q64_approx_percentile" -> approxPercentileSketchOracle,
     "q76_pagerank" -> pageRankOracle,
     "q77_window_analytics2" -> windowAnalytics2Oracle,
+    "q80_gap_fill" -> gapFillOracle,
   )
 }
