@@ -1184,6 +1184,96 @@ object CoreQueries {
       |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** q81 — ordered conversion funnel (view → click → purchase): per
+    * user, the earliest view, the earliest click AT OR AFTER that view,
+    * and the earliest purchase at or after that click — each stage a
+    * filtered min-aggregation joined back on user id, so all three
+    * shuffles share one key and the exchange is reused; nothing sorts
+    * whole event histories. Depth classifies how far the user got;
+    * seconds-to-convert only for completed funnels. Timestamps diff as
+    * floor-epoch seconds (Spark's long cast ≡ DuckDB second-boundary
+    * count for positive spans).
+    */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") >= col("first_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") >= col("first_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("first_view"), col("first_click"),
+        col("first_purchase"),
+        when(col("first_purchase").isNotNull, 3L)
+          .when(col("first_click").isNotNull, 2L).otherwise(1L).as("depth"),
+        when(col("first_purchase").isNotNull,
+          col("first_purchase").cast("long") - col("first_view").cast("long"))
+          .as("secs_to_convert"))
+      .orderBy("user_id")
+  }
+
+  val funnelOracle: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS first_view FROM events
+      |  WHERE event_type = 'view' GROUP BY 1
+      |), c AS (
+      |  SELECT e.user_id, min(e.ts) AS first_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.first_view
+      |  WHERE e.event_type = 'click' GROUP BY 1
+      |), p AS (
+      |  SELECT e.user_id, min(e.ts) AS first_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.first_click
+      |  WHERE e.event_type = 'purchase' GROUP BY 1
+      |)
+      |SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+      |  CASE WHEN p.first_purchase IS NOT NULL THEN 3
+      |       WHEN c.first_click IS NOT NULL THEN 2 ELSE 1 END AS depth,
+      |  CASE WHEN p.first_purchase IS NOT NULL THEN
+      |    CAST(floor(epoch(p.first_purchase)) - floor(epoch(v.first_view)) AS BIGINT)
+      |  END AS secs_to_convert
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
+
+  /** q82 — cohort retention: members grouped by first-order month, the
+    * classic (cohort × month-offset) retention matrix. Activity is the
+    * distinct (member, month) set; the cohort assignment is one more
+    * aggregation on the same member key (the exchange reuses), and the
+    * matrix is a count-distinct per (cohort, offset) — month arithmetic
+    * is exact integers in both engines.
+    */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val active = t(s, d, "orders")
+      .select(col("o_custkey").as("member_id"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .distinct()
+    val cohort = active.groupBy(col("member_id"))
+      .agg(min(col("month")).as("cohort_month"))
+    active.join(cohort, "member_id")
+      .groupBy(col("cohort_month"),
+        months_between(col("month"), col("cohort_month")).cast("bigint")
+          .as("month_offset"))
+      .agg(countDistinct(col("member_id")).as("n_active"))
+      .orderBy("cohort_month", "month_offset")
+  }
+
+  val cohortRetentionOracle: String =
+    """WITH a AS (
+      |  SELECT DISTINCT o_custkey AS member_id,
+      |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month
+      |  FROM orders
+      |), f AS (
+      |  SELECT member_id, min(month) AS cohort_month FROM a GROUP BY 1
+      |)
+      |SELECT f.cohort_month,
+      |  CAST(date_diff('month', f.cohort_month, a.month) AS BIGINT) AS month_offset,
+      |  count(DISTINCT a.member_id) AS n_active
+      |FROM a JOIN f USING (member_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** q18 — tumbling event-time windows (batch analog of the Structured
     * Streaming ingest; see graft.streaming for the readStream path).
     */
@@ -1297,6 +1387,8 @@ object CoreQueries {
     "q76_pagerank" -> (pageRank(_, _)),
     "q77_window_analytics2" -> (windowAnalytics2(_, _)),
     "q80_gap_fill" -> (gapFill(_, _)),
+    "q81_funnel" -> (funnel(_, _)),
+    "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1340,5 +1432,7 @@ object CoreQueries {
     "q76_pagerank" -> pageRankOracle,
     "q77_window_analytics2" -> windowAnalytics2Oracle,
     "q80_gap_fill" -> gapFillOracle,
+    "q81_funnel" -> funnelOracle,
+    "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }
