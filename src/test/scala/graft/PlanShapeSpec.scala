@@ -163,4 +163,42 @@ class PlanShapeSpec extends SparkSpec {
       s"span dedup must stay equality-join-shaped, plan:\n$plan")
     graft.CacheScope.drain(spark, blocking = true)
   }
+
+  test("vocab coverage: running total is bucketed, never a global window") {
+    val plan = executed(SparkEntry.queries("q78_vocab_coverage")(spark, sf))
+    assert(!plan.contains("Window [") || !plan.contains("No Partition Defined"),
+      s"global cumsum must ride the bucketed PrefixSum, plan:\n$plan")
+    // the threshold fan-out must broadcast the 4-row table
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"threshold table must broadcast, plan:\n$plan")
+    graft.CacheScope.drain(spark, blocking = true)
+  }
+
+  test("epoch upsample: pure scan shape — no shuffle, no join") {
+    val df = functions.Sampling.epochUpsample(
+      Tables.documents(spark, sf),
+      org.apache.spark.sql.functions.col("lang"),
+      org.apache.spark.sql.functions.col("doc_id"),
+      Map("en" -> 130, "de" -> 250))
+    val plan = executed(df)
+    assert(!plan.contains("Exchange"),
+      s"upsampling must run at scan speed with no exchange, plan:\n$plan")
+  }
+
+  test("gap fill: one window partitioned by member, no global sort before it") {
+    val plan = executed(SparkEntry.queries("q80_gap_fill")(spark, sf))
+    assert(!plan.contains("No Partition Defined"),
+      s"fill window must be per-member, plan:\n$plan")
+    graft.CacheScope.drain(spark, blocking = true)
+  }
+
+  test("funnel: equality joins only, no event-history windows") {
+    val plan = executed(SparkEntry.queries("q81_funnel")(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"funnel stages must join on user id, plan:\n$plan")
+    assert(!plan.contains("Window ["),
+      s"funnel must aggregate, not sort event histories, plan:\n$plan")
+    graft.CacheScope.drain(spark, blocking = true)
+  }
 }
