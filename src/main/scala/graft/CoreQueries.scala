@@ -945,6 +945,37 @@ object CoreQueries {
       .orderBy("nation")
   }
 
+  /** q83 — UNPIVOT (melt), the inverse surface of q38's pivot: the wide
+    * per-nation revenue matrix relaid as (nation, yr, revenue) long form
+    * via `Dataset.unpivot`. Round-tripping through the pivot exercises
+    * both directions; the oracle computes the long form directly, so a
+    * hash match proves pivot→unpivot is lossless (missing cells drop as
+    * NULLs, exactly the rows the direct aggregation never had). Wide→long
+    * is per-row work — no shuffle beyond the pivot's own aggregation.
+    */
+  def unpivotRevenue(s: SparkSession, d: String): DataFrame = {
+    val wide = pivotRevenue(s, d)
+    wide.unpivot(
+        Array(col("nation")),
+        Array(col("rev_1995").as("1995"), col("rev_1996").as("1996"),
+          col("rev_1997").as("1997")),
+        "yr", "revenue")
+      .filter(col("revenue").isNotNull)
+      .select(col("nation"), col("yr").cast("bigint").as("yr"), col("revenue"))
+      .orderBy("nation", "yr")
+  }
+
+  val unpivotRevenueOracle: String =
+    """SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS yr,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE year(l_shipdate) IN (1995, 1996, 1997)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val pivotRevenueOracle: String =
     """WITH base AS (
       |  SELECT n_name AS nation, year(l_shipdate) AS yr,
@@ -1388,6 +1419,7 @@ object CoreQueries {
     "q77_window_analytics2" -> (windowAnalytics2(_, _)),
     "q80_gap_fill" -> (gapFill(_, _)),
     "q81_funnel" -> (funnel(_, _)),
+    "q83_unpivot" -> (unpivotRevenue(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -1433,6 +1465,7 @@ object CoreQueries {
     "q77_window_analytics2" -> windowAnalytics2Oracle,
     "q80_gap_fill" -> gapFillOracle,
     "q81_funnel" -> funnelOracle,
+    "q83_unpivot" -> unpivotRevenueOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }
