@@ -34,6 +34,34 @@ object LayerIO {
   def readLayer(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** JSON-lines ingest with the same PERMISSIVE/corrupt-capture contract
+    * as [[readCsv]] — the landing format of most event feeds. Schema
+    * declared, never inferred: inference costs a full extra pass and can
+    * silently widen types between runs.
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", "string"))
+      .json(path)
+
+  /** JSON-lines sink (text-format interchange; parquet stays the layer
+    * format — JSONL is for handoff to systems that can't read parquet).
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** ORC round trip — the other columnar format Spark ships natively;
+    * same predicate-pushdown/column-pruning behavior as parquet, so a
+    * layer can be ORC end-to-end by changing only these two calls.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** S9: existence probe (the parquet analog of DeltaTable.isDeltaTable)
     * driving the reference's append-vs-create branch.
     */

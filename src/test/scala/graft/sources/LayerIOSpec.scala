@@ -25,6 +25,44 @@ class LayerIOSpec extends SparkSpec {
     assert(df.filter($"_corrupt_record".isNull).count() == 2)
   }
 
+  test("PERMISSIVE jsonl read captures corrupt lines; writeJsonl round-trips") {
+    val dir = Files.createTempDirectory("jsonl_in")
+    Files.writeString(dir.resolve("claims.json"),
+      """{"claim_id":"C1","amount":10.5}
+        |{"claim_id":"C2","amount":"notanumber"}
+        |not json at all
+        |{"claim_id":"C3","amount":7.25}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("claim_id", StringType), StructField("amount", DoubleType)))
+    val df = LayerIO.readJsonl(spark, dir.toString, schema).cache()
+    assert(df.count() == 4)
+    assert(df.filter($"_corrupt_record".isNotNull).count() == 2)
+    val good = df.filter($"_corrupt_record".isNull)
+      .select("claim_id", "amount").as[(String, Double)].collect().toSet
+    assert(good == Set(("C1", 10.5), ("C3", 7.25)))
+    // sink round trip
+    val out = Files.createTempDirectory("jsonl_out").resolve("t").toString
+    LayerIO.writeJsonl(good.toSeq.toDF("claim_id", "amount"), out)
+    val back = LayerIO.readJsonl(spark, out, schema)
+      .select("claim_id", "amount").as[(String, Double)].collect().toSet
+    assert(back == good)
+    df.unpersist()
+  }
+
+  test("ORC round trip preserves rows and pushes filters to the scan") {
+    val out = Files.createTempDirectory("orc_out").resolve("t").toString
+    val src = (1L to 1000L).map(i => (i, s"n$i", i * 1.5)).toDF("k", "name", "v")
+    LayerIO.writeOrc(src, out)
+    val back = LayerIO.readOrc(spark, out)
+    assert(back.count() == 1000)
+    val filtered = back.filter($"k" > 900).select("k", "v")
+    assert(filtered.count() == 100)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(k), GreaterThan(k,900)"),
+      s"ORC scan must receive the pushed filter:\n$scan")
+  }
+
   test("compact merges a fragmented layout into few files, same rows") {
     val path = Files.createTempDirectory("compact").resolve("t").toString
     val frag = spark.range(10000).select($"id", ($"id" % 7).as("v"))
