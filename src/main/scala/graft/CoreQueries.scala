@@ -840,6 +840,36 @@ object CoreQueries {
       |FROM spine s LEFT JOIN m ON s.member_id = m.member_id AND s.month = m.month
       |ORDER BY s.member_id, s.month""".stripMargin
 
+  /** q84 — statistical aggregate family: Pearson correlation, OLS
+    * slope/intercept (`regr_*`), and sample standard deviation per
+    * return flag — the regression surface an analytics engine is
+    * expected to ship (all are single-pass, merge-able aggregates; no
+    * second scan, no driver math). Both engines accumulate co-moments
+    * in different orders, so outputs are rounded (6 dp for the
+    * unit-scale correlation, 3 dp for the price-scale terms) — the
+    * same convention as every float aggregate here.
+    */
+  def regressionStats(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("price_qty_corr"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 3)
+          .as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 3)
+          .as("intercept"),
+        round(stddev_samp(col("l_extendedprice")), 3).as("price_sd"))
+      .orderBy("l_returnflag")
+
+  val regressionStatsOracle: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+      |  round(regr_slope(l_extendedprice, l_quantity), 3) AS slope,
+      |  round(regr_intercept(l_extendedprice, l_quantity), 3) AS intercept,
+      |  round(stddev_samp(l_extendedprice), 3) AS price_sd
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q35 — sketch aggregation: HyperLogLog++ approximate distinct counts
     * validated against the exact counts. The sketch ESTIMATE itself is
     * engine-specific, so it stays out of the hashed projection: the
@@ -1420,6 +1450,7 @@ object CoreQueries {
     "q80_gap_fill" -> (gapFill(_, _)),
     "q81_funnel" -> (funnel(_, _)),
     "q83_unpivot" -> (unpivotRevenue(_, _)),
+    "q84_regression_stats" -> (regressionStats(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -1466,6 +1497,7 @@ object CoreQueries {
     "q80_gap_fill" -> gapFillOracle,
     "q81_funnel" -> funnelOracle,
     "q83_unpivot" -> unpivotRevenueOracle,
+    "q84_regression_stats" -> regressionStatsOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }
