@@ -381,6 +381,40 @@ object LlmQueries {
       |SELECT query_id, rank, vec_id AS neighbor_id, sim FROM r
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** q85 — hard-negative mining via filtered vector search: for each
+    * query, the top-5 most similar vectors whose LABEL DIFFERS from the
+    * query's — the "close but wrong class" examples contrastive
+    * training pairs with its positives ([[SimilarityOps.filteredTopK]];
+    * the predicate applies before ranking, so k is filled from the
+    * eligible subset).
+    */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"), col("label").as("query_label"))
+    SimilarityOps.filteredTopK(q, e, 5, col("label") =!= col("query_label"))
+      .orderBy("query_id", "rank")
+  }
+
+  val hardNegativesOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+      |    label AS qlabel
+      |  FROM embeddings WHERE vec_id < 10
+      |), s AS (
+      |  SELECT query_id, vec_id,
+      |    round(list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])), 4) AS sim
+      |  FROM q, embeddings
+      |  WHERE vec_id <> query_id AND label <> qlabel
+      |), r AS (
+      |  SELECT query_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM s
+      |)
+      |SELECT query_id, rank, vec_id AS neighbor_id, sim FROM r
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** q30 — IVF ANN: 8 deterministic seed centroids (vec_id < 8), every
     * vector assigned to its nearest seed, queries probe top-2 buckets,
     * top-3 within probed buckets.
@@ -1678,6 +1712,7 @@ object LlmQueries {
     "q75_unicode_normalize" -> (unicodeNormalize(_, _)),
     "q78_vocab_coverage" -> (vocabCoverage(_, _)),
     "q79_epoch_upsample" -> (epochUpsample(_, _)),
+    "q85_hard_negatives" -> (hardNegatives(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1720,5 +1755,6 @@ object LlmQueries {
     "q75_unicode_normalize" -> unicodeNormalizeOracle,
     "q78_vocab_coverage" -> vocabCoverageOracle,
     "q79_epoch_upsample" -> epochUpsampleOracle,
+    "q85_hard_negatives" -> hardNegativesOracle,
   )
 }

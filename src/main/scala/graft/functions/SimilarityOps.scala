@@ -69,6 +69,25 @@ object SimilarityOps {
     rankTopK(scored, "query_id", "vec_id", k)
   }
 
+  /** Predicate-filtered brute-force top-k — the "filtered vector
+    * search" every retrieval stack needs (metadata constraints on ANN:
+    * tenant, language, freshness … or, as in hard-negative mining,
+    * a DIFFERENT class label than the query). The predicate applies
+    * BEFORE ranking, so the top-k is over the eligible subset — running
+    * plain top-k and filtering after would under-fill k. Same scale
+    * shape as [[bruteForceTopK]]: queries broadcast, corpus never
+    * shuffles, bounded top-k aggregation, and the predicate fuses into
+    * the scan's codegen stage.
+    */
+  def filteredTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      keep: Column): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("vec_id"))
+      .filter(keep)
+      .withColumn("sim", round(cosine(col("query_vec"), col("embedding")), 4))
+    rankTopK(scored, "query_id", "vec_id", k)
+  }
+
   /** Int8 scalar quantization with a fixed [-1, 1] → [-127, 127] scale:
     * q[d] = floor(v[d] · 127). The 100 TB memory lever for ANN — 4×
     * smaller vectors (and integer SIMD dot products on real hardware)
