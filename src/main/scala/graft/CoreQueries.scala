@@ -1299,6 +1299,42 @@ object CoreQueries {
       |       LEFT JOIN p ON v.user_id = p.user_id
       |ORDER BY v.user_id""".stripMargin
 
+  /** q86 — entry-journey path analysis: each user's first five events
+    * (by event time, id tie-break) joined into a `type>type>…` path,
+    * then users counted per path — the "how do sessions start" rollup.
+    * The per-user prefix is a WindowGroupLimit-able ranked window
+    * (partitioned by user, never global), and the path string is
+    * rebuilt order-exactly with `array_sort(collect_list(struct))`,
+    * the same deterministic in-group reconstruction q74 uses — no
+    * assumption that collect_list preserves any order.
+    */
+  def eventPaths(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("path")
+  }
+
+  val eventPathsOracle: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events
+      |), p AS (
+      |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM r WHERE rn <= 5 GROUP BY 1
+      |)
+      |SELECT path, count(*) AS n_users FROM p GROUP BY 1 ORDER BY path""".stripMargin
+
   /** q82 — cohort retention: members grouped by first-order month, the
     * classic (cohort × month-offset) retention matrix. Activity is the
     * distinct (member, month) set; the cohort assignment is one more
@@ -1451,6 +1487,7 @@ object CoreQueries {
     "q81_funnel" -> (funnel(_, _)),
     "q83_unpivot" -> (unpivotRevenue(_, _)),
     "q84_regression_stats" -> (regressionStats(_, _)),
+    "q86_event_paths" -> (eventPaths(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -1498,6 +1535,7 @@ object CoreQueries {
     "q81_funnel" -> funnelOracle,
     "q83_unpivot" -> unpivotRevenueOracle,
     "q84_regression_stats" -> regressionStatsOracle,
+    "q86_event_paths" -> eventPathsOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }
