@@ -840,6 +840,42 @@ object CoreQueries {
       |FROM spine s LEFT JOIN m ON s.member_id = m.member_id AND s.month = m.month
       |ORDER BY s.member_id, s.month""".stripMargin
 
+  /** q87 — skew diagnosis under the oracle: [[operators.Skew]]'s
+    * key-frequency profile (top keys with their share of all rows) plus
+    * the salt factor it implies at 32-way parallelism — the numbers an
+    * operator reads before enabling [[operators.Skew.saltedJoin]] on a
+    * hot-key join. The profile is one map-combinable count per key; the
+    * factor is `ceil(max_share × partitions)` clamped to the
+    * parallelism (salting wider than the parallelism only multiplies
+    * dim replication).
+    */
+  def skewProfile(s: SparkSession, d: String): DataFrame = {
+    val profile = operators.Skew.keySkewProfile(
+      t(s, d, "lineitem"), "l_returnflag", topK = 3)
+    val factor = operators.Skew.suggestedSaltFactor(profile, partitions = 32)
+    profile
+      .select(col("l_returnflag"), col("count"),
+        round(col("share"), 6).as("share"),
+        lit(factor.toLong).as("salt_factor"))
+      .orderBy(col("count").desc, col("l_returnflag"))
+  }
+
+  val skewProfileOracle: String =
+    """WITH c AS (
+      |  SELECT l_returnflag, count(*) AS "count" FROM lineitem GROUP BY 1
+      |), p AS (
+      |  SELECT l_returnflag, "count",
+      |    CAST("count" AS DOUBLE) / (SELECT CAST(sum("count") AS DOUBLE) FROM c)
+      |      AS share
+      |  FROM c ORDER BY "count" DESC, l_returnflag LIMIT 3
+      |), f AS (
+      |  SELECT greatest(1, least(32,
+      |    CAST(ceil(max(share) * 32) AS BIGINT))) AS salt_factor
+      |  FROM p
+      |)
+      |SELECT l_returnflag, "count", round(share, 6) AS share, f.salt_factor
+      |FROM p, f ORDER BY "count" DESC, l_returnflag""".stripMargin
+
   /** q84 — statistical aggregate family: Pearson correlation, OLS
     * slope/intercept (`regr_*`), and sample standard deviation per
     * return flag — the regression surface an analytics engine is
@@ -1488,6 +1524,7 @@ object CoreQueries {
     "q83_unpivot" -> (unpivotRevenue(_, _)),
     "q84_regression_stats" -> (regressionStats(_, _)),
     "q86_event_paths" -> (eventPaths(_, _)),
+    "q87_skew_profile" -> (skewProfile(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -1536,6 +1573,7 @@ object CoreQueries {
     "q83_unpivot" -> unpivotRevenueOracle,
     "q84_regression_stats" -> regressionStatsOracle,
     "q86_event_paths" -> eventPathsOracle,
+    "q87_skew_profile" -> skewProfileOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }
