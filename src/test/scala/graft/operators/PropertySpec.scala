@@ -112,6 +112,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pagerank: mass conserved, all nodes ranked, positive ranks — random graphs") {
+    val edgeGen = for {
+      n <- Gen.choose(1, 60)
+      edges <- Gen.listOfN(n, for {
+        a <- Gen.choose(1L, 25L)
+        b <- Gen.choose(1L, 25L)
+      } yield (a, b))
+    } yield edges
+    forAll(edgeGen, n = 5) { edges =>
+      val df = edges.toDF("src", "dst").repartition(5)
+      val r = PageRank.ranks(df, "src", "dst").cache()
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      assert(r.count() == nodes.size, "one rank row per distinct node")
+      val total = r.agg(sum($"rank")).head().getDouble(0)
+      assert(math.abs(total - 1.0) < 1e-9, s"mass drifted: $total")
+      assert(r.filter($"rank" <= 0).count() == 0, "ranks strictly positive")
+      r.unpersist()
+      graft.CacheScope.drain(spark)
+    }
+  }
+
+  test("segment dedup rewrite: identity on unique docs, empties exact duplicates") {
+    // corpus of structurally unique docs (distinct leading token per doc)
+    val docs = (1L to 12L).map(i =>
+      (i, (0 until 25).map(t => s"w${i}_$t").mkString(" ").toLowerCase))
+      .toDF("doc_id", "text")
+    val out = graft.functions.DedupOps
+      .segmentDedupRewrite(docs, "text", "doc_id").cache()
+    // nothing shared → every segment kept and the rewrite IS the
+    // normalized original (tokens joined by single spaces)
+    assert(out.filter($"kept_segments" =!= $"n_segments").count() == 0)
+    val want = docs.select($"doc_id",
+      md5(array_join(graft.functions.TextAnalysis.tokens($"text"), " ")).as("m"))
+      .as[(Long, String)].collect().toMap
+    val got = out.select($"doc_id", $"new_md5").as[(Long, String)].collect().toMap
+    assert(got == want)
+    out.unpersist()
+    // exact duplicate pair → both fully emptied, unique docs untouched
+    val dup = docs.unionByName(
+      docs.filter($"doc_id" === 1).withColumn("doc_id", lit(100L)))
+    val out2 = graft.functions.DedupOps
+      .segmentDedupRewrite(dup, "text", "doc_id")
+    val emptied = out2.filter($"kept_segments" === 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(emptied == Set(1L, 100L), s"got $emptied")
+    graft.CacheScope.drain(spark)
+  }
+
   test("watermark: incremental read after commit is empty (monotone frontier)") {
     forAll(tableGen) { rows =>
       whenever(rows.nonEmpty) {
