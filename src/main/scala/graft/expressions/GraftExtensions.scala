@@ -19,6 +19,21 @@ object EliminateRedundantLowerUnderShingles extends Rule[LogicalPlan] {
     }
 }
 
+/** Optimizer rule: Unicode normalization is idempotent per form —
+  * `NFC(NFC(x)) = NFC(x)` (Unicode Standard, ch. 3 C14) — so nested
+  * same-form normalizations collapse to one. Composed pipelines hit
+  * this shape naturally (a cleansing stage normalizes defensively on
+  * input AND output); the rule removes the per-row double work.
+  * Different forms do NOT collapse (NFC∘NFD ≠ NFC) and are left alone.
+  */
+object CollapseIdempotentNormalize extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case UnicodeNormalize(inner @ UnicodeNormalize(_, f1), f2) if f1 == f2 =>
+        inner
+    }
+}
+
 /** Session extension entry point:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.expressions.GraftExtensions`.
@@ -26,5 +41,6 @@ object EliminateRedundantLowerUnderShingles extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => EliminateRedundantLowerUnderShingles)
+    e.injectOptimizerRule(_ => CollapseIdempotentNormalize)
   }
 }

@@ -22,6 +22,27 @@ class GraftExtensionsSpec extends SparkSpec {
       "the rewrite must not change results")
   }
 
+  test("nested same-form normalize collapses to one; mixed forms survive") {
+    import graft.expressions.UnicodeNormalize.unicode_normalize
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ CollapseIdempotentNormalize
+    val docs = Tables.documents(spark, sf)
+    val doubled = docs.select(
+      unicode_normalize(unicode_normalize(col("text"), "NFC"), "NFC").as("t"))
+    val opt = doubled.queryExecution.optimizedPlan.toString
+    assert("unicode_normalize".r.findAllIn(opt).length == 1,
+      s"same-form nesting must collapse:\n$opt")
+    // results identical to the single application (idempotence)
+    val single = docs.select(unicode_normalize(col("text"), "NFC").as("t"))
+    assert(doubled.exceptAll(single).isEmpty)
+    // NFD(NFC(x)) is NOT idempotent-collapsible — both must remain
+    val mixed = docs.select(
+      unicode_normalize(unicode_normalize(col("text"), "NFC"), "NFD").as("t"))
+    val optMixed = mixed.queryExecution.optimizedPlan.toString
+    assert("unicode_normalize".r.findAllIn(optMixed).length == 2,
+      s"mixed forms must not collapse:\n$optMixed")
+  }
+
   test("GraftExtensions registers the rule via SparkSessionExtensions") {
     val exts = new SparkSessionExtensions
     new GraftExtensions().apply(exts) // must inject without error
