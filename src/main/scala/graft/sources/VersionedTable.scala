@@ -588,6 +588,38 @@ object VersionedTable {
     (out, toRead.size.toLong, fs.size.toLong)
   }
 
+  /** Drop data-skipping sidecar rows whose file is referenced by NO
+    * retained manifest — the stats analog of [[vacuum]] (dead rows are
+    * inert for correctness but accumulate forever on a churning table).
+    * Bounded by file count end to end: each column's sidecar collects
+    * to the driver (same order as a manifest read) and is rewritten
+    * from memory, which also sidesteps Spark's self-overwrite
+    * restriction. Run when no concurrent [[readWhere]] is appending —
+    * a lost concurrent append only costs that reader a lazy recompute,
+    * never a wrong result. Returns the number of rows dropped.
+    */
+  def vacuumStats(spark: SparkSession, path: String): Long = {
+    val statsRoot = Paths.get(path, "_graft_stats")
+    if (!Files.exists(statsRoot)) return 0L
+    val live: Set[String] =
+      versions(path).flatMap(v => files(path, v)).toSet
+    var dropped = 0L
+    listDir(statsRoot)(_.toSeq).filter(Files.isDirectory(_)).foreach { colDir =>
+      val df = spark.read.parquet(colDir.toString)
+      val schema = df.schema
+      val rows = df.collect()
+      val kept = rows.filter(r => live.contains(r.getString(0)))
+      if (kept.length < rows.length) {
+        spark.createDataFrame(
+            java.util.Arrays.asList(kept: _*), schema)
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(colDir.toString)
+        dropped += rows.length - kept.length
+      }
+    }
+    dropped
+  }
+
   /** Commit history as a DataFrame (version, op, n_files). */
   def history(spark: SparkSession, path: String): DataFrame =
     spark.read.json(s"${logDir(path)}/v*.json")

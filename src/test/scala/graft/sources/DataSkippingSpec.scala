@@ -67,6 +67,28 @@ class DataSkippingSpec extends SparkSpec {
     assert(df2.count() == 11)
   }
 
+  test("vacuumStats drops rows for unreferenced files; pruning still exact") {
+    val path = clusteredTable()
+    VersionedTable.readWhere(spark, path, "k", 0L, 299L) // index all 3 files
+    // overwrite shrinks the live set to one new file; old stats rows are
+    // now dead weight
+    VersionedTable.write((0L until 50L).map(i => (i, s"x$i"))
+      .toDF("k", "v").coalesce(1), path, org.apache.spark.sql.SaveMode.Overwrite)
+    VersionedTable.readWhere(spark, path, "k", 0L, 10L) // index the new file
+    // while older manifests are retained their files stay referenced
+    // (time travel) — vacuumStats must keep those stats rows
+    assert(VersionedTable.vacuumStats(spark, path) == 0)
+    VersionedTable.vacuum(path, retainLast = 1, minAgeMs = 0)
+    val dropped = VersionedTable.vacuumStats(spark, path)
+    assert(dropped == 3, s"3 pre-overwrite stats rows must drop, got $dropped")
+    // second vacuum is a no-op; pruned reads still agree with full reads
+    assert(VersionedTable.vacuumStats(spark, path) == 0)
+    val (df, read, total) = VersionedTable.readWhere(spark, path, "k", 20L, 30L)
+    assert(total == 1 && read == 1)
+    assert(df.count() ==
+      VersionedTable.read(spark, path).filter($"k" >= 20 && $"k" <= 30).count())
+  }
+
   test("skipping survives compaction (new files re-indexed lazily)") {
     val path = clusteredTable()
     VersionedTable.readWhere(spark, path, "k", 0L, 10L)
