@@ -631,6 +631,37 @@ object CoreQueries {
     * each alone, grand total) in one pass, with the same portable
     * NULL-pattern grouping id as the q34 rollup.
     */
+  /** q88 — custom GROUPING SETS (the shapes rollup/cube can't express:
+    * two independent single-column summaries plus the grand total,
+    * WITHOUT the pairwise combination a cube would add). Spark exposes
+    * this through SQL only, so the query runs on the registered temp
+    * view — one pass, one expand, same portable NULL-pattern gid
+    * convention as q34/q61.
+    */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "lineitem").createOrReplaceTempView("gs_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  count(1) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END
+        |    + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END AS gid
+        |FROM gs_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
+  val groupingSetsOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  count(1) AS n_lines,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END
+      |    + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END AS gid
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   def cubeAgg(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .cube(col("l_returnflag"), col("l_linestatus"))
@@ -1525,6 +1556,7 @@ object CoreQueries {
     "q84_regression_stats" -> (regressionStats(_, _)),
     "q86_event_paths" -> (eventPaths(_, _)),
     "q87_skew_profile" -> (skewProfile(_, _)),
+    "q88_grouping_sets" -> (groupingSets(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -1574,6 +1606,7 @@ object CoreQueries {
     "q84_regression_stats" -> regressionStatsOracle,
     "q86_event_paths" -> eventPathsOracle,
     "q87_skew_profile" -> skewProfileOracle,
+    "q88_grouping_sets" -> groupingSetsOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }
