@@ -69,7 +69,9 @@ object PageRank {
       // each round optimizes and codegens a ONE-round plan — without it
       // the final plan nests every previous round and Catalyst +
       // codegen compile time grows superlinearly in `iters` (the same
-      // per-round materialization ConnectedComponents uses).
+      // per-round materialization ConnectedComponents uses; on a real
+      // cluster with lossy executors, set a checkpoint dir and swap in
+      // checkpoint()).
       rank = nodes.join(contrib, col("id") === col("dst"), "left")
         .select(col("id"),
           (base + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
