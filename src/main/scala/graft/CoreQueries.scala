@@ -631,6 +631,57 @@ object CoreQueries {
     * each alone, grand total) in one pass, with the same portable
     * NULL-pattern grouping id as the q34 rollup.
     */
+  /** q89 — the join-type matrix made explicit: left semi (members with
+    * orders), left anti (members without), full outer (both dangling
+    * sides preserved, split by which side matched), and a bounded cross
+    * join (nation × region) — the remaining join kinds the other
+    * queries use only implicitly. Each row is a labeled count, so the
+    * oracle pins every kind's semantics in one result.
+    */
+  def joinMatrix(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer").select(col("c_custkey"))
+    val ord = t(s, d, "orders").select(col("o_custkey")).distinct()
+    val full = t(s, d, "customer").select(col("c_custkey"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "full_outer")
+    // one lazy plan of labeled 1-row aggregates — no driver-side counts
+    def labeled(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"))
+        .select(lit(name).as("join_type"), col("n_rows"))
+    labeled("cross_nation_region",
+        t(s, d, "nation").crossJoin(t(s, d, "region")))
+      .unionByName(labeled("full_outer_both", full.filter(
+        col("c_custkey").isNotNull && col("o_custkey").isNotNull)))
+      .unionByName(labeled("full_outer_left_only",
+        full.filter(col("o_custkey").isNull)))
+      .unionByName(labeled("full_outer_right_only",
+        full.filter(col("c_custkey").isNull)))
+      .unionByName(labeled("left_anti",
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")))
+      .unionByName(labeled("left_semi",
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")))
+      .orderBy("join_type")
+  }
+
+  val joinMatrixOracle: String =
+    """WITH ord AS (SELECT DISTINCT o_custkey FROM orders),
+      |f AS (
+      |  SELECT c_custkey, o_custkey
+      |  FROM customer FULL OUTER JOIN ord ON c_custkey = o_custkey
+      |)
+      |SELECT 'cross_nation_region' AS join_type,
+      |  (SELECT count(*) FROM nation, region) AS n_rows
+      |UNION ALL SELECT 'full_outer_both',
+      |  (SELECT count(*) FROM f WHERE c_custkey IS NOT NULL AND o_custkey IS NOT NULL)
+      |UNION ALL SELECT 'full_outer_left_only',
+      |  (SELECT count(*) FROM f WHERE o_custkey IS NULL)
+      |UNION ALL SELECT 'full_outer_right_only',
+      |  (SELECT count(*) FROM f WHERE c_custkey IS NULL)
+      |UNION ALL SELECT 'left_anti',
+      |  (SELECT count(*) FROM customer ANTI JOIN ord ON c_custkey = o_custkey)
+      |UNION ALL SELECT 'left_semi',
+      |  (SELECT count(*) FROM customer SEMI JOIN ord ON c_custkey = o_custkey)
+      |ORDER BY join_type""".stripMargin
+
   /** q88 — custom GROUPING SETS (the shapes rollup/cube can't express:
     * two independent single-column summaries plus the grand total,
     * WITHOUT the pairwise combination a cube would add). Spark exposes
@@ -1557,6 +1608,7 @@ object CoreQueries {
     "q86_event_paths" -> (eventPaths(_, _)),
     "q87_skew_profile" -> (skewProfile(_, _)),
     "q88_grouping_sets" -> (groupingSets(_, _)),
+    "q89_join_matrix" -> (joinMatrix(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -1607,6 +1659,7 @@ object CoreQueries {
     "q86_event_paths" -> eventPathsOracle,
     "q87_skew_profile" -> skewProfileOracle,
     "q88_grouping_sets" -> groupingSetsOracle,
+    "q89_join_matrix" -> joinMatrixOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }
