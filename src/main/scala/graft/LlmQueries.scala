@@ -381,6 +381,40 @@ object LlmQueries {
       |SELECT query_id, rank, vec_id AS neighbor_id, sim FROM r
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** q90 — REAL image decode under the oracle: deterministic 4×4 PPM
+    * images (pixel bytes re-derivable from md5, so DuckDB can replay
+    * them) are encoded to the netpbm wire format and parsed back by
+    * [[Multimodal.MediaCodec.decodePpm]] before quadrant-mean pooling —
+    * a hash match certifies an actual codec round trip, retiring the
+    * multimodal path's "decode is a stub" caveat for formats the JVM
+    * can parse unaided.
+    */
+  def imageFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.imageFeatures(s, docs(s, d))
+      .orderBy("asset_id", "quadrant", "channel")
+
+  val imageFeaturesOracle: String =
+    """WITH j AS (
+      |  SELECT doc_id, u.j AS j FROM documents, UNNEST(range(48)) AS u(j)
+      |), b AS (
+      |  SELECT doc_id, j,
+      |    CAST('0x' || substr(md5('img-v1|' || CAST(doc_id AS VARCHAR)
+      |      || '|' || CAST(j // 16 AS VARCHAR)), (j % 16) * 2 + 1, 2)
+      |      AS BIGINT) AS v
+      |  FROM j
+      |), px AS (
+      |  SELECT doc_id, j // 3 AS p, j % 3 AS c, v FROM b
+      |), q AS (
+      |  SELECT doc_id,
+      |    ((p // 4) // 2) * 2 + ((p % 4) // 2) AS quadrant,
+      |    c AS channel, avg(v) AS mean_value
+      |  FROM px GROUP BY 1, 2, 3
+      |)
+      |SELECT doc_id AS asset_id, CAST(quadrant AS BIGINT) AS quadrant,
+      |  CAST(channel AS BIGINT) AS channel, mean_value,
+      |  CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height
+      |FROM q ORDER BY asset_id, quadrant, channel""".stripMargin
+
   /** q85 — hard-negative mining via filtered vector search: for each
     * query, the top-5 most similar vectors whose LABEL DIFFERS from the
     * query's — the "close but wrong class" examples contrastive
@@ -1713,6 +1747,7 @@ object LlmQueries {
     "q78_vocab_coverage" -> (vocabCoverage(_, _)),
     "q79_epoch_upsample" -> (epochUpsample(_, _)),
     "q85_hard_negatives" -> (hardNegatives(_, _)),
+    "q90_image_features" -> (imageFeatures(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1756,5 +1791,6 @@ object LlmQueries {
     "q78_vocab_coverage" -> vocabCoverageOracle,
     "q79_epoch_upsample" -> epochUpsampleOracle,
     "q85_hard_negatives" -> hardNegativesOracle,
+    "q90_image_features" -> imageFeaturesOracle,
   )
 }
