@@ -200,6 +200,65 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** q91 — canonical document selection, the step AFTER clustering
+    * (q55): per near-dup cluster keep the member with the most tokens
+    * (the standard keep-longest curation heuristic; richest version of
+    * the duplicated content), doc id as the deterministic tie-break —
+    * an integer argmax, so no float crosses the engine boundary. One
+    * ranked window per component (WindowGroupLimit-shaped) on top of
+    * the connected-components output.
+    */
+  def canonicalDocs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = DedupOps.simhashPairs(
+      DedupOps.simhashSignatures(docs(s, d), "text", "doc_id"))
+    val cc = graft.operators.ConnectedComponents
+      .components(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component").as("component_id"))
+    val toks = docs(s, d).select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("bigint").as("n_tokens"))
+    val w = Window.partitionBy(col("component_id"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    cc.join(toks, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("component_id"))))
+      .filter(col("rk") === 1)
+      .select(col("component_id"), col("doc_id").as("keep_doc_id"),
+        col("n_tokens").as("keep_n_tokens"), col("cluster_size"),
+        (col("cluster_size") - 1).as("n_removed"))
+      .orderBy("component_id")
+  }
+
+  val canonicalDocsOracle: String =
+    s"""WITH RECURSIVE $simhashCandSql, pairs AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  WHERE bit_count(xor(sig_a, sig_b)) <= 3
+       |), e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), reach(id, comp) AS (
+       |  SELECT src, src FROM e
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id
+       |), cc AS (
+       |  SELECT id AS doc_id, min(comp) AS component_id FROM reach GROUP BY id
+       |), tk AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT cc.component_id, cc.doc_id, tk.n_tokens,
+       |    row_number() OVER (PARTITION BY cc.component_id
+       |      ORDER BY tk.n_tokens DESC, cc.doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY cc.component_id) AS cluster_size
+       |  FROM cc JOIN tk USING (doc_id)
+       |)
+       |SELECT component_id, doc_id AS keep_doc_id,
+       |  n_tokens AS keep_n_tokens, cluster_size, cluster_size - 1 AS n_removed
+       |FROM ranked WHERE rk = 1 ORDER BY component_id""".stripMargin
+
   val dupClustersOracle: String =
     s"""WITH RECURSIVE $simhashCandSql, pairs AS (
        |  SELECT doc_a, doc_b FROM cand
@@ -1748,6 +1807,7 @@ object LlmQueries {
     "q79_epoch_upsample" -> (epochUpsample(_, _)),
     "q85_hard_negatives" -> (hardNegatives(_, _)),
     "q90_image_features" -> (imageFeatures(_, _)),
+    "q91_canonical_docs" -> (canonicalDocs(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1792,5 +1852,6 @@ object LlmQueries {
     "q79_epoch_upsample" -> epochUpsampleOracle,
     "q85_hard_negatives" -> hardNegativesOracle,
     "q90_image_features" -> imageFeaturesOracle,
+    "q91_canonical_docs" -> canonicalDocsOracle,
   )
 }
