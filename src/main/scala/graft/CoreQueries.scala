@@ -631,6 +631,55 @@ object CoreQueries {
     * each alone, grand total) in one pass, with the same portable
     * NULL-pattern grouping id as the q34 rollup.
     */
+  /** q92 — the SQL subquery surface, run through `spark.sql` on
+    * registered views (a SQL-cell user's path into the engine):
+    * correlated EXISTS and NOT EXISTS (planned as semi/anti joins —
+    * never row-at-a-time), an uncorrelated IN, and a scalar subquery in
+    * the projection. TPC-H Q4's shape: orders per priority that have a
+    * late-shipped line (shipped after 1997-06-30), alongside the share
+    * against the global order count.
+    */
+  def subqueries(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("sq_orders")
+    t(s, d, "lineitem").createOrReplaceTempView("sq_lineitem")
+    t(s, d, "customer").createOrReplaceTempView("sq_customer")
+    s.sql(
+      """SELECT o_orderpriority,
+        |  count(1) AS n_with_late_line,
+        |  CAST(count(1) AS DOUBLE)
+        |    / (SELECT count(1) FROM sq_orders) AS share_of_all_orders
+        |FROM sq_orders
+        |WHERE EXISTS (
+        |    SELECT 1 FROM sq_lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00')
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM sq_lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+        |  AND o_custkey IN (
+        |    SELECT c_custkey FROM sq_customer WHERE c_custkey % 2 = 0)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val subqueriesOracle: String =
+    """SELECT o_orderpriority,
+      |  count(1) AS n_with_late_line,
+      |  CAST(count(1) AS DOUBLE)
+      |    / (SELECT count(1) FROM orders) AS share_of_all_orders
+      |FROM orders
+      |WHERE EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00')
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+      |  AND o_custkey IN (
+      |    SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** q89 — the join-type matrix made explicit: left semi (members with
     * orders), left anti (members without), full outer (both dangling
     * sides preserved, split by which side matched), and a bounded cross
@@ -1609,6 +1658,7 @@ object CoreQueries {
     "q87_skew_profile" -> (skewProfile(_, _)),
     "q88_grouping_sets" -> (groupingSets(_, _)),
     "q89_join_matrix" -> (joinMatrix(_, _)),
+    "q92_subqueries" -> (subqueries(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -1660,6 +1710,7 @@ object CoreQueries {
     "q87_skew_profile" -> skewProfileOracle,
     "q88_grouping_sets" -> groupingSetsOracle,
     "q89_join_matrix" -> joinMatrixOracle,
+    "q92_subqueries" -> subqueriesOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }

@@ -193,6 +193,17 @@ class PlanShapeSpec extends SparkSpec {
     graft.CacheScope.drain(spark, blocking = true)
   }
 
+  test("subqueries decorrelate: EXISTS/NOT EXISTS become semi/anti hash joins") {
+    val plan = executed(SparkEntry.queries("q92_subqueries")(spark, sf))
+    assert(plan.contains("LeftSemi") || plan.contains("ExistenceJoin"),
+      s"EXISTS must plan as a semi join, plan:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"NOT EXISTS must plan as an anti join, plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no correlated re-execution shapes, plan:\n$plan")
+    graft.CacheScope.drain(spark, blocking = true)
+  }
+
   test("funnel: equality joins only, no event-history windows") {
     val plan = executed(SparkEntry.queries("q81_funnel")(spark, sf))
     assert(!plan.contains("CartesianProduct"),
