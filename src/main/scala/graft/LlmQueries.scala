@@ -440,6 +440,77 @@ object LlmQueries {
       |SELECT query_id, rank, vec_id AS neighbor_id, sim FROM r
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** q93 — curation funnel observability: per source, how many documents
+    * survive each pipeline stage — raw → length gate (≥50 tokens) →
+    * exact dedup (first doc per fingerprint wins) → decontamination
+    * (train docs overlapping the q44 eval split drop). The counts are
+    * the report every curation run publishes; each stage reuses the
+    * exact formula its standalone query verifies (q23/q21/q44), so a
+    * hash match proves the COMPOSITION, not just the parts. All stages
+    * are scan-shaped or key-equality joins; the funnel adds one
+    * aggregation at the end.
+    */
+  def curationFunnel(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val gated = all.filter(size(TextAnalysis.tokens(col("text"))) >= 50)
+    // first occurrence per fingerprint (min doc_id), gated corpus only
+    val deduped = gated
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1)
+    // drop deduped TRAIN docs contaminated against the q44 eval split
+    val contaminatedTrain = DedupOps.crossCorpusOverlap(
+        all.filter(col("doc_id") % 7 =!= 0), all.filter(col("doc_id") % 7 === 0),
+        "text", "doc_id", shingleN = 5, threshold = 0.6)
+      .select(col("train_id").as("doc_id")).distinct()
+    val clean = deduped.filter(col("doc_id") % 7 =!= 0)
+      .join(contaminatedTrain, Seq("doc_id"), "left_anti")
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .select(col("source"), lit(name).as("stage"), col("n_docs"))
+    stage("1_raw", all)
+      .unionByName(stage("2_gated", gated))
+      .unionByName(stage("3_deduped", deduped))
+      .unionByName(stage("4_clean_train", clean))
+      .orderBy("source", "stage")
+  }
+
+  val curationFunnelOracle: String =
+    s"""WITH $tokShSql, gated AS (
+       |  SELECT d.* FROM documents d JOIN tok USING (doc_id)
+       |  WHERE len(tok.t) >= 50
+       |), deduped AS (
+       |  SELECT * FROM (
+       |    SELECT g.*, row_number() OVER (
+       |      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+       |      ORDER BY doc_id) AS rk
+       |    FROM gated g)
+       |  WHERE rk = 1
+       |), ex AS (
+       |  SELECT doc_id, unnest(sh) AS g FROM sh
+       |), contaminated AS (
+       |  SELECT DISTINCT t.doc_id
+       |  FROM ex t JOIN ex e ON t.g = e.g
+       |  JOIN sh st ON t.doc_id = st.doc_id
+       |  JOIN sh se ON e.doc_id = se.doc_id
+       |  WHERE t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
+       |    AND CAST(len(list_intersect(st.sh, se.sh)) AS DOUBLE)
+       |      / (len(st.sh) + len(se.sh) - len(list_intersect(st.sh, se.sh)))
+       |      >= 0.6
+       |), clean AS (
+       |  SELECT * FROM deduped
+       |  WHERE doc_id % 7 <> 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |)
+       |SELECT source, '1_raw' AS stage, count(*) AS n_docs
+       |FROM documents GROUP BY source
+       |UNION ALL SELECT source, '2_gated', count(*) FROM gated GROUP BY source
+       |UNION ALL SELECT source, '3_deduped', count(*) FROM deduped GROUP BY source
+       |UNION ALL SELECT source, '4_clean_train', count(*) FROM clean GROUP BY source
+       |ORDER BY source, stage""".stripMargin
+
   /** q90 — REAL image decode under the oracle: deterministic 4×4 PPM
     * images (pixel bytes re-derivable from md5, so DuckDB can replay
     * them) are encoded to the netpbm wire format and parsed back by
@@ -1808,6 +1879,7 @@ object LlmQueries {
     "q85_hard_negatives" -> (hardNegatives(_, _)),
     "q90_image_features" -> (imageFeatures(_, _)),
     "q91_canonical_docs" -> (canonicalDocs(_, _)),
+    "q93_curation_funnel" -> (curationFunnel(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1853,5 +1925,6 @@ object LlmQueries {
     "q85_hard_negatives" -> hardNegativesOracle,
     "q90_image_features" -> imageFeaturesOracle,
     "q91_canonical_docs" -> canonicalDocsOracle,
+    "q93_curation_funnel" -> curationFunnelOracle,
   )
 }
