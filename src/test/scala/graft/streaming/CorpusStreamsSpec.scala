@@ -49,4 +49,40 @@ class CorpusStreamsSpec extends SparkSpec {
     // fingerprints are unique in the admitted corpus — the table invariant
     assert(admitted.select("fp").distinct().count() == admitted.count())
   }
+
+  test("restart recovery: a new query on the same checkpoint stays exactly-once") {
+    val feedDir = Files.createTempDirectory("docs_feed_rr")
+    val table = Files.createTempDirectory("corpus_vt_rr").resolve("docs").toString
+    val ckpt = Files.createTempDirectory("ckpt_rr").toString
+
+    Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      feedDir.resolve("a.parquet"))
+    val q1 = CorpusStreams.ingestDeduped(
+      CorpusStreams.readDocuments(spark, feedDir.toString), table, ckpt)
+    q1.processAllAvailable()
+    q1.stop() // simulate driver death after batch 0 committed
+    val afterFirst = VersionedTable.read(spark, table).count()
+    val versionsAfterFirst = VersionedTable.latestVersion(table).get
+
+    // new INSTANCE (fresh in-memory state) on the same checkpoint+table:
+    // replays nothing, and new feed data flows through exactly once
+    val q2 = CorpusStreams.ingestDeduped(
+      CorpusStreams.readDocuments(spark, feedDir.toString), table, ckpt)
+    q2.processAllAvailable()
+    assert(VersionedTable.read(spark, table).count() == afterFirst,
+      "restart must not re-admit or duplicate anything")
+
+    Seq((7100001L, "post-restart novel doc about manifest checkpoints",
+        "en", "srcR", 46L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(feedDir.toString)
+    q2.processAllAvailable()
+    q2.stop()
+    val finalTable = VersionedTable.read(spark, table)
+    assert(finalTable.count() == afterFirst + 1)
+    assert(finalTable.filter($"doc_id" === 7100001L).count() == 1)
+    assert(VersionedTable.latestVersion(table).get > versionsAfterFirst)
+    // the dedup invariant survives the restart
+    assert(finalTable.select("fp").distinct().count() == finalTable.count())
+  }
 }
