@@ -89,6 +89,28 @@ class DataSkippingSpec extends SparkSpec {
       VersionedTable.read(spark, path).filter($"k" >= 20 && $"k" <= 30).count())
   }
 
+  test("schema evolution on append: merged read, time travel keeps old shape") {
+    val path = Files.createTempDirectory("vt_evo").resolve("t").toString
+    VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1),
+      path, SaveMode.Overwrite)
+    // widened batch appends (the mergeSchema shape): new column arrives
+    VersionedTable.write(
+      Seq((3L, "c", 30.0)).toDF("k", "v", "score").coalesce(1),
+      path, SaveMode.Append)
+    val latest = VersionedTable.read(spark, path)
+    assert(latest.columns.toSeq == Seq("k", "v", "score"),
+      "merged read must surface the union schema")
+    assert(latest.filter($"score".isNull).count() == 2,
+      "pre-evolution rows read as NULL in the new column")
+    assert(latest.filter($"k" === 3 && $"score" === 30.0).count() == 1)
+    // time travel to v0 sees only the original shape
+    assert(VersionedTable.readVersion(spark, path, 0).columns.toSeq ==
+      Seq("k", "v"))
+    // data skipping stays correct across the mixed-schema file set
+    val (df, read, total) = VersionedTable.readWhere(spark, path, "k", 3L, 3L)
+    assert(total == 2 && read == 1 && df.count() == 1)
+  }
+
   test("skipping survives compaction (new files re-indexed lazily)") {
     val path = clusteredTable()
     VersionedTable.readWhere(spark, path, "k", 0L, 10L)
