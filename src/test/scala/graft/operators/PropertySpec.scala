@@ -160,6 +160,19 @@ class PropertySpec extends SparkSpec {
     graft.CacheScope.drain(spark)
   }
 
+  test("prefix sum: non-numeric leading key degrades to one bucket, still exact") {
+    // the documented fallback: try_cast(string) = NULL for every row →
+    // all rows land in bucket 0 → correct single-window result
+    val df = Seq(("pear", 1L, 10L), ("apple", 2L, 20L), ("fig", 3L, 30L),
+        ("apple", 4L, 40L), ("kiwi", 5L, 50L))
+      .toDF("name", "uid", "v").repartition(3)
+    val got = PrefixSum.exclusiveRunningTotal(
+        df, Seq($"name", $"uid"), $"v", "run", buckets = 4)
+      .select($"uid", $"run").as[(Long, Long)].collect().toMap
+    // expected order: apple(2), apple(4), fig, kiwi, pear
+    assert(got == Map(2L -> 0L, 4L -> 20L, 3L -> 60L, 5L -> 90L, 1L -> 140L))
+  }
+
   test("watermark: incremental read after commit is empty (monotone frontier)") {
     forAll(tableGen) { rows =>
       whenever(rows.nonEmpty) {
