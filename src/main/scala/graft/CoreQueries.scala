@@ -631,6 +631,47 @@ object CoreQueries {
     * each alone, grand total) in one pass, with the same portable
     * NULL-pattern grouping id as the q34 rollup.
     */
+  /** q94 — deterministic per-group mode (argmax by frequency): each
+    * nation's most common order priority, with the tie broken
+    * lexicographically — built-in `mode()` returns an ARBITRARY value
+    * on ties in both engines, so a reproducible pipeline uses the
+    * count + ranked-window form instead (WindowGroupLimit-shaped,
+    * integer-exact).
+    */
+  def groupMode(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = t(s, d, "orders")
+      .join(broadcast(t(s, d, "customer").select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("n_orders").desc, col("o_orderpriority"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("n_name"), col("o_orderpriority").as("top_priority"),
+        col("n_orders"))
+      .orderBy("n_name")
+  }
+
+  val groupModeOracle: String =
+    """WITH c AS (
+      |  SELECT n_name, o_orderpriority, count(*) AS n_orders
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2
+      |), r AS (
+      |  SELECT n_name, o_orderpriority, n_orders,
+      |    row_number() OVER (PARTITION BY n_name
+      |      ORDER BY n_orders DESC, o_orderpriority) AS rk
+      |  FROM c
+      |)
+      |SELECT n_name, o_orderpriority AS top_priority, n_orders
+      |FROM r WHERE rk = 1 ORDER BY n_name""".stripMargin
+
   /** q92 — the SQL subquery surface, run through `spark.sql` on
     * registered views (a SQL-cell user's path into the engine):
     * correlated EXISTS and NOT EXISTS (planned as semi/anti joins —
@@ -1659,6 +1700,7 @@ object CoreQueries {
     "q88_grouping_sets" -> (groupingSets(_, _)),
     "q89_join_matrix" -> (joinMatrix(_, _)),
     "q92_subqueries" -> (subqueries(_, _)),
+    "q94_group_mode" -> (groupMode(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -1711,6 +1753,7 @@ object CoreQueries {
     "q88_grouping_sets" -> groupingSetsOracle,
     "q89_join_matrix" -> joinMatrixOracle,
     "q92_subqueries" -> subqueriesOracle,
+    "q94_group_mode" -> groupModeOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }
