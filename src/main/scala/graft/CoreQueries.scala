@@ -631,6 +631,49 @@ object CoreQueries {
     * each alone, grand total) in one pass, with the same portable
     * NULL-pattern grouping id as the q34 rollup.
     */
+  /** q95 — point-in-time (PIT) join against the SCD2 dimension: for
+    * each member and probe date, the version valid AT that date
+    * (`effective_from <= probe < effective_to`, open-ended current
+    * rows) — how a fact resolves "which dimension attributes were true
+    * when this happened". SCD2 validity windows are disjoint per key,
+    * so the PIT lookup is an EQUALITY join on the key plus a range
+    * filter: one hash shuffle, each probe matching at most one version
+    * — no window, no inequality-join blowup; per-key fan-out is the
+    * version-history depth, not data volume. Probes before a member's
+    * first version (the mid-year inserts at the March probe) drop out,
+    * as temporal semantics require.
+    */
+  def pitScd2(s: SparkSession, d: String): DataFrame = {
+    val dim = scd2Members(s, d)
+    val probes = dim.select(col("member_id")).distinct()
+      .select(col("member_id"),
+        explode(array(to_date(lit("2024-03-01")), to_date(lit("2024-09-01"))))
+          .as("probe_date"))
+    probes.join(dim, Seq("member_id"))
+      .filter(col("effective_from") <= col("probe_date") &&
+        (col("effective_to").isNull || col("probe_date") < col("effective_to")))
+      .select(col("member_id"), col("probe_date"), col("segment"),
+        col("balance"), col("is_current"))
+      .orderBy("member_id", "probe_date")
+  }
+
+  val pitScd2Oracle: String = {
+    // strip the presentation ORDER BY so the dim can nest as a CTE
+    val dimSql = scd2MembersOracle.stripSuffix(" ORDER BY member_id, effective_from")
+      .replace("FROM unioned ORDER BY member_id, effective_from", "FROM unioned")
+    s"""WITH dim AS (
+       |$dimSql
+       |), probes AS (
+       |  SELECT DISTINCT member_id, CAST(u.p AS DATE) AS probe_date
+       |  FROM dim, UNNEST([DATE '2024-03-01', DATE '2024-09-01']) AS u(p)
+       |)
+       |SELECT p.member_id, p.probe_date, d.segment, d.balance, d.is_current
+       |FROM probes p JOIN dim d ON p.member_id = d.member_id
+       |WHERE d.effective_from <= p.probe_date
+       |  AND (d.effective_to IS NULL OR p.probe_date < d.effective_to)
+       |ORDER BY p.member_id, p.probe_date""".stripMargin
+  }
+
   /** q94 — deterministic per-group mode (argmax by frequency): each
     * nation's most common order priority, with the tie broken
     * lexicographically — built-in `mode()` returns an ARBITRARY value
@@ -1701,6 +1744,7 @@ object CoreQueries {
     "q89_join_matrix" -> (joinMatrix(_, _)),
     "q92_subqueries" -> (subqueries(_, _)),
     "q94_group_mode" -> (groupMode(_, _)),
+    "q95_pit_scd2" -> (pitScd2(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -1754,6 +1798,7 @@ object CoreQueries {
     "q89_join_matrix" -> joinMatrixOracle,
     "q92_subqueries" -> subqueriesOracle,
     "q94_group_mode" -> groupModeOracle,
+    "q95_pit_scd2" -> pitScd2Oracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }
