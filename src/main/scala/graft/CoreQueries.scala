@@ -1121,6 +1121,60 @@ object CoreQueries {
       |  round(stddev_samp(l_extendedprice), 3) AS price_sd
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q96 — DIRECTED PageRank with dangling-mass redistribution
+    * ([[graft.operators.PageRank.ranksDirected]]): the customer→supplier
+    * graph un-symmetrized, so every supplier is a sink whose rank must
+    * be redistributed each round or total mass leaks. Completes q76's
+    * undirected variant with the correction a real directed web/citation
+    * graph needs; same join+aggregate rounds, plus one node-sized scalar
+    * aggregate per iteration.
+    */
+  def pageRankDirected(s: SparkSession, d: String): DataFrame = {
+    val edges = t(s, d, "orders").join(t(s, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    graft.operators.PageRank.ranksDirected(edges, "src", "dst",
+        iters = 3, damping = 0.85)
+      .select(
+        when(col("id") % 2 === 0, concat(lit("c"), (col("id") / 2).cast("bigint")))
+          .otherwise(concat(lit("s"), ((col("id") - 1) / 2).cast("bigint")))
+          .as("id"),
+        round(col("rank") * 1000, 6).as("rank_pm"))
+      .orderBy("id")
+  }
+
+  val pageRankDirectedOracle: String = {
+    def iter(k: Int): String =
+      s"""d$k AS (
+         |  SELECT coalesce(sum(rank), 0) AS dm FROM r${k - 1}
+         |  WHERE id NOT IN (SELECT src FROM deg)
+         |), c$k AS (
+         |  SELECT e.dst AS id, sum(r.rank / g.outdeg) AS c
+         |  FROM e0 e JOIN deg g ON e.src = g.src JOIN r${k - 1} r ON r.id = e.src
+         |  GROUP BY e.dst
+         |), r$k AS (
+         |  SELECT n.id, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+         |    + CAST(0.85 AS DOUBLE) * (coalesce(c$k.c, 0)
+         |        + (SELECT dm FROM d$k) / (SELECT n FROM nn)) AS rank
+         |  FROM nodes n LEFT JOIN c$k ON n.id = c$k.id
+         |)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+       |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), deg AS (
+       |  SELECT src, count(*) AS outdeg FROM e0 GROUP BY src
+       |), nodes AS (
+       |  SELECT src AS id FROM e0 UNION SELECT dst FROM e0
+       |), nn AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+       |), r0 AS (
+       |  SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes
+       |), ${iter(1)}, ${iter(2)}, ${iter(3)}
+       |SELECT id, round(rank * 1000, 6) AS rank_pm FROM r3 ORDER BY id""".stripMargin
+  }
+
   /** q35 — sketch aggregation: HyperLogLog++ approximate distinct counts
     * validated against the exact counts. The sketch ESTIMATE itself is
     * engine-specific, so it stays out of the hashed projection: the
@@ -1745,6 +1799,7 @@ object CoreQueries {
     "q92_subqueries" -> (subqueries(_, _)),
     "q94_group_mode" -> (groupMode(_, _)),
     "q95_pit_scd2" -> (pitScd2(_, _)),
+    "q96_pagerank_directed" -> (pageRankDirected(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -1799,6 +1854,7 @@ object CoreQueries {
     "q92_subqueries" -> subqueriesOracle,
     "q94_group_mode" -> groupModeOracle,
     "q95_pit_scd2" -> pitScd2Oracle,
+    "q96_pagerank_directed" -> pageRankDirectedOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }

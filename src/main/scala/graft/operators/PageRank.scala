@@ -79,4 +79,46 @@ object PageRank {
     }
     rank
   }
+
+  /** PageRank over a GENUINELY DIRECTED edge set: no symmetrization, so
+    * sink nodes (no out-edges) are dangling and their rank mass must be
+    * redistributed uniformly each round — the standard dangling-node
+    * correction, without which total rank leaks and the ordering
+    * drifts. The per-round dangling mass is a one-row aggregate over
+    * the node-sized rank table (a scalar subquery in the update plan,
+    * never a driver loop); everything else is [[ranks]]'s join+agg
+    * round over the same pre-partitioned out-edge table.
+    */
+  def ranksDirected(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val e0 = graft.CacheScope.persisted(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val weights = graft.CacheScope.persisted(
+      e0.withColumn("outdeg", count(lit(1)).over(bySrc)))
+    val nodes = graft.CacheScope.persisted(
+      e0.select(col("src").as("id"))
+        .union(e0.select(col("dst").as("id"))).distinct())
+    val outNodes = weights.select(col("src").as("id")).distinct()
+    // dangling = appears in the graph, never as a source
+    val dangling = graft.CacheScope.persisted(
+      nodes.join(outNodes, Seq("id"), "left_anti"))
+    val n = nodes.count()
+    val base = lit(1.0 - damping) / lit(n.toDouble)
+    var rank = nodes.select(col("id"), (lit(1.0) / lit(n.toDouble)).as("rank"))
+    (1 to iters).foreach { _ =>
+      val danglingMass = rank.join(dangling, "id")
+        .agg(coalesce(sum(col("rank")), lit(0.0))).scalar()
+      val contrib = weights
+        .join(rank, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("outdeg")).as("c"))
+      rank = nodes.join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (base + lit(damping) * (coalesce(col("c"), lit(0.0)) +
+            danglingMass / lit(n.toDouble))).as("rank"))
+        .localCheckpoint(true)
+    }
+    rank
+  }
 }

@@ -33,6 +33,22 @@ class PageRankSpec extends SparkSpec {
     graft.CacheScope.drain(spark)
   }
 
+  test("directed variant conserves mass despite sinks; sinks still rank") {
+    // pure star: 1 -> {2..9}; every leaf is a dangling sink
+    val edges = (2L to 9L).map(i => (1L, i)).toDF("src", "dst")
+    val r = PageRank.ranksDirected(edges, "src", "dst").cache()
+    val total = r.agg(sum($"rank")).head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9,
+      s"dangling redistribution must conserve mass: $total")
+    val byId = r.as[(Long, Double)].collect().toMap
+    assert(byId.size == 9)
+    assert(byId.values.forall(_ > 0))
+    // all leaves are symmetric — identical rank
+    assert((3L to 9L).forall(i => math.abs(byId(i) - byId(2L)) < 1e-12))
+    r.unpersist()
+    graft.CacheScope.drain(spark)
+  }
+
   test("more iterations move toward the fixpoint, never away") {
     // the (2,3) edge breaks bipartiteness — a pure star oscillates with
     // period 2 under power iteration (λ = −1 eigenvalue), which would
