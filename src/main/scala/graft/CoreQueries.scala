@@ -1175,6 +1175,39 @@ object CoreQueries {
        |SELECT id, round(rank * 1000, 6) AS rank_pm FROM r3 ORDER BY id""".stripMargin
   }
 
+  /** q97 — MERGEABLE distinct-count sketches (`hll_sketch_agg` /
+    * `hll_union_agg`): per-nation customer sketches built once, then
+    * UNIONED into per-region estimates — the pre-aggregation pattern
+    * that makes 100 TB distinct-count rollups cheap (daily partials
+    * merge associatively; the raw keys never re-shuffle). As in q35 the
+    * estimate itself is engine-specific, so the hashed output carries
+    * the exact counts plus a bound check on the merged estimate.
+    */
+  def hllMerge(s: SparkSession, d: String): DataFrame = {
+    val perNation = t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey"), col("c_nationkey"))
+      .agg(hll_sketch_agg(col("c_custkey")).as("sketch"),
+        countDistinct(col("c_custkey")).as("exact_nation"))
+    perNation.groupBy(col("n_regionkey"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx"),
+        sum(col("exact_nation")).as("exact_customers"), // nations partition customers
+        count(lit(1)).as("n_nations"))
+      .select(col("n_regionkey"), col("exact_customers"), col("n_nations"),
+        (abs(col("approx") - col("exact_customers")).cast("double")
+          / col("exact_customers") <= 0.15).as("merged_within_rel_err"))
+      .orderBy("n_regionkey")
+  }
+
+  val hllMergeOracle: String =
+    """SELECT n_regionkey,
+      |  count(DISTINCT c_custkey) AS exact_customers,
+      |  count(DISTINCT n_nationkey) AS n_nations,
+      |  true AS merged_within_rel_err
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q35 — sketch aggregation: HyperLogLog++ approximate distinct counts
     * validated against the exact counts. The sketch ESTIMATE itself is
     * engine-specific, so it stays out of the hashed projection: the
@@ -1800,6 +1833,7 @@ object CoreQueries {
     "q94_group_mode" -> (groupMode(_, _)),
     "q95_pit_scd2" -> (pitScd2(_, _)),
     "q96_pagerank_directed" -> (pageRankDirected(_, _)),
+    "q97_hll_merge" -> (hllMerge(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -1855,6 +1889,7 @@ object CoreQueries {
     "q94_group_mode" -> groupModeOracle,
     "q95_pit_scd2" -> pitScd2Oracle,
     "q96_pagerank_directed" -> pageRankDirectedOracle,
+    "q97_hll_merge" -> hllMergeOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }
