@@ -142,10 +142,10 @@ object LlmQueries {
     * oracle built on its pairs.
     */
   private val simhashCandSql: String = {
-    // nibble p (1-based hex char) of the shingle digest
-    def nib(p: Int) = s"(strpos('0123456789abcdef', substr(h, $p, 1)) - 1)"
+    // mirror of DedupOps.simhashSignatures: ONE hex→int conversion of
+    // the digest's first 8 chars, then bit i at shift 4*(7-i/4)+i%4
     val votes = (0 until 32).map { i =>
-      val bit = s"((${nib(i / 4 + 1)} // ${1 << (i % 4)}) % 2)"
+      val bit = s"((v // ${1L << (4 * (7 - i / 4) + i % 4)}) % 2)"
       s"sum($bit * 2 - 1) AS s_$i"
     }.mkString(",\n    ")
     val sig = (0 until 32).map(i =>
@@ -156,7 +156,7 @@ object LlmQueries {
     s"""$tokShSql, exg AS (
        |  SELECT doc_id, unnest(sh) AS g FROM sh
        |), ex AS (
-       |  SELECT doc_id, md5(g) AS h FROM exg
+       |  SELECT doc_id, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS v FROM exg
        |), votes AS (
        |  SELECT doc_id,
        |    $votes
@@ -1295,24 +1295,34 @@ object LlmQueries {
 
   /** q32 — multimodal asset pipeline: opaque binary payloads + typed
     * metadata through the partition-mapped feature extractor. The
-    * oracle now covers the FULL output: metadata, the aspect-preserving
+    * oracle covers the FULL output: metadata, the aspect-preserving
     * resize geometry, and the golden feature vector itself (md5-derived
     * on a 1/1024 dyadic grid — see MediaCodec.decodeStub), recomputed
-    * independently by DuckDB.
+    * independently by DuckDB. The vector is verified through a SCALAR
+    * digest — md5 over the '|'-joined integer grid numerators
+    * (x·1024, exact for dyadic slots) — because the driver's pandas
+    * compare sorts result frames and cannot sort a raw list column
+    * (r05: `TypeError: unhashable type: 'numpy.ndarray'`). Same
+    * information content: any slot deviation flips the digest.
     */
   def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
     val feats = Multimodal.extractFeatures(
       Multimodal.assetsFromDocuments(s, docs(s, d)))
-    feats.toDF().select("asset_id", "media_type", "byte_len",
-        "frames_sampled", "out_width", "out_height", "feature")
+    feats.toDF().select(col("asset_id"), col("media_type"), col("byte_len"),
+        col("frames_sampled"), col("out_width"), col("out_height"),
+        expr("md5(array_join(transform(feature, " +
+          "x -> cast(cast(round(x * 1024D) as int) as string)), '|'))")
+          .as("feature_digest"))
       .orderBy("asset_id")
   }
 
   val multimodalFeaturesOracle: String = {
-    // slot s of the golden vector: 60-bit md5 prefix of payload ++ ('a'+s)
+    // slot s of the golden vector: 60-bit md5 prefix of payload ++ ('a'+s),
+    // kept as the INTEGER grid numerator (the Spark side re-derives it
+    // from the float as round(x*1024) — exact, the slots are dyadic)
     def slot(s: Int): String =
-      s"(CAST('0x' || substr(md5(text || chr(${97 + s})), 1, 15) AS BIGINT) % 1024) / 1024.0"
-    val vec = (0 until 8).map(slot).mkString("[", ", ", "]")
+      s"CAST((CAST('0x' || substr(md5(text || chr(${97 + s})), 1, 15) AS BIGINT) % 1024) AS VARCHAR)"
+    val digest = (0 until 8).map(slot).mkString("md5(", " || '|' || ", ")")
     s"""WITH a AS (
        |  SELECT doc_id, text, n_chars,
        |    CAST(n_chars % 640 AS INTEGER) AS w,
@@ -1331,7 +1341,7 @@ object LlmQueries {
        |            WHEN w >= h THEN greatest(1, CAST(floor(h * 224.0 / w + 0.5) AS INTEGER))
        |            ELSE 224
        |       END AS INTEGER) AS out_height,
-       |  $vec AS feature
+       |  $digest AS feature_digest
        |FROM a ORDER BY asset_id""".stripMargin
   }
 
@@ -1436,13 +1446,17 @@ object LlmQueries {
     val toks = docs(s, d)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
-    val pairs = toks.select(col("doc_id"),
-        posexplode(zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))))
-      .select(col("doc_id"), col("pos"),
-        col("col.w1").as("w1"), col("col.w2").as("w2"))
+    // persisted: consumed three times (unigram counts, bigram counts,
+    // and the scoring join) — without it the tokenize+zip_with+posexplode
+    // scan re-runs once per consumer (r05: 3 full scans inside a 10 s query)
+    val pairs = graft.CacheScope.persisted(
+      toks.select(col("doc_id"),
+          posexplode(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))))
+        .select(col("doc_id"), col("pos"),
+          col("col.w1").as("w1"), col("col.w2").as("w2")))
     val uni = pairs.groupBy("w1").agg(count(lit(1)).as("c_u"))
     val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_b"))
       .filter(col("c_b") >= 3)
