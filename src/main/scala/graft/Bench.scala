@@ -25,6 +25,13 @@ object Bench {
     try run(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     finally CacheScope.drain(spark)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // WARMUP rep: run once untimed so the timed rep reports steady
+      // state — one-shot numbers carry 2-4x JIT/codegen noise (r05's
+      // q28 read as a 6x regression, half of which was cold-start),
+      // making per-round diffs uninterpretable. The warmup's caches are
+      // drained so the timed rep still pays its own materialization.
+      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+      CacheScope.drain(spark, blocking = true)
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE (err field + nonzero exit), not a
       // near-zero time that reads as a speed-up
@@ -56,7 +63,10 @@ object Bench {
       "\"" + k + "\":\"" + safe(e.replaceAll("[\"\\\\]", " ")) + "\"" }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    // total appears at BOTH ends of the line: the driver's bounded
+    // output capture can clip either side (r05 lost the head — and with
+    // it the headline number), so whichever half survives carries it
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir","total_sec":${f3(total)}}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

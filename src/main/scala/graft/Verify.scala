@@ -19,12 +19,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val attempted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      attempted += name
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally
         // after the terminal action (parquet fully written), free every
@@ -32,6 +36,13 @@ object Verify {
         // strands MEMORY_AND_DISK datasets from each heavy query
         CacheScope.drain(spark)
     }
+    // manifest for the gate: a query that was ATTEMPTED but left no dump
+    // (runtime failure — the catch above writes nothing) must read as
+    // FAIL downstream, never as "skipped by the query filter"
+    def jarr(xs: Seq[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/attempted.json"),
+      s"""{"attempted":${jarr(attempted.toSeq)},"failed":${jarr(failed.toSeq)}}""")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

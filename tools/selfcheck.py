@@ -49,18 +49,39 @@ def main():
     outdir = Path(sys.argv[1])
     sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     oracle = json.loads((outdir / "oracle_sql.json").read_text())
+    # Verify writes attempted.json so we can tell "absent because the
+    # query filter excluded it" (SKIP) from "attempted but crashed at
+    # runtime, leaving no dump" (FAIL) — without it a crashing query in
+    # a FULL run would print SKIP and the gate would exit 0.
+    attempted = failed_runtime = None
+    att_path = outdir / "attempted.json"
+    if att_path.exists():
+        att = json.loads(att_path.read_text())
+        attempted = set(att.get("attempted", []))
+        failed_runtime = set(att.get("failed", []))
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name in sorted(oracle):
         res_dir = outdir / name
         if not res_dir.exists():
-            # Verify accepts a query-name filter for fast single-query
-            # checks; treat absent dumps as skipped, not failed
-            print(f"SKIP {name}: no spark result dir"); continue
+            if attempted is not None and name in attempted:
+                print(f"FAIL {name}: attempted but no result dir (runtime failure)")
+                n_fail += 1
+            else:
+                # excluded by Verify's query-name filter (or a pre-manifest
+                # outDir): skipped, not failed
+                print(f"SKIP {name}: not attempted (query filter)"); n_skip += 1
+            continue
+        if failed_runtime and name in failed_runtime:
+            # dump dir exists but THIS run's attempt crashed — whatever
+            # parquet is there is stale (prior build); never compare it
+            print(f"FAIL {name}: runtime failure (stale dump ignored)")
+            n_fail += 1
+            continue
         try:
             got_rel = con.sql(f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
             got_cols, got_types = got_rel.columns, [str(t) for t in got_rel.types]
@@ -104,7 +125,7 @@ def main():
             missing.add(d.name)
     if missing:
         print(f"rows-only (no oracle): {sorted(missing)}")
-    print(f"== {n_pass} pass / {n_fail} fail ==")
+    print(f"== {n_pass} pass / {n_fail} fail / {n_skip} skip ==")
     sys.exit(1 if n_fail else 0)
 
 
