@@ -545,6 +545,34 @@ object LlmQueries {
       |  CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height
       |FROM q ORDER BY asset_id, quadrant, channel""".stripMargin
 
+  /** q98 — the q90 raster routed through a REAL `javax.imageio` PNG
+    * round trip ([[Multimodal.pngCodecFeatures]]): an actual PNG payload
+    * is encoded and decoded by the JVM's codec on the hot path. PNG is
+    * lossless, so the q90 oracle math applies verbatim — a hash match
+    * certifies that TWO independent codecs (netpbm parser, ImageIO PNG)
+    * agree with the SQL-replayed pixel bytes.
+    */
+  def pngCodecFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.pngCodecFeatures(s, docs(s, d))
+      .orderBy("asset_id", "quadrant", "channel")
+
+  val pngCodecFeaturesOracle: String = imageFeaturesOracle
+
+  /** q99 — REAL JPEG round trip ([[Multimodal.jpegCodecRoundtrip]]):
+    * lossy codec, so the oracle pins the decoded geometry exactly and
+    * the reconstruction error to a bound (uniform-color source block →
+    * pure DC energy → quality-0.95 quantization error ≤ 12 on every
+    * pixel). Proves the encoder+decoder actually ran — a stub or a
+    * wrong-colorspace decode lands far outside the bound.
+    */
+  def jpegCodecRoundtrip(s: SparkSession, d: String): DataFrame =
+    Multimodal.jpegCodecRoundtrip(s, docs(s, d)).orderBy("asset_id")
+
+  val jpegCodecRoundtripOracle: String =
+    """SELECT doc_id AS asset_id, CAST(8 AS BIGINT) AS width,
+      |  CAST(8 AS BIGINT) AS height, true AS within_tol
+      |FROM documents ORDER BY asset_id""".stripMargin
+
   /** q85 — hard-negative mining via filtered vector search: for each
     * query, the top-5 most similar vectors whose LABEL DIFFERS from the
     * query's — the "close but wrong class" examples contrastive
@@ -1894,6 +1922,8 @@ object LlmQueries {
     "q90_image_features" -> (imageFeatures(_, _)),
     "q91_canonical_docs" -> (canonicalDocs(_, _)),
     "q93_curation_funnel" -> (curationFunnel(_, _)),
+    "q98_png_codec" -> (pngCodecFeatures(_, _)),
+    "q99_jpeg_codec" -> (jpegCodecRoundtrip(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1940,5 +1970,7 @@ object LlmQueries {
     "q90_image_features" -> imageFeaturesOracle,
     "q91_canonical_docs" -> canonicalDocsOracle,
     "q93_curation_funnel" -> curationFunnelOracle,
+    "q98_png_codec" -> pngCodecFeaturesOracle,
+    "q99_jpeg_codec" -> jpegCodecRoundtripOracle,
   )
 }

@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
   * Pandas-batch UDF: one iterator of rows per partition, library handles
   * amortized per-partition, vectorizable batch shape).
   *
-  * Codec status: PPM (netpbm P6) decode is REAL —
-  * [[MediaCodec.decodePpm]] is a wire-format parser on q90's hot path,
-  * oracle-verified end to end. Formats that need external libraries
-  * (JPEG/PNG/audio) still enter through [[MediaCodec.decodeStub]] (a
-  * deterministic golden vector) until those codecs exist in the
-  * environment; the surrounding plumbing — schema, encoders,
+  * Codec status: PPM (netpbm P6), PNG, and JPEG decode are REAL —
+  * [[MediaCodec.decodePpm]] is a hand-written wire-format parser on
+  * q90's hot path, and [[MediaCodec.decodeImageIo]] routes PNG/JPEG
+  * through the JVM's built-in `javax.imageio` codecs (q98/q99), all
+  * oracle-verified end to end. Formats with no JVM codec (audio/video)
+  * still enter through [[MediaCodec.decodeStub]] (a deterministic
+  * golden vector); the surrounding plumbing — schema, encoders,
   * partitioning, batch iteration — is shared and identical either way.
   */
 object Multimodal {
@@ -137,6 +138,72 @@ object Multimodal {
       }
     }
 
+    /** RawImage → BufferedImage (packed-int RGB, no alpha). */
+    private def toBuffered(img: RawImage): java.awt.image.BufferedImage = {
+      val bi = new java.awt.image.BufferedImage(img.width, img.height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var p = 0
+      while (p < img.width * img.height) {
+        val r = img.pixels(p * 3) & 0xff
+        val g = img.pixels(p * 3 + 1) & 0xff
+        val b = img.pixels(p * 3 + 2) & 0xff
+        bi.setRGB(p % img.width, p / img.width, (r << 16) | (g << 8) | b)
+        p += 1
+      }
+      bi
+    }
+
+    /** REAL encode through `javax.imageio` — the JVM's built-in PNG and
+      * JPEG codecs, no external dependency. PNG is lossless (decoded
+      * raster is bit-identical, so exact oracles apply); JPEG goes
+      * through [[encodeJpeg]] for an explicit quality setting.
+      */
+    def encodeImageIo(img: RawImage, format: String): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      if (!javax.imageio.ImageIO.write(toBuffered(img), format, baos))
+        throw new IllegalArgumentException(s"no ImageIO writer for '$format'")
+      baos.toByteArray
+    }
+
+    /** REAL JPEG encode at an explicit compression quality (the default
+      * writer's 0.75 puts the luminance DC quant step at 16 — too coarse
+      * for a bounded-error round-trip check; 0.95 keeps DC steps small).
+      */
+    def encodeJpeg(img: RawImage, quality: Float = 0.95f): Array[Byte] = {
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = w.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(quality)
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      try {
+        w.setOutput(ios)
+        w.write(null, new javax.imageio.IIOImage(toBuffered(img), null, null), param)
+      } finally { w.dispose(); ios.close() }
+      baos.toByteArray
+    }
+
+    /** REAL decode through `javax.imageio` (format sniffed from the
+      * payload's magic bytes — PNG, JPEG, GIF, BMP as shipped by the
+      * JVM). Returns row-major RGB like [[decodePpm]].
+      */
+    def decodeImageIo(bytes: Array[Byte]): RawImage = {
+      val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (bi == null)
+        throw new IllegalArgumentException("ImageIO: unrecognized image payload")
+      val w = bi.getWidth; val h = bi.getHeight
+      val out = new Array[Byte](w * h * 3)
+      var p = 0
+      while (p < w * h) {
+        val rgb = bi.getRGB(p % w, p / w)
+        out(p * 3) = ((rgb >> 16) & 0xff).toByte
+        out(p * 3 + 1) = ((rgb >> 8) & 0xff).toByte
+        out(p * 3 + 2) = (rgb & 0xff).toByte
+        p += 1
+      }
+      RawImage(w, h, 255, out)
+    }
+
     /** Frame-sampling plan a video decoder would follow: one frame per
       * 1000ms, at least 1.
       */
@@ -182,28 +249,93 @@ object Multimodal {
     * DOUBLE. Same scale shape as [[extractFeatures]]: partition-mapped,
     * no shuffle.
     */
+  /** The deterministic 4×4 RGB raster for document `id`: 48 pixel bytes
+    * = three chained md5 blocks of "img-v1|id|b" — re-derivable by any
+    * engine with an md5 (the q90/q98 oracles replay it in SQL).
+    */
+  private def goldenPixels(md: java.security.MessageDigest, id: Long): Array[Byte] = {
+    val pixels = new Array[Byte](48)
+    var b = 0
+    while (b < 3) {
+      md.reset()
+      md.update(s"img-v1|$id|$b".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      System.arraycopy(md.digest(), 0, pixels, b * 16, 16)
+      b += 1
+    }
+    pixels
+  }
+
   def imageFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.flatMap { id =>
-        val pixels = new Array[Byte](48)
-        var b = 0
-        while (b < 3) {
-          md.reset()
-          md.update(s"img-v1|$id|$b".getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
-          System.arraycopy(md.digest(), 0, pixels, b * 16, 16)
-          b += 1
-        }
         val decoded = MediaCodec.decodePpm(
-          MediaCodec.encodePpm(RawImage(4, 4, 255, pixels)))
+          MediaCodec.encodePpm(RawImage(4, 4, 255, goldenPixels(md, id))))
         val means = MediaCodec.quadrantMeans(decoded)
         for (q <- 0 until 4; c <- 0 until 3) yield
           (id, q.toLong, c.toLong, means(q * 3 + c),
             decoded.width.toLong, decoded.height.toLong)
       }
     }.toDF("asset_id", "quadrant", "channel", "mean_value", "width", "height")
+  }
+
+  /** The q90 pipeline routed through a REAL `javax.imageio` PNG round
+    * trip (q98): same golden raster, ENCODED to an actual PNG payload
+    * and DECODED by the JVM's PNG codec before pooling. PNG is lossless,
+    * so the decoded raster is bit-identical to the source and the same
+    * engine-independent quadrant-mean oracle applies — two independent
+    * codecs (the netpbm parser and ImageIO PNG) must both agree with
+    * the SQL-replayed pixel math. Partition-mapped, no shuffle.
+    */
+  def pngCodecFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { id =>
+        val decoded = MediaCodec.decodeImageIo(
+          MediaCodec.encodeImageIo(RawImage(4, 4, 255, goldenPixels(md, id)), "png"))
+        val means = MediaCodec.quadrantMeans(decoded)
+        for (q <- 0 until 4; c <- 0 until 3) yield
+          (id, q.toLong, c.toLong, means(q * 3 + c),
+            decoded.width.toLong, decoded.height.toLong)
+      }
+    }.toDF("asset_id", "quadrant", "channel", "mean_value", "width", "height")
+  }
+
+  /** REAL JPEG round trip (q99). JPEG is LOSSY, so exact pixel oracles
+    * cannot apply; the oracle-able facts are the decoded geometry and a
+    * BOUNDED reconstruction error. Each asset is a uniform-color 8×8
+    * image (color = first 3 md5 bytes of "jpg-v1|id") — one full DCT
+    * block of pure DC energy, so at quality 0.95 the decoder must land
+    * within a few quant steps of the source on every pixel. Emits
+    * (asset_id, byte-geometry, max |err| over all pixels×channels, and
+    * the ≤`tol` verdict the oracle pins to true).
+    */
+  def jpegCodecRoundtrip(spark: SparkSession, docs: DataFrame,
+      tol: Int = 12): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        md.reset()
+        md.update(s"jpg-v1|$id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val d = md.digest()
+        val rgb = Array(d(0) & 0xff, d(1) & 0xff, d(2) & 0xff)
+        val pixels = Array.tabulate[Byte](8 * 8 * 3)(i => rgb(i % 3).toByte)
+        val decoded = MediaCodec.decodeImageIo(
+          MediaCodec.encodeJpeg(RawImage(8, 8, 255, pixels)))
+        var maxErr = 0
+        var i = 0
+        while (i < decoded.pixels.length) {
+          val e = math.abs((decoded.pixels(i) & 0xff) - rgb(i % 3))
+          if (e > maxErr) maxErr = e
+          i += 1
+        }
+        (id, decoded.width.toLong, decoded.height.toLong, maxErr <= tol)
+      }
+    }.toDF("asset_id", "width", "height", "within_tol")
   }
 
   /** The partition-mapped decode operator: batch shape = one partition
