@@ -490,12 +490,17 @@ object LlmQueries {
        |  WHERE rk = 1
        |), ex AS (
        |  SELECT doc_id, unnest(sh) AS g FROM sh
+       |), hot AS (
+       |  -- mirror crossCorpusOverlap's MaxShingleDocFreq candidate cap
+       |  SELECT g FROM ex GROUP BY g
+       |  HAVING count(*) > ${graft.functions.DedupOps.MaxShingleDocFreq}
        |), contaminated AS (
        |  SELECT DISTINCT t.doc_id
        |  FROM ex t JOIN ex e ON t.g = e.g
        |  JOIN sh st ON t.doc_id = st.doc_id
        |  JOIN sh se ON e.doc_id = se.doc_id
        |  WHERE t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
+       |    AND t.g NOT IN (SELECT g FROM hot)
        |    AND CAST(len(list_intersect(st.sh, se.sh)) AS DOUBLE)
        |      / (len(st.sh) + len(se.sh) - len(list_intersect(st.sh, se.sh)))
        |      >= 0.6
@@ -778,10 +783,16 @@ object LlmQueries {
   val decontaminationOracle: String =
     s"""WITH $tokShSql, ex AS (
        |  SELECT doc_id, unnest(sh) AS g FROM sh
+       |), hot AS (
+       |  -- shingles above the Spark side's MaxShingleDocFreq cap
+       |  -- (combined df over BOTH splits) never generate candidates
+       |  SELECT g FROM ex GROUP BY g
+       |  HAVING count(*) > ${graft.functions.DedupOps.MaxShingleDocFreq}
        |), cand AS (
        |  SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
        |  FROM ex t JOIN ex e ON t.g = e.g
        |  WHERE t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
+       |    AND t.g NOT IN (SELECT g FROM hot)
        |), j AS (
        |  SELECT train_id, eval_id,
        |    CAST(len(list_intersect(st.sh, se.sh)) AS DOUBLE)

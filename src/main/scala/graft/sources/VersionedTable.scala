@@ -562,16 +562,41 @@ object VersionedTable {
           .select("file").collect().map(_.getString(0)).toSet
       else Set.empty
     val missing = fs.filterNot(have)
-    if (missing.nonEmpty)
-      spark.read.option("mergeSchema", "true").parquet(missing: _*)
-        .groupBy(col("_metadata.file_path").as("uri"))
-        .agg(min(col(column)).as("mn"), max(col(column)).as("mx"))
+    if (missing.nonEmpty) {
+      val src = spark.read.option("mergeSchema", "true").parquet(missing: _*)
+      val agged =
+        if (src.columns.contains(column))
+          src.groupBy(col("_metadata.file_path").as("uri"))
+            .agg(min(col(column)).as("mn"), max(col(column)).as("mx"))
+        else {
+          // EVERY unindexed file predates the schema-evolved column
+          // (e.g. an old-schema writer appended after the column was
+          // indexed) — col(column) would not resolve against their
+          // merged schema. Those files read back NULL for the column,
+          // which any range filter excludes, so the sound stats entry
+          // is the all-null row (the existing skip-with-null
+          // semantics). Type the nulls from the sidecar, or from the
+          // table's full merged schema on a first-ever stats pass, so
+          // the sidecar parquet stays schema-stable across appends.
+          val dt =
+            if (Files.exists(dir))
+              spark.read.parquet(dir.toString).schema("mn").dataType
+            else spark.read.option("mergeSchema", "true").parquet(fs: _*)
+              .schema.find(_.name == column).map(_.dataType)
+              .getOrElse(throw new IllegalArgumentException(
+                s"data-skipping column '$column' exists in no file of $path"))
+          src.groupBy(col("_metadata.file_path").as("uri"))
+            .agg(min(lit(null).cast(dt)).as("mn"),
+              max(lit(null).cast(dt)).as("mx"))
+        }
+      agged
         // manifests store plain paths; `file_path` is a file: URI on the
         // local FS — strip the scheme so sidecar keys match manifests
         .select(regexp_replace(col("uri"), "^file:(//)?", "").as("file"),
           col("mn"), col("mx"))
         .coalesce(1)
         .write.mode(SaveMode.Append).parquet(dir.toString)
+    }
     val stats = spark.read.parquet(dir.toString)
       .filter(col("file").isInCollection(fs))
     val kept = stats

@@ -111,6 +111,29 @@ class DataSkippingSpec extends SparkSpec {
     assert(total == 2 && read == 1 && df.count() == 1)
   }
 
+  test("old-schema file appended after indexing an evolved column is skipped, not an error") {
+    val path = Files.createTempDirectory("vt_evo2").resolve("t").toString
+    VersionedTable.write(Seq((1L, "a", 10.0), (2L, "b", 20.0))
+      .toDF("k", "v", "score").coalesce(1), path, SaveMode.Overwrite)
+    // index the evolved column
+    val (d0, r0, t0) = VersionedTable.readWhere(spark, path, "score", 0.0, 100.0)
+    assert(r0 == 1 && t0 == 1 && d0.count() == 2)
+    // an old-schema writer appends a file WITHOUT the column: the lazy
+    // stats pass sees ONLY this file, where col("score") cannot resolve
+    VersionedTable.write(Seq((3L, "c")).toDF("k", "v").coalesce(1),
+      path, SaveMode.Append)
+    val (df, read, total) = VersionedTable.readWhere(spark, path, "score", 0.0, 100.0)
+    assert(total == 2 && read == 1,
+      s"pre-evolution file must be skipped via null stats (read=$read)")
+    assert(df.count() == 2)
+    assert(VersionedTable.read(spark, path)
+      .filter($"score" >= 0.0 && $"score" <= 100.0).count() == 2)
+    // a column that exists in NO file is a caller error, reported as such
+    intercept[IllegalArgumentException] {
+      VersionedTable.readWhere(spark, path, "no_such_col", 0L, 1L)
+    }
+  }
+
   test("skipping survives compaction (new files re-indexed lazily)") {
     val path = clusteredTable()
     VersionedTable.readWhere(spark, path, "k", 0L, 10L)
