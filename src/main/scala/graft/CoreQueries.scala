@@ -1208,6 +1208,86 @@ object CoreQueries {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q100 — triangle counting over the part co-purchase graph (parts
+    * linked when some order contains both): [[graft.operators.Triangles]]
+    * — degree-ordered orientation + wedge equality-joins, the shape that
+    * survives hub nodes at 100 TB (see the operator's doc). Runs on the
+    * deterministic 25% vertex-induced subgraph (partkey % 4 = 0) — the
+    * standard induced-subgraph sampling estimator for triangle
+    * statistics, which keeps the verified workload wedge-bounded while
+    * the operator itself is sample-agnostic (TrianglesSpec exercises it
+    * unsampled). The oracle is the direct a<b<c three-way edge join,
+    * which DuckDB can afford at verification scale precisely because it
+    * is NOT the scalable plan.
+    */
+  def triangleCounts(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      .filter(col("l_partkey") % 4 === 0)
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    graft.operators.Triangles.perNodeCounts(edges, "pa", "pb")
+      .select(col("node").as("part_id"), col("n_triangles"))
+      .orderBy("part_id")
+  }
+
+  val triangleCountsOracle: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0
+      |), e AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+      |), nodes AS (
+      |  SELECT a AS node FROM tri
+      |  UNION ALL SELECT b FROM tri
+      |  UNION ALL SELECT c FROM tri
+      |)
+      |SELECT node AS part_id, CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM nodes GROUP BY node ORDER BY part_id""".stripMargin
+
+  /** q101 — EWMA smoothing of each customer's order-value series
+    * (α = 1/2): the time-series feature a spend-trend model consumes.
+    * The fold runs POSITION-ORDERED inside each group's own row
+    * (sort_array of (date, key, value) structs + `aggregate`), never as
+    * an unordered double sum — and α = 0.5 makes every step an exact
+    * IEEE halving, so the result is bit-reproducible on any partitioning
+    * and in any engine (same reasoning as q68's ordered fold). One
+    * map-combinable collect per customer; no window, no shuffle beyond
+    * the groupBy.
+    */
+  def ewmaSmoothing(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(struct(col("o_orderdate"),
+        col("o_orderkey"), col("o_totalprice")))).as("xs"))
+      .select(col("o_custkey").as("cust_id"),
+        size(col("xs")).cast("bigint").as("n_orders"),
+        // UNROUNDED: both engines run the identical op sequence on the
+        // same doubles, so the results are bit-equal — while round(…,4)
+        // actually BROKE the match (half-up vs repr-based tie behavior
+        // differs between engines on x.xxxx5 boundaries)
+        aggregate(
+          expr("slice(transform(xs, r -> r.o_totalprice), 2, size(xs) - 1)"),
+          element_at(col("xs"), 1).getField("o_totalprice"),
+          (acc, x) => acc * lit(0.5) + x * lit(0.5)).as("ewma_last"))
+      .orderBy("cust_id")
+
+  val ewmaSmoothingOracle: String =
+    """WITH series AS (
+      |  SELECT o_custkey,
+      |    list(o_totalprice ORDER BY o_orderdate, o_orderkey) AS xs
+      |  FROM orders GROUP BY o_custkey
+      |)
+      |SELECT o_custkey AS cust_id, CAST(len(xs) AS BIGINT) AS n_orders,
+      |  list_reduce(xs, (acc, x) -> acc * 0.5 + x * 0.5) AS ewma_last
+      |FROM series ORDER BY cust_id""".stripMargin
+
   /** q35 — sketch aggregation: HyperLogLog++ approximate distinct counts
     * validated against the exact counts. The sketch ESTIMATE itself is
     * engine-specific, so it stays out of the hashed projection: the
@@ -1834,6 +1914,8 @@ object CoreQueries {
     "q95_pit_scd2" -> (pitScd2(_, _)),
     "q96_pagerank_directed" -> (pageRankDirected(_, _)),
     "q97_hll_merge" -> (hllMerge(_, _)),
+    "q100_triangle_count" -> (triangleCounts(_, _)),
+    "q101_ewma_smoothing" -> (ewmaSmoothing(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -1890,6 +1972,8 @@ object CoreQueries {
     "q95_pit_scd2" -> pitScd2Oracle,
     "q96_pagerank_directed" -> pageRankDirectedOracle,
     "q97_hll_merge" -> hllMergeOracle,
+    "q100_triangle_count" -> triangleCountsOracle,
+    "q101_ewma_smoothing" -> ewmaSmoothingOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }
