@@ -1288,6 +1288,86 @@ object CoreQueries {
       |  list_reduce(xs, (acc, x) -> acc * 0.5 + x * 0.5) AS ewma_last
       |FROM series ORDER BY cust_id""".stripMargin
 
+  /** Generic one-pass table profiler — the column-statistics report
+    * (null counts, distinct cardinality, min/max per type family) every
+    * ingestion gate publishes, computed schema-driven over ANY
+    * DataFrame. ONE aggregation job: all per-column statistics ride a
+    * single scan (the distinct counts expand it map-side; at 100 TB
+    * you'd swap `approx_count_distinct` — q35/q97 cover that sketch
+    * machinery — the shape is otherwise unchanged), then one row per
+    * column via explode of a struct array. Timestamps profile as epoch
+    * seconds in the numeric lane; strings in the text lane.
+    */
+  def profile(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{NumericType, StringType, StructField,
+      TimestampNTZType, TimestampType}
+    val fields = df.schema.fields
+    def numExpr(f: StructField): Column = f.dataType match {
+      case _: NumericType => col(f.name).cast("double")
+      // epoch seconds via unix_micros, NOT cast-to-double (ANSI nulls
+      // that out); parquet timestamps read as NTZ — value-preserving to
+      // cast under the engine's pinned UTC session zone
+      case _: TimestampType | TimestampNTZType =>
+        unix_micros(col(f.name).cast("timestamp")).cast("double") / lit(1e6)
+      case _ => lit(null).cast("double")
+    }
+    def strExpr(f: StructField): Column = f.dataType match {
+      case StringType => col(f.name)
+      case _ => lit(null).cast("string")
+    }
+    val aggs = fields.flatMap { f => Seq(
+      count(col(f.name)).as(s"__cnt_${f.name}"),
+      countDistinct(col(f.name)).as(s"__dst_${f.name}"),
+      min(numExpr(f)).as(s"__mnn_${f.name}"),
+      max(numExpr(f)).as(s"__mxn_${f.name}"),
+      min(strExpr(f)).as(s"__mns_${f.name}"),
+      max(strExpr(f)).as(s"__mxs_${f.name}"))
+    }.toSeq
+    df.agg(count(lit(1)).as("__rows"), aggs: _*)
+      .select(col("__rows"), explode(array(fields.map(f => struct(
+          lit(f.name).as("column_name"),
+          col(s"__cnt_${f.name}").as("n_non_null"),
+          col(s"__dst_${f.name}").as("n_distinct"),
+          col(s"__mnn_${f.name}").as("min_numeric"),
+          col(s"__mxn_${f.name}").as("max_numeric"),
+          col(s"__mns_${f.name}").as("min_text"),
+          col(s"__mxs_${f.name}").as("max_text"))).toSeq: _*)).as("p"))
+      .select(col("p.column_name"), col("__rows").as("n_rows"),
+        (col("__rows") - col("p.n_non_null")).as("n_nulls"),
+        col("p.n_distinct"), col("p.min_numeric"), col("p.max_numeric"),
+        col("p.min_text"), col("p.max_text"))
+      .orderBy("column_name")
+  }
+
+  /** q103 — the profiler over `orders`, every statistic under the exact
+    * oracle (one UNION ALL branch per column on the DuckDB side — the
+    * naive per-column formulation, affordable at verification scale).
+    */
+  def tableProfile(s: SparkSession, d: String): DataFrame =
+    profile(t(s, d, "orders"))
+
+  val tableProfileOracle: String = {
+    val cols = Seq("o_orderkey" -> "num", "o_custkey" -> "num",
+      "o_orderstatus" -> "str", "o_totalprice" -> "num",
+      "o_orderdate" -> "ts", "o_orderpriority" -> "str")
+    cols.map { case (name, kind) =>
+      val (mnn, mxn) = kind match {
+        case "num" => (s"CAST(min($name) AS DOUBLE)", s"CAST(max($name) AS DOUBLE)")
+        case "ts" => (s"epoch(min($name))", s"epoch(max($name))")
+        case _ => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      }
+      val (mns, mxs) =
+        if (kind == "str") (s"min($name)", s"max($name)")
+        else ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      s"""SELECT '$name' AS column_name, count(*) AS n_rows,
+         |  count(*) - count($name) AS n_nulls,
+         |  count(DISTINCT $name) AS n_distinct,
+         |  $mnn AS min_numeric, $mxn AS max_numeric,
+         |  $mns AS min_text, $mxs AS max_text
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   /** q35 — sketch aggregation: HyperLogLog++ approximate distinct counts
     * validated against the exact counts. The sketch ESTIMATE itself is
     * engine-specific, so it stays out of the hashed projection: the
@@ -1916,6 +1996,7 @@ object CoreQueries {
     "q97_hll_merge" -> (hllMerge(_, _)),
     "q100_triangle_count" -> (triangleCounts(_, _)),
     "q101_ewma_smoothing" -> (ewmaSmoothing(_, _)),
+    "q103_table_profile" -> (tableProfile(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -1974,6 +2055,7 @@ object CoreQueries {
     "q97_hll_merge" -> hllMergeOracle,
     "q100_triangle_count" -> triangleCountsOracle,
     "q101_ewma_smoothing" -> ewmaSmoothingOracle,
+    "q103_table_profile" -> tableProfileOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }

@@ -1887,6 +1887,66 @@ object LlmQueries {
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, qdot
       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** q102 — product-quantization ANN with ADC ranking: 64-dim doubles →
+    * 8 byte codes (m=8 subspaces × 16 centroids), queries ranked against
+    * CODES via per-query centroid-distance lookup tables — corpus
+    * vectors are never decoded ([[SimilarityOps.pqTopK]]). The codebook
+    * is seeded (centroid j = seed j's subvector), so encode AND ranking
+    * replay exactly in DuckDB: a hash match certifies the whole
+    * compression pipeline, not a tolerance band. 32× memory vs float32
+    * — the rung above q72's int8 SQ (4×) on the ANN compression ladder.
+    */
+  def pqAnn(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cb = SimilarityOps.pqCodebook(e, m = 8, subDim = 8, kCodes = 16)
+    val q = e.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    SimilarityOps.pqTopK(e, cb, q, k = 3, m = 8, subDim = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  val pqAnnOracle: String = {
+    // exact fold-ordered squared L2 over 8 dims (mirrors the Spark fold:
+    // 0 + t1 + ... with every term >= 0, so the seed add is exact)
+    def d2(a: String, b: String): String =
+      s"list_reduce(list_transform(generate_series(1, 8), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (p, q) -> p + q)"
+    val dsum = (0 until 8).map(i => s"sum(CASE WHEN l.s = $i THEN dq END)")
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), sub AS (
+       |  SELECT vec_id, CAST(u.s AS INTEGER) AS s,
+       |    v[u.s * 8 + 1 : u.s * 8 + 8] AS sv
+       |  FROM e, UNNEST(range(8)) AS u(s)
+       |), cb AS (
+       |  SELECT s, vec_id AS j, sv AS cent FROM sub WHERE vec_id < 16
+       |), enc AS (
+       |  SELECT vec_id, s, j AS code FROM (
+       |    SELECT sub.vec_id, sub.s, cb.j,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |        ORDER BY ${d2("sub.sv", "cb.cent")}, cb.j) AS rn
+       |    FROM sub JOIN cb USING (s))
+       |  WHERE rn = 1
+       |), lut AS (
+       |  SELECT sub.vec_id AS query_id, cb.s, cb.j,
+       |    ${d2("sub.sv", "cb.cent")} AS dq
+       |  FROM sub JOIN cb USING (s) WHERE sub.vec_id % 200 = 0
+       |), scored AS (
+       |  SELECT l.query_id, enc.vec_id, $dsum AS pq_dist
+       |  FROM enc JOIN lut l ON enc.s = l.s AND enc.code = l.j
+       |  WHERE enc.vec_id <> l.query_id
+       |  GROUP BY 1, 2
+       |), r AS (
+       |  SELECT query_id, vec_id, pq_dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY pq_dist, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank,
+       |  vec_id AS neighbor_id, pq_dist
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1935,6 +1995,7 @@ object LlmQueries {
     "q93_curation_funnel" -> (curationFunnel(_, _)),
     "q98_png_codec" -> (pngCodecFeatures(_, _)),
     "q99_jpeg_codec" -> (jpegCodecRoundtrip(_, _)),
+    "q102_pq_ann" -> (pqAnn(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1983,5 +2044,6 @@ object LlmQueries {
     "q93_curation_funnel" -> curationFunnelOracle,
     "q98_png_codec" -> pngCodecFeaturesOracle,
     "q99_jpeg_codec" -> jpegCodecRoundtripOracle,
+    "q102_pq_ann" -> pqAnnOracle,
   )
 }

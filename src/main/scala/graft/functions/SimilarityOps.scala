@@ -119,6 +119,86 @@ object SimilarityOps {
         col("sim").cast("bigint").as("qdot"))
   }
 
+  /** Split a double-array column into `m` contiguous subvectors of
+    * `subDim` dims each: (…, s, sub) rows via one transform+posexplode.
+    */
+  private def subvectors(v: Column, m: Int, subDim: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)),
+      s => slice(v, s * subDim + 1, lit(subDim)))
+
+  /** Exact squared L2 between two double arrays, folded in index order
+    * (0 + t₁ + t₂ + … — every term ≥ 0, so the seed add is exact and the
+    * whole fold is bit-reproducible in any IEEE engine).
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (s, x) => s + x)
+
+  /** Product-quantization codebook from seed vectors: centroid `j` of
+    * subspace `s` is seed vector j's s-th subvector (seeds = the first
+    * `kCodes` ids). A production build would Lloyd-train each subspace
+    * (see [[kmeansCentroids]]); the seeded codebook is deterministic and
+    * engine-replayable, which is what puts the WHOLE PQ pipeline —
+    * encode and ADC ranking — under an exact oracle. Returns
+    * (s, j, cent: array<double>).
+    */
+  def pqCodebook(emb: DataFrame, m: Int, subDim: Int, kCodes: Int): DataFrame =
+    emb.filter(col("vec_id") < kCodes)
+      .select(col("vec_id").as("j"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(col("j"), posexplode(subvectors(col("v"), m, subDim)))
+      .select(col("pos").as("s"), col("j"), col("col").as("cent"))
+
+  /** PQ encode: each corpus vector → `m` small codes (argmin-L2 centroid
+    * per subspace, id tie-break). The 100 TB memory lever beyond int8
+    * SQ: 64-dim float32 → 8 byte codes is 32×. One broadcast of the
+    * (m·k)-row codebook against the corpus scan, folded into a bounded
+    * `min_by` — the corpus never shuffles wider than (vec_id, s).
+    * Returns (vec_id, s, code).
+    */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, m: Int,
+      subDim: Int): DataFrame =
+    corpus.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), posexplode(subvectors(col("v"), m, subDim)))
+      .select(col("vec_id"), col("pos").as("s"), col("col").as("sub"))
+      .join(broadcast(codebook), "s")
+      .withColumn("d2", l2sq(col("sub"), col("cent")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(col("j"), struct(col("d2"), col("j"))).as("code"))
+
+  /** PQ top-k via asymmetric distance computation (ADC): per query, a
+    * lookup table of EXACT query-to-centroid distances (|Q|·m·k rows —
+    * broadcast-sized by construction), joined to the corpus codes on
+    * (subspace, code) equality, so corpus vectors are ranked WITHOUT
+    * ever being decoded. The per-vector distance sums its m subspace
+    * terms in fixed subspace order (conditional aggregates + one
+    * left-associated add chain), keeping the doubles bit-reproducible
+    * on any partitioning. Rank by distance ASC, id tie-break.
+    */
+  def pqTopK(corpus: DataFrame, codebook: DataFrame, queries: DataFrame,
+      k: Int, m: Int, subDim: Int): DataFrame = {
+    val enc = pqEncode(corpus, codebook, m, subDim)
+    val lut = queries.select(col("query_id"),
+        col("query_vec").cast("array<double>").as("v"))
+      .select(col("query_id"), posexplode(subvectors(col("v"), m, subDim)))
+      .select(col("query_id"), col("pos").as("ls"), col("col").as("qsub"))
+      .join(broadcast(codebook), col("ls") === col("s"))
+      .select(col("query_id"), col("ls"), col("j"),
+        l2sq(col("qsub"), col("cent")).as("dq"))
+    val partials = enc.join(broadcast(lut),
+        col("s") === col("ls") && col("code") === col("j"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val sums = (0 until m).map(i =>
+      sum(when(col("s") === i, col("dq"))).as(s"d_$i"))
+    val scored = partials.groupBy(col("query_id"), col("vec_id"))
+      .agg(sums.head, sums.tail: _*)
+      .withColumn("sim", -(0 until m).map(i => col(s"d_$i")).reduce(_ + _))
+    rankTopK(scored, "query_id", "vec_id", k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (-col("sim")).as("pq_dist"))
+  }
+
   /** Sign-LSH bucket key over the first `dims` dimensions: bit d set iff
     * v[d] > 0. Scale-invariant, so exact and scaled duplicates share a
     * bucket. 16 bits by default → 65,536 buckets: within-bucket all-pairs
