@@ -84,6 +84,17 @@ object LlmQueries {
        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
        |), $jaccardVerifySql""".stripMargin
 
+  /** q104 — the q26 result re-derived through PPJoin prefix filtering
+    * ([[DedupOps.ppjoinPairs]]): candidates from each document's
+    * globally-rarest shingles only, plus the length filter. The scheme
+    * is LOSSLESS, so the oracle is q26's VERBATIM — a hash match proves
+    * two independent candidate generators (full inverted index, prefix
+    * index) converge on the identical verified pair set.
+    */
+  def ppjoinNearDup(s: SparkSession, d: String): DataFrame =
+    DedupOps.ppjoinPairs(docs(s, d), "text", "doc_id")
+      .orderBy("doc_a", "doc_b")
+
   /** q27 — MinHash+LSH near-dup pairs: 16 string-min signatures over
     * 5-gram shingles, 4 bands × 4 rows, bucket join, exact-Jaccard
     * verification.
@@ -1905,14 +1916,18 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
-  val pqAnnOracle: String = {
+  /** CTE chain ending in `r(query_id, vec_id, pq_dist, rank)` — the full
+    * PQ encode + ADC pipeline, shared by the q102 oracle and the q105
+    * recall oracle.
+    */
+  private val pqPipelineSql: String = {
     // exact fold-ordered squared L2 over 8 dims (mirrors the Spark fold:
     // 0 + t1 + ... with every term >= 0, so the seed add is exact)
     def d2(a: String, b: String): String =
       s"list_reduce(list_transform(generate_series(1, 8), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (p, q) -> p + q)"
     val dsum = (0 until 8).map(i => s"sum(CASE WHEN l.s = $i THEN dq END)")
       .mkString(" + ")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), sub AS (
        |  SELECT vec_id, CAST(u.s AS INTEGER) AS s,
@@ -1941,11 +1956,59 @@ object LlmQueries {
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY pq_dist, vec_id) AS rank
        |  FROM scored
-       |)
+       |)""".stripMargin
+  }
+
+  val pqAnnOracle: String =
+    s"""WITH $pqPipelineSql
        |SELECT query_id, CAST(rank AS BIGINT) AS rank,
        |  vec_id AS neighbor_id, pq_dist
        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** q105 — PQ recall@3 vs the exact cosine truth: the audit that
+    * chooses (m, k) before trusting 32×-compressed codes for the full
+    * corpus — same offline-quality-gate shape as q67's IVF audit (at
+    * 100 TB the exhaustive truth side runs on a sample; the PQ side is
+    * what production serves).
+    */
+  def pqRecall(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cb = SimilarityOps.pqCodebook(e, m = 8, subDim = 8, kCodes = 16)
+    val q = e.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val truth = SimilarityOps.bruteForceTopK(q, e, 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = SimilarityOps.pqTopK(e, cb, q, k = 3, m = 8, subDim = 8)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), col("hits").cast("bigint").as("hits"),
+        round(col("hits") / 3.0, 4).as("recall_at_3"))
+      .orderBy("query_id")
   }
+
+  val pqRecallOracle: String =
+    s"""WITH $pqPipelineSql, approx AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM r WHERE rank <= 3
+       |), tq AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id % 200 = 0
+       |), truth AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT tq.query_id, e2.vec_id,
+       |      row_number() OVER (PARTITION BY tq.query_id
+       |        ORDER BY round(list_cosine_similarity(tq.qv, CAST(e2.embedding AS DOUBLE[])), 4) DESC,
+       |                 e2.vec_id) AS rank
+       |    FROM tq, embeddings e2 WHERE e2.vec_id <> tq.query_id)
+       |  WHERE rank <= 3
+       |)
+       |SELECT t.query_id,
+       |  CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+       |  round(count(a.neighbor_id) / 3.0, 4) AS recall_at_3
+       |FROM truth t LEFT JOIN approx a
+       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
 
   // ------------------------------------------------------- registries
 
@@ -1996,6 +2059,8 @@ object LlmQueries {
     "q98_png_codec" -> (pngCodecFeatures(_, _)),
     "q99_jpeg_codec" -> (jpegCodecRoundtrip(_, _)),
     "q102_pq_ann" -> (pqAnn(_, _)),
+    "q104_ppjoin_neardup" -> (ppjoinNearDup(_, _)),
+    "q105_pq_recall" -> (pqRecall(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2045,5 +2110,7 @@ object LlmQueries {
     "q98_png_codec" -> pngCodecFeaturesOracle,
     "q99_jpeg_codec" -> jpegCodecRoundtripOracle,
     "q102_pq_ann" -> pqAnnOracle,
+    "q104_ppjoin_neardup" -> ngramJaccardOracle,
+    "q105_pq_recall" -> pqRecallOracle,
   )
 }

@@ -174,6 +174,48 @@ object DedupOps {
     verifyJaccard(cand, sh, threshold, maxBroadcastCandidates)
   }
 
+  /** Prefix-filtered exact Jaccard pairs (the AllPairs/PPJoin candidate
+    * scheme, Bayardo et al. 2007 / Xiao et al. 2008): order every
+    * document's shingles by GLOBAL rarity (ascending document frequency,
+    * shingle tie-break — one canonical order corpus-wide), index only
+    * each document's first |x| − ⌈t·|x|⌉ + 1 shingles, and generate
+    * candidates from prefix-prefix equality joins plus the length filter
+    * min(|x|,|y|) ≥ ⌈t·max(|x|,|y|)⌉.
+    *
+    * LOSSLESS, unlike the df-cap inverted index ([[ngramJaccardPairs]]):
+    * J(x,y) ≥ t forces |x∩y| ≥ t·max(|x|,|y|), and the FIRST common
+    * shingle in canonical order sits at position ≤ |x| − |x∩y| + 1 ≤
+    * prefix length in BOTH documents — so every qualifying pair
+    * collides. The scale story: prefix tokens are each document's
+    * globally-rarest shingles, so the inverted index concentrates on
+    * short posting lists by construction — the stop-shingle d²/2 blowup
+    * never enters candidate generation, with no recall trade to make.
+    * Verification is the shared exact-Jaccard tail.
+    */
+  def ppjoinPairs(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 5, threshold: Double = 0.6,
+      maxBroadcastCandidates: Long = MaxBroadcastCandidates): DataFrame = {
+    val sh = shingleSets(docs, textCol, idCol, shingleN)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    val prefixes = ex.join(dfreq, "g")
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("g")))),
+          x => x.getField("g")).as("sorted"),
+        count(lit(1)).as("sz"))
+      .select(col("doc_id"), col("sz"),
+        explode(slice(col("sorted"), lit(1),
+          (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int")))
+          .as("g"))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") >= ceil(col("b.sz") * lit(threshold)) &&
+          col("b.sz") >= ceil(col("a.sz") * lit(threshold)))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold, maxBroadcastCandidates)
+  }
+
   /** Document-frequency cap (see [[MaxShingleDocFreq]]): drop shingles
     * whose posting list exceeds `maxDf` docs before pair generation. The
     * hot set is tiny by definition (few shingles can be that common), so
