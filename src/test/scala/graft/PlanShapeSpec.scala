@@ -212,4 +212,31 @@ class PlanShapeSpec extends SparkSpec {
       s"funnel must aggregate, not sort event histories, plan:\n$plan")
     graft.CacheScope.drain(spark, blocking = true)
   }
+
+  test("PQ ANN: codebook and LUT broadcast, corpus never shuffle-joined, no window") {
+    val plan = executed(SparkEntry.queries("q102_pq_ann")(spark, sf))
+    assert(count(plan, "BroadcastHashJoin") >= 2,
+      s"codebook (encode) and LUT (ADC) must broadcast, plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the corpus must never shuffle-join, plan:\n$plan")
+    assert(!plan.contains("Window ["),
+      s"top-k must be the bounded aggregation, not a window, plan:\n$plan")
+    graft.CacheScope.drain(spark, blocking = true)
+  }
+
+  test("triangles: equality joins only — orientation kills the hub wedge blowup") {
+    val plan = executed(SparkEntry.queries("q100_triangle_count")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"wedge + closing-edge joins must stay equality-shaped, plan:\n$plan")
+    graft.CacheScope.drain(spark, blocking = true)
+  }
+
+  test("ppjoin: prefix candidate join is equality-shaped, no cartesian") {
+    val plan = executed(SparkEntry.queries("q104_ppjoin_neardup")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix join must hash on the shingle key, plan:\n$plan")
+    graft.CacheScope.drain(spark, blocking = true)
+  }
 }

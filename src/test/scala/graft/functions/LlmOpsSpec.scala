@@ -208,6 +208,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(ranks == 3)
   }
 
+  test("PQ: codes in range, encode deterministic under repartition, ADC self-consistent") {
+    val cb = SimilarityOps.pqCodebook(emb, m = 8, subDim = 8, kCodes = 16)
+    assert(cb.count() == 8 * 16)
+    val enc = SimilarityOps.pqEncode(emb, cb, m = 8, subDim = 8)
+    assert(enc.filter($"code" < 0 || $"code" >= 16).count() == 0)
+    assert(enc.count() == emb.count() * 8, "m codes per vector")
+    val enc2 = SimilarityOps.pqEncode(emb.repartition(7), cb, m = 8, subDim = 8)
+    assert(enc.exceptAll(enc2).isEmpty && enc2.exceptAll(enc).isEmpty,
+      "encoding must not depend on partitioning")
+    // a seed vector's best centroid in every subspace is itself (d2 = 0)
+    assert(enc.filter($"vec_id" < 16 && $"code" =!= $"vec_id").count() == 0,
+      "seed vectors must encode to their own codes")
+    val q = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val tk = SimilarityOps.pqTopK(emb, cb, q, k = 5, m = 8, subDim = 8)
+    assert(tk.count() == 10)
+    assert(tk.filter($"query_id" === $"neighbor_id").count() == 0)
+    assert(tk.filter($"pq_dist" < 0).count() == 0, "squared distances are nonnegative")
+  }
+
+  test("ppjoin prefix filtering returns exactly the df-capped inverted-index pairs") {
+    val viaIndex = DedupOps.ngramJaccardPairs(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().toSet
+    val viaPrefix = DedupOps.ppjoinPairs(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaPrefix.nonEmpty)
+    assert(viaPrefix == viaIndex,
+      "prefix filtering is lossless — identical verified pairs expected")
+  }
+
   test("kmeans centroids: deterministic, right shape, improve the assignment objective") {
     val c1 = SimilarityOps.kmeansCentroids(emb, k = 8, iters = 2)
     val c2 = SimilarityOps.kmeansCentroids(emb, k = 8, iters = 2)
