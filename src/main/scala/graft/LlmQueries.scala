@@ -589,6 +589,48 @@ object LlmQueries {
       |  CAST(8 AS BIGINT) AS height, true AS within_tol
       |FROM documents ORDER BY asset_id""".stripMargin
 
+  /** q106 — REAL audio decode under the oracle
+    * ([[Multimodal.audioFeatures]]): deterministic 16-bit PCM clips are
+    * encoded to actual RIFF/WAVE payloads and parsed back by the codec's
+    * chunk walk on the hot path; the verified features (energy, zero
+    * crossings, min/max, dyadic mean) are exact integer math, replayed
+    * sample-for-sample by DuckDB from the md5 derivation. Retires the
+    * "audio is a stub" caveat the same way q90/q98 did for images.
+    */
+  def audioFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioFeatures(s, docs(s, d)).orderBy("asset_id")
+
+  val audioFeaturesOracle: String =
+    """WITH i AS (
+      |  SELECT doc_id, CAST(u.i AS BIGINT) AS i FROM documents,
+      |    UNNEST(range(256)) AS u(i)
+      |), raw AS (
+      |  SELECT doc_id, i,
+      |    CAST('0x' || substr(md5('wav-v1|' || CAST(doc_id AS VARCHAR)
+      |      || '|' || CAST(i // 8 AS VARCHAR)), (i % 8) * 4 + 3, 2)
+      |      AS BIGINT) * 256
+      |    + CAST('0x' || substr(md5('wav-v1|' || CAST(doc_id AS VARCHAR)
+      |      || '|' || CAST(i // 8 AS VARCHAR)), (i % 8) * 4 + 1, 2)
+      |      AS BIGINT) AS u16
+      |  FROM i
+      |), s AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN u16 >= 32768 THEN u16 - 65536 ELSE u16 END AS v
+      |  FROM raw
+      |), x AS (
+      |  SELECT doc_id, i, v,
+      |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      |  FROM s
+      |)
+      |SELECT doc_id AS asset_id, CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+      |  CAST(sum(CASE WHEN pv IS NOT NULL AND (pv < 0) <> (v < 0)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+      |  CAST(min(v) AS BIGINT) AS min_s, CAST(max(v) AS BIGINT) AS max_s,
+      |  CAST(sum(v) AS DOUBLE) / 256 AS mean_s
+      |FROM x GROUP BY doc_id ORDER BY asset_id""".stripMargin
+
   /** q85 — hard-negative mining via filtered vector search: for each
     * query, the top-5 most similar vectors whose LABEL DIFFERS from the
     * query's — the "close but wrong class" examples contrastive
@@ -2061,6 +2103,7 @@ object LlmQueries {
     "q102_pq_ann" -> (pqAnn(_, _)),
     "q104_ppjoin_neardup" -> (ppjoinNearDup(_, _)),
     "q105_pq_recall" -> (pqRecall(_, _)),
+    "q106_wav_features" -> (audioFeatures(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2112,5 +2155,6 @@ object LlmQueries {
     "q102_pq_ann" -> pqAnnOracle,
     "q104_ppjoin_neardup" -> ngramJaccardOracle,
     "q105_pq_recall" -> pqRecallOracle,
+    "q106_wav_features" -> audioFeaturesOracle,
   )
 }

@@ -9,14 +9,16 @@ import org.apache.spark.sql.functions._
   * Pandas-batch UDF: one iterator of rows per partition, library handles
   * amortized per-partition, vectorizable batch shape).
   *
-  * Codec status: PPM (netpbm P6), PNG, and JPEG decode are REAL —
-  * [[MediaCodec.decodePpm]] is a hand-written wire-format parser on
-  * q90's hot path, and [[MediaCodec.decodeImageIo]] routes PNG/JPEG
-  * through the JVM's built-in `javax.imageio` codecs (q98/q99), all
-  * oracle-verified end to end. Formats with no JVM codec (audio/video)
-  * still enter through [[MediaCodec.decodeStub]] (a deterministic
-  * golden vector); the surrounding plumbing — schema, encoders,
-  * partitioning, batch iteration — is shared and identical either way.
+  * Codec status: PPM (netpbm P6), PNG, JPEG, and WAV decode are REAL —
+  * [[MediaCodec.decodePpm]] and [[MediaCodec.decodeWav]] are
+  * hand-written wire-format parsers on the q90/q106 hot paths (the WAV
+  * chunk walk is cross-checked against `javax.sound.sampled`), and
+  * [[MediaCodec.decodeImageIo]] routes PNG/JPEG through the JVM's
+  * built-in `javax.imageio` codecs (q98/q99) — all oracle-verified end
+  * to end. Only formats with no JVM codec at all (video) still enter
+  * through [[MediaCodec.decodeStub]] (a deterministic golden vector);
+  * the surrounding plumbing — schema, encoders, partitioning, batch
+  * iteration — is shared and identical either way.
   */
 object Multimodal {
 
@@ -204,6 +206,76 @@ object Multimodal {
       RawImage(w, h, 255, out)
     }
 
+    /** Encode 16-bit mono PCM as a canonical RIFF/WAVE payload (44-byte
+      * header + little-endian samples) — the audio wire format a JVM can
+      * emit with no codec library.
+      */
+    def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      bb.put("RIFF".getBytes(ascii)); bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes(ascii))
+      bb.put("fmt ".getBytes(ascii)); bb.putInt(16)
+      bb.putShort(1) // PCM
+      bb.putShort(1) // mono
+      bb.putInt(sampleRate)
+      bb.putInt(sampleRate * 2) // byte rate
+      bb.putShort(2) // block align
+      bb.putShort(16) // bits/sample
+      bb.put("data".getBytes(ascii)); bb.putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    /** REAL audio decode: RIFF/WAVE chunk walk per the public format —
+      * RIFF signature, WAVE form type, then chunks (`fmt `, `data`,
+      * anything else skipped with even-byte padding). Accepts only
+      * 16-bit mono PCM; anything else is an explicit error, never a
+      * silent misread. Returns (sampleRate, samples).
+      */
+    def decodeWav(bytes: Array[Byte]): (Int, Array[Short]) = {
+      def fail(msg: String) =
+        throw new IllegalArgumentException(s"bad WAV: $msg")
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val t = new Array[Byte](4); bb.get(t)
+        new String(t, java.nio.charset.StandardCharsets.US_ASCII)
+      }
+      if (bytes.length < 12 || tag() != "RIFF") fail("missing RIFF signature")
+      bb.getInt() // declared riff size (trust actual bounds instead)
+      if (tag() != "WAVE") fail("not a WAVE form")
+      var sampleRate = -1
+      var samples: Array[Short] = null
+      while (bb.remaining() >= 8) {
+        val id = tag(); val sz = bb.getInt()
+        if (sz < 0 || sz > bb.remaining()) fail(s"chunk '$id' overruns payload")
+        val next = bb.position() + sz + (sz & 1) // chunks pad to even
+        id match {
+          case "fmt " =>
+            if (sz < 16) fail("fmt chunk too short")
+            val fmt = bb.getShort(); val ch = bb.getShort()
+            sampleRate = bb.getInt(); bb.getInt(); bb.getShort()
+            val bits = bb.getShort()
+            if (fmt != 1) fail(s"not PCM (format $fmt)")
+            if (ch != 1) fail(s"not mono ($ch channels)")
+            if (bits != 16) fail(s"not 16-bit ($bits)")
+          case "data" =>
+            if (sampleRate < 0) fail("data chunk before fmt")
+            if (sz % 2 != 0) fail("odd data length for 16-bit samples")
+            samples = new Array[Short](sz / 2)
+            var i = 0
+            while (i < samples.length) { samples(i) = bb.getShort(); i += 1 }
+          case _ => () // ancillary chunk (LIST, fact, …): skip
+        }
+        bb.position(math.min(next, bytes.length))
+      }
+      if (samples == null) fail("no data chunk")
+      (sampleRate, samples)
+    }
+
     /** Frame-sampling plan a video decoder would follow: one frame per
       * 1000ms, at least 1.
       */
@@ -336,6 +408,56 @@ object Multimodal {
         (id, decoded.width.toLong, decoded.height.toLong, maxErr <= tol)
       }
     }.toDF("asset_id", "width", "height", "within_tol")
+  }
+
+  /** REAL audio codec pipeline (q106): a deterministic 256-sample
+    * 16-bit PCM clip per document (sample bytes = 32 chained md5 blocks,
+    * little-endian pairs — re-derivable in SQL), encoded to an actual
+    * RIFF/WAVE payload and decoded back through
+    * [[MediaCodec.decodeWav]]'s chunk walk before feature extraction, so
+    * the oracle match certifies the wire format, not just the sample
+    * math. Features are exact integer/dyadic arithmetic (energy as Σv²,
+    * zero crossings, min/max, mean = Σv/256) — no libm anywhere, so
+    * they hash-match any engine. Partition-mapped, no shuffle.
+    */
+  def audioFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val samples = new Array[Short](256)
+        var b = 0
+        while (b < 32) {
+          md.reset()
+          md.update(s"wav-v1|$id|$b".getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          val d = md.digest()
+          var j = 0
+          while (j < 8) {
+            samples(b * 8 + j) =
+              ((d(j * 2) & 0xff) | ((d(j * 2 + 1) & 0xff) << 8)).toShort
+            j += 1
+          }
+          b += 1
+        }
+        val (rate, dec) = MediaCodec.decodeWav(
+          MediaCodec.encodeWav(samples, 8000))
+        var sumSq = 0L; var sum = 0L; var crossings = 0L
+        var mn = Int.MaxValue; var mx = Int.MinValue
+        var i = 0
+        while (i < dec.length) {
+          val v = dec(i).toInt
+          sumSq += v.toLong * v; sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          if (i > 0 && (dec(i - 1) < 0) != (v < 0)) crossings += 1
+          i += 1
+        }
+        (id, rate.toLong, dec.length.toLong, sumSq, crossings,
+          mn.toLong, mx.toLong, sum.toDouble / dec.length)
+      }
+    }.toDF("asset_id", "sample_rate", "n_samples", "sum_sq",
+      "zero_crossings", "min_s", "max_s", "mean_s")
   }
 
   /** The partition-mapped decode operator: batch shape = one partition
