@@ -62,24 +62,25 @@ object DeltaInterop {
           case _ => None
         }
       }.toSeq.sortBy(_._1)
-    require(commitVersions.nonEmpty, s"empty _delta_log at $path")
 
-    // checkpoint bootstrap: only when it does not overshoot asOf
-    val cpVersion: Option[Long] = {
+    // a checkpointed table may have ZERO json commits after log cleanup
+    val cpVersionRaw: Option[Long] = {
       val lc = logDir.resolve("_last_checkpoint")
       if (!Files.exists(lc)) None
-      else {
-        val txt = Files.readString(lc)
+      else
         // tiny single-object JSON ({"version":N,"size":M,...})
-        """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
-          .filter(v => asOf.forall(v <= _))
-      }
+        """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(Files.readString(lc))
+          .map(_.group(1).toLong)
     }
-
-    val upTo = asOf.getOrElse(commitVersions.last._1)
+    val latestKnown = (commitVersions.map(_._1) ++ cpVersionRaw.toSeq)
+      .maxOption.getOrElse(
+        throw new IllegalArgumentException(s"empty _delta_log at $path"))
+    val upTo = asOf.getOrElse(latestKnown)
+    // bootstrap from the checkpoint only when it does not overshoot asOf
+    val cpVersion = cpVersionRaw.filter(_ <= upTo)
     val replay = commitVersions
       .filter { case (v, _) => v <= upTo && cpVersion.forall(v > _) }
-    require(asOf.forall(v => commitVersions.exists(_._1 == v)) || cpVersion.contains(upTo),
+    require(commitVersions.exists(_._1 == upTo) || cpVersion.contains(upTo),
       s"version $upTo not present in _delta_log at $path")
 
     // one struct-per-action-type row set, from checkpoint parquet and/or
@@ -171,6 +172,156 @@ object DeltaInterop {
   /** add.path is a percent-encoded relative URI per the protocol. */
   private def decodePath(p: String): String =
     try new java.net.URI(p).getPath catch { case _: Exception => p }
+
+  // ------------------------------------------------------------- write
+
+  /** Minimal JSON string escape for action fields (schemaString is
+    * itself JSON and needs its quotes escaped when embedded).
+    */
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Write `df` as a Delta commit (protocol 1) that any Delta reader
+    * consumes — the outbound half of the interop. Overwrite creates or
+    * replaces the table (metaData + protocol + adds + removes of the
+    * previous live set); Append adds files, emitting an updated
+    * metaData action when the schema widened (mergeSchema semantics —
+    * new columns appended to the declared schema). Data files are
+    * staged with Spark's own parquet writer (hive-style partition dirs,
+    * which Delta also uses) and registered with their partition values
+    * in the add actions, per the protocol. Commits are put-if-absent on
+    * the 20-digit version file — the protocol's optimistic-concurrency
+    * rule — retrying on collision. Returns the committed version.
+    *
+    * Scale: driver traffic is file-count bounded (staged-file listing +
+    * log replay); the data itself moves file-by-file with no re-read.
+    */
+  def write(df: DataFrame, path: String,
+      mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.ErrorIfExists,
+      partitionBy: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.SaveMode
+    val spark = df.sparkSession
+    val root = Paths.get(path)
+    val logDir = root.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    // a table exists if the log holds any commit OR a checkpoint pointer
+    // (cleanup can leave a checkpoint with zero json commits)
+    val exists = Files.list(logDir).iterator().asScala
+      .exists(p => CommitName.findFirstIn(p.getFileName.toString).isDefined ||
+        p.getFileName.toString == "_last_checkpoint")
+    require(mode != SaveMode.ErrorIfExists || !exists,
+      s"delta table already exists at $path")
+    if (mode == SaveMode.Ignore && exists) return snapshot(spark, path).version
+
+    // stage data files with Spark's writer, then move under the root
+    val tmp = Files.createTempDirectory("delta_stage")
+    val w0 = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0)
+      .parquet(tmp.toString)
+    val staged = Files.walk(tmp).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.toString)
+    val adds = staged.map { p =>
+      val rel = tmp.relativize(p)
+      val target = root.resolve(rel)
+      Files.createDirectories(target.getParent)
+      Files.move(p, target)
+      val pv = rel.iterator().asScala.toSeq.dropRight(1).map(_.toString)
+        .filter(_.contains("=")).map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null else v)
+        }
+      val pvJson = pv.map { case (k, v) =>
+        s"${jstr(k)}:${if (v == null) "null" else jstr(v)}" }
+        .mkString("{", ",", "}")
+      val size = Files.size(target)
+      s"""{"add":{"path":${jstr(rel.toString)},"partitionValues":$pvJson,"size":$size,"modificationTime":${Files.getLastModifiedTime(target).toMillis},"dataChange":true}}"""
+    }
+
+    val metaAction = (schema: StructType) =>
+      s"""{"metaData":{"id":${jstr(java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8")).toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema.json)},"partitionColumns":${partitionBy.map(jstr).mkString("[", ",", "]")},"configuration":{},"createdTime":${System.currentTimeMillis()}}}"""
+    val protocolAction =
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+
+    // optimistic commit loop: derive the state, try CREATE_NEW, retry on
+    // a concurrent writer's collision
+    while (true) {
+      val (version, head) =
+        if (!exists || mode == SaveMode.Overwrite) {
+          val removes =
+            if (exists)
+              snapshot(spark, path).files.map { case (f, _) =>
+                s"""{"remove":{"path":${jstr(f)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}"""
+              }
+            else Nil
+          val v = if (exists) snapshot(spark, path).version + 1 else 0L
+          (v, Seq(protocolAction, metaAction(df.schema)) ++ removes)
+        } else {
+          val snap = snapshot(spark, path)
+          val merged = StructType(snap.schema.fields ++
+            df.schema.fields.filterNot(f => snap.schema.fieldNames.contains(f.name)))
+          val meta =
+            if (merged.fieldNames.sameElements(snap.schema.fieldNames)) Nil
+            else Seq(metaAction(merged))
+          (snap.version + 1, meta)
+        }
+      try {
+        Files.write(logDir.resolve(f"$version%020d.json"),
+          (head ++ adds).mkString("", "\n", "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        return version
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // lost the race: re-derive
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Write a parquet checkpoint of the current snapshot plus the
+    * `_last_checkpoint` pointer, allowing pre-checkpoint JSON commits to
+    * be cleaned — the same compaction a Delta writer performs.
+    */
+  def checkpoint(spark: SparkSession, path: String): Long = {
+    import spark.implicits._
+    val logDir = Paths.get(path, "_delta_log")
+    val snap = snapshot(spark, path)
+    // carry forward the LATEST metaData and protocol actions (commit
+    // files replayed in version order; Files.list order is unspecified)
+    val commitLines = Files.list(logDir).iterator().asScala
+      .flatMap { p => p.getFileName.toString match {
+        case CommitName(v) => Some(v.toLong -> p)
+        case _ => None
+      }}.toSeq.sortBy(_._1)
+      .flatMap { case (_, p) => Files.readAllLines(p).asScala }
+    val lastMeta = commitLines.filter(_.contains("\"metaData\""))
+      .lastOption.getOrElse(
+        throw new IllegalStateException("no metaData action to checkpoint"))
+    val lastProtocol = commitLines.filter(_.contains("\"protocol\""))
+      .lastOption.getOrElse("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+    val metaSrc = Seq(lastProtocol, lastMeta)
+    val addJson = snap.files.map { case (f, pv) =>
+      val pvJson = pv.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"${jstr(k)}:${if (v == null) "null" else jstr(v)}" }
+        .mkString("{", ",", "}")
+      s"""{"add":{"path":${jstr(f)},"partitionValues":$pvJson,"size":0,"modificationTime":0,"dataChange":false}}"""
+    }
+    val tmp = Files.createTempDirectory("delta_cp")
+    spark.read.json((metaSrc ++ addJson).toDS).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, logDir.resolve(f"${snap.version}%020d.checkpoint.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.writeString(logDir.resolve("_last_checkpoint"),
+      s"""{"version":${snap.version},"size":${metaSrc.size + addJson.size}}""")
+    snap.version
+  }
 
   /** Read a Delta table's latest (or `asOf`) version as a DataFrame with
     * the log-declared schema, partition values restored from the add

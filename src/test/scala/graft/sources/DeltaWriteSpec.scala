@@ -1,0 +1,86 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SaveMode
+import graft.SparkSpec
+
+/** The write half of the Delta interop: commits emitted by
+  * [[DeltaInterop.write]] must satisfy the public protocol — verified by
+  * replaying them through the independent read path (and by eye-level
+  * assertions on the log contents themselves).
+  */
+class DeltaWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("delta_w").resolve("t").toString
+
+  test("create + read round trip, partitioned, with protocol/meta in v0") {
+    val path = tmpTable()
+    val v = DeltaInterop.write(
+      Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x")).toDF("k", "v", "ds"),
+      path, SaveMode.Overwrite, partitionBy = Seq("ds"))
+    assert(v == 0L)
+    val log = Files.readString(
+      Paths.get(path, "_delta_log", f"${0L}%020d.json"))
+    assert(log.contains("\"protocol\"") && log.contains("\"metaData\"")
+      && log.contains("\"partitionValues\""))
+    val back = DeltaInterop.read(spark, path)
+    assert(back.columns.toSeq == Seq("k", "v", "ds"))
+    assert(back.as[(Long, String, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x")))
+  }
+
+  test("appends advance versions; overwrite replaces; time travel intact") {
+    val path = tmpTable()
+    DeltaInterop.write(Seq((1L, "a")).toDF("k", "v"), path, SaveMode.Overwrite)
+    assert(DeltaInterop.write(Seq((2L, "b")).toDF("k", "v"), path,
+      SaveMode.Append) == 1L)
+    assert(DeltaInterop.read(spark, path).count() == 2)
+    assert(DeltaInterop.write(Seq((9L, "z")).toDF("k", "v"), path,
+      SaveMode.Overwrite) == 2L)
+    assert(DeltaInterop.read(spark, path).as[(Long, String)].collect().toSeq ==
+      Seq((9L, "z")))
+    // pre-overwrite versions still readable
+    assert(DeltaInterop.read(spark, path, asOf = Some(1L)).count() == 2)
+  }
+
+  test("schema-widening append emits updated metaData; merged read") {
+    val path = tmpTable()
+    DeltaInterop.write(Seq((1L, "a")).toDF("k", "v"), path, SaveMode.Overwrite)
+    DeltaInterop.write(Seq((2L, "b", 5.0)).toDF("k", "v", "score"), path,
+      SaveMode.Append)
+    val back = DeltaInterop.read(spark, path)
+    assert(back.columns.toSeq == Seq("k", "v", "score"))
+    assert(back.filter($"score".isNull).count() == 1)
+    assert(back.filter($"k" === 2 && $"score" === 5.0).count() == 1)
+  }
+
+  test("checkpoint lets pre-checkpoint commits be cleaned; reads survive") {
+    val path = tmpTable()
+    DeltaInterop.write(Seq((1L, "a", "x")).toDF("k", "v", "ds"), path,
+      SaveMode.Overwrite, partitionBy = Seq("ds"))
+    DeltaInterop.write(Seq((2L, "b", "y")).toDF("k", "v", "ds"), path,
+      SaveMode.Append, partitionBy = Seq("ds"))
+    assert(DeltaInterop.checkpoint(spark, path) == 1L)
+    val logDir = Paths.get(path, "_delta_log")
+    Seq(0L, 1L).foreach(v => Files.delete(logDir.resolve(f"$v%020d.json")))
+    DeltaInterop.write(Seq((3L, "c", "x")).toDF("k", "v", "ds"), path,
+      SaveMode.Append, partitionBy = Seq("ds"))
+    val rows = DeltaInterop.read(spark, path)
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x")))
+  }
+
+  test("ErrorIfExists refuses an existing table; Ignore is a no-op") {
+    val path = tmpTable()
+    DeltaInterop.write(Seq((1L, "a")).toDF("k", "v"), path, SaveMode.Overwrite)
+    intercept[IllegalArgumentException] {
+      DeltaInterop.write(Seq((2L, "b")).toDF("k", "v"), path)
+    }
+    DeltaInterop.write(Seq((2L, "b")).toDF("k", "v"), path, SaveMode.Ignore)
+    assert(DeltaInterop.read(spark, path).count() == 1)
+  }
+}
