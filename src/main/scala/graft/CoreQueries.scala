@@ -1368,6 +1368,70 @@ object CoreQueries {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  /** q107 — z-score outlier detection per group, ORACLE-EXACT: the
+    * moments (Σp, Σp²) are computed in DECIMAL domain — exact and
+    * order-independent, so they survive any partitioning and re-derive
+    * bit-identically in any engine — and only then converted to double
+    * for one fixed-shape mean/σ/z expression (sqrt is IEEE
+    * correctly-rounded, unlike log/exp, so it is oracle-safe). A
+    * built-in `stddev` would NOT hash-match: engines disagree in the
+    * last ulp between Welford and central-moment formulations, and a
+    * double Σ is order-dependent besides. z stays UNROUNDED — the
+    * derivation is bit-identical, while rounding would reintroduce
+    * cross-engine tie behavior (the q101 lesson). Threshold 1.5σ:
+    * the fixture's totalprice is near-uniform (bounded tail, max z
+    * ≈ 1.8), so a textbook 3σ cut would verify an empty set.
+    */
+  def priceOutliers(s: SparkSession, d: String): DataFrame = {
+    // whole-dollar (floor) BIGINT domain: scaled-decimal→double casts
+    // double-round differently across engines past 2^53, DuckDB's
+    // hugeint→double double-rounds past 2^64, and decimal RESCALING
+    // disagrees on .50 ties (HALF_UP vs half-even) — all three measured
+    // as z divergences. floor(double) has no ties and is exact in every
+    // engine, and whole-dollar moments keep Σp² under 2^63 where
+    // long→double is a single correctly-rounded step. The floor is part
+    // of the operator's definition here (robust z on dollar buckets).
+    val dec = t(s, d, "orders").select(col("o_orderpriority"),
+      col("o_orderkey"), col("o_totalprice"),
+      floor(col("o_totalprice")).cast("long").as("pc"))
+    val stats = dec.groupBy("o_orderpriority").agg(
+      sum(col("pc")).as("s1"), sum(col("pc") * col("pc")).as("s2"),
+      count(lit(1)).as("n"))
+    dec.join(broadcast(stats), "o_orderpriority")
+      .withColumn("xc", col("pc").cast("double"))
+      .withColumn("mean_c", col("s1").cast("double") / col("n"))
+      .withColumn("std_c", sqrt((col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+        (col("n") - 1)))
+      .withColumn("z", (col("xc") - col("mean_c")) / col("std_c"))
+      .filter(col("z") > 1.5)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice"), col("z"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  val priceOutliersOracle: String =
+    """WITH dec AS (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    CAST(floor(o_totalprice) AS BIGINT) AS pc
+      |  FROM orders
+      |), stats AS (
+      |  SELECT o_orderpriority, CAST(sum(pc) AS BIGINT) AS s1,
+      |    CAST(sum(pc * pc) AS BIGINT) AS s2, count(*) AS n
+      |  FROM dec GROUP BY 1
+      |), j AS (
+      |  SELECT d.o_orderpriority, d.o_orderkey, d.o_totalprice,
+      |    CAST(pc AS DOUBLE) AS xc,
+      |    CAST(s1 AS DOUBLE) / n AS mean_c,
+      |    sqrt((CAST(s2 AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS std_c
+      |  FROM dec d JOIN stats USING (o_orderpriority)
+      |)
+      |SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  (xc - mean_c) / std_c AS z
+      |FROM j WHERE (xc - mean_c) / std_c > 1.5
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   /** q35 — sketch aggregation: HyperLogLog++ approximate distinct counts
     * validated against the exact counts. The sketch ESTIMATE itself is
     * engine-specific, so it stays out of the hashed projection: the
@@ -1997,6 +2061,7 @@ object CoreQueries {
     "q100_triangle_count" -> (triangleCounts(_, _)),
     "q101_ewma_smoothing" -> (ewmaSmoothing(_, _)),
     "q103_table_profile" -> (tableProfile(_, _)),
+    "q107_price_outliers" -> (priceOutliers(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -2056,6 +2121,7 @@ object CoreQueries {
     "q100_triangle_count" -> triangleCountsOracle,
     "q101_ewma_smoothing" -> ewmaSmoothingOracle,
     "q103_table_profile" -> tableProfileOracle,
+    "q107_price_outliers" -> priceOutliersOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }
