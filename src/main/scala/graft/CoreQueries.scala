@@ -2003,6 +2003,186 @@ object CoreQueries {
       |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
       |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
+  /** q108 — multi-source BFS hop distances
+    * ([[graft.operators.ShortestPaths]]): how many order-hops separate
+    * every market participant from nation 0's customer base, over the
+    * symmetrized customer–supplier graph (the q76 edge set). Frontier
+    * expansion touches each edge once per REACHED hop — the shape that
+    * lets a 100 TB edge list answer "everything within k hops of this
+    * seed set" without k full relaxation scans. Integer hop counts are
+    * exact in both engines; the oracle unrolls the same three rounds as
+    * chained min-merges.
+    */
+  def bfsHops(s: SparkSession, d: String): DataFrame = {
+    val e1 = t(s, d, "orders").join(t(s, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    val edges = e1.unionAll(e1.select(col("dst").as("src"), col("src").as("dst")))
+    val sources = t(s, d, "customer").filter(col("c_nationkey") === 0)
+      .select(concat(lit("c"), col("c_custkey")).as("id"))
+    graft.operators.ShortestPaths.hopDistances(
+        edges, "src", "dst", sources, "id", maxHops = 3)
+      .orderBy("id")
+  }
+
+  val bfsHopsOracle: String = {
+    def step(k: Int): String =
+      s"""d$k AS (
+         |  SELECT id, min(dist) AS dist FROM (
+         |    SELECT id, dist FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, p.dist + 1
+         |    FROM d${k - 1} p JOIN e ON e.src = p.id
+         |  ) GROUP BY id
+         |)""".stripMargin
+    s"""WITH e1 AS (
+       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+       |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), e AS (
+       |  SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1
+       |), d0 AS (
+       |  SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS id,
+       |    CAST(0 AS BIGINT) AS dist
+       |  FROM customer WHERE c_nationkey = 0
+       |), ${step(1)}, ${step(2)}, ${step(3)}
+       |SELECT id, CAST(dist AS BIGINT) AS dist FROM d3 ORDER BY id""".stripMargin
+  }
+
+  /** q109 — label-propagation communities
+    * ([[graft.operators.LabelPropagation]]) over the q100 part
+    * co-purchase subgraph (partkey % 4 = 0), three synchronous rounds
+    * with the deterministic smallest-label tie-break. Communities of
+    * co-bought parts are the "bundle" signal a recommender or assortment
+    * planner consumes. The oracle unrolls the identical three rounds
+    * with a ranking window as the argmax.
+    */
+  def labelPropagationCommunities(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      .filter(col("l_partkey") % 4 === 0)
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    graft.operators.LabelPropagation.labels(edges, "pa", "pb", iters = 3)
+      .select(col("id").as("part_id"), col("label").as("community"))
+      .orderBy("part_id")
+  }
+
+  val labelPropagationOracle: String = {
+    def round(k: Int): String =
+      s"""v$k AS (
+         |  SELECT e.dst AS id, l.label, count(*) AS cnt
+         |  FROM e JOIN l${k - 1} l ON e.src = l.id GROUP BY 1, 2
+         |), l$k AS (
+         |  SELECT id, label FROM (
+         |    SELECT id, label,
+         |      row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label) AS rn
+         |    FROM v$k) WHERE rn = 1
+         |)""".stripMargin
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0
+       |), e1 AS (
+       |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
+       |    CAST(b.l_partkey AS BIGINT) AS v
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |), e AS (
+       |  SELECT u AS src, v AS dst FROM e1 UNION SELECT v, u FROM e1
+       |), l0 AS (
+       |  SELECT DISTINCT src AS id, src AS label FROM e
+       |), ${round(1)}, ${round(2)}, ${round(3)}
+       |SELECT id AS part_id, label AS community FROM l3 ORDER BY part_id""".stripMargin
+  }
+
+  /** q111 — bounded moving-window aggregate: each order's trailing
+    * 90-day revenue and order count for its customer, via a RANGE frame
+    * over epoch days (`rangeBetween(-89, 0)`). Completes the window
+    * surface's missing frame family — q45/q77 exercise UNBOUNDED and
+    * ROWS frames; a bounded RANGE frame is the one a
+    * velocity/recency feature ("spend in the last 90 days") needs, and
+    * it runs in one hash(custkey) exchange + per-partition sort with
+    * frame state bounded by the window span, never the partition.
+    * Money sums in DECIMAL (exact, order-independent).
+    */
+  def rollingRevenue(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("epoch_day"))
+      .rangeBetween(-89, 0)
+    t(s, d, "orders")
+      .withColumn("epoch_day",
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("revenue_90d"),
+        count(lit(1)).over(w).as("n_orders_90d"))
+      .orderBy("o_orderkey")
+  }
+
+  val rollingRevenueOracle: String =
+    """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |    AS revenue_90d,
+      |  count(*) OVER w AS n_orders_90d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |  RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q112 — common-neighbor link prediction
+    * ([[graft.operators.Triangles.commonNeighbors]]) on the q100 part
+    * co-purchase subgraph: the strongest not-yet-co-bought part pairs,
+    * ranked by shared-neighbor count — candidate generation for a
+    * "bought together" recommender. Wedge centers are degree-capped at
+    * 64 (modeled identically in the oracle) — the hot-key cap that keeps
+    * hub wedges from going quadratic at scale. Top 100 under a total
+    * (count DESC, pair) order, so the LIMIT is deterministic.
+    */
+  def linkPrediction(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      .filter(col("l_partkey") % 4 === 0)
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    graft.operators.Triangles.commonNeighbors(edges, "pa", "pb", maxDegree = 64)
+      .filter(col("common_neighbors") >= 3)
+      .select(col("u").cast("bigint").as("part_a"),
+        col("v").cast("bigint").as("part_b"), col("common_neighbors"))
+      .orderBy(col("common_neighbors").desc, col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
+  val linkPredictionOracle: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0
+      |), e1 AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), adj AS (
+      |  SELECT u AS c, v AS n FROM e1 UNION ALL SELECT v, u FROM e1
+      |), capped AS (
+      |  SELECT c, n FROM (
+      |    SELECT c, n, count(*) OVER (PARTITION BY c) AS deg FROM adj)
+      |  WHERE deg <= 64
+      |), w AS (
+      |  SELECT x.n AS u, y.n AS v
+      |  FROM capped x JOIN capped y ON x.c = y.c AND x.n < y.n
+      |), cn AS (
+      |  SELECT u, v, count(*) AS common_neighbors FROM w GROUP BY u, v
+      |)
+      |SELECT CAST(cn.u AS BIGINT) AS part_a, CAST(cn.v AS BIGINT) AS part_b,
+      |  cn.common_neighbors
+      |FROM cn
+      |WHERE NOT EXISTS (SELECT 1 FROM e1 WHERE e1.u = cn.u AND e1.v = cn.v)
+      |  AND cn.common_neighbors >= 3
+      |ORDER BY cn.common_neighbors DESC, part_a, part_b LIMIT 100""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2062,6 +2242,10 @@ object CoreQueries {
     "q101_ewma_smoothing" -> (ewmaSmoothing(_, _)),
     "q103_table_profile" -> (tableProfile(_, _)),
     "q107_price_outliers" -> (priceOutliers(_, _)),
+    "q108_bfs_hops" -> (bfsHops(_, _)),
+    "q109_label_propagation" -> (labelPropagationCommunities(_, _)),
+    "q111_rolling_revenue" -> (rollingRevenue(_, _)),
+    "q112_link_prediction" -> (linkPrediction(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -2122,6 +2306,10 @@ object CoreQueries {
     "q101_ewma_smoothing" -> ewmaSmoothingOracle,
     "q103_table_profile" -> tableProfileOracle,
     "q107_price_outliers" -> priceOutliersOracle,
+    "q108_bfs_hops" -> bfsHopsOracle,
+    "q109_label_propagation" -> labelPropagationOracle,
+    "q111_rolling_revenue" -> rollingRevenueOracle,
+    "q112_link_prediction" -> linkPredictionOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }

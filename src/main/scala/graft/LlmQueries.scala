@@ -2052,6 +2052,75 @@ object LlmQueries {
        |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
 
+  /** q110 — PMI collocations: the corpus's strongest two-word
+    * associations (pointwise mutual information over adjacent token
+    * pairs), the standard phrase-mining signal (Mikolov et al. 2013 use
+    * exactly this score to merge "new_york"-style phrases before
+    * training). Counts ride the same bigram stream as q68 — two
+    * map-combinable aggregations plus one broadcast-sized total.
+    *
+    * PMI is log(N·c(xy) / (c(x)·c(y))), but `log` is not cross-engine
+    * bit-exact and monotone transforms don't change a ranking — so the
+    * score is emitted as the EXACT integer ppm ratio
+    * `c(xy)·N·1e6 div (c(x)·c(y))` (bounded: c≤N≤2^31 at any realistic
+    * shard, product < 2^63). Rare-pair noise is cut with the usual
+    * min-count gate (c(xy) ≥ 5); top 200 under a total order so the
+    * LIMIT is deterministic.
+    */
+  def pmiCollocations(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d)
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val pairs = graft.CacheScope.persisted(
+      toks.select(explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2")))
+    val uni = graft.CacheScope.persisted(
+      pairs.select(col("w1").as("w"))
+        .unionAll(pairs.select(col("w2").as("w")))
+        .groupBy("w").agg(count(lit(1)).as("c")))
+    // one bounded scalar: total token-slot count N (each pair contributes
+    // two slots; constant factors cancel in a ranking but N keeps the
+    // score on the familiar ppm-of-corpus scale)
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 5)
+    big
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .join(uni.groupBy().agg(sum(col("c")).as("n_slots")))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        expr("c_xy * n_slots * 1000000L div (c_x * c_y)").as("pmi_ppm"))
+      .orderBy(col("pmi_ppm").desc, col("w1"), col("w2"))
+      .limit(200)
+  }
+
+  val pmiCollocationsOracle: String =
+    """WITH t AS (
+      |  SELECT string_split_regex(lower(text), '\s+') AS toks FROM documents
+      |), pairs AS (
+      |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+      |  WHERE len(toks) >= 2
+      |), uni AS (
+      |  SELECT w, count(*) AS c FROM (
+      |    SELECT w1 AS w FROM pairs UNION ALL SELECT w2 FROM pairs)
+      |  GROUP BY w
+      |), nn AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n_slots FROM uni
+      |), big AS (
+      |  SELECT w1, w2, count(*) AS c_xy FROM pairs GROUP BY w1, w2
+      |  HAVING count(*) >= 5
+      |)
+      |SELECT b.w1, b.w2, b.c_xy, ux.c AS c_x, uy.c AS c_y,
+      |  (b.c_xy * nn.n_slots * 1000000) // (ux.c * uy.c) AS pmi_ppm
+      |FROM big b
+      |JOIN uni ux ON ux.w = b.w1
+      |JOIN uni uy ON uy.w = b.w2
+      |CROSS JOIN nn
+      |ORDER BY pmi_ppm DESC, b.w1, b.w2 LIMIT 200""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2104,6 +2173,7 @@ object LlmQueries {
     "q104_ppjoin_neardup" -> (ppjoinNearDup(_, _)),
     "q105_pq_recall" -> (pqRecall(_, _)),
     "q106_wav_features" -> (audioFeatures(_, _)),
+    "q110_pmi_collocations" -> (pmiCollocations(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2156,5 +2226,6 @@ object LlmQueries {
     "q104_ppjoin_neardup" -> ngramJaccardOracle,
     "q105_pq_recall" -> pqRecallOracle,
     "q106_wav_features" -> audioFeaturesOracle,
+    "q110_pmi_collocations" -> pmiCollocationsOracle,
   )
 }

@@ -52,4 +52,41 @@ object Triangles {
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003):
+    * for every NON-adjacent pair two hops apart, the count of shared
+    * neighbors — the classic "customers also bought" / collaborative
+    * candidate generator. Unlike triangle counting, every wedge must be
+    * enumerated (both endpoints matter, not just closure), so the hub
+    * blowup is bounded EXPLICITLY: wedge centers with degree >
+    * `maxDegree` are dropped before the self-join — the same hot-key
+    * cap discipline as `MaxShingleDocFreq` (a center linked to
+    * everything predicts nothing anyway; its wedges are pure noise and
+    * at 100 TB pure cost). Everything else is equality joins and
+    * map-combinable counts; the adjacency never leaves row form.
+    * Returns (u, v, common_neighbors), u < v, non-adjacent pairs only.
+    */
+  def commonNeighbors(edges: DataFrame, aCol: String, bCol: String,
+      maxDegree: Int): DataFrame = {
+    val e = graft.CacheScope.persisted(
+      edges.select(least(col(aCol), col(bCol)).as("u"),
+          greatest(col(aCol), col(bCol)).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
+    // center-keyed adjacency with the degree riding a whole-partition
+    // window: ONE hash(c) exchange both computes the degree and leaves
+    // the table partitioned exactly as the wedge self-join needs
+    val byCenter = org.apache.spark.sql.expressions.Window.partitionBy(col("c"))
+    val adj = graft.CacheScope.persisted(
+      e.select(col("u").as("c"), col("v").as("n"))
+        .unionAll(e.select(col("v").as("c"), col("u").as("n")))
+        .withColumn("deg", count(lit(1)).over(byCenter))
+        .filter(col("deg") <= maxDegree)
+        .drop("deg"))
+    val wedges = adj.as("x").join(adj.as("y"),
+        col("x.c") === col("y.c") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("u"), col("y.n").as("v"))
+    wedges.groupBy("u", "v").agg(count(lit(1)).as("common_neighbors"))
+      .join(e, Seq("u", "v"), "left_anti")
+  }
 }

@@ -30,4 +30,22 @@ class TrianglesSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(got.size == 5 && got.forall(_._2 == 6L))
   }
+
+  test("commonNeighbors scores only non-adjacent pairs and counts wedges") {
+    // square 1-2-3-4-1: diagonals (1,3) and (2,4) each share 2 neighbors;
+    // adjacent pairs must not appear even though they share neighbors
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val got = Triangles.commonNeighbors(edges, "a", "b", maxDegree = 10)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq((1L, 3L, 2L), (2L, 4L, 2L)))
+  }
+
+  test("commonNeighbors degree cap silences hub-centered wedges") {
+    // star: hub 0 linked to 1..5 — every leaf pair shares only the hub.
+    // Capping below the hub degree removes all candidates; capping above
+    // restores the C(5,2) pairs.
+    val star = (1L to 5L).map(l => (0L, l)).toDF("a", "b")
+    assert(Triangles.commonNeighbors(star, "a", "b", maxDegree = 4).count() == 0)
+    assert(Triangles.commonNeighbors(star, "a", "b", maxDegree = 5).count() == 10)
+  }
 }
