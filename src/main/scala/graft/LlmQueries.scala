@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{DedupOps, Multimodal, SimilarityOps, TextAnalysis}
+import graft.functions.{CountMin, DedupOps, Multimodal, SimilarityOps, TextAnalysis}
 
 /** LLM-data-pipeline query registry (q21–q32): deduplication (exact,
   * MinHash+LSH, SimHash, n-gram Jaccard, embedding near-dup), similarity
@@ -2121,6 +2121,160 @@ object LlmQueries {
       |CROSS JOIN nn
       |ORDER BY pmi_ppm DESC, b.w1, b.w2 LIMIT 200""".stripMargin
 
+  /** q113 — SemDeDup semantic dedup: 8 seed clusters block the corpus;
+    * scaled duplicate vectors (cosine-invariant ×0.5 copies of every
+    * 50th vector — float halving is exact, so the copy's cosines are
+    * bit-identical to the original's) are planted in-query and must be
+    * flagged within their cluster. Every vector reports its cluster and
+    * verdict, so the oracle checks the assignment AND the prune.
+    */
+  def semanticDedupQ(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).select("vec_id", "embedding")
+    val copies = e.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+    SimilarityOps.semanticDedup(e.unionByName(copies), seeds)
+      .orderBy("vec_id")
+  }
+
+  val semanticDedupOracle: String =
+    """WITH feed AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |    list_transform(embedding, x -> x * CAST(0.5 AS FLOAT))
+      |  FROM embeddings WHERE vec_id % 50 = 0
+      |), seeds AS (
+      |  SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+      |  FROM embeddings WHERE vec_id < 8
+      |), assigned AS (
+      |  SELECT vec_id, embedding, bucket FROM (
+      |    SELECT f.vec_id, f.embedding, s.seed_id AS bucket,
+      |      row_number() OVER (PARTITION BY f.vec_id
+      |        ORDER BY round(list_cosine_similarity(CAST(f.embedding AS DOUBLE[]), s.sv), 6) DESC,
+      |                 s.seed_id) AS rn
+      |    FROM feed f, seeds s)
+      |  WHERE rn = 1
+      |), dropped AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM assigned a JOIN assigned b
+      |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                     CAST(b.embedding AS DOUBLE[])), 4) >= 0.99
+      |)
+      |SELECT a.vec_id, a.bucket,
+      |  CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+      |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+      |ORDER BY a.vec_id""".stripMargin
+
+  /** q114 — Count-Min frequency estimates audited against exact counts:
+    * build a 4×512 CMS over the corpus token stream, point-estimate the
+    * top-100 tokens, and report the (always ≥ 0) over-count per token.
+    * Everything is integer-exact, so the sketch itself — not a summary —
+    * is under the oracle.
+    */
+  def cmsFrequency(s: SparkSession, d: String,
+      depths: Int = 4, width: Int = 512): DataFrame = {
+    // token stream feeds the sketch build and the exact counts
+    val toks = CacheScope.persisted(
+      docs(s, d).select(explode(TextAnalysis.tokens(col("text"))).as("tok")))
+    val sk = CountMin.sketch(toks, "tok", depths, width)
+    // top-k by exact count: TakeOrderedAndProject, bounded at k rows
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(100)
+    CountMin.estimate(sk, top.select("tok"), "tok", depths, width)
+      .join(broadcast(top), "tok")
+      .select(col("tok"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("over_err"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
+  val cmsFrequencyOracle: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |  FROM documents
+      |), hashes AS (
+      |  SELECT tok, dd.d AS depth,
+      |    CAST('0x' || substr(md5('cms' || CAST(dd.d AS VARCHAR) || '|' || tok), 1, 15)
+      |         AS BIGINT) % 512 AS bucket
+      |  FROM tok CROSS JOIN (SELECT unnest(range(0, 4)) AS d) dd
+      |), sk AS (
+      |  SELECT depth, bucket, count(*) AS cnt FROM hashes GROUP BY 1, 2
+      |), top AS (
+      |  SELECT tok, count(*) AS exact_cnt FROM tok GROUP BY 1
+      |  ORDER BY exact_cnt DESC, tok LIMIT 100
+      |), est AS (
+      |  SELECT t.tok, min(s.cnt) AS cms_est
+      |  FROM top t
+      |  CROSS JOIN (SELECT unnest(range(0, 4)) AS d) dd
+      |  JOIN sk s ON s.depth = dd.d
+      |   AND s.bucket = CAST('0x' || substr(md5('cms' || CAST(dd.d AS VARCHAR) || '|' || t.tok), 1, 15)
+      |                       AS BIGINT) % 512
+      |  GROUP BY 1
+      |)
+      |SELECT t.tok, t.exact_cnt, e.cms_est, e.cms_est - t.exact_cnt AS over_err
+      |FROM top t JOIN est e ON t.tok = e.tok
+      |ORDER BY exact_cnt DESC, t.tok""".stripMargin
+
+  /** q115 — DSIR-style data selection: importance-weight every document
+    * against a topic-defined target set (the documents mentioning the
+    * rare term "dup") via hashed-unigram bucket ratios, and keep the
+    * top 200 (see [[graft.functions.Sampling.importanceWeights]] for the
+    * exact-integer formulation and the deviation from the paper's
+    * log-sum). A content-defined target is the honest demo on this
+    * fixture: its token distribution genuinely differs from the raw
+    * corpus (the target's "dup" frequency is ~25× the corpus rate),
+    * whereas the lang/source strata share one uniform vocabulary and
+    * carry zero unigram signal. `n_dup` rides along as the audit
+    * column — the selection should surface the dup-dense documents.
+    */
+  def dsirSelection(s: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val w = graft.functions.Sampling.importanceWeights(
+      docs(s, d), array_contains(toks, "dup"))
+    docs(s, d)
+      .select(col("doc_id"),
+        size(filter(toks, t => t === "dup")).cast("bigint").as("n_dup"))
+      .join(w, "doc_id")
+      .orderBy(col("weight").desc, col("doc_id")).limit(200)
+  }
+
+  val dsirSelectionOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    list_contains(string_split_regex(lower(text), '\s+'), 'dup') AS is_target,
+      |    unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, is_target,
+      |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 4096 AS bucket
+      |  FROM tok
+      |), stats AS (
+      |  SELECT bucket,
+      |    CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS tgt,
+      |    count(*) AS raw
+      |  FROM b GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(tgt) AS BIGINT) AS nt, CAST(sum(raw) AS BIGINT) AS nr
+      |  FROM stats
+      |), scored AS (
+      |  SELECT bucket, ((tgt + 1) * nr * 1000) // ((raw + 1) * nt) AS score
+      |  FROM stats CROSS JOIN tot
+      |), w AS (
+      |  SELECT doc_id,
+      |    (CAST(sum(score) AS BIGINT) * 1000) // count(*) AS weight
+      |  FROM b JOIN scored USING (bucket)
+      |  GROUP BY 1
+      |)
+      |SELECT d.doc_id,
+      |  CAST(len(list_filter(string_split_regex(lower(d.text), '\s+'),
+      |                       t -> t = 'dup')) AS BIGINT) AS n_dup,
+      |  w.weight
+      |FROM documents d JOIN w ON d.doc_id = w.doc_id
+      |ORDER BY weight DESC, d.doc_id LIMIT 200""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2174,6 +2328,9 @@ object LlmQueries {
     "q105_pq_recall" -> (pqRecall(_, _)),
     "q106_wav_features" -> (audioFeatures(_, _)),
     "q110_pmi_collocations" -> (pmiCollocations(_, _)),
+    "q113_semantic_dedup" -> (semanticDedupQ(_, _)),
+    "q114_cms_frequency" -> (cmsFrequency(_, _)),
+    "q115_dsir_selection" -> (dsirSelection(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2227,5 +2384,8 @@ object LlmQueries {
     "q105_pq_recall" -> pqRecallOracle,
     "q106_wav_features" -> audioFeaturesOracle,
     "q110_pmi_collocations" -> pmiCollocationsOracle,
+    "q113_semantic_dedup" -> semanticDedupOracle,
+    "q114_cms_frequency" -> cmsFrequencyOracle,
+    "q115_dsir_selection" -> dsirSelectionOracle,
   )
 }

@@ -71,4 +71,56 @@ object Sampling {
     df.withColumn("sample_bucket", hashBucket(idCol, 100, salt))
       .filter(col("sample_bucket") < rate)
   }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): hashed unigram
+    * bucket counts over a target subcorpus vs the raw corpus give a
+    * per-bucket importance ratio; each document's weight is the sum of
+    * its tokens' bucket ratios, and selection keeps the top-weighted
+    * documents (the ones that "look like" the target distribution).
+    *
+    * Deviation from the paper, for engine-exactness: the paper sums
+    * log p_target/p_raw over features, but engines disagree on log's
+    * last bits, so the add-1-smoothed ratio is carried as a floor-scaled
+    * integer (‰ units, `(tgt+1)·N_raw·1000 div (raw+1)·N_tgt`) and the
+    * document weight stays in exact BIGINT arithmetic — monotone in each
+    * bucket's likelihood ratio and bit-identical on any engine or
+    * partitioning. (Sum-of-ratios vs sum-of-logs ranks differently in
+    * corners, which a fixed-point log table could close; the pipeline
+    * shape — the part that matters at 100 TB — is identical.) The
+    * document weight is LENGTH-NORMALIZED (mean per-token ratio, in
+    * micro units): the raw sum is length-biased — a long off-target
+    * document outscores a short on-target one — which measurably
+    * inverted the selection on the test corpus before normalization.
+    *
+    * Scale shape: the bucket-stats table is `width` rows (one bounded
+    * map-combinable groupBy of the token stream), the grand totals are
+    * one aggregate row, and both broadcast back onto the token stream —
+    * the corpus shuffles only on (doc_id) for the final per-document
+    * sum. Returns (doc_id, weight) for every document.
+    */
+  def importanceWeights(docs: DataFrame, isTarget: Column,
+      width: Int = 4096, scalePerMille: Long = 1000L): DataFrame = {
+    // the bucketed token stream feeds the stats pass and the scoring
+    // join — persist it, or the tokenize+hash scan runs twice
+    val toks = graft.CacheScope.persisted(
+      docs.select(col("doc_id"), isTarget.as("is_target"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .withColumn("bucket",
+          conv(substring(md5(col("tok")), 1, 15), 16, 10)
+            .cast("bigint") % width))
+    val stats = toks.groupBy("bucket").agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("tgt"),
+      count(lit(1)).as("raw"))
+    val tot = stats.agg(sum("tgt").as("nt"), sum("raw").as("nr"))
+    val scored = stats.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        expr(s"((tgt + 1) * nr * $scalePerMille) div ((raw + 1) * nt)")
+          .as("score"))
+    toks.join(broadcast(scored), "bucket")
+      .groupBy("doc_id")
+      .agg(sum("score").as("sum_score"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"),
+        expr("(sum_score * 1000) div n_tokens").as("weight"))
+  }
 }

@@ -270,6 +270,35 @@ object SimilarityOps {
     centroids
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * cluster the embedding space, compare vectors only WITHIN their
+    * cluster, and flag every vector that has a lower-id cluster-mate with
+    * cosine ≥ `threshold`. Cluster blocking is what makes semantic dedup
+    * tractable at 100 TB: with k ∝ √N centroids the within-cluster pair
+    * count stays near-linear instead of the N² of all-pairs, the
+    * assignment is the same bounded `max_by` aggregation as IVF (corpus
+    * never shuffles wider than one row per vector), and the pair
+    * generation is an equality join on the cluster key. Returns
+    * (vec_id, bucket, is_dup) for every input vector — callers keep the
+    * `is_dup = 0` set (the semantic representatives).
+    */
+  def semanticDedup(emb: DataFrame, seeds: DataFrame,
+      threshold: Double = 0.99): DataFrame = {
+    // the assignment feeds both sides of the pair join and the final
+    // projection — persist it, or the k-cosine assignment scan reruns 3×
+    val assigned = graft.CacheScope.persisted(
+      assignNearestSeed(emb, seeds, "embedding", "vec_id"))
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", round(cosine(col("a.embedding"), col("b.embedding")), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.join(dropped.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"),
+        coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+  }
+
   /** IVF-style ANN: `seeds` are the centroid set (bootstrap via
     * [[kmeansCentroids]] or any deterministic pick). Every corpus vector
     * is assigned to its nearest seed (bounded `max_by` aggregation); each

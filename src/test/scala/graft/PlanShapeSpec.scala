@@ -239,4 +239,30 @@ class PlanShapeSpec extends SparkSpec {
       s"prefix join must hash on the shingle key, plan:\n$plan")
     graft.CacheScope.drain(spark, blocking = true)
   }
+
+  test("semantic dedup: cluster-key equality pair join, seed assignment broadcast") {
+    val plan = executed(SparkEntry.queries("q113_semantic_dedup")(spark, sf))
+    // the ONLY nested-loop allowed is the bounded k-seed broadcast; the
+    // vector-pair join must hash on the cluster key, never cross
+    assert(!plan.contains("CartesianProduct"),
+      s"pair generation must not be a cartesian, plan:\n$plan")
+    graft.CacheScope.drain(spark, blocking = true)
+  }
+
+  test("CMS: sketch broadcasts to the estimate join, no sort anywhere in build") {
+    val plan = executed(SparkEntry.queries("q114_cms_frequency")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the d*w-row sketch must broadcast, plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing in the CMS pipeline is big enough to sort-merge, plan:\n$plan")
+    graft.CacheScope.drain(spark, blocking = true)
+  }
+
+  test("DSIR: bucket stats broadcast back to the token stream, one doc-key shuffle") {
+    val plan = executed(SparkEntry.queries("q115_dsir_selection")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"),
+      s"score table is width-bounded and must broadcast, plan:\n$plan")
+    graft.CacheScope.drain(spark, blocking = true)
+  }
 }

@@ -156,4 +156,22 @@ class CorpusPrepSpec extends SparkSpec {
       assert(split(a) == split(b), s"near-dup pair ($a,$b) leaks across the split")
     }
   }
+
+  test("DSIR importance weights separate a topic-defined target and ignore layout") {
+    val toks = TextAnalysis.tokens($"text")
+    val isTarget = array_contains(toks, "dup")
+    val w = Sampling.importanceWeights(docs, isTarget)
+    assert(w.count() == docs.count(), "a weight per document")
+    // target docs carry the elevated 'dup' likelihood ratio: every target
+    // doc must outweigh every non-target doc on this fixture
+    val joined = docs.select($"doc_id", isTarget.as("t")).join(w, "doc_id")
+    val minTarget = joined.filter($"t").agg(min($"weight")).as[Long].head()
+    val maxOther = joined.filter(!$"t").agg(max($"weight")).as[Long].head()
+    assert(minTarget > maxOther,
+      s"target floor $minTarget must exceed non-target ceiling $maxOther")
+    // deterministic under repartition
+    val again = Sampling.importanceWeights(docs.repartition(13), isTarget)
+      .collect().map(_.toString).sorted
+    assert(w.collect().map(_.toString).sorted.sameElements(again))
+  }
 }

@@ -198,6 +198,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(expected.subsetOf(found), "every scaled copy must be detected")
   }
 
+  test("semantic dedup: planted copies flagged in-cluster, representatives kept") {
+    val base = emb.select("vec_id", "embedding")
+    val copies = base.filter($"vec_id" % 50 === 0)
+      .select(($"vec_id" + 1000000).as("vec_id"),
+        transform($"embedding", x => x * lit(0.5f)).as("embedding"))
+    val seeds = base.filter($"vec_id" < 8)
+      .select($"vec_id".as("seed_id"), $"embedding".as("seed_vec"))
+    val out = SimilarityOps.semanticDedup(base.unionByName(copies), seeds)
+    val n = base.count(); val nc = copies.count()
+    assert(out.count() == n + nc, "one verdict row per input vector")
+    // every planted copy is a dup; its lower-id original is the keeper
+    assert(out.filter($"vec_id" >= 1000000 && $"is_dup" === 0).count() == 0)
+    assert(out.filter($"vec_id" < 1000000 && $"vec_id" % 50 === 0)
+      .filter($"is_dup" === 1).count() == 0, "originals must be kept")
+    // copy and original land in the same cluster (cosine scale-invariance)
+    val mismatched = out.filter($"vec_id" >= 1000000).as("c")
+      .join(out.filter($"vec_id" < 1000000).as("o"),
+        $"c.vec_id" - 1000000 === $"o.vec_id")
+      .filter($"c.bucket" =!= $"o.bucket")
+    assert(mismatched.count() == 0, "scaled copy must share its original's cluster")
+    // layout-independence
+    val again = SimilarityOps.semanticDedup(
+      base.unionByName(copies).repartition(13), seeds)
+      .collect().map(_.toString).sorted
+    assert(out.collect().map(_.toString).sorted.sameElements(again))
+  }
+
   test("brute-force topK is deterministic and self-excluding") {
     val q = emb.filter($"vec_id" < 3)
       .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
