@@ -2183,6 +2183,60 @@ object CoreQueries {
       |  AND cn.common_neighbors >= 3
       |ORDER BY cn.common_neighbors DESC, part_a, part_b LIMIT 100""".stripMargin
 
+  /** q116 — market-basket lift ("frequently bought together"):
+    * order-level part pairs scored by lift = P(x,y)/(P(x)·P(y)), carried
+    * as an exact integer ppm like q110's PMI. Pair generation is a
+    * self-equality-join on the order key — per-order item counts are
+    * small constants in this schema, so the expansion is bounded per
+    * order and never quadratic in the catalog; frequencies join back on
+    * the part key (plain hash joins), and the grand total rides a
+    * one-row cross join, the InjectRuntimeFilter shape. Top 200 under a
+    * total (lift DESC, pair) order.
+    */
+  def basketLift(s: SparkSession, d: String, minSup: Long = 2): DataFrame = {
+    // the distinct item set feeds pair generation AND both frequency
+    // joins — persist it, or the lineitem scan + distinct runs 3×
+    val items = CacheScope.persisted(
+      t(s, d, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+        .distinct())
+    val n = items.select("okey").distinct().agg(count(lit(1)).as("n_orders"))
+    val freq = items.groupBy("pkey").agg(count(lit(1)).as("c"))
+    val pairs = items.as("a").join(items.as("b"),
+        col("a.okey") === col("b.okey") && col("a.pkey") < col("b.pkey"))
+      .groupBy(col("a.pkey").as("p1"), col("b.pkey").as("p2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minSup)
+    pairs
+      .join(freq.select(col("pkey").as("p1"), col("c").as("c_x")), "p1")
+      .join(freq.select(col("pkey").as("p2"), col("c").as("c_y")), "p2")
+      .crossJoin(broadcast(n))
+      .select(col("p1"), col("p2"), col("c_xy"), col("c_x"), col("c_y"),
+        expr("(c_xy * n_orders * 1000000) div (c_x * c_y)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("p1"), col("p2")).limit(200)
+  }
+
+  val basketLiftOracle: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+      |), n AS (
+      |  SELECT count(DISTINCT okey) AS n_orders FROM items
+      |), freq AS (
+      |  SELECT pkey, count(*) AS c FROM items GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.pkey AS p1, b.pkey AS p2, count(*) AS c_xy
+      |  FROM items a JOIN items b ON a.okey = b.okey AND a.pkey < b.pkey
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= 2
+      |)
+      |SELECT p.p1, p.p2, p.c_xy, fx.c AS c_x, fy.c AS c_y,
+      |  (p.c_xy * n.n_orders * 1000000) // (fx.c * fy.c) AS lift_ppm
+      |FROM pairs p
+      |JOIN freq fx ON fx.pkey = p.p1
+      |JOIN freq fy ON fy.pkey = p.p2
+      |CROSS JOIN n
+      |ORDER BY lift_ppm DESC, p.p1, p.p2 LIMIT 200""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2246,6 +2300,7 @@ object CoreQueries {
     "q109_label_propagation" -> (labelPropagationCommunities(_, _)),
     "q111_rolling_revenue" -> (rollingRevenue(_, _)),
     "q112_link_prediction" -> (linkPrediction(_, _)),
+    "q116_basket_lift" -> (basketLift(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -2310,6 +2365,7 @@ object CoreQueries {
     "q109_label_propagation" -> labelPropagationOracle,
     "q111_rolling_revenue" -> rollingRevenueOracle,
     "q112_link_prediction" -> linkPredictionOracle,
+    "q116_basket_lift" -> basketLiftOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }

@@ -258,6 +258,13 @@ class PlanShapeSpec extends SparkSpec {
     graft.CacheScope.drain(spark, blocking = true)
   }
 
+  test("basket lift: order-key equality pair join; only the 1-row total crosses") {
+    val plan = executed(SparkEntry.queries("q116_basket_lift")(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"pair generation must hash on the order key, plan:\n$plan")
+    graft.CacheScope.drain(spark, blocking = true)
+  }
+
   test("DSIR: bucket stats broadcast back to the token stream, one doc-key shuffle") {
     val plan = executed(SparkEntry.queries("q115_dsir_selection")(spark, sf))
     assert(!plan.contains("CartesianProduct") &&
