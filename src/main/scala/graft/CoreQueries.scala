@@ -2237,6 +2237,73 @@ object CoreQueries {
       |CROSS JOIN n
       |ORDER BY lift_ppm DESC, p.p1, p.p2 LIMIT 200""".stripMargin
 
+  /** q117 — lag-k autocorrelation of the daily-revenue series (ACF up to
+    * lag 7), the time-series diagnostic behind seasonality detection and
+    * forecasting-feature pipelines. Engine-exactness discipline (the
+    * q107 moment device, extended to two-series covariance): daily
+    * revenue is integerized to exact k$ units (`cents div 100000` — floor
+    * of an exact DECIMAL, the tie-free integerizer), all five moment
+    * sums stay in BIGINT, and the Pearson ratio is assembled from them
+    * in one fixed expression — BIGINT→DOUBLE casts are correctly rounded
+    * and sqrt is IEEE-exact, so the UNROUNDED double matches any IEEE
+    * engine bit-for-bit. Scale shape: the daily rollup is one
+    * map-combinable aggregation to ~thousands of rows; the lag join is a
+    * self equality-join on (day+k); the moment pass is one bounded
+    * groupBy over maxLag groups.
+    */
+  def revenueAutocorr(s: SparkSession, d: String, maxLag: Int = 7): DataFrame = {
+    // the daily series feeds both sides of the lag join — persist the
+    // ~|days| rows rather than re-aggregating the orders scan twice
+    val daily = CacheScope.persisted(
+      t(s, d, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+        .select(
+          datediff(col("day"), lit("1970-01-01").cast("date"))
+            .cast("bigint").as("td"),
+          expr("CAST(rev * 100 AS BIGINT) div 100000").as("x")))
+    val lags = daily
+      .select(col("td"), col("x"),
+        explode(sequence(lit(1), lit(maxLag))).as("k"))
+      .select((col("td") + col("k")).as("td2"), col("k"), col("x"))
+    val pairs = lags.join(
+      daily.select(col("td").as("td2"), col("x").as("y")), "td2")
+    pairs.groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"))
+      .select(col("k").cast("bigint").as("lag"), col("n"),
+        expr("n * sxy - sx * sy").as("cov_num"),
+        (expr("CAST(n * sxy - sx * sy AS DOUBLE)") /
+          (sqrt(expr("CAST(n * sxx - sx * sx AS DOUBLE)")) *
+            sqrt(expr("CAST(n * syy - sy * sy AS DOUBLE)")))).as("acf"))
+      .orderBy("lag")
+  }
+
+  val revenueAutocorrOracle: String =
+    """WITH daily AS (
+      |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS td,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) // 100000 AS x
+      |  FROM orders GROUP BY 1
+      |), lags AS (
+      |  SELECT d.td + k.k AS td2, k.k, d.x
+      |  FROM daily d CROSS JOIN (SELECT unnest(range(1, 8)) AS k) k
+      |), pairs AS (
+      |  SELECT l.k, l.x, d2.x AS y FROM lags l JOIN daily d2 ON l.td2 = d2.td
+      |), m AS (
+      |  SELECT k, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM pairs GROUP BY 1
+      |)
+      |SELECT CAST(k AS BIGINT) AS lag, n, n * sxy - sx * sy AS cov_num,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS acf
+      |FROM m ORDER BY lag""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2301,6 +2368,7 @@ object CoreQueries {
     "q111_rolling_revenue" -> (rollingRevenue(_, _)),
     "q112_link_prediction" -> (linkPrediction(_, _)),
     "q116_basket_lift" -> (basketLift(_, _)),
+    "q117_revenue_autocorr" -> (revenueAutocorr(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -2366,6 +2434,7 @@ object CoreQueries {
     "q111_rolling_revenue" -> rollingRevenueOracle,
     "q112_link_prediction" -> linkPredictionOracle,
     "q116_basket_lift" -> basketLiftOracle,
+    "q117_revenue_autocorr" -> revenueAutocorrOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }
