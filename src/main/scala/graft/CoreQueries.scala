@@ -2304,6 +2304,157 @@ object CoreQueries {
       |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS acf
       |FROM m ORDER BY lag""".stripMargin
 
+  /** q118 — RFM customer segmentation: recency / frequency / monetary
+    * quintile scores per customer, the standard CRM partitioning. The
+    * quintile thresholds are ONE exact-percentile aggregation row
+    * (12 doubles) broadcast back onto the customer metrics — the q56
+    * shape; never a percent_rank window over the customer table, which
+    * would globally sort it per metric at scale. Metrics stay exact
+    * BIGINTs (epoch days, order counts, cents); only the threshold
+    * comparison goes through doubles (exact below 2⁵³), and
+    * [[graft.functions.ExactPercentiles]] interpolates bit-identically
+    * to DuckDB's quantile_cont (q36/q56 precedent).
+    */
+  def rfmSegmentation(s: SparkSession, d: String): DataFrame = {
+    // per-customer metric rollup feeds the corpus-max scalar, the
+    // threshold aggregation, and the scoring pass
+    val base = CacheScope.persisted(
+      t(s, d, "orders")
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("bigint").as("day"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        .groupBy("o_custkey")
+        .agg(max("day").as("last_day"), count(lit(1)).as("frequency"),
+          sum("cents").as("monetary_cents")))
+    val mx = base.agg(max("last_day").as("corpus_day"))
+    val cust = base.crossJoin(broadcast(mx))
+      .select(col("o_custkey"),
+        (col("corpus_day") - col("last_day")).as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    val thr = cust.agg(
+      graft.functions.ExactPercentiles
+        .percentiles(col("recency_days").cast("double"), qs).as("rq"),
+      graft.functions.ExactPercentiles
+        .percentiles(col("frequency").cast("double"), qs).as("fq"),
+      graft.functions.ExactPercentiles
+        .percentiles(col("monetary_cents").cast("double"), qs).as("mq"))
+    def scoreUp(m: Column, arr: Column) = // bigger is better
+      (lit(1) + (0 to 3).map(i =>
+        when(m.cast("double") > arr(i), 1).otherwise(0)).reduce(_ + _))
+        .cast("bigint")
+    def scoreDown(m: Column, arr: Column) = // smaller is better
+      (lit(1) + (0 to 3).map(i =>
+        when(m.cast("double") < arr(i), 1).otherwise(0)).reduce(_ + _))
+        .cast("bigint")
+    cust.crossJoin(broadcast(thr))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        scoreDown(col("recency_days"), col("rq")).as("r_score"),
+        scoreUp(col("frequency"), col("fq")).as("f_score"),
+        scoreUp(col("monetary_cents"), col("mq")).as("m_score"))
+      .withColumn("rfm_cell",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy("o_custkey")
+  }
+
+  val rfmSegmentationOracle: String =
+    """WITH base AS (
+      |  SELECT o_custkey,
+      |    max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+      |      AS last_day,
+      |    count(*) AS frequency,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS monetary_cents
+      |  FROM orders GROUP BY 1
+      |), mx AS (
+      |  SELECT max(last_day) AS corpus_day FROM base
+      |), c AS (
+      |  SELECT o_custkey, corpus_day - last_day AS recency_days,
+      |    frequency, monetary_cents
+      |  FROM base CROSS JOIN mx
+      |), thr AS (
+      |  SELECT
+      |    quantile_cont(CAST(recency_days AS DOUBLE), 0.2) AS rq1,
+      |    quantile_cont(CAST(recency_days AS DOUBLE), 0.4) AS rq2,
+      |    quantile_cont(CAST(recency_days AS DOUBLE), 0.6) AS rq3,
+      |    quantile_cont(CAST(recency_days AS DOUBLE), 0.8) AS rq4,
+      |    quantile_cont(CAST(frequency AS DOUBLE), 0.2) AS fq1,
+      |    quantile_cont(CAST(frequency AS DOUBLE), 0.4) AS fq2,
+      |    quantile_cont(CAST(frequency AS DOUBLE), 0.6) AS fq3,
+      |    quantile_cont(CAST(frequency AS DOUBLE), 0.8) AS fq4,
+      |    quantile_cont(CAST(monetary_cents AS DOUBLE), 0.2) AS mq1,
+      |    quantile_cont(CAST(monetary_cents AS DOUBLE), 0.4) AS mq2,
+      |    quantile_cont(CAST(monetary_cents AS DOUBLE), 0.6) AS mq3,
+      |    quantile_cont(CAST(monetary_cents AS DOUBLE), 0.8) AS mq4
+      |  FROM c
+      |), scored AS (
+      |  SELECT c.o_custkey, c.recency_days, c.frequency, c.monetary_cents,
+      |    CAST(1 + (CASE WHEN CAST(recency_days AS DOUBLE) < rq1 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN CAST(recency_days AS DOUBLE) < rq2 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN CAST(recency_days AS DOUBLE) < rq3 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN CAST(recency_days AS DOUBLE) < rq4 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS r_score,
+      |    CAST(1 + (CASE WHEN CAST(frequency AS DOUBLE) > fq1 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN CAST(frequency AS DOUBLE) > fq2 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN CAST(frequency AS DOUBLE) > fq3 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN CAST(frequency AS DOUBLE) > fq4 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS f_score,
+      |    CAST(1 + (CASE WHEN CAST(monetary_cents AS DOUBLE) > mq1 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN CAST(monetary_cents AS DOUBLE) > mq2 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN CAST(monetary_cents AS DOUBLE) > mq3 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN CAST(monetary_cents AS DOUBLE) > mq4 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS m_score
+      |  FROM c CROSS JOIN thr
+      |)
+      |SELECT o_custkey, recency_days, frequency, monetary_cents,
+      |  r_score, f_score, m_score,
+      |  r_score * 100 + f_score * 10 + m_score AS rfm_cell
+      |FROM scored ORDER BY o_custkey""".stripMargin
+
+  /** q119 — user-journey path mining: the most frequent event-type
+    * trigrams across per-user ordered event sequences. Built WITHOUT
+    * per-user array materialization: events get a per-user rank (one
+    * group-sized window), then consecutive steps connect via two
+    * equality self-joins on (user, rank±) — after the rank shuffle all
+    * three sides co-partition on the user key, so a hot user costs
+    * linear work, never a collect_list blowup. The (ts, event_id) sort
+    * key is a total order, so ranks — and therefore paths — are
+    * deterministic on any engine.
+    */
+  def eventPathTrigrams(s: SparkSession, d: String, k: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ranked = CacheScope.persisted(
+      Tables.events(s, d).select(col("user_id"), col("event_type"),
+          row_number().over(w).as("rn")))
+    val paths = ranked.as("a")
+      .join(ranked.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("b.rn") === col("a.rn") + 1)
+      .join(ranked.as("c"), col("a.user_id") === col("c.user_id") &&
+        col("c.rn") === col("a.rn") + 2)
+      .select(concat_ws(">", col("a.event_type"), col("b.event_type"),
+        col("c.event_type")).as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path")).limit(k)
+  }
+
+  val eventPathTrigramsOracle: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events
+      |), p AS (
+      |  SELECT a.event_type || '>' || b.event_type || '>' || c.event_type AS path
+      |  FROM r a
+      |  JOIN r b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+      |  JOIN r c ON a.user_id = c.user_id AND c.rn = a.rn + 2
+      |)
+      |SELECT path, count(*) AS n_paths FROM p GROUP BY 1
+      |ORDER BY n_paths DESC, path LIMIT 100""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2369,6 +2520,8 @@ object CoreQueries {
     "q112_link_prediction" -> (linkPrediction(_, _)),
     "q116_basket_lift" -> (basketLift(_, _)),
     "q117_revenue_autocorr" -> (revenueAutocorr(_, _)),
+    "q118_rfm_segmentation" -> (rfmSegmentation(_, _)),
+    "q119_event_paths" -> (eventPathTrigrams(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -2435,6 +2588,8 @@ object CoreQueries {
     "q112_link_prediction" -> linkPredictionOracle,
     "q116_basket_lift" -> basketLiftOracle,
     "q117_revenue_autocorr" -> revenueAutocorrOracle,
+    "q118_rfm_segmentation" -> rfmSegmentationOracle,
+    "q119_event_paths" -> eventPathTrigramsOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }
