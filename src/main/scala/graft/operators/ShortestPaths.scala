@@ -38,9 +38,17 @@ object ShortestPaths {
       sources: DataFrame, idCol: String, maxHops: Int): DataFrame = {
     val e0 = graft.CacheScope.persisted(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
-    var dist = sources.select(col(idCol).as("id"), lit(0L).as("dist"))
-      .distinct().localCheckpoint(true)
-    var frontier = dist.select("id")
+    // settled distances accumulate as a LIST of per-hop checkpointed
+    // frontiers, unioned lazily — each node's row is materialized exactly
+    // once, when its hop settles. (Re-checkpointing `dist ∪ newly` every
+    // round would rewrite the whole settled table per hop: O(V·rounds)
+    // materialized rows instead of O(V).) The union depth is bounded by
+    // maxHops, so lineage stays flat without per-round re-materialization.
+    var parts = List(
+      sources.select(col(idCol).as("id"), lit(0L).as("dist"))
+        .distinct().localCheckpoint(true))
+    def dist = parts.reduce(_ unionAll _)
+    var frontier = parts.head.select("id")
     var hop = 1
     var expanding = true
     while (expanding && hop <= maxHops) {
@@ -53,7 +61,7 @@ object ShortestPaths {
         .localCheckpoint(true)
       if (newly.isEmpty) expanding = false
       else {
-        dist = dist.unionAll(newly).localCheckpoint(true)
+        parts = newly :: parts
         frontier = newly.select("id")
         hop += 1
       }
