@@ -2455,6 +2455,52 @@ object CoreQueries {
       |SELECT path, count(*) AS n_paths FROM p GROUP BY 1
       |ORDER BY n_paths DESC, path LIMIT 100""".stripMargin
 
+  /** q120 — Morton z-values for two-dimensional clustering
+    * ([[graft.sources.ZOrder]]): the bit-interleave of (customer key,
+    * order epoch-day) that `ZOrder.clusterWrite` sorts by. The query
+    * puts the bit arithmetic itself under the oracle — five shift-mask
+    * spreads per dimension, recomputed bit-for-bit in DuckDB — while
+    * ZOrderSpec asserts the layout consequence (both-dimension file
+    * skipping) that is the operator's reason to exist.
+    */
+  def zorderValues(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ZOrder
+    t(s, d, "orders")
+      .select(col("o_orderkey"),
+        col("o_custkey").bitwiseAND(lit(0xFFFFL)).as("ck16"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("bigint")
+          .bitwiseAND(lit(0xFFFFL)).as("day16"))
+      .select(col("o_orderkey"), col("ck16"), col("day16"),
+        ZOrder.zValue(col("ck16"), col("day16")).as("zval"))
+      .orderBy("o_orderkey")
+  }
+
+  val zorderValuesOracle: String =
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |    CAST(o_custkey AS BIGINT) & 65535 AS ck16,
+      |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      & 65535 AS day16
+      |  FROM orders
+      |), s1 AS (
+      |  SELECT o_orderkey, ck16, day16,
+      |    (ck16 | (ck16 << 8)) & 16711935 AS a1,
+      |    (day16 | (day16 << 8)) & 16711935 AS b1
+      |  FROM o
+      |), s2 AS (
+      |  SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2,
+      |            (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1
+      |), s3 AS (
+      |  SELECT *, (a2 | (a2 << 2)) & 858993459 AS a3,
+      |            (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2
+      |), s4 AS (
+      |  SELECT *, (a3 | (a3 << 1)) & 1431655765 AS a4,
+      |            (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3
+      |)
+      |SELECT o_orderkey, ck16, day16, a4 | (b4 << 1) AS zval
+      |FROM s4 ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2522,6 +2568,7 @@ object CoreQueries {
     "q117_revenue_autocorr" -> (revenueAutocorr(_, _)),
     "q118_rfm_segmentation" -> (rfmSegmentation(_, _)),
     "q119_event_paths" -> (eventPathTrigrams(_, _)),
+    "q120_zorder_values" -> (zorderValues(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -2590,6 +2637,7 @@ object CoreQueries {
     "q117_revenue_autocorr" -> revenueAutocorrOracle,
     "q118_rfm_segmentation" -> rfmSegmentationOracle,
     "q119_event_paths" -> eventPathTrigramsOracle,
+    "q120_zorder_values" -> zorderValuesOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }

@@ -1,0 +1,56 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue interleaves bits: known vectors") {
+    val rows = Seq((0xFFFFL, 0L), (0L, 0xFFFFL), (3L, 1L), (0L, 0L))
+      .toDF("a", "b")
+      .select(ZOrder.zValue($"a", $"b").as("z")).as[Long].collect()
+    assert(rows(0) == 0x55555555L, "a fills even bits")
+    assert(rows(1) == 0xAAAAAAAAL, "b fills odd bits")
+    assert(rows(2) == 7L, "z(3,1) = 0b111")
+    assert(rows(3) == 0L)
+  }
+
+  test("z-clustered layout skips files on BOTH dimensions; linear only on one") {
+    val orders = Tables.load(spark, sf, "orders")
+      .select($"o_orderkey",
+        $"o_custkey".bitwiseAND(lit(0xFFFFL)).as("ck"),
+        datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+          .cast("bigint").bitwiseAND(lit(0xFFFFL)).as("day"))
+    val n = 16
+    val zDir = Files.createTempDirectory("zorder").toString
+    val linDir = Files.createTempDirectory("linear").toString
+    ZOrder.clusterWrite(orders, zDir, "day", "ck", n)
+    // the linear baseline: clustered on day alone (the usual time layout)
+    orders.repartitionByRange(n, $"day").sortWithinPartitions("day")
+      .write.mode("overwrite").parquet(linDir)
+
+    val (ckLo, ckHi) = orders.agg(min("ck"), max("ck")).as[(Long, Long)].head()
+    val mid = (ckLo + ckHi) / 2
+    val span = (ckHi - ckLo) / 16 max 1L
+    // predicate on the SECOND dimension: a 1/16 slice of the key range
+    val zCand = ZOrder.candidateFiles(
+      ZOrder.fileStats(spark, zDir, "ck"), mid, mid + span)
+    val linCand = ZOrder.candidateFiles(
+      ZOrder.fileStats(spark, linDir, "ck"), mid, mid + span)
+    val zFiles = ZOrder.fileStats(spark, zDir, "ck").count()
+    val linFiles = ZOrder.fileStats(spark, linDir, "ck").count()
+    assert(linCand == linFiles,
+      s"day-sorted layout cannot skip on ck: $linCand of $linFiles")
+    assert(zCand < zFiles / 2,
+      s"z-layout must skip most files on ck: $zCand of $zFiles")
+    // and the FIRST dimension still skips under z (coarser than linear)
+    val (dLo, dHi) = orders.agg(min("day"), max("day")).as[(Long, Long)].head()
+    val dMid = (dLo + dHi) / 2
+    val zDay = ZOrder.candidateFiles(
+      ZOrder.fileStats(spark, zDir, "day"), dMid, dMid + ((dHi - dLo) / 16 max 1L))
+    assert(zDay < zFiles, s"z-layout must still skip on day: $zDay of $zFiles")
+  }
+}
