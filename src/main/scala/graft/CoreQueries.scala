@@ -2501,6 +2501,129 @@ object CoreQueries {
       |SELECT o_orderkey, ck16, day16, a4 | (b4 << 1) AS zval
       |FROM s4 ORDER BY o_orderkey""".stripMargin
 
+  /** q121 — median-absolute-deviation outlier screen per order priority:
+    * the robust complement to q107's z-scores (one corrupt extreme moves
+    * a mean/stddev gate; the median/MAD gate shrugs). Two exact-
+    * percentile aggregation rows (5 groups each) broadcast back onto the
+    * scan — the q56/q118 shape, never a per-group sort — and the
+    * 3.5·1.4826·MAD fence is evaluated in doubles whose inputs (exact
+    * cents, bit-identical interpolated medians) match any IEEE engine.
+    */
+  def madOutliers(s: SparkSession, d: String): DataFrame = {
+    val cents = CacheScope.persisted(
+      t(s, d, "orders").select(col("o_orderpriority").as("prio"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents")))
+    val med = cents.groupBy("prio").agg(
+      graft.functions.ExactPercentiles
+        .percentiles(col("cents").cast("double"), Seq(0.5)).as("m"))
+      .select(col("prio"), col("m")(0).as("med"))
+    val dev = cents.join(broadcast(med), "prio")
+      .withColumn("adev", abs(col("cents").cast("double") - col("med")))
+    val mad = dev.groupBy("prio").agg(
+      graft.functions.ExactPercentiles
+        .percentiles(col("adev"), Seq(0.5)).as("m"))
+      .select(col("prio"), col("m")(0).as("mad"))
+    dev.join(broadcast(mad), "prio")
+      .groupBy("prio")
+      .agg(min("med").as("med"), min("mad").as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("adev") > lit(3.5) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("prio")
+  }
+
+  val madOutliersOracle: String =
+    """WITH c AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders
+      |), med AS (
+      |  SELECT prio, quantile_cont(CAST(cents AS DOUBLE), 0.5) AS med
+      |  FROM c GROUP BY 1
+      |), dev AS (
+      |  SELECT c.prio, c.cents, med.med,
+      |    abs(CAST(c.cents AS DOUBLE) - med.med) AS adev
+      |  FROM c JOIN med ON c.prio = med.prio
+      |), mad AS (
+      |  SELECT prio, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+      |)
+      |SELECT d.prio, min(d.med) AS med, min(m.mad) AS mad,
+      |  count(*) AS n,
+      |  CAST(sum(CASE WHEN d.adev > 3.5 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad m ON d.prio = m.prio
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q122 — mergeable histogram quantile sketch
+    * ([[graft.functions.HistogramSketch]]) audited against exact
+    * percentiles: a 256-bin integer histogram of order cents estimates
+    * p50/p90/p99, and the oracle hash-verifies the estimates, the bin
+    * width, the exact interpolated percentiles, AND the absolute error
+    * between them (bit-stable: every input to the subtraction is either
+    * an exact BIGINT or a bit-identical quantile_cont double). The
+    * [min, max] domain scalars are one bounded aggregate row — the
+    * watermark-read shape.
+    */
+  def histogramQuantiles(s: SparkSession, d: String): DataFrame = {
+    val cents = CacheScope.persisted(
+      t(s, d, "orders").select(
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents")))
+    val r = cents.agg(min("cents"), max("cents")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val est = graft.functions.HistogramSketch.quantiles(
+      graft.functions.HistogramSketch.sketch(cents, "cents", 256, lo, hi),
+      Seq(500, 900, 990), 256, lo, hi)
+    val exact = cents.agg(graft.functions.ExactPercentiles
+        .percentiles(col("cents").cast("double"), Seq(0.5, 0.9, 0.99)).as("p"))
+      .select(explode(array(
+        struct(lit(500L).as("q_permille"), col("p")(0).as("exact")),
+        struct(lit(900L).as("q_permille"), col("p")(1).as("exact")),
+        struct(lit(990L).as("q_permille"), col("p")(2).as("exact")))))
+      .select(col("col.q_permille"), col("col.exact"))
+    est.join(broadcast(exact), "q_permille")
+      .select(col("q_permille"), col("est_hi"), col("bin_width"), col("exact"),
+        abs(col("est_hi").cast("double") - col("exact")).as("abs_err"))
+      .orderBy("q_permille")
+  }
+
+  val histogramQuantilesOracle: String =
+    """WITH c AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    AS cents FROM orders
+      |), r AS (
+      |  SELECT min(cents) AS lo, max(cents) AS hi FROM c
+      |), b AS (
+      |  SELECT ((cents - lo) * 256) // (hi - lo + 1) AS bin
+      |  FROM c CROSS JOIN r
+      |), sk AS (
+      |  SELECT bin, count(*) AS cnt FROM b GROUP BY 1
+      |), cum AS (
+      |  SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+      |    (SELECT sum(cnt) FROM sk) AS n
+      |  FROM sk
+      |), qs AS (
+      |  SELECT CAST(unnest([500, 900, 990]) AS BIGINT) AS q_permille
+      |), est AS (
+      |  SELECT q.q_permille, min(c2.bin) AS bin
+      |  FROM qs q JOIN cum c2 ON c2.cum * 1000 >= q.q_permille * c2.n
+      |  GROUP BY 1
+      |), ex AS (
+      |  SELECT CAST(500 AS BIGINT) AS q_permille,
+      |    quantile_cont(CAST(cents AS DOUBLE), 0.5) AS exact FROM c
+      |  UNION ALL SELECT 900, quantile_cont(CAST(cents AS DOUBLE), 0.9) FROM c
+      |  UNION ALL SELECT 990, quantile_cont(CAST(cents AS DOUBLE), 0.99) FROM c
+      |)
+      |SELECT e.q_permille,
+      |  r.lo + ((e.bin + 1) * (r.hi - r.lo + 1)) // 256 - 1 AS est_hi,
+      |  (r.hi - r.lo + 1) // 256 + 1 AS bin_width,
+      |  x.exact,
+      |  abs(CAST(r.lo + ((e.bin + 1) * (r.hi - r.lo + 1)) // 256 - 1 AS DOUBLE)
+      |      - x.exact) AS abs_err
+      |FROM est e JOIN ex x ON e.q_permille = x.q_permille CROSS JOIN r
+      |ORDER BY e.q_permille""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2569,6 +2692,8 @@ object CoreQueries {
     "q118_rfm_segmentation" -> (rfmSegmentation(_, _)),
     "q119_event_paths" -> (eventPathTrigrams(_, _)),
     "q120_zorder_values" -> (zorderValues(_, _)),
+    "q121_mad_outliers" -> (madOutliers(_, _)),
+    "q122_histogram_quantiles" -> (histogramQuantiles(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -2638,6 +2763,8 @@ object CoreQueries {
     "q118_rfm_segmentation" -> rfmSegmentationOracle,
     "q119_event_paths" -> eventPathTrigramsOracle,
     "q120_zorder_values" -> zorderValuesOracle,
+    "q121_mad_outliers" -> madOutliersOracle,
+    "q122_histogram_quantiles" -> histogramQuantilesOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable equi-width histogram sketch over an integer column — the
+  * streaming/distributed quantile-estimation primitive (the reason
+  * `approx_percentile` exists), with every step exact enough to sit
+  * under a DuckDB oracle.
+  *
+  * The sketch is a (bin, cnt) table of ≤ `bins` rows: one
+  * map-combinable groupBy, so executors pre-aggregate partial
+  * histograms and the exchange carries histograms, never rows — and two
+  * shards' sketches merge by plain `cnt` addition ([[HistogramSketchSpec]]
+  * asserts split-build == whole-build, the q114 CMS discipline).
+  * Quantile estimates walk the running total to the first bin covering
+  * rank ⌈q·N⌉ and report that bin's upper edge: a BIGINT whose error is
+  * bounded by one bin width — the bound the q122 oracle audits against
+  * the exact interpolated percentile.
+  *
+  * Bin assignment is pure integer arithmetic (`(v-lo)·bins div span`),
+  * so any engine reproduces the sketch bit-for-bit. The running total
+  * runs over ≤ `bins` rows — bounded by construction, like sketch
+  * driver traffic, never by data.
+  */
+object HistogramSketch {
+
+  /** Build the (bin, cnt) histogram of `valueCol` (integer-valued) over
+    * the closed domain [lo, hi].
+    */
+  def sketch(df: DataFrame, valueCol: String, bins: Int, lo: Long,
+      hi: Long): DataFrame =
+    df.select(expr(s"(($valueCol - $lo) * $bins) div ${hi - lo + 1}")
+        .as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+
+  /** Estimate the `qPermille` quantiles (e.g. 500 = median) from a
+    * sketch: per q, the upper edge of the first bin whose cumulative
+    * count reaches q·N/1000, plus the one-bin-width error bound.
+    */
+  def quantiles(sk: DataFrame, qPermille: Seq[Int], bins: Int, lo: Long,
+      hi: Long): DataFrame = {
+    val span = hi - lo + 1
+    val cum = sk
+      .withColumn("cum", sum("cnt").over(Window.orderBy("bin")))
+      .crossJoin(broadcast(sk.agg(sum("cnt").as("n"))))
+    cum
+      .select(col("bin"), col("cum"), col("n"),
+        explode(array(qPermille.map(q => lit(q.toLong)): _*)).as("q_permille"))
+      .filter(col("cum") * 1000 >= col("q_permille") * col("n"))
+      .groupBy("q_permille").agg(min("bin").as("bin"))
+      .select(col("q_permille"),
+        expr(s"$lo + ((bin + 1) * $span) div $bins - 1").as("est_hi"),
+        lit(span / bins + 1).as("bin_width"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class HistogramSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val cents = Tables.load(spark, sf, "orders")
+    .select($"o_orderkey",
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("cents"))
+
+  private lazy val (lo, hi) = {
+    val r = cents.agg(min("cents"), max("cents")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+  private val B = 256
+
+  test("histogram merges by counter addition: split-build == whole-build") {
+    val a = HistogramSketch.sketch(
+      cents.filter($"o_orderkey" % 2 === 0), "cents", B, lo, hi)
+    val b = HistogramSketch.sketch(
+      cents.filter($"o_orderkey" % 2 === 1), "cents", B, lo, hi)
+    val merged = a.unionByName(b).groupBy("bin").agg(sum("cnt").as("cnt"))
+    val whole = HistogramSketch.sketch(cents, "cents", B, lo, hi)
+    assert(merged.exceptAll(whole).count() == 0 &&
+      whole.exceptAll(merged).count() == 0)
+  }
+
+  test("quantile estimates land within one bin width of the exact percentiles") {
+    val est = HistogramSketch.quantiles(
+      HistogramSketch.sketch(cents, "cents", B, lo, hi),
+      Seq(500, 900, 990), B, lo, hi)
+    val exact = cents.agg(ExactPercentiles
+        .percentiles($"cents".cast("double"), Seq(0.5, 0.9, 0.99)).as("p"))
+      .select(explode(array(
+        struct(lit(500L).as("q_permille"), $"p" (0).as("exact")),
+        struct(lit(900L).as("q_permille"), $"p" (1).as("exact")),
+        struct(lit(990L).as("q_permille"), $"p" (2).as("exact")))))
+      .select($"col.q_permille", $"col.exact")
+    val bad = est.join(exact, "q_permille")
+      .filter(abs($"est_hi".cast("double") - $"exact") > $"bin_width".cast("double"))
+    assert(bad.count() == 0, "estimates must sit within one bin of exact")
+    assert(est.count() == 3)
+  }
+
+  test("sketch is bounded and layout-independent") {
+    val s1 = HistogramSketch.sketch(cents, "cents", B, lo, hi)
+    assert(s1.count() <= B)
+    val s2 = HistogramSketch.sketch(cents.repartition(13), "cents", B, lo, hi)
+    assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0)
+  }
+}
