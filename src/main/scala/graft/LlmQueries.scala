@@ -2275,6 +2275,55 @@ object LlmQueries {
       |FROM documents d JOIN w ON d.doc_id = w.doc_id
       |ORDER BY weight DESC, d.doc_id LIMIT 200""".stripMargin
 
+  /** q123 — curation Pareto frontier: the documents not dominated on the
+    * (shorter, higher-quality) tradeoff — no other doc is both at most
+    * as long AND strictly better (or shorter and at least as good). The
+    * skyline every budget-constrained curation run walks when trading
+    * tokens for quality. Scale shape: dominance is NOT an all-pairs
+    * join — per-length max quality is one map-combinable groupBy, the
+    * running max runs over the DISTINCT-LENGTH table (bounded by the
+    * value domain, never by corpus size — the q122 cumsum argument), and
+    * the frontier test is a broadcast join of that table back onto the
+    * scan. The oracle states the same semantics as a NOT EXISTS
+    * dominance query — quadratic, fine at fixture scale — so the
+    * bucketed formulation is verified against the definition itself.
+    */
+  def paretoFrontier(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs(s, d).select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("bigint").as("n_tokens"),
+      qualityScore.as("quality_score"))
+    val w = Window.orderBy("n_tokens")
+    val cum = scored.groupBy("n_tokens")
+      .agg(max("quality_score").as("len_max"))
+      .withColumn("prev_max",
+        max("len_max").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("cum_max",
+        max("len_max").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    scored.join(broadcast(cum), "n_tokens")
+      .filter((col("prev_max").isNull ||
+          col("prev_max") < col("quality_score")) &&
+        col("cum_max") <= col("quality_score"))
+      .select("doc_id", "n_tokens", "quality_score")
+      .orderBy("doc_id")
+  }
+
+  val paretoFrontierOracle: String =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+       |      AS n_tokens,
+       |    $qualityScoreSql AS quality_score
+       |  FROM documents
+       |)
+       |SELECT a.doc_id, a.n_tokens, a.quality_score
+       |FROM s a
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM s b
+       |  WHERE (b.n_tokens < a.n_tokens AND b.quality_score >= a.quality_score)
+       |     OR (b.n_tokens <= a.n_tokens AND b.quality_score > a.quality_score))
+       |ORDER BY a.doc_id""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2331,6 +2380,7 @@ object LlmQueries {
     "q113_semantic_dedup" -> (semanticDedupQ(_, _)),
     "q114_cms_frequency" -> (cmsFrequency(_, _)),
     "q115_dsir_selection" -> (dsirSelection(_, _)),
+    "q123_pareto_frontier" -> (paretoFrontier(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2387,5 +2437,6 @@ object LlmQueries {
     "q113_semantic_dedup" -> semanticDedupOracle,
     "q114_cms_frequency" -> cmsFrequencyOracle,
     "q115_dsir_selection" -> dsirSelectionOracle,
+    "q123_pareto_frontier" -> paretoFrontierOracle,
   )
 }
