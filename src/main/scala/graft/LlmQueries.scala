@@ -2324,6 +2324,65 @@ object LlmQueries {
        |     OR (b.n_tokens <= a.n_tokens AND b.quality_score > a.quality_score))
        |ORDER BY a.doc_id""".stripMargin
 
+  /** q124 — closed-form OLS per language: chars-per-token trend
+    * (n_chars ~ n_tokens), the distributed-ML primitive behind every
+    * "fit a line to a 100 TB feature" job. One map-combinable pass
+    * accumulates the five sufficient moments (n, Σx, Σy, Σxy, Σx²) in
+    * exact BIGINT — both variables are integers, so the moments carry no
+    * float summation order — and slope/intercept/r² assemble from them
+    * in fixed double expressions (BIGINT→DOUBLE correctly rounded, one
+    * operation order), bit-identical on any IEEE engine. The q117
+    * moment discipline applied to model fitting.
+    */
+  def olsTrend(s: SparkSession, d: String): DataFrame = {
+    docs(s, d)
+      .select(col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("bigint").as("x"),
+        col("n_chars").as("y"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"))
+      .select(col("lang"), col("n"),
+        expr("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)")
+          .as("slope"),
+        expr("""(CAST(sy AS DOUBLE)
+               - (CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE)""").as("intercept"),
+        (expr("CAST(n * sxy - sx * sy AS DOUBLE)") *
+          expr("CAST(n * sxy - sx * sy AS DOUBLE)") /
+          (expr("CAST(n * sxx - sx * sx AS DOUBLE)") *
+            expr("CAST(n * syy - sy * sy AS DOUBLE)"))).as("r2"))
+      .orderBy("lang")
+  }
+
+  val olsTrendOracle: String =
+    """WITH s AS (
+      |  SELECT lang,
+      |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS x,
+      |    n_chars AS y
+      |  FROM documents
+      |), m AS (
+      |  SELECT lang, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM s GROUP BY 1
+      |)
+      |SELECT lang, n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+      |    AS slope,
+      |  (CAST(sy AS DOUBLE)
+      |   - (CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+      |  / CAST(n AS DOUBLE) AS intercept,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+      |    AS r2
+      |FROM m ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2381,6 +2440,7 @@ object LlmQueries {
     "q114_cms_frequency" -> (cmsFrequency(_, _)),
     "q115_dsir_selection" -> (dsirSelection(_, _)),
     "q123_pareto_frontier" -> (paretoFrontier(_, _)),
+    "q124_ols_trend" -> (olsTrend(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2438,5 +2498,6 @@ object LlmQueries {
     "q114_cms_frequency" -> cmsFrequencyOracle,
     "q115_dsir_selection" -> dsirSelectionOracle,
     "q123_pareto_frontier" -> paretoFrontierOracle,
+    "q124_ols_trend" -> olsTrendOracle,
   )
 }
