@@ -46,6 +46,7 @@ object CountMin {
   def sketch(tokens: DataFrame, tokCol: String, depths: Int,
       width: Int): DataFrame =
     tokens
+      .filter(col(tokCol).isNotNull) // null tokens would hash to null bins
       .select(posexplode(depthBuckets(col(tokCol), depths, width)))
       .select(col("pos").as("depth"), col("col").as("bucket"))
       .groupBy("depth", "bucket").agg(count(lit(1)).as("cnt"))
@@ -57,6 +58,7 @@ object CountMin {
   def estimate(sk: DataFrame, terms: DataFrame, termCol: String,
       depths: Int, width: Int): DataFrame =
     terms
+      .filter(col(termCol).isNotNull)
       .select(col(termCol), posexplode(depthBuckets(col(termCol), depths, width)))
       .select(col(termCol), col("pos").as("depth"), col("col").as("bucket"))
       .join(broadcast(sk), Seq("depth", "bucket"), "left")

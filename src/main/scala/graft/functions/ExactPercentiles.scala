@@ -35,7 +35,14 @@ object ExactPercentiles {
     override def zero: mutable.ArrayBuffer[Double] = mutable.ArrayBuffer.empty
 
     override def reduce(b: mutable.ArrayBuffer[Double], x: Double)
-        : mutable.ArrayBuffer[Double] = { b += x; b }
+        : mutable.ArrayBuffer[Double] = {
+      // NaN is the null sentinel installed by the Column API below —
+      // skipped so null inputs vanish exactly as the built-in
+      // `percentile` skips them (the primitive channel would otherwise
+      // decode null as 0.0 and silently corrupt the distribution)
+      if (!x.isNaN) b += x
+      b
+    }
 
     override def merge(a: mutable.ArrayBuffer[Double],
         b: mutable.ArrayBuffer[Double]): mutable.ArrayBuffer[Double] = {
@@ -66,10 +73,14 @@ object ExactPercentiles {
   }
 
   /** Column API: `df.groupBy(...).agg(percentiles($"x", Seq(0.5, 0.9)))`
-    * → array<double> in the requested order. Inputs must be non-null
-    * (filter first): the built-in `percentile` silently skips NULLs,
-    * while a typed aggregator's primitive input channel cannot see them.
+    * → array<double> in the requested order. NULL (and NaN) inputs are
+    * skipped, matching the built-in `percentile`: the primitive input
+    * channel cannot carry null, so nulls ride in as NaN and the reduce
+    * drops them — NaN has no defined rank in an ordered statistic
+    * anyway, so conflating the two loses nothing.
     */
   def percentiles(value: Column, ps: Seq[Double]): Column =
-    udaf(PercentilesAgg(ps), Encoders.scalaDouble).apply(value)
+    udaf(PercentilesAgg(ps), Encoders.scalaDouble)
+      .apply(org.apache.spark.sql.functions.coalesce(value,
+        org.apache.spark.sql.functions.lit(Double.NaN)))
 }

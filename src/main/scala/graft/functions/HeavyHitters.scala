@@ -33,6 +33,10 @@ object HeavyHitters {
     override def zero: Buf = mutable.HashMap.empty
 
     override def reduce(b: Buf, key: String): Buf = {
+      // null keys are skipped, matching built-in aggregate semantics —
+      // without this a null in the stream becomes a null map key the
+      // output encoder cannot serialize (runtime crash at eval)
+      if (key == null) return b
       if (b.contains(key)) b(key) += 1L
       else if (b.size < k) b(key) = 1L
       else {

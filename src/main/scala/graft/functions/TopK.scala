@@ -39,7 +39,11 @@ object TopK {
     override def zero: List[Scored] = Nil
 
     // buffer invariant: sorted by `ord`, length ≤ k
-    override def reduce(b: List[Scored], a: Scored): List[Scored] = insert(b, a)
+    override def reduce(b: List[Scored], a: Scored): List[Scored] =
+      // NaN is the null sentinel installed by the Column API: a null
+      // similarity is "no score" and never ranks (the primitive field
+      // would otherwise decode null as 0.0 — a legitimate-looking rank)
+      if (a.sim.isNaN) b else insert(b, a)
 
     override def merge(b1: List[Scored], b2: List[Scored]): List[Scored] =
       b2.foldLeft(b1)(insert)
@@ -60,8 +64,13 @@ object TopK {
   }
 
   /** Column API: `df.groupBy(g).agg(top_k($"sim", $"id", 5))` →
-    * array<struct<sim double, id bigint>> sorted best-first.
+    * array<struct<sim double, id bigint>> sorted best-first. Candidates
+    * with a NULL (or NaN) similarity are dropped, not ranked-last as the
+    * `row_number` window form would — an unscored candidate has no
+    * place in a top-k.
     */
   def top_k(sim: Column, id: Column, k: Int): Column =
-    udaf(TopKAgg(k), Encoders.product[Scored]).apply(sim, id)
+    udaf(TopKAgg(k), Encoders.product[Scored])
+      .apply(org.apache.spark.sql.functions.coalesce(sim,
+        org.apache.spark.sql.functions.lit(Double.NaN)), id)
 }
