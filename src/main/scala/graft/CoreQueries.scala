@@ -2624,6 +2624,71 @@ object CoreQueries {
       |FROM est e JOIN ex x ON e.q_permille = x.q_permille CROSS JOIN r
       |ORDER BY e.q_permille""".stripMargin
 
+  /** q125 — personalized PageRank from nation-0's customer base over the
+    * q76 co-purchase graph ([[graft.operators.PageRank.personalizedRanks]]):
+    * proximity-to-the-cohort relevance, the graph-feature analog of
+    * q108's hop distances (hops count, PPR weighs). Long node ids
+    * through the iterations, names restored at the end, ppm rounding —
+    * all the q76 conventions; the oracle unrolls the same three
+    * seed-restart rounds.
+    */
+  def personalizedPageRank(s: SparkSession, d: String): DataFrame = {
+    val edges = t(s, d, "orders").join(t(s, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    val seeds = t(s, d, "customer").filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("sid"))
+    graft.operators.PageRank.personalizedRanks(edges, "src", "dst",
+        seeds, "sid", iters = 3, damping = 0.85)
+      .select(
+        when(col("id") % 2 === 0, concat(lit("c"), (col("id") / 2).cast("bigint")))
+          .otherwise(concat(lit("s"), ((col("id") - 1) / 2).cast("bigint")))
+          .as("id"),
+        round(col("rank") * 1000, 6).as("rank_pm"))
+      .orderBy("id")
+  }
+
+  val personalizedPageRankOracle: String = {
+    def round(k: Int): String =
+      s"""c$k AS (
+         |  SELECT s.dst AS id, sum(r.rank / d.outdeg) AS c
+         |  FROM sym s JOIN deg d ON s.src = d.src
+         |  JOIN r${k - 1} r ON r.id = s.src
+         |  GROUP BY s.dst
+         |), r$k AS (
+         |  SELECT sf.id,
+         |    (CASE WHEN sf.is_seed
+         |          THEN CAST(0.15 AS DOUBLE) / (SELECT ns FROM ns)
+         |          ELSE CAST(0 AS DOUBLE) END)
+         |    + CAST(0.85 AS DOUBLE) * coalesce(c$k.c, 0) AS rank
+         |  FROM sf LEFT JOIN c$k USING (id)
+         |)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+       |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), sym AS (
+       |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+       |), deg AS (
+       |  SELECT src, count(*) AS outdeg FROM sym GROUP BY src
+       |), sd AS (
+       |  SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS id
+       |  FROM customer WHERE c_nationkey = 0
+       |), sf AS (
+       |  SELECT deg.src AS id, sd.id IS NOT NULL AS is_seed
+       |  FROM deg LEFT JOIN sd ON deg.src = sd.id
+       |), ns AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS ns FROM sf WHERE is_seed
+       |), r0 AS (
+       |  SELECT id, CASE WHEN is_seed
+       |    THEN CAST(1.0 AS DOUBLE) / (SELECT ns FROM ns)
+       |    ELSE CAST(0 AS DOUBLE) END AS rank
+       |  FROM sf
+       |), ${round(1)}, ${round(2)}, ${round(3)}
+       |SELECT id, round(rank * 1000, 6) AS rank_pm FROM r3 ORDER BY id""".stripMargin
+  }
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2694,6 +2759,7 @@ object CoreQueries {
     "q120_zorder_values" -> (zorderValues(_, _)),
     "q121_mad_outliers" -> (madOutliers(_, _)),
     "q122_histogram_quantiles" -> (histogramQuantiles(_, _)),
+    "q125_personalized_pagerank" -> (personalizedPageRank(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -2765,6 +2831,7 @@ object CoreQueries {
     "q120_zorder_values" -> zorderValuesOracle,
     "q121_mad_outliers" -> madOutliersOracle,
     "q122_histogram_quantiles" -> histogramQuantilesOracle,
+    "q125_personalized_pagerank" -> personalizedPageRankOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }

@@ -20,6 +20,26 @@ class PageRankSpec extends SparkSpec {
     graft.CacheScope.drain(spark)
   }
 
+  test("personalized: mass stays near the seeds, unreachable nodes rank 0") {
+    // path 1-2-3-4-5 plus a disconnected pair 10-11; seed at node 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("sid")
+    val r = PageRank.personalizedRanks(edges, "src", "dst", seeds, "sid",
+      iters = 3).as[(Long, Double)].collect().toMap
+    assert(r(10L) == 0.0 && r(11L) == 0.0,
+      "no path from the seed set => exactly zero rank")
+    // every node within `iters` hops carries mass (path-graph ranks
+    // OSCILLATE round to round — bipartite parity — so no monotone
+    // distance-decay assertion; see the convergence-test note in
+    // [[PageRank]])
+    assert(Seq(1L, 2L, 3L, 4L).forall(r(_) > 0.0), s"reachable mass: $r")
+    assert(r(5L) == 0.0, "beyond iters hops is still untouched at 3 rounds")
+    // restart mass bounds total mass by 1
+    assert(r.values.sum <= 1.0 + 1e-9)
+    graft.CacheScope.drain(spark)
+  }
+
   test("result is independent of partitioning") {
     val edges = (1L to 200L).map(i => (i % 37, i % 23)).toDF("src", "dst")
     val a = PageRank.ranks(edges, "src", "dst")
