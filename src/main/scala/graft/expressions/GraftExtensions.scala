@@ -1,9 +1,11 @@
 package graft.expressions
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.Lower
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Lower}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Optimizer rule: WordShingles lowercases its input internally, so a
   * `lower(...)` feeding it is redundant work per row — strip it. A small
@@ -37,10 +39,49 @@ object CollapseIdempotentNormalize extends Rule[LogicalPlan] {
 /** Session extension entry point:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.expressions.GraftExtensions`.
+  *
+  * Besides the optimizer rules, the native expressions register as SQL
+  * functions, so a SQL-only user (`spark.sql(...)`, thrift, notebooks)
+  * reaches the same codegen'd kernels as the Scala API:
+  * `word_shingles(text, n)`, `min_shingle_hash(text, n)`,
+  * `cosine_similarity(a, b)`, `unicode_normalize(s, 'NFC')`.
+  * Int/string parameters arrive as literals (the usual SQL-function
+  * convention — they parameterize codegen and cannot be per-row).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT parameter, got $other")
+  }
+
+  private def strLit(e: Expression, fn: String): String = e match {
+    case Literal(s: UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal STRING parameter, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => EliminateRedundantLowerUnderShingles)
     e.injectOptimizerRule(_ => CollapseIdempotentNormalize)
+    e.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, n) - distinct word n-gram shingles"),
+      (args: Seq[Expression]) =>
+        WordShingles(args.head, intLit(args(1), "word_shingles"))))
+    e.injectFunction((FunctionIdentifier("min_shingle_hash"),
+      info("min_shingle_hash", "min_shingle_hash(text, n) - min md5 over word n-grams"),
+      (args: Seq[Expression]) =>
+        MinShingleHash(args.head, intLit(args(1), "min_shingle_hash"))))
+    e.injectFunction((FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", "cosine_similarity(a, b) - cosine of two float/double arrays"),
+      (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))))
+    e.injectFunction((FunctionIdentifier("unicode_normalize"),
+      info("unicode_normalize", "unicode_normalize(s, form) - NFC/NFD/NFKC/NFKD normalization"),
+      (args: Seq[Expression]) =>
+        UnicodeNormalize(args.head, strLit(args(1), "unicode_normalize"))))
   }
 }

@@ -49,4 +49,33 @@ class GraftExtensionsSpec extends SparkSpec {
     // buildOptimizerRules is private[sql]; injection succeeding plus the
     // behavior test above covers the wiring
   }
+
+  test("native expressions are SQL-callable and match the Column API") {
+    // a fresh session (same SparkContext) built through withExtensions —
+    // the SQL-only user's entry path
+    // (spark.sql.extensions=graft.expressions.GraftExtensions)
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .withExtensions(new GraftExtensions).getOrCreate()
+    try {
+    val sh = s2.sql(
+      "SELECT word_shingles('a b c d e f', 5) AS sh").head().getSeq[String](0)
+    assert(sh == Seq("a b c d e", "b c d e f"))
+    val mh = s2.sql(
+      "SELECT min_shingle_hash('a b c d e f', 5) AS h").head().getString(0)
+    assert(mh != null && mh.length == 32)
+    val cos = s2.sql(
+      "SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    val un = s2.sql(
+      "SELECT unicode_normalize('é', 'NFC') AS u").head().getString(0)
+    assert(un == "é", "combining accent must compose under NFC")
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+    }
+  }
 }
