@@ -2689,6 +2689,65 @@ object CoreQueries {
        |SELECT id, round(rank * 1000, 6) AS rank_pm FROM r3 ORDER BY id""".stripMargin
   }
 
+  /** q126 — weighted shortest paths
+    * ([[graft.operators.ShortestPaths.weightedDistances]]) over the
+    * customer–supplier graph with TIE-STRENGTH distances: an edge's
+    * weight is `1000 div cnt + 1` (heavily co-purchased pairs are
+    * "close"), so the result reads "cheapest trust path from nation 0's
+    * customers". Three min-plus relaxation rounds, exact BIGINT
+    * distances, q76's long-id convention; the oracle unrolls the same
+    * three rounds as chained min-merges with `+ w`.
+    */
+  def weightedPaths(s: SparkSession, d: String): DataFrame = {
+    val pair = t(s, d, "orders").join(t(s, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("a"), col("b"), (expr("1000 div cnt") + 1).as("w"))
+    val edges = pair.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionAll(pair.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    val sources = t(s, d, "customer").filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("sid"))
+    graft.operators.ShortestPaths.weightedDistances(
+        edges, "src", "dst", "w", sources, "sid", rounds = 3)
+      .select(
+        when(col("id") % 2 === 0, concat(lit("c"), (col("id") / 2).cast("bigint")))
+          .otherwise(concat(lit("s"), ((col("id") - 1) / 2).cast("bigint")))
+          .as("id"),
+        col("dist"))
+      .orderBy("id")
+  }
+
+  val weightedPathsOracle: String = {
+    def step(k: Int): String =
+      s"""d$k AS (
+         |  SELECT id, min(dist) AS dist FROM (
+         |    SELECT id, dist FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, p.dist + e.w
+         |    FROM d${k - 1} p JOIN e ON e.src = p.id
+         |  ) GROUP BY id
+         |)""".stripMargin
+    s"""WITH pair AS (
+       |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+       |    's' || CAST(l_suppkey AS VARCHAR) AS b,
+       |    count(*) AS cnt
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2
+       |), pw AS (
+       |  SELECT a, b, 1000 // cnt + 1 AS w FROM pair
+       |), e AS (
+       |  SELECT a AS src, b AS dst, w FROM pw
+       |  UNION ALL SELECT b, a, w FROM pw
+       |), d0 AS (
+       |  SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS id,
+       |    CAST(0 AS BIGINT) AS dist
+       |  FROM customer WHERE c_nationkey = 0
+       |), ${step(1)}, ${step(2)}, ${step(3)}
+       |SELECT id, CAST(dist AS BIGINT) AS dist FROM d3 ORDER BY id""".stripMargin
+  }
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2760,6 +2819,7 @@ object CoreQueries {
     "q121_mad_outliers" -> (madOutliers(_, _)),
     "q122_histogram_quantiles" -> (histogramQuantiles(_, _)),
     "q125_personalized_pagerank" -> (personalizedPageRank(_, _)),
+    "q126_weighted_paths" -> (weightedPaths(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -2832,6 +2892,7 @@ object CoreQueries {
     "q121_mad_outliers" -> madOutliersOracle,
     "q122_histogram_quantiles" -> histogramQuantilesOracle,
     "q125_personalized_pagerank" -> personalizedPageRankOracle,
+    "q126_weighted_paths" -> weightedPathsOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }

@@ -68,4 +68,38 @@ object ShortestPaths {
     }
     dist
   }
+
+  /** Bounded-round Bellman–Ford over POSITIVE integer edge weights:
+    * `rounds` synchronous min-plus relaxations from the source set.
+    * Dijkstra's priority queue is inherently sequential — the honest
+    * distributed form is the Pregel relaxation round (one equality join
+    * dist⋈edges on the source id, one min-merge), and bounding the round
+    * count bounds the path length explored, exactly like [[hopDistances]]
+    * bounds hops. Unlike BFS, a settled distance CAN improve in a later
+    * round (a longer-but-lighter path), so the whole distance table
+    * re-materializes per round — state genuinely changes, the PageRank
+    * argument, not the BFS one. Distances are exact BIGINTs: min-plus
+    * over integers is associative/commutative with no float anywhere,
+    * so any engine and any partitioning agree bit-for-bit. Returns
+    * (id, dist) for nodes reachable within `rounds` relaxations.
+    */
+  def weightedDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, sources: DataFrame, idCol: String,
+      rounds: Int): DataFrame = {
+    // parallel edges collapse to their lightest weight up front — one
+    // bounded groupBy that shrinks every later round's join
+    val e0 = graft.CacheScope.persisted(
+      edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .agg(min(col(weightCol)).as("w")))
+    var dist = sources.select(col(idCol).as("id"), lit(0L).as("dist"))
+      .distinct().localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val relaxed = e0.join(dist, col("src") === col("id"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
 }

@@ -37,4 +37,25 @@ class ShortestPathsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 0L))) // no out-edges from 1: nothing reached
   }
+
+  test("weighted: lighter two-hop beats heavier direct edge; rounds truncate") {
+    // 1→3 direct costs 10; 1→2→3 costs 2+3=5; parallel 1→2 edges collapse
+    // to the lighter one; 3→4 only reachable with enough rounds
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 2L), (1L, 2L, 7L), (2L, 3L, 3L),
+      (3L, 4L, 1L)).toDF("s", "t", "w")
+    val src = Seq(1L).toDF("id")
+    def run(r: Int) = ShortestPaths.weightedDistances(
+      edges, "s", "t", "w", src, "id", r).as[(Long, Long)].collect().toMap
+    val d1 = run(1)
+    assert(d1 == Map(1L -> 0L, 2L -> 2L, 3L -> 10L),
+      s"one relaxation sees only direct edges: $d1")
+    val d3 = run(3)
+    assert(d3 == Map(1L -> 0L, 2L -> 2L, 3L -> 5L, 4L -> 6L),
+      s"the 2-hop path must displace the heavier direct edge: $d3")
+    // layout-independence (exact integers: bitwise equal maps)
+    val again = ShortestPaths.weightedDistances(edges.repartition(7),
+      "s", "t", "w", src, "id", 3).as[(Long, Long)].collect().toMap
+    assert(again == d3)
+    graft.CacheScope.drain(spark)
+  }
 }
