@@ -272,4 +272,19 @@ class PlanShapeSpec extends SparkSpec {
       s"score table is width-bounded and must broadcast, plan:\n$plan")
     graft.CacheScope.drain(spark, blocking = true)
   }
+
+  test("event paths: rank self-joins stay equality-shaped, no cartesian") {
+    val plan = executed(SparkEntry.queries("q119_event_paths")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"(user, rank±) joins must hash, plan:\n$plan")
+    graft.CacheScope.drain(spark, blocking = true)
+  }
+
+  test("histogram quantiles: the bounded sketch broadcasts, no sort-merge join") {
+    val plan = executed(SparkEntry.queries("q122_histogram_quantiles")(spark, sf))
+    assert(!plan.contains("SortMergeJoin"),
+      s"every join side is bins- or quantile-bounded, plan:\n$plan")
+    graft.CacheScope.drain(spark, blocking = true)
+  }
 }

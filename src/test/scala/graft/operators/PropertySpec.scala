@@ -183,4 +183,23 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("z-order: zValue is a bijection on 16-bit pairs (inverse recovers both)") {
+    val pairGen = for {
+      a <- Gen.choose(0L, 0xFFFFL)
+      b <- Gen.choose(0L, 0xFFFFL)
+    } yield (a, b)
+    // reference inverse: collect even/odd bits back into the two values
+    def unspread(z: Long, offset: Int): Long =
+      (0 until 16).map(i => ((z >> (2 * i + offset)) & 1L) << i).sum
+    forAll(Gen.listOfN(64, pairGen)) { pairs =>
+      val zs = pairs.toDF("a", "b")
+        .select($"a", $"b", graft.sources.ZOrder.zValue($"a", $"b").as("z"))
+        .as[(Long, Long, Long)].collect()
+      zs.foreach { case (a, b, z) =>
+        assert(unspread(z, 0) == a && unspread(z, 1) == b,
+          s"z=$z must decode back to ($a, $b)")
+      }
+    }
+  }
 }
