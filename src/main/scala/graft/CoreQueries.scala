@@ -2748,6 +2748,50 @@ object CoreQueries {
        |SELECT id, CAST(dist AS BIGINT) AS dist FROM d3 ORDER BY id""".stripMargin
   }
 
+  /** q127 — CUSUM change-point scan over the daily-revenue series: the
+    * classic "did the level shift, and when" diagnostic (Page 1954).
+    * Mean-removal stays integer by scaling: the excursion is
+    * `D_t = Σ_{i≤t} (n·x_i − T)` with `T = Σx` — n·x−T sums to zero over
+    * the whole series, so |D_t| peaks at the most likely change point.
+    * Everything is exact BIGINT (x in k$ units, the q117 integerizer);
+    * the running sum is a window over the DAY-DOMAIN-bounded daily
+    * table (the q122/q123 bounded-window argument), and the top-10
+    * excursions come out under a total (|D| DESC, day) order.
+    */
+  def cusumChangepoint(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = CacheScope.persisted(
+      t(s, d, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+        .select(
+          datediff(col("day"), lit("1970-01-01").cast("date"))
+            .cast("bigint").as("td"),
+          expr("CAST(rev * 100 AS BIGINT) div 100000").as("x")))
+    val tot = daily.agg(count(lit(1)).as("n"), sum("x").as("t"))
+    val w = Window.orderBy("td").rowsBetween(Window.unboundedPreceding, 0)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("d_t", sum(col("n") * col("x") - col("t")).over(w))
+      .select(col("td"), col("x"), col("d_t"), abs(col("d_t")).as("excursion"))
+      .orderBy(col("excursion").desc, col("td")).limit(10)
+  }
+
+  val cusumChangepointOracle: String =
+    """WITH daily AS (
+      |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS td,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) // 100000 AS x
+      |  FROM orders GROUP BY 1
+      |), tot AS (
+      |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS t FROM daily
+      |), c AS (
+      |  SELECT td, x,
+      |    CAST(sum(n * x - t) OVER (ORDER BY td
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS d_t
+      |  FROM daily CROSS JOIN tot
+      |)
+      |SELECT td, x, d_t, abs(d_t) AS excursion
+      |FROM c ORDER BY excursion DESC, td LIMIT 10""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2820,6 +2864,7 @@ object CoreQueries {
     "q122_histogram_quantiles" -> (histogramQuantiles(_, _)),
     "q125_personalized_pagerank" -> (personalizedPageRank(_, _)),
     "q126_weighted_paths" -> (weightedPaths(_, _)),
+    "q127_cusum_changepoint" -> (cusumChangepoint(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -2893,6 +2938,7 @@ object CoreQueries {
     "q122_histogram_quantiles" -> histogramQuantilesOracle,
     "q125_personalized_pagerank" -> personalizedPageRankOracle,
     "q126_weighted_paths" -> weightedPathsOracle,
+    "q127_cusum_changepoint" -> cusumChangepointOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }
