@@ -2792,6 +2792,61 @@ object CoreQueries {
       |SELECT td, x, d_t, abs(d_t) AS excursion
       |FROM c ORDER BY excursion DESC, td LIMIT 10""".stripMargin
 
+  /** q128 — Benford first-digit screen over order amounts: the
+    * fraud/data-quality detector comparing the leading-digit histogram
+    * to Benford's law (Newcomb 1881, Benford 1938). The nine expected
+    * proportions log₁₀(1+1/d) are public constants hardcoded in ppm on
+    * BOTH sides — no runtime log, so every column is an exact integer.
+    * One map-combinable digit histogram (9 rows) and a broadcast total;
+    * the fixture's bounded uniform-ish prices deviate from Benford
+    * hard, which is exactly what the screen should report.
+    */
+  def benfordDigits(s: SparkSession, d: String): DataFrame = {
+    val benford = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+      9 -> 45757L)
+    val expected = benford.map { case (dig, ppm) =>
+      when(col("digit") === dig, ppm)
+    }.reduceRight((a, b) => a.otherwise(b)) // right-assoc: one otherwise per when
+    val digits = t(s, d, "orders")
+      .select(substring(
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .cast("string"), 1, 1).cast("bigint").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+    digits.crossJoin(broadcast(digits.agg(sum("cnt").as("total"))))
+      .select(col("digit"), col("cnt"),
+        expr("(cnt * 1000000) div total").as("observed_ppm"),
+        expected.cast("bigint").as("benford_ppm"))
+      .withColumn("deviation_ppm",
+        abs(col("observed_ppm") - col("benford_ppm")))
+      .orderBy("digit")
+  }
+
+  val benfordDigitsOracle: String =
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(
+      |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM orders
+      |), h AS (
+      |  SELECT digit, count(*) AS cnt FROM d GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM h
+      |)
+      |SELECT h.digit, h.cnt,
+      |  (h.cnt * 1000000) // t.total AS observed_ppm,
+      |  CAST(CASE h.digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+      |    WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+      |    WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+      |    WHEN 9 THEN 45757 END AS BIGINT) AS benford_ppm,
+      |  abs((h.cnt * 1000000) // t.total
+      |    - CAST(CASE h.digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+      |        WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+      |        WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+      |        WHEN 9 THEN 45757 END AS BIGINT)) AS deviation_ppm
+      |FROM h CROSS JOIN t
+      |ORDER BY h.digit""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2865,6 +2920,7 @@ object CoreQueries {
     "q125_personalized_pagerank" -> (personalizedPageRank(_, _)),
     "q126_weighted_paths" -> (weightedPaths(_, _)),
     "q127_cusum_changepoint" -> (cusumChangepoint(_, _)),
+    "q128_benford_digits" -> (benfordDigits(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -2939,6 +2995,7 @@ object CoreQueries {
     "q125_personalized_pagerank" -> personalizedPageRankOracle,
     "q126_weighted_paths" -> weightedPathsOracle,
     "q127_cusum_changepoint" -> cusumChangepointOracle,
+    "q128_benford_digits" -> benfordDigitsOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }
