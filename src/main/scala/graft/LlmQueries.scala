@@ -2383,6 +2383,49 @@ object LlmQueries {
       |    AS r2
       |FROM m ORDER BY lang""".stripMargin
 
+  /** q129 — corpus novelty scoring: for every candidate document, the
+    * share of its distinct 5-gram shingles absent from the reference
+    * corpus (docs with id % 3 == 0 stand in for "data we already
+    * have") — the measure that decides whether a new crawl slice is
+    * worth ingesting. Same scale shape as decontamination (shingle
+    * equality anti-join, one shuffle; per-doc counts map-combinable) but
+    * inverted: instead of flagging overlap pairs, it scores what is NEW.
+    * Ratios are exact integer ppm.
+    */
+  def noveltyScore(s: SparkSession, d: String): DataFrame = {
+    val all = CacheScope.persisted(
+      docs(s, d).select(col("doc_id"),
+        explode(TextAnalysis.textShingles(col("text"), 5)).as("g")))
+    val ref = all.filter(col("doc_id") % 3 === 0).select("g").distinct()
+    val cand = all.filter(col("doc_id") % 3 =!= 0)
+    val novel = cand.join(ref, Seq("g"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    cand.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("(n_novel * 1000000) div n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  val noveltyScoreOracle: String =
+    s"""WITH $tokShSql, ex AS (
+       |  SELECT doc_id, unnest(sh) AS g FROM sh
+       |), ref AS (
+       |  SELECT DISTINCT g FROM ex WHERE doc_id % 3 = 0
+       |), cand AS (
+       |  SELECT doc_id, g FROM ex WHERE doc_id % 3 <> 0
+       |), n AS (
+       |  SELECT cand.doc_id, count(*) AS n_shingles,
+       |    CAST(sum(CASE WHEN ref.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_novel
+       |  FROM cand LEFT JOIN ref ON cand.g = ref.g
+       |  GROUP BY 1
+       |)
+       |SELECT doc_id, n_shingles, n_novel,
+       |  (n_novel * 1000000) // n_shingles AS novelty_ppm
+       |FROM n ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2441,6 +2484,7 @@ object LlmQueries {
     "q115_dsir_selection" -> (dsirSelection(_, _)),
     "q123_pareto_frontier" -> (paretoFrontier(_, _)),
     "q124_ols_trend" -> (olsTrend(_, _)),
+    "q129_novelty_score" -> (noveltyScore(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2499,5 +2543,6 @@ object LlmQueries {
     "q115_dsir_selection" -> dsirSelectionOracle,
     "q123_pareto_frontier" -> paretoFrontierOracle,
     "q124_ols_trend" -> olsTrendOracle,
+    "q129_novelty_score" -> noveltyScoreOracle,
   )
 }

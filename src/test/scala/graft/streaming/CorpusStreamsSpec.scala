@@ -50,6 +50,37 @@ class CorpusStreamsSpec extends SparkSpec {
     assert(admitted.select("fp").distinct().count() == admitted.count())
   }
 
+  test("streaming CMS sketch over microbatches equals the batch sketch exactly") {
+    // the sketch build is a plain count aggregation, so it runs as a
+    // streaming stateful agg in Complete mode — and because CMS is
+    // exact-deterministic (unlike order-dependent Misra–Gries), the
+    // final streamed sketch must be BIT-IDENTICAL to the batch one,
+    // however the input was split into batches
+    val feedDir = Files.createTempDirectory("docs_feed_cms")
+    val half = Tables.documents(spark, sf)
+    half.filter($"doc_id" % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(feedDir.toString)
+    val (depths, width) = (4, 64)
+    def bucketed(df: org.apache.spark.sql.DataFrame) =
+      graft.functions.CountMin.sketch(
+        df.select(explode(TextAnalysis.tokens($"text")).as("tok")),
+        "tok", depths, width)
+    val q = bucketed(CorpusStreams.readDocuments(spark, feedDir.toString))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    // second microbatch: the other half
+    half.filter($"doc_id" % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(feedDir.toString)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms_stream")
+    val batch = bucketed(half)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streamed sketch must equal the batch sketch counter-for-counter")
+  }
+
   test("restart recovery: a new query on the same checkpoint stays exactly-once") {
     val feedDir = Files.createTempDirectory("docs_feed_rr")
     val table = Files.createTempDirectory("corpus_vt_rr").resolve("docs").toString
