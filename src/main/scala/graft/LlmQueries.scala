@@ -2426,6 +2426,47 @@ object LlmQueries {
        |  (n_novel * 1000000) // n_shingles AS novelty_ppm
        |FROM n ORDER BY doc_id""".stripMargin
 
+  /** q130 — categorical independence screen over the (lang, source)
+    * contingency table: per-cell deviation from the independence
+    * expectation, `(N·O − r·c)·10⁶ div (r·c)` — i.e. (O/E − 1) in exact
+    * integer ppm. The per-cell residual carries the same signal as a
+    * chi-square scan (which cells are over/under-represented — the
+    * "does this crawl source skew German" question) WITHOUT the global
+    * float sum a chi-square statistic needs, so every value is
+    * engine-exact. Three map-combinable aggregations (cells, row
+    * totals, column totals) and two broadcast joins of the tiny margin
+    * tables.
+    */
+  def independenceResiduals(s: SparkSession, d: String): DataFrame = {
+    val base = CacheScope.persisted(
+      docs(s, d).groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("o")))
+    val rows = base.groupBy("lang").agg(sum("o").as("r"))
+    val cols = base.groupBy("source").agg(sum("o").as("c"))
+    val n = base.agg(sum("o").as("n"))
+    base.join(broadcast(rows), "lang").join(broadcast(cols), "source")
+      .crossJoin(broadcast(n))
+      .select(col("lang"), col("source"), col("o"), col("r"), col("c"),
+        expr("((n * o - r * c) * 1000000) div (r * c)").as("resid_ppm"))
+      .orderBy("lang", "source")
+  }
+
+  val independenceResidualsOracle: String =
+    """WITH base AS (
+      |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+      |), r AS (
+      |  SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM base GROUP BY 1
+      |), c AS (
+      |  SELECT source, CAST(sum(o) AS BIGINT) AS c FROM base GROUP BY 1
+      |), n AS (
+      |  SELECT CAST(sum(o) AS BIGINT) AS n FROM base
+      |)
+      |SELECT b.lang, b.source, b.o, r.r, c.c,
+      |  ((n.n * b.o - r.r * c.c) * 1000000) // (r.r * c.c) AS resid_ppm
+      |FROM base b JOIN r ON b.lang = r.lang JOIN c ON b.source = c.source
+      |CROSS JOIN n
+      |ORDER BY b.lang, b.source""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2485,6 +2526,7 @@ object LlmQueries {
     "q123_pareto_frontier" -> (paretoFrontier(_, _)),
     "q124_ols_trend" -> (olsTrend(_, _)),
     "q129_novelty_score" -> (noveltyScore(_, _)),
+    "q130_independence_residuals" -> (independenceResiduals(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2544,5 +2586,6 @@ object LlmQueries {
     "q123_pareto_frontier" -> paretoFrontierOracle,
     "q124_ols_trend" -> olsTrendOracle,
     "q129_novelty_score" -> noveltyScoreOracle,
+    "q130_independence_residuals" -> independenceResidualsOracle,
   )
 }
