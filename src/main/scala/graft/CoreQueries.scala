@@ -2212,7 +2212,10 @@ object CoreQueries {
       .join(freq.select(col("pkey").as("p2"), col("c").as("c_y")), "p2")
       .crossJoin(broadcast(n))
       .select(col("p1"), col("p2"), col("c_xy"), col("c_x"), col("c_y"),
-        expr("(c_xy * n_orders * 1000000) div (c_x * c_y)").as("lift_ppm"))
+        // DECIMAL(38,0) carrier: see q110 — c_xy*n_orders*10^6 wraps BIGINT
+        // at large-corpus order counts; HUGEINT mirrors it in the oracle
+        expr("CAST(c_xy AS DECIMAL(38,0)) * n_orders * 1000000 div (c_x * c_y)")
+          .as("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("p1"), col("p2")).limit(200)
   }
 
@@ -2230,7 +2233,7 @@ object CoreQueries {
       |  HAVING count(*) >= 2
       |)
       |SELECT p.p1, p.p2, p.c_xy, fx.c AS c_x, fy.c AS c_y,
-      |  (p.c_xy * n.n_orders * 1000000) // (fx.c * fy.c) AS lift_ppm
+      |  CAST((CAST(p.c_xy AS HUGEINT) * n.n_orders * 1000000) // (fx.c * fy.c) AS BIGINT) AS lift_ppm
       |FROM pairs p
       |JOIN freq fx ON fx.pkey = p.p1
       |JOIN freq fy ON fy.pkey = p.p2
@@ -2808,11 +2811,13 @@ object CoreQueries {
     val expected = benford.map { case (dig, ppm) =>
       when(col("digit") === dig, ppm)
     }.reduceRight((a, b) => a.otherwise(b)) // right-assoc: one otherwise per when
-    val digits = t(s, d, "orders")
-      .select(substring(
-        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
-          .cast("string"), 1, 1).cast("bigint").as("digit"))
-      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+    // the 9-row histogram feeds both the output and the grand total
+    val digits = CacheScope.persisted(
+      t(s, d, "orders")
+        .select(substring(
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .cast("string"), 1, 1).cast("bigint").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("cnt")))
     digits.crossJoin(broadcast(digits.agg(sum("cnt").as("total"))))
       .select(col("digit"), col("cnt"),
         expr("(cnt * 1000000) div total").as("observed_ppm"),

@@ -2091,7 +2091,11 @@ object LlmQueries {
       .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
       .join(uni.groupBy().agg(sum(col("c")).as("n_slots")))
       .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
-        expr("c_xy * n_slots * 1000000L div (c_x * c_y)").as("pmi_ppm"))
+        // DECIMAL(38,0) carrier: c_xy*N*10^6 exceeds 2^63 already at a
+        // ~100M-token corpus with a frequent bigram — BIGINT would wrap
+        // silently (ANSI off); the oracle mirrors with HUGEINT
+        expr("CAST(c_xy AS DECIMAL(38,0)) * n_slots * 1000000 div (c_x * c_y)")
+          .as("pmi_ppm"))
       .orderBy(col("pmi_ppm").desc, col("w1"), col("w2"))
       .limit(200)
   }
@@ -2114,7 +2118,7 @@ object LlmQueries {
       |  HAVING count(*) >= 5
       |)
       |SELECT b.w1, b.w2, b.c_xy, ux.c AS c_x, uy.c AS c_y,
-      |  (b.c_xy * nn.n_slots * 1000000) // (ux.c * uy.c) AS pmi_ppm
+      |  CAST((CAST(b.c_xy AS HUGEINT) * nn.n_slots * 1000000) // (ux.c * uy.c) AS BIGINT) AS pmi_ppm
       |FROM big b
       |JOIN uni ux ON ux.w = b.w1
       |JOIN uni uy ON uy.w = b.w2
@@ -2206,10 +2210,13 @@ object LlmQueries {
       |  SELECT tok, count(*) AS exact_cnt FROM tok GROUP BY 1
       |  ORDER BY exact_cnt DESC, tok LIMIT 100
       |), est AS (
-      |  SELECT t.tok, min(s.cnt) AS cms_est
+      |  -- LEFT join: a term whose bucket holds no counter estimates 0
+      |  -- (the empty counter IS a count of zero), mirroring
+      |  -- CountMin.estimate's left join + coalesce
+      |  SELECT t.tok, min(coalesce(s.cnt, 0)) AS cms_est
       |  FROM top t
       |  CROSS JOIN (SELECT unnest(range(0, 4)) AS d) dd
-      |  JOIN sk s ON s.depth = dd.d
+      |  LEFT JOIN sk s ON s.depth = dd.d
       |   AND s.bucket = CAST('0x' || substr(md5('cms' || CAST(dd.d AS VARCHAR) || '|' || t.tok), 1, 15)
       |                       AS BIGINT) % 512
       |  GROUP BY 1
@@ -2447,7 +2454,8 @@ object LlmQueries {
     base.join(broadcast(rows), "lang").join(broadcast(cols), "source")
       .crossJoin(broadcast(n))
       .select(col("lang"), col("source"), col("o"), col("r"), col("c"),
-        expr("((n * o - r * c) * 1000000) div (r * c)").as("resid_ppm"))
+        expr("(CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c) * 1000000 div (r * c)")
+          .as("resid_ppm"))
       .orderBy("lang", "source")
   }
 
@@ -2462,7 +2470,7 @@ object LlmQueries {
       |  SELECT CAST(sum(o) AS BIGINT) AS n FROM base
       |)
       |SELECT b.lang, b.source, b.o, r.r, c.c,
-      |  ((n.n * b.o - r.r * c.c) * 1000000) // (r.r * c.c) AS resid_ppm
+      |  CAST(((CAST(n.n AS HUGEINT) * b.o - CAST(r.r AS HUGEINT) * c.c) * 1000000) // (r.r * c.c) AS BIGINT) AS resid_ppm
       |FROM base b JOIN r ON b.lang = r.lang JOIN c ON b.source = c.source
       |CROSS JOIN n
       |ORDER BY b.lang, b.source""".stripMargin

@@ -50,6 +50,11 @@ object CollapseIdempotentNormalize extends Rule[LogicalPlan] {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  private def arity(args: Seq[Expression], n: Int, fn: String,
+      sig: String): Unit =
+    require(args.length == n,
+      s"$fn expects $n arguments ($sig), got ${args.length}")
+
   private def intLit(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
@@ -63,25 +68,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => EliminateRedundantLowerUnderShingles)
     e.injectOptimizerRule(_ => CollapseIdempotentNormalize)
     e.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(text, n) - distinct word n-gram shingles"),
-      (args: Seq[Expression]) =>
-        WordShingles(args.head, intLit(args(1), "word_shingles"))))
+      (args: Seq[Expression]) => {
+        arity(args, 2, "word_shingles", "text, n")
+        WordShingles(args.head, intLit(args(1), "word_shingles"))
+      }))
     e.injectFunction((FunctionIdentifier("min_shingle_hash"),
       info("min_shingle_hash", "min_shingle_hash(text, n) - min md5 over word n-grams"),
-      (args: Seq[Expression]) =>
-        MinShingleHash(args.head, intLit(args(1), "min_shingle_hash"))))
+      (args: Seq[Expression]) => {
+        arity(args, 2, "min_shingle_hash", "text, n")
+        MinShingleHash(args.head, intLit(args(1), "min_shingle_hash"))
+      }))
     e.injectFunction((FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", "cosine_similarity(a, b) - cosine of two float/double arrays"),
-      (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))))
+      (args: Seq[Expression]) => {
+        arity(args, 2, "cosine_similarity", "a, b")
+        CosineSimilarity(args.head, args(1))
+      }))
     e.injectFunction((FunctionIdentifier("unicode_normalize"),
       info("unicode_normalize", "unicode_normalize(s, form) - NFC/NFD/NFKC/NFKD normalization"),
-      (args: Seq[Expression]) =>
-        UnicodeNormalize(args.head, strLit(args(1), "unicode_normalize"))))
+      (args: Seq[Expression]) => {
+        arity(args, 2, "unicode_normalize", "s, form")
+        UnicodeNormalize(args.head, strLit(args(1), "unicode_normalize"))
+      }))
   }
 }

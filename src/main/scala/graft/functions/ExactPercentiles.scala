@@ -51,10 +51,13 @@ object ExactPercentiles {
 
     override def finish(b: mutable.ArrayBuffer[Double]): Seq[Double] = {
       val arr = b.toArray
+      // no surviving values (empty group or all-null input): NULL array,
+      // matching the built-in percentile / quantile_cont contract —
+      // emitting NaNs here would leak the null sentinel into results
+      if (arr.isEmpty) return null
       java.util.Arrays.sort(arr)
       ps.map { p =>
-        if (arr.isEmpty) Double.NaN
-        else {
+        {
           // Spark Percentile.getPercentile: position on n−1 gaps, floor/
           // ceil neighbors, convex combination in THIS evaluation order
           val pos = p * (arr.length - 1)

@@ -42,9 +42,12 @@ object HistogramSketch {
   def quantiles(sk: DataFrame, qPermille: Seq[Int], bins: Int, lo: Long,
       hi: Long): DataFrame = {
     val span = hi - lo + 1
-    val cum = sk
+    // the sketch aggregation feeds the cumulative walk AND the total —
+    // persist the ≤bins rows rather than re-running the build twice
+    val skP = graft.CacheScope.persisted(sk)
+    val cum = skP
       .withColumn("cum", sum("cnt").over(Window.orderBy("bin")))
-      .crossJoin(broadcast(sk.agg(sum("cnt").as("n"))))
+      .crossJoin(broadcast(skP.agg(sum("cnt").as("n"))))
     cum
       .select(col("bin"), col("cum"), col("n"),
         explode(array(qPermille.map(q => lit(q.toLong)): _*)).as("q_permille"))

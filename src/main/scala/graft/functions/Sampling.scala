@@ -97,7 +97,9 @@ object Sampling {
     * map-combinable groupBy of the token stream), the grand totals are
     * one aggregate row, and both broadcast back onto the token stream —
     * the corpus shuffles only on (doc_id) for the final per-document
-    * sum. Returns (doc_id, weight) for every document.
+    * sum. Returns (doc_id, weight) for every document with at least one
+    * token (a zero-token document has no feature evidence and no
+    * defined mean ratio, so it carries no row).
     */
   def importanceWeights(docs: DataFrame, isTarget: Column,
       width: Int = 4096, scalePerMille: Long = 1000L): DataFrame = {

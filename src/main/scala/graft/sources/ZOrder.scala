@@ -62,10 +62,12 @@ object ZOrder {
     val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
     val (la, ha, lb, hb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    def norm(c: Column, lo: Long, hi: Long): Column =
+    // backticked name, not Column.toString: names with spaces/keywords
+    // would break the round-trip through expr()
+    def norm(name: String, lo: Long, hi: Long): Column =
       if (hi <= lo) lit(0L)
-      else expr(s"((${c.toString} - $lo) * 65535) div ${hi - lo}")
-    df.withColumn("__z", zValue(norm(col(colA), la, ha), norm(col(colB), lb, hb)))
+      else expr(s"((`$name` - $lo) * 65535) div ${hi - lo}")
+    df.withColumn("__z", zValue(norm(colA, la, ha), norm(colB, lb, hb)))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -42,6 +42,11 @@ class NullSemanticsSpec extends SparkSpec {
         .percentiles($"v", Seq(0.5)).as("p"))
       .select($"p" (0)).as[Double].head()
     assert(p == 2.0, s"median over {1,2,3} with nulls dropped, got $p")
+    // all-null group: NULL array, the built-in percentile contract
+    val allNull = Seq[Option[Double]](None, None).toDF("v")
+      .agg(functions.ExactPercentiles.percentiles($"v", Seq(0.5)).as("p"))
+      .select($"p".isNull).as[Boolean].head()
+    assert(allNull, "all-null input must yield NULL, not NaN")
     val tk = Seq((Some(5.0), 1L), (None, 2L), (Some(7.0), 3L))
       .toDF("sim", "id")
       .agg(functions.TopK.top_k($"sim", $"id", 5).as("tk"))
