@@ -2475,6 +2475,89 @@ object LlmQueries {
       |CROSS JOIN n
       |ORDER BY b.lang, b.source""".stripMargin
 
+  /** q131 — reciprocal-rank fusion (Cormack et al. 2009) of two
+    * retrieval rankings: exact-cosine top-10 and int8-quantized top-10
+    * fuse per candidate as Σ 10⁹ div (60 + rank) — the floor-scaled
+    * integer form of RRF's 1/(k+rank), rank-faithful and engine-exact
+    * (the fused score never touches a float). This is how hybrid search
+    * stacks combine rankers without score calibration; here it also
+    * audits the quantized ranker against the exact one inside the same
+    * query. Scale shape: both rankers are the bounded TopK aggregations
+    * (map-side truncation before the shuffle), fusion is one
+    * map-combinable sum over ≤ 20 rows per query, and the final top-5 is
+    * the same bounded TopK.
+    */
+  def rrfFusion(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TopK
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val lists =
+      SimilarityOps.bruteForceTopK(q, e, 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .unionByName(SimilarityOps.quantizedTopK(q, e, 10)
+          .select(col("query_id"), col("neighbor_id"), col("rank")))
+    val fused = lists
+      .select(col("query_id"), col("neighbor_id"),
+        expr("1000000000 div (60 + rank)").as("c"))
+      .groupBy("query_id", "neighbor_id").agg(sum("c").as("rrf"))
+    fused.groupBy("query_id")
+      // rrf ≤ 2·10⁹/61 ≪ 2⁵³: the double carrier through TopK is exact
+      .agg(TopK.top_k(col("rrf").cast("double"), col("neighbor_id"), 5).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rank"),
+        col("col").getField("id").as("neighbor_id"),
+        col("col").getField("sim").cast("bigint").as("rrf"))
+      .orderBy("query_id", "rank")
+  }
+
+  val rrfFusionOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id % 200 = 0
+      |), exs AS (
+      |  SELECT query_id, vec_id,
+      |    round(list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])), 4) AS sim
+      |  FROM q, embeddings WHERE vec_id <> query_id
+      |), exr AS (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM exs
+      |), qz AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(floor(x * 127) AS BIGINT)) AS v
+      |  FROM embeddings
+      |), qq AS (
+      |  SELECT vec_id AS query_id, v AS qv FROM qz WHERE vec_id % 200 = 0
+      |), qs AS (
+      |  SELECT query_id, vec_id,
+      |    CAST(list_sum(list_transform(range(1, len(qv) + 1),
+      |      i -> qv[i] * v[i])) AS BIGINT) AS qdot
+      |  FROM qq, qz WHERE vec_id <> query_id
+      |), qr AS (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY qdot DESC, vec_id) AS rank
+      |  FROM qs
+      |), contrib AS (
+      |  SELECT query_id, vec_id, 1000000000 // (60 + rank) AS c
+      |  FROM exr WHERE rank <= 10
+      |  UNION ALL
+      |  SELECT query_id, vec_id, 1000000000 // (60 + rank)
+      |  FROM qr WHERE rank <= 10
+      |), fused AS (
+      |  SELECT query_id, vec_id, CAST(sum(c) AS BIGINT) AS rrf
+      |  FROM contrib GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT query_id, vec_id, rrf,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf DESC, vec_id) AS rank
+      |  FROM fused
+      |)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+      |  rrf
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2535,6 +2618,7 @@ object LlmQueries {
     "q124_ols_trend" -> (olsTrend(_, _)),
     "q129_novelty_score" -> (noveltyScore(_, _)),
     "q130_independence_residuals" -> (independenceResiduals(_, _)),
+    "q131_rrf_fusion" -> (rrfFusion(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2595,5 +2679,6 @@ object LlmQueries {
     "q124_ols_trend" -> olsTrendOracle,
     "q129_novelty_score" -> noveltyScoreOracle,
     "q130_independence_residuals" -> independenceResidualsOracle,
+    "q131_rrf_fusion" -> rrfFusionOracle,
   )
 }
