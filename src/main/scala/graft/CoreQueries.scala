@@ -2852,6 +2852,41 @@ object CoreQueries {
       |FROM h CROSS JOIN t
       |ORDER BY h.digit""".stripMargin
 
+  /** q132 — sequence islands-and-gaps over the order-key space: the
+    * contiguous runs of present keys (and, implicitly, every hole
+    * between them) — the standard "did ingestion drop a range"
+    * diagnostic. The fixture's keys are dense, so holes are planted
+    * in-query (every key ≡ 37..41 mod 100 "failed to ingest" — the
+    * planted-pattern convention q21/q31 use for dups): the detector
+    * must recover exactly those dropped ranges. The classic
+    * `k − row_number()` trick needs a GLOBAL rank — here it rides the
+    * bucketed distributed [[graft.operators.PrefixSum]] (one pass +
+    * broadcast bucket offsets), never a single-partition window; the
+    * island grouping that follows is an ordinary map-combinable
+    * aggregate on the constant `k − rank` run id.
+    */
+  def sequenceGaps(s: SparkSession, d: String): DataFrame = {
+    val keys = t(s, d, "orders").select(col("o_orderkey").as("k"))
+      .filter(col("k") % 100 < 37 || col("k") % 100 > 41).distinct()
+    val ranked = graft.operators.PrefixSum.exclusiveRunningTotal(
+      keys, Seq(col("k")), lit(1L), "rn")
+    ranked.groupBy((col("k") - col("rn")).as("island"))
+      .agg(min("k").as("start_key"), max("k").as("end_key"),
+        count(lit(1)).as("run_length"))
+      .select("start_key", "end_key", "run_length")
+      .orderBy("start_key")
+  }
+
+  val sequenceGapsOracle: String =
+    """WITH keys AS (
+      |  SELECT DISTINCT o_orderkey AS k FROM orders
+      |  WHERE o_orderkey % 100 < 37 OR o_orderkey % 100 > 41
+      |), r AS (
+      |  SELECT k, row_number() OVER (ORDER BY k) - 1 AS rn FROM keys
+      |)
+      |SELECT min(k) AS start_key, max(k) AS end_key, count(*) AS run_length
+      |FROM r GROUP BY k - rn ORDER BY start_key""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2926,6 +2961,7 @@ object CoreQueries {
     "q126_weighted_paths" -> (weightedPaths(_, _)),
     "q127_cusum_changepoint" -> (cusumChangepoint(_, _)),
     "q128_benford_digits" -> (benfordDigits(_, _)),
+    "q132_sequence_gaps" -> (sequenceGaps(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -3001,6 +3037,7 @@ object CoreQueries {
     "q126_weighted_paths" -> weightedPathsOracle,
     "q127_cusum_changepoint" -> cusumChangepointOracle,
     "q128_benford_digits" -> benfordDigitsOracle,
+    "q132_sequence_gaps" -> sequenceGapsOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }
