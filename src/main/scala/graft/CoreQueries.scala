@@ -2887,6 +2887,60 @@ object CoreQueries {
       |SELECT min(k) AS start_key, max(k) AS end_key, count(*) AS run_length
       |FROM r GROUP BY k - rn ORDER BY start_key""".stripMargin
 
+  /** q133 — 3-dimensional Morton z-values
+    * ([[graft.sources.ZOrder.zValue3]]): the (customer, supplier, day)
+    * interleave a tenant × entity × time layout clusters on. As with
+    * q120, the query puts the 3-way shift-mask bit arithmetic itself
+    * under the oracle, recomputed bit-for-bit in DuckDB from lineitem's
+    * join keys.
+    */
+  def zorder3Values(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ZOrder
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("o_custkey").bitwiseAND(lit(0x3FFL)).as("ck10"),
+        col("l_suppkey").bitwiseAND(lit(0x3FFL)).as("sk10"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("bigint")
+          .bitwiseAND(lit(0x3FFL)).as("day10"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("ck10"),
+        col("sk10"), col("day10"),
+        ZOrder.zValue3(col("ck10"), col("sk10"), col("day10")).as("zval"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val zorder3ValuesOracle: String = {
+    // three 4-stage shift-mask spreads share one CTE template; each
+    // dimension's chain reads the previous dimension's last stage
+    val dims = Seq("ck10" -> "a", "sk10" -> "b", "day10" -> "c")
+    val stages = dims.map { case (src, o) =>
+      s"""s$o AS (
+         |  SELECT *, (($src | ($src << 16)) & 50331903) AS ${o}1
+         |  FROM __IN_$o
+         |), t$o AS (
+         |  SELECT *, ((${o}1 | (${o}1 << 8)) & 50393103) AS ${o}2 FROM s$o
+         |), u$o AS (
+         |  SELECT *, ((${o}2 | (${o}2 << 4)) & 51130563) AS ${o}3 FROM t$o
+         |), v$o AS (
+         |  SELECT *, ((${o}3 | (${o}3 << 2)) & 153391689) AS ${o}4 FROM u$o
+         |)""".stripMargin
+    }
+    val chain = stages.mkString(", ")
+      .replace("__IN_a", "base").replace("__IN_b", "va").replace("__IN_c", "vb")
+    s"""WITH base AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    CAST(o_custkey AS BIGINT) & 1023 AS ck10,
+       |    CAST(l_suppkey AS BIGINT) & 1023 AS sk10,
+       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+       |      & 1023 AS day10
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), $chain
+       |SELECT l_orderkey, l_linenumber, ck10, sk10, day10,
+       |  a4 | (b4 << 1) | (c4 << 2) AS zval
+       |FROM vc ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2962,6 +3016,7 @@ object CoreQueries {
     "q127_cusum_changepoint" -> (cusumChangepoint(_, _)),
     "q128_benford_digits" -> (benfordDigits(_, _)),
     "q132_sequence_gaps" -> (sequenceGaps(_, _)),
+    "q133_zorder3_values" -> (zorder3Values(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -3038,6 +3093,7 @@ object CoreQueries {
     "q127_cusum_changepoint" -> cusumChangepointOracle,
     "q128_benford_digits" -> benfordDigitsOracle,
     "q132_sequence_gaps" -> sequenceGapsOracle,
+    "q133_zorder3_values" -> zorder3ValuesOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }

@@ -42,6 +42,29 @@ object ZOrder {
   def zValue(a: Column, b: Column): Column =
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
 
+  /** Spread the low 10 bits of `c` to every THIRD position (0, 3, 6, …)
+    * — the 3-dimensional Morton spread (same shift-mask family, 3-way
+    * masks). 10 bits per dimension → a 30-bit z covering 2³⁰ cells.
+    */
+  def spread10x3(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(0x3FFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 16)).bitwiseAND(lit(0x30000FFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 8)).bitwiseAND(lit(0x300F00FL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 4)).bitwiseAND(lit(0x30C30C3L))
+    x3.bitwiseOR(shiftleft(x3, 2)).bitwiseAND(lit(0x9249249L))
+  }
+
+  /** Three-dimensional Morton z-value over the low 10 bits of each of
+    * `a`, `b`, `c` — for tenant × time × key layouts, where a predicate
+    * on ANY of the three columns should skip files. Same normalization
+    * caveat as [[clusterWrite]]: scale the dimensions to comparable bit
+    * widths first, or the widest monopolizes the sort.
+    */
+  def zValue3(a: Column, b: Column, c: Column): Column =
+    spread10x3(a)
+      .bitwiseOR(shiftleft(spread10x3(b), 1))
+      .bitwiseOR(shiftleft(spread10x3(c), 2))
+
   /** Write `df` z-clustered on (`colA`, `colB`) into `numFiles` parquet
     * files: one range shuffle on the z-value, an in-partition sort, and
     * the helper column dropped before the write. Each output file then

@@ -202,4 +202,24 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("z-order: zValue3 is a bijection on 10-bit triples") {
+    val tripleGen = for {
+      a <- Gen.choose(0L, 0x3FFL)
+      b <- Gen.choose(0L, 0x3FFL)
+      c <- Gen.choose(0L, 0x3FFL)
+    } yield (a, b, c)
+    def unspread3(z: Long, offset: Int): Long =
+      (0 until 10).map(i => ((z >> (3 * i + offset)) & 1L) << i).sum
+    forAll(Gen.listOfN(64, tripleGen)) { ts =>
+      val zs = ts.toDF("a", "b", "c")
+        .select($"a", $"b", $"c",
+          graft.sources.ZOrder.zValue3($"a", $"b", $"c").as("z"))
+        .as[(Long, Long, Long, Long)].collect()
+      zs.foreach { case (a, b, c, z) =>
+        assert(unspread3(z, 0) == a && unspread3(z, 1) == b &&
+          unspread3(z, 2) == c, s"z=$z must decode back to ($a, $b, $c)")
+      }
+    }
+  }
 }
