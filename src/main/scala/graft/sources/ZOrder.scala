@@ -97,6 +97,30 @@ object ZOrder {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Three-column variant of [[clusterWrite]]: min-max normalize each
+    * dimension to 10 bits, interleave with [[zValue3]], range-shuffle
+    * into `numFiles` contiguous z-range files. A predicate on ANY of
+    * the three columns then skips ~files^(2/3) via footer stats.
+    */
+  def clusterWrite3(df: DataFrame, path: String, colA: String, colB: String,
+      colC: String, numFiles: Int): Unit = {
+    val r = df.agg(
+      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long"),
+      min(col(colC)).cast("long"), max(col(colC)).cast("long")).head()
+    def norm(name: String, lo: Long, hi: Long): Column =
+      if (hi <= lo) lit(0L)
+      else expr(s"((`$name` - $lo) * 1023) div ${hi - lo}")
+    df.withColumn("__z", zValue3(
+        norm(colA, r.getLong(0), r.getLong(1)),
+        norm(colB, r.getLong(2), r.getLong(3)),
+        norm(colC, r.getLong(4), r.getLong(5))))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Per-file [min, max] stats of `column` over a parquet directory —
     * the skipping index a scan planner consults. One metadata-cheap
     * aggregation over `_metadata.file_path`; rows = files, never data.

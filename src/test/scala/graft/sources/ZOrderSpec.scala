@@ -53,4 +53,25 @@ class ZOrderSpec extends SparkSpec {
       ZOrder.fileStats(spark, zDir, "day"), dMid, dMid + ((dHi - dLo) / 16 max 1L))
     assert(zDay < zFiles, s"z-layout must still skip on day: $zDay of $zFiles")
   }
+
+  test("3-D z-clustered layout skips files on every dimension") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select($"l_orderkey", $"o_custkey".as("ck"), $"l_suppkey".as("sk"),
+        datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+          .cast("bigint").as("day"))
+    val n = 27 // 3 z-bits per dimension at the top of the interleave
+    val dir = Files.createTempDirectory("zorder3").toString
+    ZOrder.clusterWrite3(li, dir, "ck", "sk", "day", n)
+    val total = ZOrder.fileStats(spark, dir, "ck").count()
+    for (c <- Seq("ck", "sk", "day")) {
+      val stats = ZOrder.fileStats(spark, dir, c)
+      val (lo, hi) = li.agg(min(col(c)).cast("long"), max(col(c)).cast("long"))
+        .as[(Long, Long)].head()
+      val mid = (lo + hi) / 2
+      val cand = ZOrder.candidateFiles(stats, mid, mid + ((hi - lo) / 27 max 1L))
+      assert(cand < total, s"3-D layout must skip on $c: $cand of $total")
+    }
+  }
 }
