@@ -23,15 +23,26 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]); read nanos as long and truncate to
-    * microseconds — the same ns→µs truncation DuckDB applies, so event-time
-    * semantics agree with the oracle.
+  /** `events.ts` arrives in fixture-generation-dependent physical types:
+    * parquet TIMESTAMP(NANOS) (rejected by Spark's vectorized reader —
+    * [PARQUET_TYPE_ILLEGAL] — so it is read as long nanos and truncated to
+    * microseconds, the same ns→µs truncation DuckDB applies) or plain
+    * timestamp[us] (read as TIMESTAMP_NTZ). Either way the loader
+    * normalizes to session-zone TIMESTAMP so every event-time query sees
+    * one type; the session zone is pinned UTC, making the NTZ cast a
+    * wall-clock no-op that agrees with DuckDB's naive TIMESTAMP.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -3,17 +3,18 @@ package graft.sources
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
-/** READ-ONLY interop with the Delta Lake transaction-log wire format —
-  * the on-disk layout the reference's loaders write with
-  * `format("delta")` (/root/reference/bronze/bronze_rx_claims_load.py:58-63).
+/** Interop with the Delta Lake transaction-log wire format — the on-disk
+  * layout the reference's loaders write with `format("delta")`
+  * (/root/reference/bronze/bronze_rx_claims_load.py:58-63).
   * [[VersionedTable]] reimplements the SEMANTICS (ACID log, time travel,
-  * DV, CDF, OPTIMIZE, VACUUM) in a portable layout; this probe closes
-  * the wire-format gap for reads: a table produced by a Delta writer can
-  * be consumed by this engine with no Delta jar on the classpath.
+  * DV, CDF, OPTIMIZE, VACUUM) in a portable layout; this module closes
+  * the wire-format gap in both directions: tables produced by a Delta
+  * writer can be consumed by this engine, and tables written here are
+  * consumable by any Delta reader — with no Delta jar on the classpath.
   *
   * Built strictly from the PUBLIC protocol (delta.io "Delta Transaction
   * Log Protocol"): `_delta_log/<20-digit version>.json` holds one JSON
@@ -25,27 +26,61 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Spark's schema serialization); partition values ride in each add
   * action, NOT in the data files.
   *
+  * Reader protocol coverage:
+  *   - v1: plain tables.
+  *   - v2: name-mode column mapping — data files carry physical column
+  *     names from `delta.columnMapping.physicalName` field metadata;
+  *     reads rename physical → logical, and partition values are keyed
+  *     by physical name per the protocol. (id-mode is refused.)
+  *   - v3 feature tables: `columnMapping`, `deletionVectors` (file-based
+  *     "u" and inline "i" storage; the RoaringBitmapArray portable
+  *     format with the protocol's version-byte/size/CRC32 framing),
+  *     `timestampNtz`. Any other reader feature is refused with an
+  *     explicit error instead of returning phantom rows — and a v3
+  *     protocol action that omits `readerFeatures` is malformed per the
+  *     protocol and refused likewise.
+  *
+  * Replay keys files on the RAW `add.path` string (the protocol says
+  * paths are percent-encoded relative URIs): an encoded add must match
+  * its remove byte-for-byte, and decoding happens only when resolving a
+  * file for a data read.
+  *
   * Scale shape: the log is file-count-bounded (one row per action), so
   * snapshot resolution collects only file metadata to the driver — the
   * same order of driver traffic as listing the directory. Data reads
   * group adds by partition tuple and scan each group with the declared
   * schema, so partition values become literal columns (no re-inference
-  * from dir names, which the protocol does not guarantee).
-  *
-  * Deliberately out of scope (guarded, not silently wrong): reader
-  * protocol ≥ 2 (column mapping, deletion vectors, v2 checkpoints) —
-  * [[snapshot]] refuses those tables with an explicit error instead of
-  * returning phantom rows.
+  * from dir names, which the protocol does not guarantee). DV masks are
+  * applied as one broadcast anti-join on (file, row-position) over the
+  * scan's `_metadata.row_index` — never a per-file driver loop over
+  * data rows; driver traffic is bounded by DV cardinality (the same
+  * bytes any Delta reader must materialize to apply the mask).
   */
 object DeltaInterop {
 
-  /** A resolved table state: the live files (path → partition values),
-    * the declared schema, and the partition columns.
+  /** Deletion-vector descriptor as serialized in an add action. */
+  final case class DvDescriptor(storageType: String, pathOrInlineDv: String,
+      offset: Option[Long], sizeInBytes: Long, cardinality: Long)
+
+  /** One live file: RAW (still percent-encoded) path, partition values
+    * (keyed by PHYSICAL column name when column mapping is on), and the
+    * optional deletion vector masking its dead rows.
+    */
+  final case class DeltaFile(path: String, partitionValues: Map[String, String],
+      dv: Option[DvDescriptor])
+
+  /** A resolved table state: live files, declared (logical) schema,
+    * partition columns, and table configuration.
     */
   final case class DeltaSnapshot(version: Long, schema: StructType,
-      partitionColumns: Seq[String], files: Seq[(String, Map[String, String])])
+      partitionColumns: Seq[String], configuration: Map[String, String],
+      files: Seq[DeltaFile]) {
+    def columnMappingMode: String =
+      configuration.getOrElse("delta.columnMapping.mode", "none")
+  }
 
   private val CommitName = """(\d{20})\.json""".r
+  private val PhysicalNameKey = "delta.columnMapping.physicalName"
 
   /** Resolve the live snapshot at `asOf` (default: latest) by replaying
     * the checkpoint (if usable) plus the JSON commits.
@@ -86,50 +121,83 @@ object DeltaInterop {
     // one struct-per-action-type row set, from checkpoint parquet and/or
     // JSON commits; `v` orders adds against removes across sources
     final case class Act(v: Long, kind: String, filePath: String,
-        pv: Map[String, String], schemaString: String,
-        partitionColumns: Seq[String], minReader: Long)
-    def acts(df: DataFrame, versionCol: org.apache.spark.sql.Column): Seq[Act] = {
+        pv: Map[String, String], dv: Option[DvDescriptor], schemaString: String,
+        partitionColumns: Seq[String], configuration: Map[String, String],
+        minReader: Long, readerFeatures: Option[Seq[String]])
+    def acts(df: DataFrame, versionCol: Column): Seq[Act] = {
       val cols = df.columns.toSet
-      def field(name: String, sub: String, dflt: org.apache.spark.sql.Column) =
-        if (cols.contains(name)) col(s"$name.$sub") else dflt
-      // spark.read.json infers partitionValues as a STRUCT (keys become
-      // fields); checkpoint parquet written by Delta stores a MAP — fold
-      // both to a map so the collect below is shape-independent
-      val addPv: org.apache.spark.sql.Column =
-        if (!cols.contains("add")) lit(null)
-        else {
-          val t = df.schema("add").dataType.asInstanceOf[StructType]
-          if (!t.fieldNames.contains("partitionValues")) lit(null)
-          else t("partitionValues").dataType match {
-            case _: org.apache.spark.sql.types.MapType => col("add.partitionValues")
+      def structOf(name: String): Option[StructType] =
+        if (cols.contains(name)) df.schema(name).dataType match {
+          case s: StructType => Some(s)
+          case _ => None
+        } else None
+      def sub(name: String, field: String): Column =
+        structOf(name).filter(_.fieldNames.contains(field))
+          .map(_ => col(s"$name.$field")).getOrElse(lit(null))
+      // spark.read.json infers string-keyed maps (partitionValues,
+      // configuration) as STRUCTs (keys become fields); checkpoint
+      // parquet written by Delta stores a MAP — fold both to a map so
+      // the collect below is shape-independent
+      def asMap(name: String, field: String): Column =
+        structOf(name).filter(_.fieldNames.contains(field)).map { t =>
+          t(field).dataType match {
+            case _: org.apache.spark.sql.types.MapType => col(s"$name.$field")
             case s: StructType if s.nonEmpty =>
+              // keys may contain dots (delta.columnMapping.mode) —
+              // backtick the leaf so it is not parsed as a nested path
               map(s.fields.flatMap(f => Seq(lit(f.name),
-                col(s"add.partitionValues.${f.name}").cast("string"))).toSeq: _*)
+                col(s"$name.$field.`${f.name}`").cast("string"))).toSeq: _*)
             case _ => lit(null)
           }
+        }.getOrElse(lit(null))
+      def dvSub(field: String): Column =
+        structOf("add").map(_.fieldNames.contains("deletionVector")).getOrElse(false) match {
+          case true =>
+            df.schema("add").dataType.asInstanceOf[StructType]("deletionVector")
+              .dataType match {
+                case s: StructType if s.fieldNames.contains(field) =>
+                  col(s"add.deletionVector.$field")
+                case _ => lit(null)
+              }
+          case false => lit(null)
         }
       df.select(
           versionCol.as("v"),
-          field("add", "path", lit(null)).as("add_path"),
-          addPv.as("add_pv"),
-          field("remove", "path", lit(null)).as("remove_path"),
-          field("metaData", "schemaString", lit(null)).as("schema_string"),
-          (if (cols.contains("metaData")) {
-            val t = df.schema("metaData").dataType.asInstanceOf[StructType]
-            if (t.fieldNames.contains("partitionColumns")) col("metaData.partitionColumns")
-            else lit(null)
-          } else lit(null)).as("part_cols"),
-          field("protocol", "minReaderVersion", lit(null)).cast("long").as("min_reader"))
+          sub("add", "path").as("add_path"),
+          asMap("add", "partitionValues").as("add_pv"),
+          sub("remove", "path").as("remove_path"),
+          sub("metaData", "schemaString").as("schema_string"),
+          sub("metaData", "partitionColumns").as("part_cols"),
+          asMap("metaData", "configuration").as("conf"),
+          sub("protocol", "minReaderVersion").cast("long").as("min_reader"),
+          sub("protocol", "readerFeatures").as("reader_features"),
+          dvSub("storageType").as("dv_st"),
+          dvSub("pathOrInlineDv").as("dv_path"),
+          dvSub("offset").cast("long").as("dv_off"),
+          dvSub("sizeInBytes").cast("long").as("dv_size"),
+          dvSub("cardinality").cast("long").as("dv_card"))
         .collect().toSeq.flatMap { r =>
           val v = r.getLong(0)
           val out = scala.collection.mutable.ArrayBuffer.empty[Act]
-          if (!r.isNullAt(1)) out += Act(v, "add", r.getString(1),
-            Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty),
-            null, Nil, 0L)
-          if (!r.isNullAt(3)) out += Act(v, "remove", r.getString(3), Map.empty, null, Nil, 0L)
-          if (!r.isNullAt(4)) out += Act(v, "meta", null, Map.empty, r.getString(4),
-            Option(r.getSeq[String](5)).map(_.toSeq).getOrElse(Nil), 0L)
-          if (!r.isNullAt(6)) out += Act(v, "protocol", null, Map.empty, null, Nil, r.getLong(6))
+          if (!r.isNullAt(1)) {
+            val dv = if (r.isNullAt(9)) None else Some(DvDescriptor(
+              r.getString(9), r.getString(10),
+              if (r.isNullAt(11)) None else Some(r.getLong(11)),
+              r.getLong(12), r.getLong(13)))
+            out += Act(v, "add", r.getString(1),
+              Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty),
+              dv, null, Nil, Map.empty, 0L, None)
+          }
+          if (!r.isNullAt(3)) out += Act(v, "remove", r.getString(3), Map.empty,
+            None, null, Nil, Map.empty, 0L, None)
+          if (!r.isNullAt(4)) out += Act(v, "meta", null, Map.empty, None,
+            r.getString(4),
+            Option(r.getSeq[String](5)).map(_.toSeq).getOrElse(Nil),
+            Option(r.getMap[String, String](6)).map(_.toMap).getOrElse(Map.empty),
+            0L, None)
+          if (!r.isNullAt(7)) out += Act(v, "protocol", null, Map.empty, None,
+            null, Nil, Map.empty, r.getLong(7),
+            Option(r.getSeq[String](8)).map(_.toSeq))
           out.toSeq
         }
     }
@@ -146,18 +214,36 @@ object DeltaInterop {
         regexp_extract(col("_metadata.file_path"), """(\d{20})\.json""", 1).cast("long"))
     val all = cpActs ++ jsonActs
 
-    val minReader = all.filter(_.kind == "protocol").map(_.minReader)
-      .maxOption.getOrElse(1L)
-    require(minReader <= 1,
-      s"Delta reader protocol $minReader unsupported (column mapping / " +
-        "deletion vectors / v2 checkpoints are out of this probe's scope)")
-
     val meta = all.filter(_.kind == "meta").maxByOption(_.v).getOrElse(
       throw new IllegalStateException(s"no metaData action in _delta_log at $path"))
     val schema = DataType.fromJson(meta.schemaString).asInstanceOf[StructType]
+    val mappingMode = meta.configuration.getOrElse("delta.columnMapping.mode", "none")
+
+    // the protocol in force at this version is the LATEST protocol
+    // action replayed — not the max across history, which would let a
+    // later downgrade (full Overwrite by a v1 writer) poison time travel
+    val proto = all.filter(_.kind == "protocol").maxByOption(_.v)
+    val minReader = proto.map(_.minReader).getOrElse(1L)
+    minReader match {
+      case 1L | 2L => () // v2 = column mapping, validated via mode below
+      case 3L =>
+        val features = proto.flatMap(_.readerFeatures)
+        require(features.isDefined,
+          s"malformed protocol: minReaderVersion 3 requires readerFeatures")
+        val supported = Set("columnMapping", "deletionVectors", "timestampNtz")
+        val unsupported = features.get.toSet -- supported
+        require(unsupported.isEmpty,
+          s"Delta reader protocol features ${unsupported.mkString(", ")} " +
+            "unsupported (supported: " + supported.mkString(", ") + ")")
+      case v =>
+        throw new IllegalArgumentException(s"Delta reader protocol $v unsupported")
+    }
+    require(mappingMode == "none" || mappingMode == "name",
+      s"column mapping mode '$mappingMode' unsupported (only 'name')")
 
     // live = path whose newest action is an add (same-version tie → add
-    // wins: a commit never removes a file it adds)
+    // wins: a commit never removes a file it adds). Keys are the RAW
+    // percent-encoded path strings, matching how writers emit removes.
     val lastAdd = all.filter(_.kind == "add").groupBy(_.filePath)
       .view.mapValues(as => as.maxBy(_.v)).toMap
     val lastRemove = all.filter(_.kind == "remove").groupBy(_.filePath)
@@ -165,13 +251,173 @@ object DeltaInterop {
     val live = lastAdd.values.toSeq
       .filter(a => lastRemove.get(a.filePath).forall(_ <= a.v))
       .sortBy(_.filePath)
-      .map(a => (decodePath(a.filePath), a.pv))
-    DeltaSnapshot(upTo, schema, meta.partitionColumns, live)
+      .map(a => DeltaFile(a.filePath, a.pv, a.dv))
+    DeltaSnapshot(upTo, schema, meta.partitionColumns, meta.configuration, live)
   }
 
-  /** add.path is a percent-encoded relative URI per the protocol. */
+  /** add.path is a percent-encoded relative URI per the protocol —
+    * decoded ONLY when resolving a file for a data read; replay and
+    * re-emitted actions use the raw string.
+    */
   private def decodePath(p: String): String =
     try new java.net.URI(p).getPath catch { case _: Exception => p }
+
+  /** Physical column name under name-mode column mapping (falls back to
+    * the logical name when the field carries no mapping metadata).
+    */
+  private def physicalName(f: StructField, mappingMode: String): String =
+    if (mappingMode != "none" && f.metadata.contains(PhysicalNameKey))
+      f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  // --------------------------------------------------- deletion vectors
+
+  /** ZeroMQ Z85 alphabet — the encoding the protocol uses for inline DVs
+    * and for the UUID inside a "u" pathOrInlineDv.
+    */
+  private val Z85Alphabet =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+  private lazy val Z85Index: Map[Char, Long] =
+    Z85Alphabet.zipWithIndex.map { case (c, i) => c -> i.toLong }.toMap
+
+  private[sources] def z85Decode(s: String): Array[Byte] = {
+    require(s.length % 5 == 0, s"Z85 length ${s.length} not a multiple of 5")
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0; var o = 0
+    while (i < s.length) {
+      var v = 0L
+      var j = 0
+      while (j < 5) { v = v * 85 + Z85Index(s.charAt(i + j)); j += 1 }
+      out(o) = ((v >> 24) & 0xFF).toByte; out(o + 1) = ((v >> 16) & 0xFF).toByte
+      out(o + 2) = ((v >> 8) & 0xFF).toByte; out(o + 3) = (v & 0xFF).toByte
+      i += 5; o += 4
+    }
+    out
+  }
+
+  private[sources] def z85Encode(b: Array[Byte]): String = {
+    require(b.length % 4 == 0, s"Z85 input ${b.length} not a multiple of 4")
+    val sb = new StringBuilder(b.length / 4 * 5)
+    var i = 0
+    while (i < b.length) {
+      var v = ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+        ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+      val chunk = new Array[Char](5)
+      var j = 4
+      while (j >= 0) { chunk(j) = Z85Alphabet((v % 85).toInt); v /= 85; j -= 1 }
+      sb.appendAll(chunk)
+      i += 4
+    }
+    sb.toString
+  }
+
+  /** Z85 with the protocol's zero-padding convention for inline DVs:
+    * input is padded to a multiple of 4; the descriptor's `sizeInBytes`
+    * carries the true length for decode-side truncation.
+    */
+  private[sources] def z85EncodePadded(b: Array[Byte]): String = {
+    val pad = (4 - b.length % 4) % 4
+    z85Encode(if (pad == 0) b else b ++ new Array[Byte](pad))
+  }
+
+  private val DvMagic = 1681511377 // RoaringBitmapArray portable magic
+
+  /** Decode a serialized RoaringBitmapArray (portable format: LE magic,
+    * LE 64-bit bitmap count, then per bitmap a LE 32-bit key + the
+    * standard-portable 32-bit RoaringBitmap) into absolute row indexes.
+    */
+  private[sources] def decodeBitmapArray(data: Array[Byte]): Seq[Long] = {
+    val buf = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = buf.getInt
+    require(magic == DvMagic, s"bad deletion-vector magic $magic")
+    val n = buf.getLong
+    val out = Seq.newBuilder[Long]
+    var k = 0L
+    while (k < n) {
+      val key = buf.getInt.toLong
+      val rb = new org.roaringbitmap.RoaringBitmap()
+      rb.deserialize(buf)
+      // deserialize(ByteBuffer) does not advance the buffer position
+      buf.position(buf.position() + rb.serializedSizeInBytes())
+      rb.forEach(new org.roaringbitmap.IntConsumer {
+        def accept(i: Int): Unit = out += (key << 32) | (i & 0xFFFFFFFFL)
+      })
+      k += 1
+    }
+    out.result()
+  }
+
+  /** Serialize row indexes as a RoaringBitmapArray (portable) — the
+    * inverse of [[decodeBitmapArray]], used by fixture builders and the
+    * checkpoint round trip.
+    */
+  private[sources] def encodeBitmapArray(rows: Seq[Long]): Array[Byte] = {
+    val byKey = rows.groupBy(_ >>> 32).toSeq.sortBy(_._1)
+    val bitmaps = byKey.map { case (key, vs) =>
+      val rb = new org.roaringbitmap.RoaringBitmap()
+      vs.foreach(v => rb.add((v & 0xFFFFFFFFL).toInt))
+      rb.runOptimize()
+      key -> rb
+    }
+    val size = 4 + 8 + bitmaps.map(b => 4 + b._2.serializedSizeInBytes()).sum
+    val buf = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(DvMagic)
+    buf.putLong(bitmaps.size.toLong)
+    bitmaps.foreach { case (key, rb) =>
+      buf.putInt(key.toInt)
+      rb.serialize(buf)
+    }
+    buf.array()
+  }
+
+  /** Resolve a DV descriptor to the deleted row indexes of its file.
+    * Driver-side and bounded by the DV's serialized size — the same
+    * bytes any Delta reader materializes to apply the mask.
+    */
+  private def dvRowIndexes(tableRoot: Path, dv: DvDescriptor): Seq[Long] = {
+    val rows = dv.storageType match {
+      case "i" =>
+        // inline payloads are zero-padded to the Z85 block size;
+        // sizeInBytes is the true serialized length
+        decodeBitmapArray(
+          z85Decode(dv.pathOrInlineDv).take(dv.sizeInBytes.toInt))
+      case "u" | "p" =>
+        val dvPath = dv.storageType match {
+          case "p" => Paths.get(dv.pathOrInlineDv)
+          case _ =>
+            // pathOrInlineDv = <optional random prefix><20-char Z85 uuid>;
+            // the file lives at <root>/<prefix>/deletion_vector_<uuid>.bin
+            val enc = dv.pathOrInlineDv
+            require(enc.length >= 20, s"malformed DV path spec '$enc'")
+            val (prefix, uuidPart) = enc.splitAt(enc.length - 20)
+            val bytes = z85Decode(uuidPart)
+            val bb = java.nio.ByteBuffer.wrap(bytes)
+            val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+            val name = s"deletion_vector_$uuid.bin"
+            if (prefix.isEmpty) tableRoot.resolve(name)
+            else tableRoot.resolve(prefix).resolve(name)
+        }
+        val bytes = Files.readAllBytes(dvPath)
+        require(bytes.nonEmpty && bytes(0) == 1,
+          s"unsupported deletion-vector file format version at $dvPath")
+        val off = dv.offset.getOrElse(1L).toInt
+        val be = java.nio.ByteBuffer.wrap(bytes) // size + CRC are big-endian
+        val dataSize = be.getInt(off)
+        require(dataSize == dv.sizeInBytes,
+          s"DV size mismatch at $dvPath: file $dataSize vs descriptor ${dv.sizeInBytes}")
+        val data = java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + dataSize)
+        val crc = new java.util.zip.CRC32
+        crc.update(data)
+        val expected = be.getInt(off + 4 + dataSize) & 0xFFFFFFFFL
+        require(crc.getValue == expected, s"DV checksum mismatch at $dvPath")
+        decodeBitmapArray(data)
+      case other =>
+        throw new IllegalArgumentException(s"DV storage type '$other' unsupported")
+    }
+    require(rows.length.toLong == dv.cardinality,
+      s"DV cardinality mismatch: ${rows.length} decoded vs ${dv.cardinality} declared")
+    rows
+  }
 
   // ------------------------------------------------------------- write
 
@@ -187,6 +433,9 @@ object DeltaInterop {
       case c => c.toString
     } + "\""
 
+  private def dvJson(dv: DvDescriptor): String =
+    s""","deletionVector":{"storageType":${jstr(dv.storageType)},"pathOrInlineDv":${jstr(dv.pathOrInlineDv)}${dv.offset.map(o => s""","offset":$o""").getOrElse("")},"sizeInBytes":${dv.sizeInBytes},"cardinality":${dv.cardinality}}"""
+
   /** Write `df` as a Delta commit (protocol 1) that any Delta reader
     * consumes — the outbound half of the interop. Overwrite creates or
     * replaces the table (metaData + protocol + adds + removes of the
@@ -197,7 +446,14 @@ object DeltaInterop {
     * which Delta also uses) and registered with their partition values
     * in the add actions, per the protocol. Commits are put-if-absent on
     * the 20-digit version file — the protocol's optimistic-concurrency
-    * rule — retrying on collision. Returns the committed version.
+    * rule — and on collision the loop re-derives EVERYTHING from a
+    * fresh log listing, including whether the table exists at all (a
+    * concurrent writer may have created version 0 after this call's
+    * entry probe; a stale `exists` would re-derive version 0 forever).
+    * An Append to an existing partitioned table inherits and re-emits
+    * the table's declared partition columns — passing a different
+    * `partitionBy` is an error, not a silent metadata rewrite. Returns
+    * the committed version.
     *
     * Scale: driver traffic is file-count bounded (staged-file listing +
     * log replay); the data itself moves file-by-file with no re-read.
@@ -212,17 +468,35 @@ object DeltaInterop {
     Files.createDirectories(logDir)
     // a table exists if the log holds any commit OR a checkpoint pointer
     // (cleanup can leave a checkpoint with zero json commits)
-    val exists = Files.list(logDir).iterator().asScala
+    def tableExists(): Boolean = Files.list(logDir).iterator().asScala
       .exists(p => CommitName.findFirstIn(p.getFileName.toString).isDefined ||
         p.getFileName.toString == "_last_checkpoint")
-    require(mode != SaveMode.ErrorIfExists || !exists,
+    val exists0 = tableExists()
+    require(mode != SaveMode.ErrorIfExists || !exists0,
       s"delta table already exists at $path")
-    if (mode == SaveMode.Ignore && exists) return snapshot(spark, path).version
+    if (mode == SaveMode.Ignore && exists0) return snapshot(spark, path).version
+
+    // an Append inherits the existing table's layout: its declared
+    // partition columns drive the staged directory structure, and a
+    // caller-passed partitionBy must agree (ADVICE r6: a widened append
+    // with default partitionBy silently rewrote the table metadata to
+    // unpartitioned). Column-mapped tables are refused for writes —
+    // this writer stages logical-named parquet.
+    val snap0 = if (exists0 && mode != SaveMode.Overwrite)
+      Some(snapshot(spark, path)) else None
+    snap0.foreach { s =>
+      require(s.columnMappingMode == "none",
+        s"append to a column-mapped table (mode ${s.columnMappingMode}) unsupported")
+      require(partitionBy.isEmpty || partitionBy == s.partitionColumns,
+        s"append partitionBy ${partitionBy.mkString(",")} does not match table " +
+          s"partition columns ${s.partitionColumns.mkString(",")}")
+    }
+    val effPartitionBy = snap0.map(_.partitionColumns).getOrElse(partitionBy)
 
     // stage data files with Spark's writer, then move under the root
     val tmp = Files.createTempDirectory("delta_stage")
     val w0 = df.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0)
+    (if (effPartitionBy.nonEmpty) w0.partitionBy(effPartitionBy: _*) else w0)
       .parquet(tmp.toString)
     val staged = Files.walk(tmp).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
@@ -244,32 +518,38 @@ object DeltaInterop {
       s"""{"add":{"path":${jstr(rel.toString)},"partitionValues":$pvJson,"size":$size,"modificationTime":${Files.getLastModifiedTime(target).toMillis},"dataChange":true}}"""
     }
 
-    val metaAction = (schema: StructType) =>
-      s"""{"metaData":{"id":${jstr(java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8")).toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema.json)},"partitionColumns":${partitionBy.map(jstr).mkString("[", ",", "]")},"configuration":{},"createdTime":${System.currentTimeMillis()}}}"""
+    val metaAction = (schema: StructType, pcols: Seq[String]) =>
+      s"""{"metaData":{"id":${jstr(java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8")).toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema.json)},"partitionColumns":${pcols.map(jstr).mkString("[", ",", "]")},"configuration":{},"createdTime":${System.currentTimeMillis()}}}"""
     val protocolAction =
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
-    // optimistic commit loop: derive the state, try CREATE_NEW, retry on
-    // a concurrent writer's collision
+    // optimistic commit loop: derive the state FRESH each attempt, try
+    // CREATE_NEW, retry on a concurrent writer's collision
     while (true) {
+      val existsNow = tableExists()
       val (version, head) =
-        if (!exists || mode == SaveMode.Overwrite) {
-          val removes =
-            if (exists)
-              snapshot(spark, path).files.map { case (f, _) =>
-                s"""{"remove":{"path":${jstr(f)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}"""
-              }
-            else Nil
-          val v = if (exists) snapshot(spark, path).version + 1 else 0L
-          (v, Seq(protocolAction, metaAction(df.schema)) ++ removes)
+        if (!existsNow || mode == SaveMode.Overwrite) {
+          val snapNow = if (existsNow) Some(snapshot(spark, path)) else None
+          val removes = snapNow.toSeq.flatMap(_.files.map { f =>
+            // raw path: an encoded add must be removed byte-for-byte
+            s"""{"remove":{"path":${jstr(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}"""
+          })
+          val v = snapNow.map(_.version + 1).getOrElse(0L)
+          (v, Seq(protocolAction, metaAction(df.schema, partitionBy)) ++ removes)
         } else {
-          val snap = snapshot(spark, path)
-          val merged = StructType(snap.schema.fields ++
-            df.schema.fields.filterNot(f => snap.schema.fieldNames.contains(f.name)))
+          val snapNow = snapshot(spark, path)
+          // the staged directory layout must match the table we are
+          // appending to — a concurrent creator with different
+          // partitioning makes this append unsound, so fail loudly
+          require(snapNow.partitionColumns == effPartitionBy,
+            s"table partitioning changed concurrently: staged ${effPartitionBy.mkString(",")} " +
+              s"vs table ${snapNow.partitionColumns.mkString(",")}")
+          val merged = StructType(snapNow.schema.fields ++
+            df.schema.fields.filterNot(f => snapNow.schema.fieldNames.contains(f.name)))
           val meta =
-            if (merged.fieldNames.sameElements(snap.schema.fieldNames)) Nil
-            else Seq(metaAction(merged))
-          (snap.version + 1, meta)
+            if (merged.fieldNames.sameElements(snapNow.schema.fieldNames)) Nil
+            else Seq(metaAction(merged, snapNow.partitionColumns))
+          (snapNow.version + 1, meta)
         }
       try {
         Files.write(logDir.resolve(f"$version%020d.json"),
@@ -285,7 +565,10 @@ object DeltaInterop {
 
   /** Write a parquet checkpoint of the current snapshot plus the
     * `_last_checkpoint` pointer, allowing pre-checkpoint JSON commits to
-    * be cleaned — the same compaction a Delta writer performs.
+    * be cleaned — the same compaction a Delta writer performs. Add
+    * actions are re-emitted with their RAW paths and carry their
+    * deletion vectors through, so a post-checkpoint replay masks the
+    * same rows.
     */
   def checkpoint(spark: SparkSession, path: String): Long = {
     import spark.implicits._
@@ -305,11 +588,11 @@ object DeltaInterop {
     val lastProtocol = commitLines.filter(_.contains("\"protocol\""))
       .lastOption.getOrElse("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
     val metaSrc = Seq(lastProtocol, lastMeta)
-    val addJson = snap.files.map { case (f, pv) =>
-      val pvJson = pv.toSeq.sortBy(_._1).map { case (k, v) =>
+    val addJson = snap.files.map { f =>
+      val pvJson = f.partitionValues.toSeq.sortBy(_._1).map { case (k, v) =>
         s"${jstr(k)}:${if (v == null) "null" else jstr(v)}" }
         .mkString("{", ",", "}")
-      s"""{"add":{"path":${jstr(f)},"partitionValues":$pvJson,"size":0,"modificationTime":0,"dataChange":false}}"""
+      s"""{"add":{"path":${jstr(f.path)},"partitionValues":$pvJson,"size":0,"modificationTime":0,"dataChange":false${f.dv.map(dvJson).getOrElse("")}}}"""
     }
     val tmp = Files.createTempDirectory("delta_cp")
     spark.read.json((metaSrc ++ addJson).toDS).coalesce(1)
@@ -324,25 +607,62 @@ object DeltaInterop {
   }
 
   /** Read a Delta table's latest (or `asOf`) version as a DataFrame with
-    * the log-declared schema, partition values restored from the add
-    * actions.
+    * the log-declared (logical) schema: partition values restored from
+    * the add actions, physical column names mapped back to logical ones
+    * under name-mode column mapping, and deletion-vector-masked rows
+    * dropped via one broadcast anti-join on (file, row position).
     */
   def read(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, path, asOf)
+    val mapping = snap.columnMappingMode
     val partSet = snap.partitionColumns.toSet
-    val dataSchema = StructType(snap.schema.filterNot(f => partSet.contains(f.name)))
+    val dataFields = snap.schema.filterNot(f => partSet.contains(f.name))
     if (snap.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    val byPv = snap.files.groupBy(_._2)
-    byPv.map { case (pv, fs) =>
-      val base = spark.read.schema(dataSchema)
-        .parquet(fs.map(f => s"$path/${f._1}"): _*)
-      snap.partitionColumns.foldLeft(base) { (df, pc) =>
+    // the parquet files carry PHYSICAL names; read with those, rename to
+    // logical on the way out
+    val physDataSchema = StructType(dataFields.map(f =>
+      StructField(physicalName(f, mapping), f.dataType, f.nullable)))
+    val hasDv = snap.files.exists(_.dv.isDefined)
+    val root = Paths.get(path)
+
+    val byPv = snap.files.groupBy(_.partitionValues)
+    val unioned = byPv.map { case (pv, fs) =>
+      val base0 = spark.read.schema(physDataSchema)
+        .parquet(fs.map(f => s"$path/${decodePath(f.path)}"): _*)
+      val dataCols = dataFields.map(f =>
+        col(s"`${physicalName(f, mapping)}`").as(f.name))
+      // partitionValues are keyed by PHYSICAL name under column mapping
+      val partCols = snap.partitionColumns.map { pc =>
         val f = snap.schema(pc)
         // protocol: null partition value serializes as JSON null / absent
-        df.withColumn(pc, lit(pv.getOrElse(pc, null)).cast(f.dataType))
-      }.select(snap.schema.fieldNames.map(col).toSeq: _*)
+        lit(pv.getOrElse(physicalName(f, mapping), null)).cast(f.dataType).as(pc)
+      }
+      val posCols =
+        if (!hasDv) Nil
+        else Seq(
+          // normalize file:///x vs file:/x so the anti-join key is exact
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("__dv_file"),
+          col("_metadata.row_index").as("__dv_pos"))
+      base0.select(dataCols ++ partCols ++ posCols: _*)
     }.reduce(_.unionByName(_))
+
+    if (!hasDv) unioned.select(snap.schema.fieldNames.map(col).toSeq: _*)
+    else {
+      // deleted (file, position) pairs: bounded by total DV cardinality,
+      // broadcast so the mask never shuffles the data side
+      val deleted = snap.files.flatMap { f =>
+        f.dv.toSeq.flatMap { d =>
+          val abs = root.resolve(decodePath(f.path)).toAbsolutePath.toString
+          dvRowIndexes(root, d).map(abs -> _)
+        }
+      }
+      import spark.implicits._
+      val deletedDf = deleted.toDF("__dv_file", "__dv_pos")
+      unioned.join(broadcast(deletedDf), Seq("__dv_file", "__dv_pos"), "left_anti")
+        .drop("__dv_file", "__dv_pos")
+        .select(snap.schema.fieldNames.map(col).toSeq: _*)
+    }
   }
 }

@@ -65,6 +65,35 @@ object ZOrder {
       .bitwiseOR(shiftleft(spread10x3(b), 1))
       .bitwiseOR(shiftleft(spread10x3(c), 2))
 
+  /** Min-max normalize `name` from [lo, hi] onto [0, levels]
+    * (levels = 2^bits − 1), overflow-safe across the full long range.
+    *
+    * Two regimes, chosen driver-side from the already-collected min/max
+    * scalars: when `(hi − lo) * levels` fits in a long the classic
+    * multiply-first mapping is used (exact, uses every level). For wider
+    * ranges — epoch-micros spanning years, epoch-nanos — that product
+    * wraps 64-bit silently and scrambles the z-order, so the mapping
+    * switches to divide-first with a precomputed step: each side is
+    * divided by `step = range div levels + 1` BEFORE subtracting, which
+    * also keeps `x − lo` itself from overflowing when the range exceeds
+    * Long.MaxValue. Both regimes are monotone in the input (integer
+    * division by a positive constant preserves order) and bounded by
+    * `levels`, which is all Morton interleaving needs.
+    */
+  def normalize(name: String, lo: Long, hi: Long, bits: Int): Column = {
+    val levels = (1L << bits) - 1
+    val range = BigInt(hi) - BigInt(lo)
+    if (range <= 0) lit(0L)
+    else if (range <= Long.MaxValue / levels)
+      expr(s"((`$name` - $lo) * $levels) div ${hi - lo}")
+    else {
+      // range div levels + 1 ≤ 2^64/levels + 1: fits a long; and
+      // range div step < levels, so the result never reaches 2^bits
+      val step = (range / levels + 1).toLong
+      expr(s"(`$name` div $step) - ${lo / step}")
+    }
+  }
+
   /** Write `df` z-clustered on (`colA`, `colB`) into `numFiles` parquet
     * files: one range shuffle on the z-value, an in-partition sort, and
     * the helper column dropped before the write. Each output file then
@@ -87,10 +116,8 @@ object ZOrder {
     val (la, ha, lb, hb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     // backticked name, not Column.toString: names with spaces/keywords
     // would break the round-trip through expr()
-    def norm(name: String, lo: Long, hi: Long): Column =
-      if (hi <= lo) lit(0L)
-      else expr(s"((`$name` - $lo) * 65535) div ${hi - lo}")
-    df.withColumn("__z", zValue(norm(colA, la, ha), norm(colB, lb, hb)))
+    df.withColumn("__z",
+        zValue(normalize(colA, la, ha, 16), normalize(colB, lb, hb, 16)))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
@@ -108,13 +135,10 @@ object ZOrder {
       min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long"),
       min(col(colC)).cast("long"), max(col(colC)).cast("long")).head()
-    def norm(name: String, lo: Long, hi: Long): Column =
-      if (hi <= lo) lit(0L)
-      else expr(s"((`$name` - $lo) * 1023) div ${hi - lo}")
     df.withColumn("__z", zValue3(
-        norm(colA, r.getLong(0), r.getLong(1)),
-        norm(colB, r.getLong(2), r.getLong(3)),
-        norm(colC, r.getLong(4), r.getLong(5))))
+        normalize(colA, r.getLong(0), r.getLong(1), 10),
+        normalize(colB, r.getLong(2), r.getLong(3), 10),
+        normalize(colC, r.getLong(4), r.getLong(5), 10)))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -74,6 +74,33 @@ class DeltaWriteSpec extends SparkSpec {
     assert(rows == Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x")))
   }
 
+  test("append inherits the table's partition columns; a mismatch is refused") {
+    val path = tmpTable()
+    DeltaInterop.write(Seq((1L, "a", "x")).toDF("k", "v", "ds"), path,
+      SaveMode.Overwrite, partitionBy = Seq("ds"))
+    // widened append WITHOUT re-passing partitionBy: the emitted metaData
+    // must carry the table's partition columns forward, and the staged
+    // files must land in hive-style ds= dirs (ADVICE r6: this silently
+    // rewrote the table to unpartitioned)
+    DeltaInterop.write(Seq((2L, "b", "y", 7.0)).toDF("k", "v", "ds", "score"),
+      path, SaveMode.Append)
+    val snap = DeltaInterop.snapshot(spark, path)
+    assert(snap.partitionColumns == Seq("ds"),
+      "widened append must not rewrite partitioning")
+    assert(snap.files.forall(_.path.startsWith("ds=")),
+      "appended files must follow the table's partition layout")
+    val rows = DeltaInterop.read(spark, path)
+    assert(rows.columns.toSeq == Seq("k", "v", "ds", "score"))
+    assert(rows.count() == 2)
+    // an append DECLARING different partitioning is an error, not a
+    // silent metadata rewrite
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.write(Seq((3L, "c", "z")).toDF("k", "v", "ds"), path,
+        SaveMode.Append, partitionBy = Seq("v"))
+    }
+    assert(e.getMessage.contains("partition"))
+  }
+
   test("ErrorIfExists refuses an existing table; Ignore is a no-op") {
     val path = tmpTable()
     DeltaInterop.write(Seq((1L, "a")).toDF("k", "v"), path, SaveMode.Overwrite)

@@ -18,6 +18,43 @@ class ZOrderSpec extends SparkSpec {
     assert(rows(3) == 0L)
   }
 
+  test("normalize is monotone and bounded on wide-range longs (overflow regime)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // ranges wide enough that (hi-lo)*65535 wraps 64-bit: epoch-nano
+    // spans of years, and the full long range. The old multiply-first
+    // mapping silently scrambled these; the divide-first regime must
+    // stay monotone per dimension and inside [0, 2^bits).
+    val ranges = Seq(
+      (0L, 40L * 365 * 86400 * 1000000000L),            // 40y epoch-nanos
+      (-1577923200000000000L, 1893456000000000000L),     // ±50y nanos
+      (Long.MinValue, Long.MaxValue),                    // extreme
+      (Long.MinValue / 2, Long.MaxValue / 2),
+      (0L, 1000L))                                       // narrow (exact regime)
+    for (((lo, hi), ri) <- ranges.zipWithIndex; bits <- Seq(10, 16)) {
+      val gen = Gen.listOfN(300, Gen.choose(lo, hi))
+      val vs = gen(Gen.Parameters.default, Seed(42L + ri)).get
+        .++(Seq(lo, hi)).distinct.sorted
+      val out = vs.toDF("v")
+        .select(col("v"), ZOrder.normalize("v", lo, hi, bits).as("n"))
+        .orderBy("v").as[(Long, Long)].collect()
+      out.foreach { case (v, n) =>
+        assert(n >= 0L && n < (1L << bits), s"bounds: norm($v)=$n bits=$bits") }
+      out.sliding(2).foreach {
+        case Array((v1, n1), (v2, n2)) =>
+          assert(n1 <= n2, s"monotone: $v1->$n1 but $v2->$n2 (bits=$bits)")
+        case _ => ()
+      }
+      // the narrow regime must keep the exact multiply-first mapping
+      // (bit-compatibility with every layout written before the fix)
+      if (BigInt(hi) - BigInt(lo) <= Long.MaxValue / ((1L << bits) - 1)) {
+        val levels = (1L << bits) - 1
+        out.foreach { case (v, n) =>
+          assert(n == (v - lo) * levels / (hi - lo), s"exact regime: $v") }
+      }
+    }
+  }
+
   test("z-clustered layout skips files on BOTH dimensions; linear only on one") {
     val orders = Tables.load(spark, sf, "orders")
       .select($"o_orderkey",
