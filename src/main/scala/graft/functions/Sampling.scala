@@ -115,13 +115,20 @@ object Sampling {
       sum(when(col("is_target"), 1L).otherwise(0L)).as("tgt"),
       count(lit(1)).as("raw"))
     val tot = stats.agg(sum("tgt").as("nt"), sum("raw").as("nr"))
+    // the likelihood-ratio product rides a DECIMAL(38,0) carrier (the
+    // q110/q116 device): nr is the TOTAL corpus token count, so at the
+    // 100 TB / trillions-of-tokens scale a plain BIGINT product wraps
+    // silently (ANSI off) and inverts the selection. The integral `div`
+    // lands back in BIGINT, so emitted values — and the q115 oracle
+    // hash — are unchanged wherever the old arithmetic didn't overflow.
     val scored = stats.crossJoin(broadcast(tot))
       .select(col("bucket"),
-        expr(s"((tgt + 1) * nr * $scalePerMille) div ((raw + 1) * nt)")
-          .as("score"))
+        expr(s"(CAST(tgt + 1 AS DECIMAL(38,0)) * nr * $scalePerMille)" +
+          s" div (CAST(raw + 1 AS DECIMAL(38,0)) * nt)").as("score"))
     toks.join(broadcast(scored), "bucket")
       .groupBy("doc_id")
-      .agg(sum("score").as("sum_score"), count(lit(1)).as("n_tokens"))
+      .agg(sum(col("score").cast("decimal(38,0)")).as("sum_score"),
+        count(lit(1)).as("n_tokens"))
       .select(col("doc_id"),
         expr("(sum_score * 1000) div n_tokens").as("weight"))
   }

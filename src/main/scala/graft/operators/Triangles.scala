@@ -73,16 +73,21 @@ object Triangles {
           greatest(col(aCol), col(bCol)).as("v"))
         .filter(col("u") =!= col("v"))
         .distinct())
-    // center-keyed adjacency with the degree riding a whole-partition
-    // window: ONE hash(c) exchange both computes the degree and leaves
-    // the table partitioned exactly as the wedge self-join needs
-    val byCenter = org.apache.spark.sql.expressions.Window.partitionBy(col("c"))
+    // degree via a MAP-COMBINABLE groupBy-count, then hubs anti-joined
+    // out with a broadcast BEFORE any center-keyed exchange: the r6
+    // window formulation hash-shuffled a hub's entire adjacency into one
+    // partition just to count-and-drop it — at extreme skew that single
+    // partition IS the job. Here the hub's rows only ever meet as
+    // partial counts, and the broadcast anti-join drops them map-side.
+    // The hub set is bounded by 2·|E|/maxDegree ids (each hub owns >
+    // maxDegree edge slots), which is what makes the broadcast sound.
+    val adjRaw = e.select(col("u").as("c"), col("v").as("n"))
+      .unionAll(e.select(col("v").as("c"), col("u").as("n")))
+    val hubs = adjRaw.groupBy("c").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") > maxDegree)
+      .select("c")
     val adj = graft.CacheScope.persisted(
-      e.select(col("u").as("c"), col("v").as("n"))
-        .unionAll(e.select(col("v").as("c"), col("u").as("n")))
-        .withColumn("deg", count(lit(1)).over(byCenter))
-        .filter(col("deg") <= maxDegree)
-        .drop("deg"))
+      adjRaw.join(broadcast(hubs), Seq("c"), "left_anti"))
     val wedges = adj.as("x").join(adj.as("y"),
         col("x.c") === col("y.c") && col("x.n") < col("y.n"))
       .select(col("x.n").as("u"), col("y.n").as("v"))

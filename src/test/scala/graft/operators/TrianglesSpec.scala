@@ -40,6 +40,19 @@ class TrianglesSpec extends SparkSpec {
     assert(got == Seq((1L, 3L, 2L), (2L, 4L, 2L)))
   }
 
+  test("commonNeighbors drops hubs via broadcast anti-join, never a window") {
+    // plan pin for the r6-verdict fix: the degree must come from a
+    // map-combinable aggregate and the hub drop from a broadcast
+    // anti-join, so a 100 TB hub's adjacency never materializes in one
+    // partition just to be counted and discarded
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val plan = Triangles.commonNeighbors(edges, "a", "b", maxDegree = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "no whole-partition window degree")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"hub drop must be a broadcast anti-join:\n$plan")
+  }
+
   test("commonNeighbors degree cap silences hub-centered wedges") {
     // star: hub 0 linked to 1..5 — every leaf pair shares only the hub.
     // Capping below the hub degree removes all candidates; capping above
