@@ -219,6 +219,26 @@ object VersionedTable {
     committed
   }
 
+  /** Write `df` z-clustered on (`colA`, `colB`) as a new commit — the
+    * `OPTIMIZE ZORDER BY` analog for the versioned table
+    * (/root/reference/bronze_silver_gold/readme.md:84,96 declares
+    * Z-ORDER as the layout practice; the algorithm is public Morton
+    * clustering). The data routes through [[ZOrder.clustered]] — the
+    * overflow-safe min-max normalization + bit interleave and ONE range
+    * shuffle into `numFiles` z-contiguous partitions — before the
+    * ordinary commit protocol, so each committed file owns a tight
+    * min/max box in BOTH dimensions. No separate read path exists:
+    * [[readWhere]]'s lazily-built stats sidecar sees those boxes and
+    * prunes to ~√files for a narrow predicate on EITHER column, where a
+    * single-column sort layout prunes on one and scans everything on
+    * the other. DV-sound like every read: deletion vectors only shrink
+    * a file's live rows, so the clustered boxes stay valid bounds.
+    */
+  def writeClustered(df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int, mode: SaveMode = SaveMode.Overwrite): Long =
+    write(ZOrder.clustered(df, colA, colB, numFiles), path, mode,
+      s"zorder($colA,$colB)")
+
   /** Exactly-once tagged commit: commit `df` under `op` unless a
     * manifest already carries that tag. The tag check is part of the
     * commit RACE, not a separate check-then-write: losing a version race

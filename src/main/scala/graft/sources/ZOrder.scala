@@ -110,7 +110,19 @@ object ZOrder {
     * scalars are one bounded aggregate row, the watermark-read shape.
     */
   def clusterWrite(df: DataFrame, path: String, colA: String, colB: String,
-      numFiles: Int): Unit = {
+      numFiles: Int): Unit =
+    clustered(df, colA, colB, numFiles).write.mode("overwrite").parquet(path)
+
+  /** The layout transform behind [[clusterWrite]], exposed so OTHER
+    * writers (notably [[VersionedTable.writeClustered]]) can route their
+    * data through the same z-ordering before their own commit protocol:
+    * normalize both dimensions, interleave, one range shuffle into
+    * `numFiles` partitions each sorted by z — the writer then emits one
+    * file per partition, and every file owns a tight min/max box in
+    * both dimensions.
+    */
+  def clustered(df: DataFrame, colA: String, colB: String,
+      numFiles: Int): DataFrame = {
     val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
     val (la, ha, lb, hb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
@@ -121,7 +133,6 @@ object ZOrder {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
   }
 
   /** Three-column variant of [[clusterWrite]]: min-max normalize each

@@ -67,6 +67,52 @@ class DataSkippingSpec extends SparkSpec {
     assert(df2.count() == 11)
   }
 
+  test("writeClustered: readWhere prunes on EITHER z dimension; DV-sound") {
+    import graft.Tables
+    val orders = Tables.load(spark, sf, "orders")
+      .select($"o_orderkey".as("okey"),
+        $"o_custkey".as("ck"),
+        datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+          .cast("bigint").as("day"))
+    val n = 16
+    // z-clustered versioned table vs the usual time-sorted layout
+    val zPath = Files.createTempDirectory("vt_z").resolve("t").toString
+    VersionedTable.writeClustered(orders, zPath, "day", "ck", n)
+    val linPath = Files.createTempDirectory("vt_lin").resolve("t").toString
+    VersionedTable.write(
+      orders.repartitionByRange(n, $"day").sortWithinPartitions("day"),
+      linPath, SaveMode.Overwrite)
+
+    val (ckLo, ckHi) = orders.agg(min("ck"), max("ck")).as[(Long, Long)].head()
+    val mid = (ckLo + ckHi) / 2
+    val hi = mid + ((ckHi - ckLo) / 16 max 1L)
+    // predicate on the SECOND dimension goes through the ORDINARY
+    // readWhere machinery — the sidecar sees the tight z boxes
+    val (zDf, zRead, zTotal) = VersionedTable.readWhere(spark, zPath, "ck", mid, hi)
+    val (linDf, linRead, linTotal) =
+      VersionedTable.readWhere(spark, linPath, "ck", mid, hi)
+    assert(zTotal == n.toLong && linTotal == n.toLong)
+    assert(linRead == linTotal,
+      s"day-sorted layout cannot skip on ck: $linRead of $linTotal")
+    assert(zRead < zTotal / 2,
+      s"z-clustered table must skip most files on ck: $zRead of $zTotal")
+    assert(zDf.count() == linDf.count(), "pruning must not change results")
+    // the FIRST dimension also skips
+    val (dLo, dHi) = orders.agg(min("day"), max("day")).as[(Long, Long)].head()
+    val dMid = (dLo + dHi) / 2
+    val (_, dRead, _) = VersionedTable.readWhere(spark, zPath, "day",
+      dMid, dMid + ((dHi - dLo) / 16 max 1L))
+    assert(dRead < zTotal, s"z-clustered table must skip on day too: $dRead")
+    // DV-soundness: delete part of the probed ck range, re-probe — the
+    // pruned read must agree with the full read + filter
+    VersionedTable.deleteWhere(spark, zPath, $"ck" >= mid && $"ck" <= mid + 2)
+    val (zDf2, _, _) = VersionedTable.readWhere(spark, zPath, "ck", mid, hi)
+    val expect = VersionedTable.read(spark, zPath)
+      .filter($"ck" >= mid && $"ck" <= hi)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(zDf2.as[(Long, Long, Long)].collect().sorted.toSeq == expect)
+  }
+
   test("vacuumStats drops rows for unreferenced files; pruning still exact") {
     val path = clusteredTable()
     VersionedTable.readWhere(spark, path, "k", 0L, 299L) // index all 3 files
