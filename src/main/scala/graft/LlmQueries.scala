@@ -600,6 +600,25 @@ object LlmQueries {
   def audioFeatures(s: SparkSession, d: String): DataFrame =
     Multimodal.audioFeatures(s, docs(s, d)).orderBy("asset_id")
 
+  /** q134 — REAL video decode ([[Multimodal.videoFeatures]]): per-doc
+    * MJPEG frames ride an actual RIFF/AVI container, parsed back by
+    * [[graft.functions.Multimodal.MediaCodec.decodeAvi]]'s chunk walk
+    * (the WAV walk's RIFF-family sibling) with every frame rasterized
+    * by the real `javax.imageio` JPEG codec — container parser AND
+    * frame codec on the hot path. The oracle pins frame count, the
+    * avih-declared geometry, and the q99-style bounded reconstruction
+    * error pooled across frames. Retires the last stub codec: video
+    * decode is now as real as image and audio.
+    */
+  def videoFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.videoFeatures(s, docs(s, d)).orderBy("asset_id")
+
+  val videoFeaturesOracle: String =
+    """SELECT doc_id AS asset_id, CAST(3 AS BIGINT) AS n_frames,
+      |  CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+      |  true AS within_tol
+      |FROM documents ORDER BY asset_id""".stripMargin
+
   val audioFeaturesOracle: String =
     """WITH i AS (
       |  SELECT doc_id, CAST(u.i AS BIGINT) AS i FROM documents,
@@ -1388,8 +1407,9 @@ object LlmQueries {
   /** q32 — multimodal asset pipeline: opaque binary payloads + typed
     * metadata through the partition-mapped feature extractor. The
     * oracle covers the FULL output: metadata, the aspect-preserving
-    * resize geometry, and the golden feature vector itself (md5-derived
-    * on a 1/1024 dyadic grid — see MediaCodec.decodeStub), recomputed
+    * resize geometry, and the content-fingerprint vector itself
+    * (md5-derived on a 1/1024 dyadic grid — see
+    * MediaCodec.fingerprintEmbedding), recomputed
     * independently by DuckDB. The vector is verified through a SCALAR
     * digest — md5 over the '|'-joined integer grid numerators
     * (x·1024, exact for dyadic slots) — because the driver's pandas
@@ -2619,6 +2639,7 @@ object LlmQueries {
     "q129_novelty_score" -> (noveltyScore(_, _)),
     "q130_independence_residuals" -> (independenceResiduals(_, _)),
     "q131_rrf_fusion" -> (rrfFusion(_, _)),
+    "q134_avi_codec" -> (videoFeatures(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2680,5 +2701,6 @@ object LlmQueries {
     "q129_novelty_score" -> noveltyScoreOracle,
     "q130_independence_residuals" -> independenceResidualsOracle,
     "q131_rrf_fusion" -> rrfFusionOracle,
+    "q134_avi_codec" -> videoFeaturesOracle,
   )
 }

@@ -9,16 +9,16 @@ import org.apache.spark.sql.functions._
   * Pandas-batch UDF: one iterator of rows per partition, library handles
   * amortized per-partition, vectorizable batch shape).
   *
-  * Codec status: PPM (netpbm P6), PNG, JPEG, and WAV decode are REAL —
-  * [[MediaCodec.decodePpm]] and [[MediaCodec.decodeWav]] are
+  * Codec status: every format is REAL — PPM (netpbm P6) and WAV are
   * hand-written wire-format parsers on the q90/q106 hot paths (the WAV
-  * chunk walk is cross-checked against `javax.sound.sampled`), and
+  * chunk walk is cross-checked against `javax.sound.sampled`),
   * [[MediaCodec.decodeImageIo]] routes PNG/JPEG through the JVM's
-  * built-in `javax.imageio` codecs (q98/q99) — all oracle-verified end
-  * to end. Only formats with no JVM codec at all (video) still enter
-  * through [[MediaCodec.decodeStub]] (a deterministic golden vector);
-  * the surrounding plumbing — schema, encoders, partitioning, batch
-  * iteration — is shared and identical either way.
+  * built-in `javax.imageio` codecs (q98/q99), and video enters through
+  * [[MediaCodec.decodeAvi]] — a RIFF/AVI container walk (the WAV walk's
+  * RIFF-family sibling) whose MJPEG frames rasterize through the real
+  * JPEG codec (q134). Opaque payloads that are not media at all get a
+  * [[MediaCodec.fingerprintEmbedding]] content fingerprint (q32), which
+  * is a feature, not a decode.
   */
 object Multimodal {
 
@@ -53,11 +53,8 @@ object Multimodal {
     /** REAL image decode: binary PPM (P6) per the netpbm spec — magic,
       * then whitespace-separated width/height/maxval with `#` comments
       * allowed anywhere in the header, one whitespace byte, then
-      * width×height×3 raw sample bytes. This is an actual wire-format
-      * parser (the q90 payloads round-trip through it), not a stub —
-      * formats that need external codecs (JPEG/PNG/audio) still enter
-      * through [[decodeStub]] until their libraries exist in the
-      * environment.
+      * width×height×3 raw sample bytes. An actual wire-format parser —
+      * the q90 payloads round-trip through it.
       */
     def decodePpm(bytes: Array[Byte]): RawImage = {
       var i = 0
@@ -120,16 +117,19 @@ object Multimodal {
       Array.tabulate(12)(k => sums(k).toDouble / counts(k))
     }
 
-    /** STUB decode: a real build calls the image/audio codec here. The
-      * fake is a GOLDEN vector, replayable by an independent engine:
-      * slot `s` is the 60-bit prefix of `md5(payload ++ ('a'+s))`,
-      * reduced mod 1024 and scaled into [0,1). Every value lands on a
-      * 1/1024 grid — a dyadic rational, exactly representable in both
-      * float32 and float64 — so the vector round-trips bit-identically
-      * through parquet and the DuckDB oracle (q32 verifies the full
-      * vector end-to-end, not just the metadata).
+    /** Content-fingerprint embedding for OPAQUE payloads — the feature a
+      * curation pipeline attaches to assets it cannot (or chooses not
+      * to) decode: slot `s` is the 60-bit prefix of
+      * `md5(payload ++ ('a'+s))`, reduced mod 1024 and scaled into
+      * [0,1). Deterministic and engine-replayable (the q32 oracle
+      * re-derives every slot in SQL), and every value lands on a 1/1024
+      * grid — a dyadic rational, exact in both float32 and float64, so
+      * the vector round-trips bit-identically through parquet. Content
+      * decode is NOT this function's job: every media format in the
+      * engine (PPM/PNG/JPEG/WAV/AVI-MJPEG) has a real codec —
+      * [[decodePpm]], [[decodeImageIo]], [[decodeWav]], [[decodeAvi]].
       */
-    def decodeStub(payload: Array[Byte], slots: Int = 8): Array[Float] = {
+    def fingerprintEmbedding(payload: Array[Byte], slots: Int = 8): Array[Float] = {
       val md = java.security.MessageDigest.getInstance("MD5")
       Array.tabulate(slots) { s =>
         md.reset()
@@ -138,6 +138,107 @@ object Multimodal {
         val hex = md.digest().take(8).map(b => f"$b%02x").mkString
         (java.lang.Long.parseLong(hex.take(15), 16) % 1024L) / 1024.0f
       }
+    }
+
+    /** Encode MJPEG frames as a minimal RIFF/AVI container per the
+      * public format (RIFF 'AVI ' → LIST 'hdrl' {avih, LIST 'strl'
+      * {strh 'vids'/'MJPG', strf BITMAPINFOHEADER}} → LIST 'movi'
+      * {'00dc' frames} → 'idx1') — the video wire format a JVM can emit
+      * with no codec library, because each frame payload is a complete
+      * JPEG the built-in `javax.imageio` codec produced.
+      */
+    def encodeAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
+        fps: Int = 25): Array[Byte] = {
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put(id.getBytes(ascii)); bb.putInt(body.length); bb.put(body)
+        bb.array() // trailing pad byte (if any) stays zero
+      }
+      def list(listType: String, bodies: Seq[Array[Byte]]): Array[Byte] =
+        chunk("LIST", listType.getBytes(ascii) ++ bodies.flatten)
+      def le(ints: Int*): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(ints.length * 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        ints.foreach(bb.putInt); bb.array()
+      }
+      val avih = chunk("avih", le(
+        1000000 / fps, 0, 0, 0x10 /* AVIF_HASINDEX */, frames.length, 0, 1,
+        0, width, height, 0, 0, 0, 0))
+      val strh = chunk("strh",
+        "vids".getBytes(ascii) ++ "MJPG".getBytes(ascii) ++
+          le(0, 0, 0, 1, fps, 0, frames.length, 0, -1, 0) ++
+          le((height << 16) | width)) // rcFrame as two 16-bit pairs
+      val strf = chunk("strf", le(40, width, height, (24 << 16) | 1)
+        ++ "MJPG".getBytes(ascii) ++ le(width * height * 3, 0, 0, 0, 0))
+      val hdrl = list("hdrl", Seq(avih, list("strl", Seq(strh, strf))))
+      val moviBodies = frames.map(f => chunk("00dc", f))
+      val movi = list("movi", moviBodies)
+      // idx1: one entry per frame — offset is relative to the 'movi'
+      // list-type fourcc, per the format's convention
+      val idx = {
+        var off = 4
+        val entries = frames.zip(moviBodies).map { case (f, c) =>
+          val e = "00dc".getBytes(ascii) ++ le(0x10, off, f.length)
+          off += c.length
+          e
+        }
+        chunk("idx1", entries.flatten.toArray)
+      }
+      chunk("RIFF", "AVI ".getBytes(ascii) ++ hdrl ++ movi ++ idx)
+    }
+
+    /** REAL video-container decode: RIFF/AVI chunk walk per the public
+      * format — RIFF signature + 'AVI ' form, LIST recursion through
+      * 'hdrl' (for the avih geometry) and 'movi' (collecting compressed
+      * '..dc'/'..db' frame payloads), ancillary chunks skipped with
+      * even-byte padding, exactly like [[decodeWav]]'s walk on the same
+      * RIFF family. Frame payloads come back verbatim (each a complete
+      * JPEG for MJPEG streams) for [[decodeImageIo]] to rasterize.
+      * Returns (width, height, frames).
+      */
+    def decodeAvi(bytes: Array[Byte]): (Int, Int, Seq[Array[Byte]]) = {
+      def fail(msg: String) =
+        throw new IllegalArgumentException(s"bad AVI: $msg")
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val t = new Array[Byte](4); bb.get(t)
+        new String(t, java.nio.charset.StandardCharsets.US_ASCII)
+      }
+      if (bytes.length < 12 || tag() != "RIFF") fail("missing RIFF signature")
+      bb.getInt() // declared riff size (trust actual bounds instead)
+      if (tag() != "AVI ") fail("not an AVI form")
+      var width = -1; var height = -1
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(end: Int): Unit = {
+        while (bb.position() + 8 <= end) {
+          val id = tag(); val sz = bb.getInt()
+          if (sz < 0 || bb.position() + sz > end) fail(s"chunk '$id' overruns payload")
+          val next = bb.position() + sz + (sz & 1) // chunks pad to even
+          id match {
+            case "LIST" =>
+              tag() match {
+                case "hdrl" | "movi" | "strl" => walk(bb.position() + sz - 4)
+                case _ => () // ancillary list (INFO, …): skip
+              }
+            case "avih" =>
+              if (sz < 40) fail("avih too short")
+              bb.getInt(); bb.getInt(); bb.getInt(); bb.getInt()
+              bb.getInt(); bb.getInt(); bb.getInt(); bb.getInt()
+              width = bb.getInt(); height = bb.getInt()
+            case _ if id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) =>
+              val f = new Array[Byte](sz); bb.get(f); frames += f
+            case _ => () // strh/strf/idx1/JUNK…: geometry comes from avih
+          }
+          bb.position(math.min(next, bytes.length))
+        }
+      }
+      walk(bytes.length)
+      if (width <= 0 || height <= 0) fail("no avih geometry")
+      if (frames.isEmpty) fail("no frame chunks in movi")
+      (width, height, frames.toSeq)
     }
 
     /** RawImage → BufferedImage (packed-int RGB, no alpha). */
@@ -282,9 +383,8 @@ object Multimodal {
     def framesToSample(durationMs: Long): Int =
       math.max(1, (durationMs / 1000L).toInt)
 
-    /** Resize plan: aspect-preserving fit into maxDim × maxDim (the
-      * geometry a real image resize would apply; the pixel work itself
-      * lives behind the stubbed decode).
+    /** Resize plan: aspect-preserving fit into maxDim × maxDim — the
+      * geometry a real image resize applies.
       */
     def resizePlan(width: Int, height: Int, maxDim: Int = 224): (Int, Int) = {
       if (width <= 0 || height <= 0) (maxDim, maxDim)
@@ -460,9 +560,57 @@ object Multimodal {
       "zero_crossings", "min_s", "max_s", "mean_s")
   }
 
-  /** The partition-mapped decode operator: batch shape = one partition
-    * iterator, exactly how a vectorized UDF would consume it. No shuffle;
-    * scales with input splits.
+  /** REAL video codec pipeline (q134): per document, three uniform-color
+    * 8×8 frames (frame f's color = first 3 md5 bytes of "avi-v1|id|f")
+    * are JPEG-encoded by the real `javax.imageio` codec, wrapped in an
+    * actual RIFF/AVI MJPEG container, and decoded back through
+    * [[MediaCodec.decodeAvi]]'s chunk walk + per-frame
+    * [[MediaCodec.decodeImageIo]] — container parser AND frame codec
+    * both on the hot path. Temporal pooling over the decoded frames
+    * yields the oracle-able facts: frame count, container geometry, and
+    * the bounded per-pixel reconstruction error (the q99 device, maxed
+    * across every frame). Partition-mapped, no shuffle.
+    */
+  def videoFeatures(spark: SparkSession, docs: DataFrame,
+      tol: Int = 12): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val colors = Array.tabulate(3) { f =>
+          md.reset()
+          md.update(s"avi-v1|$id|$f".getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          val d = md.digest()
+          Array(d(0) & 0xff, d(1) & 0xff, d(2) & 0xff)
+        }
+        val jpegs = colors.map { rgb =>
+          val pixels = Array.tabulate[Byte](8 * 8 * 3)(i => rgb(i % 3).toByte)
+          MediaCodec.encodeJpeg(RawImage(8, 8, 255, pixels))
+        }
+        val (w, h, frames) = MediaCodec.decodeAvi(
+          MediaCodec.encodeAvi(jpegs.toSeq, 8, 8))
+        var maxErr = 0
+        frames.zip(colors).foreach { case (bytes, rgb) =>
+          val img = MediaCodec.decodeImageIo(bytes)
+          var i = 0
+          while (i < img.pixels.length) {
+            val e = math.abs((img.pixels(i) & 0xff) - rgb(i % 3))
+            if (e > maxErr) maxErr = e
+            i += 1
+          }
+        }
+        (id, frames.length.toLong, w.toLong, h.toLong, maxErr <= tol)
+      }
+    }.toDF("asset_id", "n_frames", "width", "height", "within_tol")
+  }
+
+  /** The partition-mapped feature operator over opaque assets: batch
+    * shape = one partition iterator, exactly how a vectorized UDF would
+    * consume it. Features are [[MediaCodec.fingerprintEmbedding]]
+    * content fingerprints (the payloads here are opaque stand-ins;
+    * decodable media goes through the real codec pipelines — q90, q98,
+    * q99, q106, q134). No shuffle; scales with input splits.
     */
   def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
@@ -471,7 +619,7 @@ object Multimodal {
         val (w, h) = MediaCodec.resizePlan(a.width, a.height)
         MediaFeatures(a.asset_id, a.media_type, a.payload.length.toLong,
           MediaCodec.framesToSample(a.duration_ms), w, h,
-          MediaCodec.decodeStub(a.payload))
+          MediaCodec.fingerprintEmbedding(a.payload))
       }
     }
   }

@@ -313,20 +313,21 @@ class LlmOpsSpec extends SparkSpec {
       s"probe filter should prune assignment partitions:\n$plan")
   }
 
-  test("multimodal feature extraction: stubbed decode is deterministic, schema typed") {
+  test("multimodal fingerprint features are deterministic, schema typed") {
     val feats = Multimodal.extractFeatures(
       Multimodal.assetsFromDocuments(spark, docs))
     val f1 = feats.filter(_.asset_id == 7).collect()(0)
     val f2 = Multimodal.extractFeatures(
       Multimodal.assetsFromDocuments(spark, docs))
       .filter(_.asset_id == 7).collect()(0)
-    assert(f1.feature.toSeq == f2.feature.toSeq, "decode stub must be deterministic")
+    assert(f1.feature.toSeq == f2.feature.toSeq,
+      "fingerprint embedding must be deterministic")
     assert(f1.feature.length == 8)
     assert(f1.feature.forall(v => v >= 0f && v < 1f))
     // golden vector: slot 0 of payload "hello" is the 60-bit prefix of
     // md5("helloa") = 299614d7f27cc98... → 0x299614d7f27cc98 % 1024 = 152
-    assert(Multimodal.MediaCodec.decodeStub("hello".getBytes("UTF-8"))(0) ==
-      152f / 1024f)
+    assert(Multimodal.MediaCodec.fingerprintEmbedding(
+      "hello".getBytes("UTF-8"))(0) == 152f / 1024f)
     assert(feats.count() == docs.count())
     assert(f1.byte_len > 0 && f1.frames_sampled >= 1)
     // resize plan fits 224x224 preserving aspect
