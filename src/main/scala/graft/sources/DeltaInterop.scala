@@ -563,6 +563,104 @@ object DeltaInterop {
     -1L // unreachable
   }
 
+  /** Write the deleted row positions as a protocol-conformant DV file
+    * under the table root (version byte 1, big-endian size, portable
+    * RoaringBitmapArray bytes, big-endian CRC32) and return the add
+    * action descriptor pointing at it ("u" storage, fresh UUID).
+    */
+  private def writeDvFile(root: Path, rows: Seq[Long]): DvDescriptor = {
+    val data = encodeBitmapArray(rows)
+    val uuid = java.util.UUID.randomUUID()
+    val crc = new java.util.zip.CRC32
+    crc.update(data)
+    val bb = java.nio.ByteBuffer.allocate(1 + 4 + data.length + 4) // BE framing
+    bb.put(1.toByte).putInt(data.length).put(data).putInt(crc.getValue.toInt)
+    Files.write(root.resolve(s"deletion_vector_$uuid.bin"), bb.array())
+    val ub = java.nio.ByteBuffer.allocate(16)
+    ub.putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits)
+    DvDescriptor("u", z85Encode(ub.array()), Some(1L), data.length.toLong,
+      rows.length.toLong)
+  }
+
+  /** Row-level DELETE via deletion vectors — the write half of the DV
+    * interop: rows matching `cond` are masked by a new DV per touched
+    * file (merged with the file's existing DV), committed as the
+    * protocol's remove + re-add-with-DV action pair, with the protocol
+    * upgraded to reader 3 / writer 7 + the `deletionVectors` feature on
+    * the first DV commit — exactly what a modern Delta writer emits, so
+    * external readers apply the mask. No data file is rewritten.
+    *
+    * Scale shape: the scan that finds victims is an ordinary
+    * distributed filter over `_metadata.row_index`; only the matching
+    * (file, position) pairs collect to the driver — bounded by the
+    * delete's cardinality, the same bytes any DV writer must serialize.
+    * Returns the committed version (None when nothing matched).
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+      cond: Column): Option[Long] = {
+    val root = Paths.get(path)
+    val logDir = root.resolve("_delta_log")
+    while (true) {
+      val snap = snapshot(spark, path)
+      require(snap.columnMappingMode == "none",
+        "deleteWhere on a column-mapped table unsupported")
+      val partSet = snap.partitionColumns.toSet
+      val dataSchema = StructType(snap.schema.filterNot(f => partSet.contains(f.name)))
+      // live rows only: a row already masked by an existing DV must not
+      // be re-deleted (and must not resurrect) — scan with positions and
+      // subtract current DVs before applying the predicate
+      val victims: Map[String, Seq[Long]] = snap.files
+        .groupBy(_.partitionValues).toSeq.flatMap { case (pv, fs) =>
+          val base = spark.read.schema(dataSchema)
+            .parquet(fs.map(f => s"$path/${decodePath(f.path)}"): _*)
+          val withPv = snap.partitionColumns.foldLeft(base) { (df, pc) =>
+            df.withColumn(pc, lit(pv.getOrElse(pc, null)).cast(snap.schema(pc).dataType))
+          }
+          val dead = fs.flatMap(f => f.dv.toSeq.flatMap(d =>
+            dvRowIndexes(root, d).map(
+              root.resolve(decodePath(f.path)).toAbsolutePath.toString -> _)))
+          import spark.implicits._
+          val scan = withPv
+            .withColumn("__dv_file",
+              regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+            .withColumn("__dv_pos", col("_metadata.row_index"))
+          val live =
+            if (dead.isEmpty) scan
+            else scan.join(broadcast(dead.toDF("__dv_file", "__dv_pos")),
+              Seq("__dv_file", "__dv_pos"), "left_anti")
+          live.filter(cond)
+            .select(col("__dv_file"), col("__dv_pos"))
+            .as[(String, Long)].collect().toSeq
+        }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      if (victims.isEmpty) return None
+
+      val byAbs = snap.files.map(f =>
+        root.resolve(decodePath(f.path)).toAbsolutePath.toString -> f).toMap
+      val actions = victims.toSeq.sortBy(_._1).flatMap { case (abs, rows) =>
+        val f = byAbs(abs)
+        val existing = f.dv.toSeq.flatMap(d => dvRowIndexes(root, d))
+        val dv = writeDvFile(root, (existing ++ rows).distinct.sorted)
+        val pvJson = f.partitionValues.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"${jstr(k)}:${if (v == null) "null" else jstr(v)}" }
+          .mkString("{", ",", "}")
+        Seq(
+          s"""{"remove":{"path":${jstr(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}""",
+          s"""{"add":{"path":${jstr(f.path)},"partitionValues":$pvJson,"size":0,"modificationTime":0,"dataChange":true${dvJson(dv)}}}""")
+      }
+      val upgrade =
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+      try {
+        Files.write(logDir.resolve(f"${snap.version + 1}%020d.json"),
+          (upgrade +: actions).mkString("", "\n", "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        return Some(snap.version + 1)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // re-derive from the new snapshot
+      }
+    }
+    None // unreachable
+  }
+
   /** Write a parquet checkpoint of the current snapshot plus the
     * `_last_checkpoint` pointer, allowing pre-checkpoint JSON commits to
     * be cleaned — the same compaction a Delta writer performs. Add

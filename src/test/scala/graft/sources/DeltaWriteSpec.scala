@@ -101,6 +101,35 @@ class DeltaWriteSpec extends SparkSpec {
     assert(e.getMessage.contains("partition"))
   }
 
+  test("deleteWhere writes protocol-3 deletion vectors; reads + time travel agree") {
+    import org.apache.spark.sql.functions.col
+    val path = tmpTable()
+    DeltaInterop.write((1L to 10L).map(i => (i, s"r$i")).toDF("k", "v"),
+      path, SaveMode.Overwrite)
+    val v = DeltaInterop.deleteWhere(spark, path, col("k") % 2 === 0)
+    assert(v.contains(1L))
+    assert(DeltaInterop.read(spark, path).as[(Long, String)].collect()
+      .map(_._1).sorted.toSeq == Seq(1L, 3L, 5L, 7L, 9L),
+      "even keys masked, no file rewritten")
+    // the DV commit upgraded the protocol the way a modern writer does
+    val log = Files.readString(Paths.get(path, "_delta_log", f"${1L}%020d.json"))
+    assert(log.contains("\"minReaderVersion\":3")
+      && log.contains("deletionVectors") && log.contains("\"storageType\":\"u\""))
+    // pre-delete version still reads every row
+    assert(DeltaInterop.read(spark, path, asOf = Some(0L)).count() == 10)
+    // deleting already-dead rows is a no-op, not a double mask
+    assert(DeltaInterop.deleteWhere(spark, path, col("k") === 2).isEmpty)
+    // a second delete MERGES with the existing DV of the same file
+    assert(DeltaInterop.deleteWhere(spark, path, col("k") === 1).contains(2L))
+    assert(DeltaInterop.read(spark, path).as[(Long, String)].collect()
+      .map(_._1).sorted.toSeq == Seq(3L, 5L, 7L, 9L))
+    // checkpoint + log cleanup keeps the masks (DV descriptors survive)
+    assert(DeltaInterop.checkpoint(spark, path) == 2L)
+    Seq(0L, 1L, 2L).foreach(i =>
+      Files.delete(Paths.get(path, "_delta_log", f"$i%020d.json")))
+    assert(DeltaInterop.read(spark, path).count() == 4)
+  }
+
   test("ErrorIfExists refuses an existing table; Ignore is a no-op") {
     val path = tmpTable()
     DeltaInterop.write(Seq((1L, "a")).toDF("k", "v"), path, SaveMode.Overwrite)
