@@ -2887,6 +2887,59 @@ object CoreQueries {
       |SELECT min(k) AS start_key, max(k) AS end_key, count(*) AS run_length
       |FROM r GROUP BY k - rn ORDER BY start_key""".stripMargin
 
+  /** q138 — snapshot diff / table reconciliation: classify every
+    * business key across two table snapshots as added, removed, changed,
+    * or unchanged — the audit a versioned pipeline runs between loads
+    * (the CDF-consumer's batch analog, and the "automated tests for
+    * duplicates / referential integrity" family the reference's docs
+    * declare, /root/reference/bronze_silver_gold/readme.md:97). The
+    * second snapshot is derived deterministically from the first
+    * (mod-key updates, drops, and key-shifted inserts), the comparison
+    * is ONE full-outer join on the key — no per-class rescans — and
+    * change detection compares exact DECIMAL values. Output is the
+    * per-segment × class count matrix.
+    */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val oldS = t(s, d, "customer").select(col("c_custkey").as("k"),
+      col("c_mktsegment").as("seg"),
+      expr("CAST(c_acctbal AS DECIMAL(18,2))").as("bal"))
+    val newS = oldS.filter(col("k") % 13 =!= 0)
+      .select(col("k"), col("seg"),
+        when(col("k") % 10 === 0, col("bal") * 2).otherwise(col("bal")).as("bal"))
+      .unionByName(oldS.filter(col("k") % 17 === 0)
+        .select((col("k") + 100000L).as("k"), col("seg"), col("bal")))
+    val o = oldS.as("o"); val n = newS.as("n")
+    o.join(n, col("o.k") === col("n.k"), "full_outer")
+      .select(coalesce(col("o.seg"), col("n.seg")).as("seg"),
+        when(col("n.k").isNull, "removed")
+          .when(col("o.k").isNull, "added")
+          .when(col("o.bal") =!= col("n.bal"), "changed")
+          .otherwise("unchanged").as("class"))
+      .groupBy("seg", "class").agg(count(lit(1)).as("n_keys"))
+      .orderBy("seg", "class")
+  }
+
+  val snapshotDiffOracle: String =
+    """WITH old_s AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS seg,
+      |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      |  FROM customer
+      |), new_s AS (
+      |  SELECT k, seg,
+      |    CASE WHEN k % 10 = 0 THEN bal * 2 ELSE bal END AS bal
+      |  FROM old_s WHERE k % 13 <> 0
+      |  UNION ALL
+      |  SELECT k + 100000 AS k, seg, bal FROM old_s WHERE k % 17 = 0
+      |)
+      |SELECT COALESCE(o.seg, n.seg) AS seg,
+      |  CASE WHEN n.k IS NULL THEN 'removed'
+      |       WHEN o.k IS NULL THEN 'added'
+      |       WHEN o.bal <> n.bal THEN 'changed'
+      |       ELSE 'unchanged' END AS class,
+      |  CAST(COUNT(*) AS BIGINT) AS n_keys
+      |FROM old_s o FULL OUTER JOIN new_s n ON o.k = n.k
+      |GROUP BY 1, 2 ORDER BY seg, class""".stripMargin
+
   /** q133 — 3-dimensional Morton z-values
     * ([[graft.sources.ZOrder.zValue3]]): the (customer, supplier, day)
     * interleave a tenant × entity × time layout clusters on. As with
@@ -3017,6 +3070,7 @@ object CoreQueries {
     "q128_benford_digits" -> (benfordDigits(_, _)),
     "q132_sequence_gaps" -> (sequenceGaps(_, _)),
     "q133_zorder3_values" -> (zorder3Values(_, _)),
+    "q138_snapshot_diff" -> (snapshotDiff(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -3094,6 +3148,7 @@ object CoreQueries {
     "q128_benford_digits" -> benfordDigitsOracle,
     "q132_sequence_gaps" -> sequenceGapsOracle,
     "q133_zorder3_values" -> zorder3ValuesOracle,
+    "q138_snapshot_diff" -> snapshotDiffOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }

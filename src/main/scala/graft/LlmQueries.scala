@@ -1457,6 +1457,135 @@ object LlmQueries {
        |FROM a ORDER BY asset_id""".stripMargin
   }
 
+  /** q135 — two-sample Kolmogorov–Smirnov drift statistic between the
+    * English and non-English document-length distributions: the
+    * distribution-drift monitor a curation pipeline runs between corpus
+    * snapshots or slices. Everything is exact integer arithmetic — the
+    * KS distance max|F₁−F₂| is carried as the cross-multiplied
+    * numerator max|cumA·nB − cumB·nA| (BIGINT) and reported in ppm via
+    * a DECIMAL(38,0) divide, so the oracle is bit-stable. The CDFs ride
+    * the bucketed [[graft.operators.PrefixSum]] over per-value counts —
+    * never a single-partition global window — and the per-value table
+    * is one map-combinable groupBy of the scan.
+    */
+  def ksDrift(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val isA = col("lang") === "en"
+    val counts = dd.groupBy(col("n_chars").as("v")).agg(
+      sum(when(isA, 1L).otherwise(0L)).as("ca"),
+      sum(when(!isA, 1L).otherwise(0L)).as("cb"))
+    val c1 = graft.operators.PrefixSum.exclusiveRunningTotal(
+      counts, Seq(col("v")), col("ca"), "pa")
+    val c2 = graft.operators.PrefixSum.exclusiveRunningTotal(
+      c1, Seq(col("v")), col("cb"), "pb")
+    val tot = dd.agg(
+      sum(when(isA, 1L).otherwise(0L)).as("na"),
+      sum(when(!isA, 1L).otherwise(0L)).as("nb"))
+    c2.select((col("pa") + col("ca")).as("cuma"),
+        (col("pb") + col("cb")).as("cumb"))
+      .crossJoin(broadcast(tot))
+      .groupBy("na", "nb")
+      .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+        .as("d_num"))
+      .select(col("na"), col("nb"), col("d_num"),
+        expr("(CAST(d_num AS DECIMAL(38,0)) * 1000000)" +
+          " div (CAST(na AS DECIMAL(38,0)) * nb)").as("d_ppm"))
+  }
+
+  val ksDriftOracle: String =
+    """WITH c AS (
+      |  SELECT n_chars AS v,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM documents GROUP BY 1
+      |), cum AS (
+      |  SELECT SUM(ca) OVER (ORDER BY v) AS cuma,
+      |         SUM(cb) OVER (ORDER BY v) AS cumb
+      |  FROM c
+      |), t AS (
+      |  SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |         CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      |  FROM documents
+      |)
+      |SELECT na, nb,
+      |  CAST(MAX(ABS(cuma * nb - cumb * na)) AS BIGINT) AS d_num,
+      |  CAST((MAX(ABS(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na))
+      |        * 1000000) // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS d_ppm
+      |FROM cum, t GROUP BY na, nb""".stripMargin
+
+  /** q136 — per-language token-frequency concentration (Herfindahl–
+    * Hirschman index in exact ppm): Σ(cᵢ/N)² over the token histogram —
+    * the vocabulary-concentration screen that flags a language slice
+    * degenerating toward few repeated tokens (boilerplate, spam) without
+    * entropy's transcendental log. The squared counts and the N² divisor
+    * ride DECIMAL(38,0) carriers (the q110/q115 device), so the figure
+    * is exact at any corpus size; the whole query is two map-combinable
+    * aggregations over the token stream.
+    */
+  def tokenHhi(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d).select(col("lang"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    toks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("lang").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sum_sq"))
+      .select(col("lang"), col("n_tokens"), col("n_distinct"),
+        expr("(sum_sq * 1000000) div" +
+          " (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens)").as("hhi_ppm"))
+      .orderBy("lang")
+  }
+
+  val tokenHhiOracle: String =
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |  FROM documents
+      |), c AS (
+      |  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+      |)
+      |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |  CAST((SUM(CAST(c AS HUGEINT) * c) * 1000000)
+      |       // (CAST(SUM(c) AS HUGEINT) * SUM(c)) AS BIGINT) AS hhi_ppm
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q137 — BPE merge-candidate statistics: the global adjacent-pair
+    * frequency table over the BPE-ish token stream — the counting step
+    * a tokenizer-training loop runs every merge round, at corpus scale.
+    * Adjacent pairs are built INSIDE the scan with a codegen'd
+    * `transform(sequence(...))` over each token array (no posexplode +
+    * window, no per-doc shuffle); the only exchange is the final pair
+    * groupBy. Top 20 by (count desc, pair asc) — a deterministic total
+    * order.
+    */
+  def bpePairs(s: SparkSession, d: String): DataFrame = {
+    docs(s, d)
+      .select(TextAnalysis.bpeTokens(col("text")).as("bpe"))
+      .filter(size(col("bpe")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(bpe) - 1)," +
+          " i -> struct(element_at(bpe, i) AS l, element_at(bpe, i + 1) AS r))"))
+        .as("p"))
+      .groupBy(col("p.l").as("left_tok"), col("p.r").as("right_tok"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("left_tok"), col("right_tok"))
+      .limit(20)
+  }
+
+  val bpePairsOracle: String =
+    """WITH l AS (
+      |  SELECT regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS bpe
+      |  FROM documents
+      |), p AS (
+      |  SELECT bpe[CAST(u.i AS BIGINT)] AS left_tok,
+      |         bpe[CAST(u.i AS BIGINT) + 1] AS right_tok
+      |  FROM l, UNNEST(range(1, len(bpe))) AS u(i)
+      |  WHERE len(bpe) >= 2
+      |)
+      |SELECT left_tok, right_tok, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |FROM p GROUP BY 1, 2
+      |ORDER BY n_pairs DESC, left_tok, right_tok LIMIT 20""".stripMargin
+
   /** q67 — IVF recall@k: the ANN quality/latency trade made measurable.
     * The same query set (vec_id % 200 == 0) runs through brute-force
     * top-3 (exhaustive truth — every corpus vector scored) and the q30
@@ -2640,6 +2769,9 @@ object LlmQueries {
     "q130_independence_residuals" -> (independenceResiduals(_, _)),
     "q131_rrf_fusion" -> (rrfFusion(_, _)),
     "q134_avi_codec" -> (videoFeatures(_, _)),
+    "q135_ks_drift" -> (ksDrift(_, _)),
+    "q136_token_hhi" -> (tokenHhi(_, _)),
+    "q137_bpe_pairs" -> (bpePairs(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2702,5 +2834,8 @@ object LlmQueries {
     "q130_independence_residuals" -> independenceResidualsOracle,
     "q131_rrf_fusion" -> rrfFusionOracle,
     "q134_avi_codec" -> videoFeaturesOracle,
+    "q135_ks_drift" -> ksDriftOracle,
+    "q136_token_hhi" -> tokenHhiOracle,
+    "q137_bpe_pairs" -> bpePairsOracle,
   )
 }
