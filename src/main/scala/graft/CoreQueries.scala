@@ -2940,6 +2940,101 @@ object CoreQueries {
       |FROM old_s o FULL OUTER JOIN new_s n ON o.k = n.k
       |GROUP BY 1, 2 ORDER BY seg, class""".stripMargin
 
+  /** q139 — bounded k-core of the part co-purchase graph
+    * ([[graft.operators.KCore]]): peel nodes with < 3 surviving
+    * co-purchase partners for 6 synchronous rounds — the graph-density
+    * screen separating structurally-embedded parts from pendant noise.
+    * Rounds are bounded (the q126 bounded-Bellman–Ford convention), so
+    * the DuckDB oracle unrolls the IDENTICAL six peels — equality holds
+    * whether or not the fixpoint arrives early, because both engines run
+    * the same rounds.
+    */
+  def kcoreParts(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      .filter(col("l_partkey") % 4 === 0)
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    graft.operators.KCore.core(edges, "pa", "pb", k = 3, rounds = 6)
+      .select(col("n").as("part_id"), col("core_degree"))
+      .orderBy("part_id")
+  }
+
+  val kcorePartsOracle: String = {
+    // six unrolled peel rounds: keep_i = degree-filtered survivors of
+    // e_{i-1}; e_i = e_{i-1} restricted to keep_i on both endpoints.
+    // MATERIALIZED is load-bearing: each round reads its predecessor ~5
+    // times, so inlined CTEs re-derive e0 5^6 times (measured: DuckDB
+    // exhausts file handles re-opening the parquet)
+    val rounds = (1 to 6).map { i =>
+      s"""k$i AS MATERIALIZED (
+         |  SELECT n FROM (
+         |    SELECT u AS n FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}
+         |  ) GROUP BY n HAVING COUNT(*) >= 3
+         |), e$i AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM e${i - 1} e
+         |  JOIN k$i a ON e.u = a.n JOIN k$i b ON e.v = b.n
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0
+       |), e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |), $rounds
+       |SELECT n AS part_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+       |FROM (SELECT u AS n FROM e6 UNION ALL SELECT v FROM e6)
+       |GROUP BY n ORDER BY part_id""".stripMargin
+  }
+
+  /** q140 — exact weighted median per group: the quantity-weighted
+    * median line price per order priority. The weighted analog of the
+    * q36/q121 exact-percentile family: per-(group, value) weights are
+    * ONE map-combinable aggregation (rows bounded by the value domain,
+    * never the data), the cumulative weight runs over that bounded
+    * table, and the median is the smallest value whose doubled
+    * cumulative weight reaches the total — all exact BIGINT cents, no
+    * interpolation, bit-stable on any engine.
+    */
+  def weightedMedian(s: SparkSession, d: String): DataFrame = {
+    val byValue = t(s, d, "lineitem").groupBy(
+        col("l_returnflag").as("grp"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("w"))
+    // cumulative weight over the per-group VALUE DOMAIN (bounded rows),
+    // not the raw scan — the q122 discipline for windowed exactness
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("cents")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = byValue.withColumn("cw", sum("w").over(win))
+    val tot = byValue.groupBy("grp").agg(sum("w").as("tw"))
+    cum.join(tot, "grp")
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy("grp").agg(min("cents").as("median_cents"),
+        max("tw").as("total_weight"))
+      .orderBy("grp")
+  }
+
+  val weightedMedianOracle: String =
+    """WITH bv AS (
+      |  SELECT l_returnflag AS grp,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2
+      |), c AS (
+      |  SELECT grp, cents, SUM(w) OVER (PARTITION BY grp ORDER BY cents
+      |    ROWS UNBOUNDED PRECEDING) AS cw,
+      |    SUM(w) OVER (PARTITION BY grp) AS tw
+      |  FROM bv
+      |)
+      |SELECT grp, CAST(MIN(cents) AS BIGINT) AS median_cents,
+      |  CAST(MAX(tw) AS BIGINT) AS total_weight
+      |FROM c WHERE cw * 2 >= tw GROUP BY grp ORDER BY grp""".stripMargin
+
   /** q133 — 3-dimensional Morton z-values
     * ([[graft.sources.ZOrder.zValue3]]): the (customer, supplier, day)
     * interleave a tenant × entity × time layout clusters on. As with
@@ -3071,6 +3166,8 @@ object CoreQueries {
     "q132_sequence_gaps" -> (sequenceGaps(_, _)),
     "q133_zorder3_values" -> (zorder3Values(_, _)),
     "q138_snapshot_diff" -> (snapshotDiff(_, _)),
+    "q139_kcore" -> (kcoreParts(_, _)),
+    "q140_weighted_median" -> (weightedMedian(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -3149,6 +3246,8 @@ object CoreQueries {
     "q132_sequence_gaps" -> sequenceGapsOracle,
     "q133_zorder3_values" -> zorder3ValuesOracle,
     "q138_snapshot_diff" -> snapshotDiffOracle,
+    "q139_kcore" -> kcorePartsOracle,
+    "q140_weighted_median" -> weightedMedianOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }

@@ -25,22 +25,38 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** The events schema as stored (ts arrives as ns-long; see
-    * Tables.events). Streaming sources must declare their schema.
+  /** The events schema as stored, parameterized by the fixture
+    * generation's physical ts type (ns-long in older fixtures,
+    * timestamp[us] in newer ones; see Tables.events). Streaming sources
+    * must declare their schema.
     */
-  val rawSchema: StructType = StructType(Seq(
+  private def rawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-based streaming read of an events directory (parquet). */
+  /** File-based streaming read of an events directory (parquet).
+    * Streaming sources must declare their schema up front, so the
+    * physical ts type is sniffed from the directory's parquet footers
+    * with one metadata-only batch read, then normalized to session-zone
+    * TIMESTAMP exactly like the batch loader (Tables.events) — the
+    * batch-oracle comparison depends on both paths agreeing.
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    spark.read.parquet(dir).schema("ts").dataType match {
+      case LongType =>
+        spark.readStream.schema(rawSchema(LongType)).parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        spark.readStream.schema(rawSchema(TimestampNTZType)).parquet(dir)
+          .withColumn("ts", col("ts").cast("timestamp"))
+      case other =>
+        spark.readStream.schema(rawSchema(other)).parquet(dir)
+    }
   }
 
   /** Tumbling hourly aggregate with a 10-minute watermark — the
