@@ -239,6 +239,20 @@ object VersionedTable {
     write(ZOrder.clustered(df, colA, colB, numFiles), path, mode,
       s"zorder($colA,$colB)")
 
+  /** Transactional `OPTIMIZE ZORDER BY` — rewrite the CURRENT live rows
+    * (deletion vectors applied) into a z-clustered layout as a new
+    * overwrite version: contents identical, layout new, every previous
+    * version still time-travelable. The layout-only analog of
+    * [[compact]], combining it with [[writeClustered]]'s Morton
+    * range-shuffle so subsequent [[readWhere]] calls prune on either
+    * clustered dimension. Tagged in the history so audits can tell a
+    * layout rewrite from a data change. Returns the committed version.
+    */
+  def optimizeZOrder(spark: SparkSession, path: String, colA: String,
+      colB: String, numFiles: Int): Long =
+    write(ZOrder.clustered(read(spark, path), colA, colB, numFiles), path,
+      SaveMode.Overwrite, s"optimize-zorder($colA,$colB)")
+
   /** Exactly-once tagged commit: commit `df` under `op` unless a
     * manifest already carries that tag. The tag check is part of the
     * commit RACE, not a separate check-then-write: losing a version race

@@ -249,6 +249,32 @@ class PlanShapeSpec extends SparkSpec {
     graft.CacheScope.drain(spark, blocking = true)
   }
 
+  test("bpe pairs: adjacent pairs built inside the scan — no window, no join") {
+    val plan = executed(SparkEntry.queries("q137_bpe_pairs")(spark, sf))
+    assert(!plan.contains("Window"),
+      s"pairs must come from transform(sequence), not a lag window:\n$plan")
+    assert(!plan.contains("Join"),
+      s"no join anywhere — one exchange at the pair groupBy only:\n$plan")
+    graft.CacheScope.drain(spark, blocking = true)
+  }
+
+  test("ks drift: CDFs ride bucketed windows, never an unpartitioned one") {
+    val plan = executed(SparkEntry.queries("q135_ks_drift")(spark, sf))
+    // PrefixSum windows partition by bucket; a global-order window would
+    // print an empty partition spec
+    assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition()"),
+      s"no unpartitioned window in the KS plan:\n$plan")
+    graft.CacheScope.drain(spark, blocking = true)
+  }
+
+  test("kcore: every peel round is equality-shaped, no cartesian") {
+    val plan = executed(SparkEntry.queries("q139_kcore")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"peel restriction must hash on endpoints, plan:\n$plan")
+    graft.CacheScope.drain(spark, blocking = true)
+  }
+
   test("CMS: sketch broadcasts to the estimate join, no sort anywhere in build") {
     val plan = executed(SparkEntry.queries("q114_cms_frequency")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"),

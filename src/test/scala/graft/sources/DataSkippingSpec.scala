@@ -113,6 +113,39 @@ class DataSkippingSpec extends SparkSpec {
     assert(zDf2.as[(Long, Long, Long)].collect().sorted.toSeq == expect)
   }
 
+  test("optimizeZOrder: contents identical, layout prunes, history intact") {
+    import graft.Tables
+    val orders = Tables.load(spark, sf, "orders")
+      .select($"o_orderkey".as("okey"), $"o_custkey".as("ck"),
+        datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+          .cast("bigint").as("day"))
+    val path = Files.createTempDirectory("vt_opt").resolve("t").toString
+    // start from a time-sorted layout with a DV delete on top
+    VersionedTable.write(
+      orders.repartitionByRange(8, $"day").sortWithinPartitions("day"),
+      path, SaveMode.Overwrite)
+    VersionedTable.deleteWhere(spark, path, $"okey" % 97 === 0)
+    val before = VersionedTable.read(spark, path)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val v = VersionedTable.optimizeZOrder(spark, path, "day", "ck", 16)
+    // contents bit-identical (the DV'd rows stay dead — they were
+    // applied before the rewrite)
+    val after = VersionedTable.read(spark, path)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(after == before, "OPTIMIZE must not change table contents")
+    // the new layout prunes on the SECOND dimension
+    val (lo, hi) = orders.agg(min("ck"), max("ck")).as[(Long, Long)].head()
+    val mid = (lo + hi) / 2
+    val (_, read, total) = VersionedTable.readWhere(spark, path, "ck",
+      mid, mid + ((hi - lo) / 16 max 1L))
+    assert(total == 16 && read < total / 2,
+      s"z-optimized table must skip on ck: $read of $total")
+    // history: the op is tagged, and pre-optimize versions time travel
+    assert(VersionedTable.opOf(path, v) == "optimize-zorder(day,ck)")
+    assert(VersionedTable.readVersion(spark, path, v - 1)
+      .as[(Long, Long, Long)].collect().sorted.toSeq == before)
+  }
+
   test("vacuumStats drops rows for unreferenced files; pruning still exact") {
     val path = clusteredTable()
     VersionedTable.readWhere(spark, path, "k", 0L, 299L) // index all 3 files
