@@ -2504,6 +2504,59 @@ object CoreQueries {
       |SELECT o_orderkey, ck16, day16, a4 | (b4 << 1) AS zval
       |FROM s4 ORDER BY o_orderkey""".stripMargin
 
+  /** q141 — Hilbert-curve indexes for two-dimensional clustering
+    * ([[graft.sources.ZOrder.hilbertValue]]): the space-filling curve
+    * with no jumps — consecutive indexes are always grid-adjacent, so
+    * clustered file boxes are tighter than Morton's on average. As with
+    * q120, the query puts the bit transform itself under the oracle:
+    * the 8-step reflect/swap fold is replayed CTE-for-CTE in DuckDB,
+    * bit-for-bit.
+    */
+  def hilbertValues(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ZOrder
+    val base = t(s, d, "orders")
+      .select(col("o_orderkey"),
+        col("o_custkey").bitwiseAND(lit(0xFFL)).as("ck8"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("bigint")
+          .bitwiseAND(lit(0xFFL)).as("day8"))
+    ZOrder.withHilbert(base, col("ck8"), col("day8"), "hval", 8)
+      .orderBy("o_orderkey")
+  }
+
+  val hilbertValuesOracle: String = {
+    // the same high-to-low fold, one CTE per bit: extract (rx, ry),
+    // accumulate s²·xor(3·rx, ry), conditionally reflect + swap
+    val steps = (7 to 0 by -1).zipWithIndex.map { case (b, i) =>
+      val s = 1L << b
+      val p = if (i == 0) "c0" else s"c$i"
+      s"""c${i + 1} AS (
+         |  SELECT o_orderkey, ck8, day8,
+         |    d + ${s * s} * xor(3 * ((x >> $b) & 1), (y >> $b) & 1) AS d,
+         |    CASE WHEN ((y >> $b) & 1) = 0 THEN
+         |      CASE WHEN ((x >> $b) & 1) = 1 THEN ${s - 1} - y ELSE y END
+         |    ELSE x END AS x,
+         |    CASE WHEN ((y >> $b) & 1) = 0 THEN
+         |      CASE WHEN ((x >> $b) & 1) = 1 THEN ${s - 1} - x ELSE x END
+         |    ELSE y END AS y
+         |  FROM $p
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH c0 AS (
+       |  SELECT o_orderkey,
+       |    CAST(o_custkey AS BIGINT) & 255 AS ck8,
+       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+       |      & 255 AS day8,
+       |    CAST(o_custkey AS BIGINT) & 255 AS x,
+       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+       |      & 255 AS y,
+       |    CAST(0 AS BIGINT) AS d
+       |  FROM orders
+       |), $steps
+       |SELECT o_orderkey, ck8, day8, d AS hval
+       |FROM c8 ORDER BY o_orderkey""".stripMargin
+  }
+
   /** q121 — median-absolute-deviation outlier screen per order priority:
     * the robust complement to q107's z-scores (one corrupt extreme moves
     * a mean/stddev gate; the median/MAD gate shrugs). Two exact-
@@ -3168,6 +3221,7 @@ object CoreQueries {
     "q138_snapshot_diff" -> (snapshotDiff(_, _)),
     "q139_kcore" -> (kcoreParts(_, _)),
     "q140_weighted_median" -> (weightedMedian(_, _)),
+    "q141_hilbert_values" -> (hilbertValues(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
 
@@ -3248,6 +3302,7 @@ object CoreQueries {
     "q138_snapshot_diff" -> snapshotDiffOracle,
     "q139_kcore" -> kcorePartsOracle,
     "q140_weighted_median" -> weightedMedianOracle,
+    "q141_hilbert_values" -> hilbertValuesOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
 }

@@ -156,6 +156,103 @@ object ZOrder {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Hilbert-curve index of an (x, y) cell pair over a 2^bits × 2^bits
+    * grid — the space-filling curve production clustering engines moved
+    * to after Morton (Hilbert 1891; the classic xy→d bit transform is
+    * public knowledge). Unlike the z-curve, the Hilbert curve never
+    * jumps: consecutive indexes are always grid-adjacent, so file
+    * boxes are tighter on average and range predicates skip at least
+    * as well as Morton on both dimensions.
+    *
+    * The transform is the standard per-bit fold — extract (rx, ry),
+    * accumulate `s²·((3·rx) ⊕ ry)`, then conditionally reflect and
+    * swap the coordinates — expressed as a chain of codegen'd
+    * when/bit-op Columns (one group per bit, high to low). No UDF, no
+    * loop at runtime: the fold is unrolled at plan-build time, exactly
+    * re-derivable in SQL (the q141 oracle replays it CTE-for-CTE).
+    *
+    * SHAPE WARNING (measured, not theoretical): as a single nested
+    * Column, each unrolled step references both prior coordinates
+    * several times, so the expression tree grows ~5× per bit — bits=8
+    * is a ~400k-node tree that Catalyst re-evaluates without sharing
+    * (the first cut hung the suite). [[withHilbert]] is the production
+    * form: one narrow Project per step binds the step's coordinates to
+    * attributes, which CollapseProject deliberately does NOT inline
+    * (multiply-referenced non-cheap expressions), keeping the plan
+    * LINEAR in `bits` while whole-stage codegen pipelines the projects
+    * into straight-line locals. This Column form is kept for tiny
+    * `bits` (exhaustive-grid tests).
+    */
+  def hilbertValue(xCol: Column, yCol: Column, bits: Int): Column = {
+    require(bits <= 6, "nested-Column Hilbert blows up ~5x per bit; " +
+      "use withHilbert for real data")
+    var x = xCol.bitwiseAND(lit((1L << bits) - 1))
+    var y = yCol.bitwiseAND(lit((1L << bits) - 1))
+    var d = lit(0L)
+    for (b <- (bits - 1) to 0 by -1) {
+      val s = 1L << b
+      val rx = shiftright(x, b).bitwiseAND(lit(1L))
+      val ry = shiftright(y, b).bitwiseAND(lit(1L))
+      d = d + lit(s * s) * (rx * 3).bitwiseXOR(ry)
+      // rotate the quadrant: ry == 0 → (maybe reflect, then swap x/y)
+      val xr = when(ry === 0,
+        when(rx === 1, lit(s - 1) - y).otherwise(y)).otherwise(x)
+      val yr = when(ry === 0,
+        when(rx === 1, lit(s - 1) - x).otherwise(x)).otherwise(y)
+      x = xr
+      y = yr
+    }
+    d
+  }
+
+  /** Append `outName` = Hilbert index of (`xCol`, `yCol`) over a
+    * 2^bits-square grid — the linear-plan form of [[hilbertValue]]: one
+    * projection per bit binds (rx, ry, x', y') to attributes so every
+    * step's work is evaluated once per row. Default 8 bits → a
+    * 65,536-cell grid, plenty to separate thousands of files (skipping
+    * needs file-level resolution, not per-row).
+    */
+  def withHilbert(df: DataFrame, xCol: Column, yCol: Column,
+      outName: String, bits: Int = 8): DataFrame = {
+    var cur = df
+      .withColumn("__hx", xCol.bitwiseAND(lit((1L << bits) - 1)))
+      .withColumn("__hy", yCol.bitwiseAND(lit((1L << bits) - 1)))
+      .withColumn(outName, lit(0L))
+    for (b <- (bits - 1) to 0 by -1) {
+      val s = 1L << b
+      cur = cur
+        .withColumn("__rx", shiftright(col("__hx"), b).bitwiseAND(lit(1L)))
+        .withColumn("__ry", shiftright(col("__hy"), b).bitwiseAND(lit(1L)))
+        .withColumn(outName, col(outName) +
+          lit(s * s) * (col("__rx") * 3).bitwiseXOR(col("__ry")))
+        // bind x' before overwriting y (y' reads the OLD x)
+        .withColumn("__nx", when(col("__ry") === 0,
+          when(col("__rx") === 1, lit(s - 1) - col("__hy"))
+            .otherwise(col("__hy"))).otherwise(col("__hx")))
+        .withColumn("__hy", when(col("__ry") === 0,
+          when(col("__rx") === 1, lit(s - 1) - col("__hx"))
+            .otherwise(col("__hx"))).otherwise(col("__hy")))
+        .withColumn("__hx", col("__nx"))
+    }
+    cur.drop("__hx", "__hy", "__rx", "__ry", "__nx")
+  }
+
+  /** [[clusterWrite]] on the Hilbert index instead of the Morton one:
+    * same overflow-safe normalization, same single range shuffle.
+    */
+  def hilbertClusterWrite(df: DataFrame, path: String, colA: String,
+      colB: String, numFiles: Int, bits: Int = 8): Unit = {
+    val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    withHilbert(df,
+        normalize(colA, r.getLong(0), r.getLong(1), bits),
+        normalize(colB, r.getLong(2), r.getLong(3), bits), "__h", bits)
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Per-file [min, max] stats of `column` over a parquet directory —
     * the skipping index a scan planner consults. One metadata-cheap
     * aggregation over `_metadata.file_path`; rows = files, never data.

@@ -55,6 +55,75 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  /** Reference Hilbert xy→d (the classic public algorithm, plain Scala)
+    * to pin the Column-expression unroll against.
+    */
+  private def hilbertRef(bits: Int, x0: Long, y0: Long): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("hilbertValue matches the reference transform on every cell (bits=1,2,4)") {
+    for (bits <- Seq(1, 2, 4)) {
+      val n = 1 << bits
+      val cells = for (x <- 0L until n; y <- 0L until n) yield (x, y)
+      val got = cells.toDF("x", "y")
+        .select($"x", $"y", ZOrder.hilbertValue($"x", $"y", bits).as("d"))
+        .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      cells.foreach { case (x, y) =>
+        assert(got((x, y)) == hilbertRef(bits, x, y), s"bits=$bits cell ($x,$y)")
+      }
+      // bijection onto [0, n²)
+      assert(got.values.toSet == (0L until n.toLong * n).toSet, s"bits=$bits")
+      // the linear-plan production form agrees with the nested form
+      val viaDf = ZOrder.withHilbert(cells.toDF("x", "y"), $"x", $"y", "d", bits)
+        .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(viaDf == got, s"withHilbert must equal hilbertValue at bits=$bits")
+    }
+  }
+
+  test("hilbert locality: consecutive indexes are always grid-adjacent (Morton is not)") {
+    val bits = 3
+    val n = 1 << bits
+    val byD = (for (x <- 0L until n; y <- 0L until n) yield (x, y))
+      .map { case (x, y) => hilbertRef(bits, x, y) -> (x, y) }
+      .sortBy(_._1).map(_._2)
+    byD.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"step ($x1,$y1)->($x2,$y2) must be Manhattan-adjacent")
+    }
+  }
+
+  test("hilbert-clustered layout skips files on BOTH dimensions") {
+    val orders = Tables.load(spark, sf, "orders")
+      .select($"o_orderkey",
+        $"o_custkey".bitwiseAND(lit(0xFFFFL)).as("ck"),
+        datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+          .cast("bigint").bitwiseAND(lit(0xFFFFL)).as("day"))
+    val n = 16
+    val dir = Files.createTempDirectory("hilbert").toString
+    ZOrder.hilbertClusterWrite(orders, dir, "day", "ck", n)
+    val total = ZOrder.fileStats(spark, dir, "ck").count()
+    for (c <- Seq("ck", "day")) {
+      val (lo, hi) = orders.agg(min(col(c)), max(col(c))).as[(Long, Long)].head()
+      val mid = (lo + hi) / 2
+      val cand = ZOrder.candidateFiles(ZOrder.fileStats(spark, dir, c),
+        mid, mid + ((hi - lo) / 16 max 1L))
+      assert(cand < total / 2, s"hilbert layout must skip on $c: $cand of $total")
+    }
+  }
+
   test("z-clustered layout skips files on BOTH dimensions; linear only on one") {
     val orders = Tables.load(spark, sf, "orders")
       .select($"o_orderkey",
