@@ -661,6 +661,25 @@ object DeltaInterop {
     None // unreachable
   }
 
+  /** Migrate a [[VersionedTable]]'s CURRENT contents (deletion vectors
+    * applied) into a Delta table any Delta reader consumes — the
+    * export half of the format bridge. One read + one protocol-1
+    * commit; the versioned table keeps its own history.
+    */
+  def fromVersioned(spark: SparkSession, versionedPath: String,
+      deltaPath: String, partitionBy: Seq[String] = Nil): Long =
+    write(VersionedTable.read(spark, versionedPath), deltaPath,
+      org.apache.spark.sql.SaveMode.Overwrite, partitionBy)
+
+  /** Migrate a Delta table's latest snapshot (DVs applied, column
+    * mapping resolved) into a [[VersionedTable]] — the import half.
+    * Returns the committed version.
+    */
+  def toVersioned(spark: SparkSession, deltaPath: String,
+      versionedPath: String): Long =
+    VersionedTable.write(read(spark, deltaPath), versionedPath,
+      org.apache.spark.sql.SaveMode.Overwrite)
+
   /** Write a parquet checkpoint of the current snapshot plus the
     * `_last_checkpoint` pointer, allowing pre-checkpoint JSON commits to
     * be cleaned — the same compaction a Delta writer performs. Add

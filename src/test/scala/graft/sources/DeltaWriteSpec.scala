@@ -130,6 +130,24 @@ class DeltaWriteSpec extends SparkSpec {
     assert(DeltaInterop.read(spark, path).count() == 4)
   }
 
+  test("format bridge: VersionedTable -> Delta -> VersionedTable round trip, DVs applied") {
+    import org.apache.spark.sql.functions.col
+    val vt1 = tmpTable(); val dl = tmpTable(); val vt2 = tmpTable()
+    VersionedTable.write((1L to 8L).map(i => (i, s"r$i")).toDF("k", "v"),
+      vt1, SaveMode.Overwrite)
+    VersionedTable.deleteWhere(spark, vt1, col("k") > 6)
+    // export: the Delta side must see the DV-masked contents
+    DeltaInterop.fromVersioned(spark, vt1, dl)
+    assert(DeltaInterop.read(spark, dl).as[(Long, String)].collect()
+      .map(_._1).sorted.toSeq == (1L to 6L))
+    // mutate on the Delta side with a DV delete, then import back
+    DeltaInterop.deleteWhere(spark, dl, col("k") === 1)
+    DeltaInterop.toVersioned(spark, dl, vt2)
+    assert(VersionedTable.read(spark, vt2).as[(Long, String)].collect()
+      .map(_._1).sorted.toSeq == (2L to 6L),
+      "both stacks' deletion vectors must survive the bridge")
+  }
+
   test("ErrorIfExists refuses an existing table; Ignore is a no-op") {
     val path = tmpTable()
     DeltaInterop.write(Seq((1L, "a")).toDF("k", "v"), path, SaveMode.Overwrite)
