@@ -82,6 +82,20 @@ object DeltaInterop {
   private val CommitName = """(\d{20})\.json""".r
   private val PhysicalNameKey = "delta.columnMapping.physicalName"
 
+  /** `Files.list`/`Files.walk` return streams backed by an open
+    * directory handle — consume within the callback and CLOSE, or a
+    * long-lived driver (snapshot per query, commit retry loops) leaks
+    * handles until "too many open files".
+    */
+  private def withList[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+  private def withWalk[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.walk(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   /** Resolve the live snapshot at `asOf` (default: latest) by replaying
     * the checkpoint (if usable) plus the JSON commits.
     */
@@ -91,12 +105,12 @@ object DeltaInterop {
     require(Files.isDirectory(logDir), s"not a Delta table: no _delta_log under $path")
 
     val commitVersions: Seq[(Long, Path)] =
-      Files.list(logDir).iterator().asScala.flatMap { p =>
+      withList(logDir)(_.flatMap { p =>
         p.getFileName.toString match {
           case CommitName(v) => Some(v.toLong -> p)
           case _ => None
         }
-      }.toSeq.sortBy(_._1)
+      }.toSeq).sortBy(_._1)
 
     // a checkpointed table may have ZERO json commits after log cleanup
     val cpVersionRaw: Option[Long] = {
@@ -468,9 +482,9 @@ object DeltaInterop {
     Files.createDirectories(logDir)
     // a table exists if the log holds any commit OR a checkpoint pointer
     // (cleanup can leave a checkpoint with zero json commits)
-    def tableExists(): Boolean = Files.list(logDir).iterator().asScala
-      .exists(p => CommitName.findFirstIn(p.getFileName.toString).isDefined ||
-        p.getFileName.toString == "_last_checkpoint")
+    def tableExists(): Boolean = withList(logDir)(
+      _.exists(p => CommitName.findFirstIn(p.getFileName.toString).isDefined ||
+        p.getFileName.toString == "_last_checkpoint"))
     val exists0 = tableExists()
     require(mode != SaveMode.ErrorIfExists || !exists0,
       s"delta table already exists at $path")
@@ -498,9 +512,9 @@ object DeltaInterop {
     val w0 = df.write.mode(SaveMode.Overwrite)
     (if (effPartitionBy.nonEmpty) w0.partitionBy(effPartitionBy: _*) else w0)
       .parquet(tmp.toString)
-    val staged = Files.walk(tmp).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.toString)
+    val staged = withWalk(tmp)(
+      _.filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq)
+      .sortBy(_.toString)
     val adds = staged.map { p =>
       val rel = tmp.relativize(p)
       val target = root.resolve(rel)
@@ -693,11 +707,12 @@ object DeltaInterop {
     val snap = snapshot(spark, path)
     // carry forward the LATEST metaData and protocol actions (commit
     // files replayed in version order; Files.list order is unspecified)
-    val commitLines = Files.list(logDir).iterator().asScala
-      .flatMap { p => p.getFileName.toString match {
-        case CommitName(v) => Some(v.toLong -> p)
-        case _ => None
-      }}.toSeq.sortBy(_._1)
+    val commitLines = withList(logDir)(_.flatMap { p =>
+        p.getFileName.toString match {
+          case CommitName(v) => Some(v.toLong -> p)
+          case _ => None
+        }
+      }.toSeq).sortBy(_._1)
       .flatMap { case (_, p) => Files.readAllLines(p).asScala }
     val lastMeta = commitLines.filter(_.contains("\"metaData\""))
       .lastOption.getOrElse(
@@ -714,8 +729,8 @@ object DeltaInterop {
     val tmp = Files.createTempDirectory("delta_cp")
     spark.read.json((metaSrc ++ addJson).toDS).coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val part = withList(tmp)(
+      _.find(_.getFileName.toString.endsWith(".parquet"))).get
     Files.move(part, logDir.resolve(f"${snap.version}%020d.checkpoint.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     Files.writeString(logDir.resolve("_last_checkpoint"),
