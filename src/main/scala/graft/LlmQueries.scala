@@ -1586,6 +1586,110 @@ object LlmQueries {
       |FROM p GROUP BY 1, 2
       |ORDER BY n_pairs DESC, left_tok, right_tok LIMIT 20""".stripMargin
 
+  /** q142 — IDF-weighted Jaccard similarity: near-dup scoring where
+    * shingle overlap counts by RARITY — two documents sharing a rare
+    * shingle are far more alike than two sharing "of the and of the"
+    * (the retrieval-grade refinement of q26's uniform Jaccard). The
+    * weight is the integer `n_docs div df` (log-free IDF, the q110
+    * device), intersections come from the SAME df-capped inverted-index
+    * equality join as q26 — never all-pairs — and the score is an exact
+    * ppm ratio on a DECIMAL(38,0) carrier, so the oracle is bit-stable
+    * at any corpus size.
+    */
+  def weightedJaccard(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val sh = graft.CacheScope.persisted(dd.select(col("doc_id"),
+      explode(TextAnalysis.textShingles(col("text"), 5)).as("g")))
+    val dfTab = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    val nDocs = dd.agg(count(lit(1)).as("n_docs"))
+    val wtab = graft.CacheScope.persisted(
+      sh.join(dfTab.filter(col("df") <= 1000), "g")
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("g"), expr("n_docs div df").as("wt")))
+    val docW = wtab.groupBy("doc_id").agg(sum("wt").as("dw"))
+    val inter = wtab.as("a").join(wtab.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.wt")).as("wi"))
+    inter
+      .join(docW.select(col("doc_id").as("doc_a"), col("dw").as("dwa")), "doc_a")
+      .join(docW.select(col("doc_id").as("doc_b"), col("dw").as("dwb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("(CAST(wi AS DECIMAL(38,0)) * 1000000) div (dwa + dwb - wi)")
+          .as("wj_ppm"))
+      .filter(col("wj_ppm") >= 600000)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val weightedJaccardOracle: String =
+    s"""WITH $tokShSql, ex AS (
+       |  SELECT doc_id, unnest(sh) AS g FROM sh
+       |), dfb AS (
+       |  SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY g
+       |), nd AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+       |), w AS (
+       |  SELECT doc_id, e.g, n_docs // df AS wt
+       |  FROM ex e JOIN dfb USING (g), nd WHERE df <= 1000
+       |), dw AS (
+       |  SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS dw FROM w GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(SUM(a.wt) AS BIGINT) AS wi
+       |  FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |  CAST((CAST(wi AS HUGEINT) * 1000000)
+       |       // (da.dw + db.dw - wi) AS BIGINT) AS wj_ppm
+       |FROM inter JOIN dw da ON doc_a = da.doc_id
+       |           JOIN dw db ON doc_b = db.doc_id
+       |WHERE (CAST(wi AS HUGEINT) * 1000000) // (da.dw + db.dw - wi) >= 600000
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q143 — time-weighted average price (TWAP): the duration-weighted
+    * mean of an irregular event series per user, where each value holds
+    * until the next event — the time-series aggregate sampling-rate
+    * changes would bias a plain mean on. Everything is exact integers:
+    * value cents (DECIMAL→BIGINT), interval micros from the event-time
+    * lead, the Σ cents·Δt numerator on a DECIMAL(38,0) carrier, and an
+    * integral divide back to cents. The lead window partitions by user
+    * (bounded per-user history, the q80 shape).
+    */
+  def twap(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d).select(col("user_id"),
+      col("event_id"), col("ts"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    ev.withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dt_us", col("next_us") - unix_micros(col("ts")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * dt_us")).as("num"),
+        sum("dt_us").as("den"))
+      .select(col("user_id"), col("n_intervals"),
+        expr("num div den").as("twap_cents"))
+      .orderBy("user_id")
+  }
+
+  val twapOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events
+      |), i AS (
+      |  SELECT user_id, cents,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      - epoch_us(ts) AS dt_us
+      |  FROM e
+      |)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      |  CAST(SUM(CAST(cents AS HUGEINT) * dt_us)
+      |       // SUM(CAST(dt_us AS HUGEINT)) AS BIGINT) AS twap_cents
+      |FROM i WHERE dt_us IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** q67 — IVF recall@k: the ANN quality/latency trade made measurable.
     * The same query set (vec_id % 200 == 0) runs through brute-force
     * top-3 (exhaustive truth — every corpus vector scored) and the q30
@@ -2772,6 +2876,8 @@ object LlmQueries {
     "q135_ks_drift" -> (ksDrift(_, _)),
     "q136_token_hhi" -> (tokenHhi(_, _)),
     "q137_bpe_pairs" -> (bpePairs(_, _)),
+    "q142_weighted_jaccard" -> (weightedJaccard(_, _)),
+    "q143_twap" -> (twap(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2837,5 +2943,7 @@ object LlmQueries {
     "q135_ks_drift" -> ksDriftOracle,
     "q136_token_hhi" -> tokenHhiOracle,
     "q137_bpe_pairs" -> bpePairsOracle,
+    "q142_weighted_jaccard" -> weightedJaccardOracle,
+    "q143_twap" -> twapOracle,
   )
 }
