@@ -1690,6 +1690,54 @@ object LlmQueries {
       |FROM i WHERE dt_us IS NOT NULL
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q144 — per-dimension embedding statistics: the distribution
+    * monitor a vector pipeline runs to catch drift, dead dimensions,
+    * and broken normalization before they poison ANN recall. Exactness
+    * device: each float32 is scaled by 2²⁶ and FLOORED to a BIGINT —
+    * floor (not cast) because Spark's double→long cast truncates while
+    * DuckDB's rounds, and floor agrees everywhere — then all moments
+    * accumulate on DECIMAL(38,0) carriers, so mean/min/max/variance
+    * are bit-stable integers at any corpus size. One posexplode +
+    * one map-combinable groupBy on the (bounded) dimension index.
+    */
+  def embeddingDimStats(s: SparkSession, d: String): DataFrame = {
+    emb(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim"),
+        expr("CAST(FLOOR(CAST(v AS DOUBLE) * 67108864) AS BIGINT)").as("sv"))
+      .groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(sv AS DECIMAL(38,0))")).as("ssum"),
+        sum(expr("CAST(sv AS DECIMAL(38,0)) * sv")).as("ssq"),
+        min("sv").as("min_s"), max("sv").as("max_s"))
+      .select(col("dim"), col("n"),
+        expr("ssum div n").as("mean_s"),
+        // population variance in scaled units: (n·Σv² − (Σv)²) div n²
+        expr("(n * ssq - ssum * ssum) div (CAST(n AS DECIMAL(38,0)) * n)")
+          .as("var_s"),
+        col("min_s"), col("max_s"))
+      .orderBy("dim")
+  }
+
+  val embeddingDimStatsOracle: String =
+    """WITH x AS (
+      |  SELECT CAST(u.i AS INTEGER) - 1 AS dim,
+      |    CAST(FLOOR(CAST(embedding[CAST(u.i AS BIGINT)] AS DOUBLE)
+      |         * 67108864) AS BIGINT) AS sv
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+      |), m AS (
+      |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(sv AS HUGEINT)) AS ssum,
+      |    SUM(CAST(sv AS HUGEINT) * sv) AS ssq,
+      |    CAST(MIN(sv) AS BIGINT) AS min_s, CAST(MAX(sv) AS BIGINT) AS max_s
+      |  FROM x GROUP BY dim
+      |)
+      |SELECT dim, n, CAST(ssum // n AS BIGINT) AS mean_s,
+      |  CAST((n * ssq - ssum * ssum) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+      |    AS var_s,
+      |  min_s, max_s
+      |FROM m ORDER BY dim""".stripMargin
+
   /** q67 — IVF recall@k: the ANN quality/latency trade made measurable.
     * The same query set (vec_id % 200 == 0) runs through brute-force
     * top-3 (exhaustive truth — every corpus vector scored) and the q30
@@ -2878,6 +2926,7 @@ object LlmQueries {
     "q137_bpe_pairs" -> (bpePairs(_, _)),
     "q142_weighted_jaccard" -> (weightedJaccard(_, _)),
     "q143_twap" -> (twap(_, _)),
+    "q144_embedding_dim_stats" -> (embeddingDimStats(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2945,5 +2994,6 @@ object LlmQueries {
     "q137_bpe_pairs" -> bpePairsOracle,
     "q142_weighted_jaccard" -> weightedJaccardOracle,
     "q143_twap" -> twapOracle,
+    "q144_embedding_dim_stats" -> embeddingDimStatsOracle,
   )
 }
