@@ -1738,6 +1738,51 @@ object LlmQueries {
       |  min_s, max_s
       |FROM m ORDER BY dim""".stripMargin
 
+  /** q145 — sketch-based KS drift ([[graft.functions.HistogramSketch
+    * .ksStat]]): the q135 drift test re-run from two 64-bin mergeable
+    * histograms instead of full CDFs — the production monitoring shape,
+    * where snapshots persist their ≤bins-row sketches and drift checks
+    * compare sketches without rescanning any corpus. The oracle
+    * replays the integer bin assignment and the cross-multiplied
+    * distance bit-for-bit; error vs the exact q135 statistic is
+    * bounded by one bin's probability mass.
+    */
+  def sketchKsDrift(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.HistogramSketch
+    val dd = graft.CacheScope.persisted(
+      docs(s, d).select(col("lang"), col("n_chars")))
+    val r = dd.agg(min("n_chars").cast("long"), max("n_chars").cast("long")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val en = HistogramSketch.sketch(dd.filter(col("lang") === "en"),
+      "n_chars", 64, lo, hi)
+    val rest = HistogramSketch.sketch(dd.filter(col("lang") =!= "en"),
+      "n_chars", 64, lo, hi)
+    HistogramSketch.ksStat(en, rest)
+  }
+
+  val sketchKsDriftOracle: String =
+    """WITH r AS (
+      |  SELECT CAST(MIN(n_chars) AS BIGINT) AS lo,
+      |    CAST(MAX(n_chars) AS BIGINT) AS hi FROM documents
+      |), b AS (
+      |  SELECT ((n_chars - lo) * 64) // (hi - lo + 1) AS bin,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM documents, r GROUP BY 1
+      |), cum AS (
+      |  SELECT SUM(ca) OVER (ORDER BY bin) AS cuma,
+      |         SUM(cb) OVER (ORDER BY bin) AS cumb
+      |  FROM b
+      |), t AS (
+      |  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      |  FROM b
+      |)
+      |SELECT na, nb,
+      |  CAST(MAX(ABS(cuma * nb - cumb * na)) AS BIGINT) AS d_num,
+      |  CAST((MAX(ABS(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na))
+      |        * 1000000) // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS d_ppm
+      |FROM cum, t GROUP BY na, nb""".stripMargin
+
   /** q67 — IVF recall@k: the ANN quality/latency trade made measurable.
     * The same query set (vec_id % 200 == 0) runs through brute-force
     * top-3 (exhaustive truth — every corpus vector scored) and the q30
@@ -2927,6 +2972,7 @@ object LlmQueries {
     "q142_weighted_jaccard" -> (weightedJaccard(_, _)),
     "q143_twap" -> (twap(_, _)),
     "q144_embedding_dim_stats" -> (embeddingDimStats(_, _)),
+    "q145_sketch_ks_drift" -> (sketchKsDrift(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2995,5 +3041,6 @@ object LlmQueries {
     "q142_weighted_jaccard" -> weightedJaccardOracle,
     "q143_twap" -> twapOracle,
     "q144_embedding_dim_stats" -> embeddingDimStatsOracle,
+    "q145_sketch_ks_drift" -> sketchKsDriftOracle,
   )
 }

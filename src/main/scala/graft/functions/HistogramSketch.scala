@@ -35,6 +35,33 @@ object HistogramSketch {
         .as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
 
+  /** Two-sample KS distance straight from two sketches over the SAME
+    * binning — drift testing at sketch cost: snapshots keep their
+    * ≤bins-row histograms and compare WITHOUT rescanning either corpus
+    * (the exact-KS q135 needs both full CDFs; this needs 2·bins
+    * integers). Same integer carrier as q135: the distance is
+    * max|cumA·nB − cumB·nA| with a DECIMAL(38,0) ppm divide; its error
+    * vs exact KS is bounded by one bin's probability mass. Every
+    * aggregate and the cumulative walk are bounded by `bins`, never by
+    * data. Returns one row (na, nb, d_num, d_ppm).
+    */
+  def ksStat(skA: DataFrame, skB: DataFrame): DataFrame = {
+    val m = graft.CacheScope.persisted(
+      skA.select(col("bin"), col("cnt").as("ca"))
+        .join(skB.select(col("bin"), col("cnt").as("cb")), Seq("bin"), "full_outer")
+        .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb")))
+    m.withColumn("cuma", sum("ca").over(Window.orderBy("bin")))
+      .withColumn("cumb", sum("cb").over(Window.orderBy("bin")))
+      .crossJoin(broadcast(m.agg(sum("ca").as("na"), sum("cb").as("nb"))))
+      .groupBy("na", "nb")
+      .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+        .as("d_num"))
+      .select(col("na"), col("nb"), col("d_num"),
+        expr("(CAST(d_num AS DECIMAL(38,0)) * 1000000)" +
+          " div (CAST(na AS DECIMAL(38,0)) * nb)").as("d_ppm"))
+  }
+
   /** Estimate the `qPermille` quantiles (e.g. 500 = median) from a
     * sketch: per q, the upper edge of the first bin whose cumulative
     * count reaches q·N/1000, plus the one-bin-width error bound.

@@ -28,6 +28,26 @@ class HistogramSketchSpec extends SparkSpec {
       whole.exceptAll(merged).count() == 0)
   }
 
+  test("ksStat from merged shard sketches equals ksStat from whole-build sketches") {
+    // drift monitoring at sketch cost only works if the compared
+    // sketches can come from independently-built shards
+    val sideA = cents.filter($"cents" % 3 =!= 0)
+    val sideB = cents.filter($"cents" % 3 === 0)
+    def shardedSketch(df: org.apache.spark.sql.DataFrame) = {
+      val s1 = HistogramSketch.sketch(df.filter($"o_orderkey" % 2 === 0), "cents", B, lo, hi)
+      val s2 = HistogramSketch.sketch(df.filter($"o_orderkey" % 2 === 1), "cents", B, lo, hi)
+      s1.unionByName(s2).groupBy("bin").agg(sum("cnt").as("cnt"))
+    }
+    val viaShards = HistogramSketch.ksStat(shardedSketch(sideA), shardedSketch(sideB))
+      .as[(Long, Long, Long, java.math.BigDecimal)].head()
+    val whole = HistogramSketch.ksStat(
+      HistogramSketch.sketch(sideA, "cents", B, lo, hi),
+      HistogramSketch.sketch(sideB, "cents", B, lo, hi))
+      .as[(Long, Long, Long, java.math.BigDecimal)].head()
+    assert(viaShards == whole)
+    assert(whole._3 > 0, "the mod-3 split has genuine distribution drift")
+  }
+
   test("quantile estimates land within one bin width of the exact percentiles") {
     val est = HistogramSketch.quantiles(
       HistogramSketch.sketch(cents, "cents", B, lo, hi),
