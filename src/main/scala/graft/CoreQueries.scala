@@ -2513,14 +2513,15 @@ object CoreQueries {
     * bit-for-bit.
     */
   def hilbertValues(s: SparkSession, d: String): DataFrame = {
-    import graft.sources.ZOrder
-    val base = t(s, d, "orders")
+    t(s, d, "orders")
       .select(col("o_orderkey"),
         col("o_custkey").bitwiseAND(lit(0xFFL)).as("ck8"),
         datediff(col("o_orderdate").cast("date"),
           lit("1970-01-01").cast("date")).cast("bigint")
           .bitwiseAND(lit(0xFFL)).as("day8"))
-    ZOrder.withHilbert(base, col("ck8"), col("day8"), "hval", 8)
+      .select(col("o_orderkey"), col("ck8"), col("day8"),
+        graft.expressions.HilbertIndex.hilbertIndex(
+          col("ck8"), col("day8"), 8).as("hval"))
       .orderBy("o_orderkey")
   }
 

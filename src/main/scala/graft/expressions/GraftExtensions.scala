@@ -97,5 +97,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity(args, 2, "unicode_normalize", "s, form")
         UnicodeNormalize(args.head, strLit(args(1), "unicode_normalize"))
       }))
+    e.injectFunction((FunctionIdentifier("hilbert_index"),
+      info("hilbert_index", "hilbert_index(x, y, bits) - Hilbert-curve index over a 2^bits grid"),
+      (args: Seq[Expression]) => {
+        arity(args, 3, "hilbert_index", "x, y, bits")
+        HilbertIndex(args.head, args(1), intLit(args(2), "hilbert_index"))
+      }))
   }
 }

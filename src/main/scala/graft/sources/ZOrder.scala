@@ -238,15 +238,17 @@ object ZOrder {
   }
 
   /** [[clusterWrite]] on the Hilbert index instead of the Morton one:
-    * same overflow-safe normalization, same single range shuffle.
+    * same overflow-safe normalization, same single range shuffle. Rides
+    * the codegen'd [[graft.expressions.HilbertIndex]] loop, so the
+    * default depth matches Morton's 16 bits at constant plan size.
     */
   def hilbertClusterWrite(df: DataFrame, path: String, colA: String,
-      colB: String, numFiles: Int, bits: Int = 8): Unit = {
+      colB: String, numFiles: Int, bits: Int = 16): Unit = {
     val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
-    withHilbert(df,
+    df.withColumn("__h", graft.expressions.HilbertIndex.hilbertIndex(
         normalize(colA, r.getLong(0), r.getLong(1), bits),
-        normalize(colB, r.getLong(2), r.getLong(3), bits), "__h", bits)
+        normalize(colB, r.getLong(2), r.getLong(3), bits), bits))
       .repartitionByRange(numFiles, col("__h"))
       .sortWithinPartitions("__h")
       .drop("__h")

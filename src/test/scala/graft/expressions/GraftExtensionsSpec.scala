@@ -73,6 +73,11 @@ class GraftExtensionsSpec extends SparkSpec {
     val un = s2.sql(
       "SELECT unicode_normalize('é', 'NFC') AS u").head().getString(0)
     assert(un == "é", "combining accent must compose under NFC")
+    // hilbert_index: first-order curve (0,0)=0 (0,1)=1 (1,1)=2 (1,0)=3
+    val hv = s2.sql(
+      "SELECT hilbert_index(CAST(1 AS BIGINT), CAST(0 AS BIGINT), 1) AS h")
+      .head().getLong(0)
+    assert(hv == 3L, "SQL-callable hilbert_index must follow the curve")
     } finally {
       org.apache.spark.sql.SparkSession.setActiveSession(spark)
       org.apache.spark.sql.SparkSession.setDefaultSession(spark)

@@ -86,11 +86,35 @@ class ZOrderSpec extends SparkSpec {
       }
       // bijection onto [0, n²)
       assert(got.values.toSet == (0L until n.toLong * n).toSet, s"bits=$bits")
-      // the linear-plan production form agrees with the nested form
+      // the linear-plan projection form AND the codegen'd native
+      // expression both agree with the nested form
       val viaDf = ZOrder.withHilbert(cells.toDF("x", "y"), $"x", $"y", "d", bits)
         .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
       assert(viaDf == got, s"withHilbert must equal hilbertValue at bits=$bits")
+      val viaExpr = cells.toDF("x", "y")
+        .select($"x", $"y", graft.expressions.HilbertIndex
+          .hilbertIndex($"x", $"y", bits).as("d"))
+        .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(viaExpr == got, s"native HilbertIndex must agree at bits=$bits")
     }
+  }
+
+  test("native HilbertIndex at 16 bits: bijective on a sampled diagonal band, codegen plan") {
+    // deep grids are exactly where the native loop matters (the nested
+    // form is guarded off); sample cells incl. the corners and verify
+    // against the plain-Scala reference
+    val cells = (0 until 1000).map { i =>
+      (i * 65L % 65536L, (i * 131L + 7) % 65536L)
+    } ++ Seq((0L, 0L), (65535L, 65535L), (65535L, 0L), (0L, 65535L))
+    val df = cells.toDF("x", "y")
+      .select($"x", $"y", graft.expressions.HilbertIndex
+        .hilbertIndex($"x", $"y", 16).as("d"))
+    val got = df.as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, d) =>
+      assert(d == hilbertRef(16, x, y), s"cell ($x,$y)")
+      assert(d >= 0L && d < (1L << 32), s"range: $d")
+    }
+    assert(got.map(_._3).distinct.length == got.length, "injective on sample")
   }
 
   test("hilbert locality: consecutive indexes are always grid-adjacent (Morton is not)") {
