@@ -577,23 +577,34 @@ object DeltaInterop {
     -1L // unreachable
   }
 
-  /** Write the deleted row positions as a protocol-conformant DV file
-    * under the table root (version byte 1, big-endian size, portable
-    * RoaringBitmapArray bytes, big-endian CRC32) and return the add
-    * action descriptor pointing at it ("u" storage, fresh UUID).
+  /** Write one commit's deletion vectors PACKED into a single
+    * protocol-conformant DV file under the table root — the layout real
+    * Delta writers produce (one `deletion_vector_<uuid>.bin` per
+    * commit, each DV at its own offset): version byte 1, then per DV a
+    * big-endian size, the portable RoaringBitmapArray bytes, and a
+    * big-endian CRC32. Returns one "u"-storage descriptor per input
+    * row-set, all sharing the file's UUID with distinct offsets.
     */
-  private def writeDvFile(root: Path, rows: Seq[Long]): DvDescriptor = {
-    val data = encodeBitmapArray(rows)
+  private def writeDvFile(root: Path, rowSets: Seq[Seq[Long]]): Seq[DvDescriptor] = {
     val uuid = java.util.UUID.randomUUID()
-    val crc = new java.util.zip.CRC32
-    crc.update(data)
-    val bb = java.nio.ByteBuffer.allocate(1 + 4 + data.length + 4) // BE framing
-    bb.put(1.toByte).putInt(data.length).put(data).putInt(crc.getValue.toInt)
-    Files.write(root.resolve(s"deletion_vector_$uuid.bin"), bb.array())
     val ub = java.nio.ByteBuffer.allocate(16)
     ub.putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits)
-    DvDescriptor("u", z85Encode(ub.array()), Some(1L), data.length.toLong,
-      rows.length.toLong)
+    val pathSpec = z85Encode(ub.array())
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(1) // format version
+    val descriptors = rowSets.map { rows =>
+      val data = encodeBitmapArray(rows)
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      val offset = bos.size().toLong
+      val bb = java.nio.ByteBuffer.allocate(4 + data.length + 4) // BE framing
+      bb.putInt(data.length).put(data).putInt(crc.getValue.toInt)
+      bos.write(bb.array())
+      DvDescriptor("u", pathSpec, Some(offset), data.length.toLong,
+        rows.length.toLong)
+    }
+    Files.write(root.resolve(s"deletion_vector_$uuid.bin"), bos.toByteArray)
+    descriptors
   }
 
   /** Row-level DELETE via deletion vectors — the write half of the DV
@@ -650,10 +661,14 @@ object DeltaInterop {
 
       val byAbs = snap.files.map(f =>
         root.resolve(decodePath(f.path)).toAbsolutePath.toString -> f).toMap
-      val actions = victims.toSeq.sortBy(_._1).flatMap { case (abs, rows) =>
+      val touched = victims.toSeq.sortBy(_._1).map { case (abs, rows) =>
         val f = byAbs(abs)
         val existing = f.dv.toSeq.flatMap(d => dvRowIndexes(root, d))
-        val dv = writeDvFile(root, (existing ++ rows).distinct.sorted)
+        (f, (existing ++ rows).distinct.sorted)
+      }
+      // one packed DV file for the whole commit (the real-writer layout)
+      val dvs = writeDvFile(root, touched.map(_._2))
+      val actions = touched.zip(dvs).flatMap { case ((f, _), dv) =>
         val pvJson = f.partitionValues.toSeq.sortBy(_._1).map { case (k, v) =>
           s"${jstr(k)}:${if (v == null) "null" else jstr(v)}" }
           .mkString("{", ",", "}")

@@ -130,6 +130,25 @@ class DeltaWriteSpec extends SparkSpec {
     assert(DeltaInterop.read(spark, path).count() == 4)
   }
 
+  test("one delete across many files packs every DV into a single file at offsets") {
+    import org.apache.spark.sql.functions.col
+    val path = tmpTable()
+    // partitioned table → several data files; one predicate touches all
+    DeltaInterop.write(
+      (1L to 12L).map(i => (i, s"r$i", (i % 3).toString)).toDF("k", "v", "ds"),
+      path, SaveMode.Overwrite, partitionBy = Seq("ds"))
+    DeltaInterop.deleteWhere(spark, path, col("k") % 2 === 0)
+    val snap = DeltaInterop.snapshot(spark, path)
+    val dvs = snap.files.flatMap(_.dv)
+    assert(dvs.size >= 3, s"every touched file gets a DV: $dvs")
+    assert(dvs.map(_.pathOrInlineDv).distinct.size == 1,
+      "all DVs of one commit share one packed file")
+    assert(dvs.map(_.offset).distinct.size == dvs.size,
+      "each DV sits at its own offset")
+    assert(DeltaInterop.read(spark, path).as[(Long, String, String)]
+      .collect().map(_._1).sorted.toSeq == Seq(1L, 3L, 5L, 7L, 9L, 11L))
+  }
+
   test("format bridge: VersionedTable -> Delta -> VersionedTable round trip, DVs applied") {
     import org.apache.spark.sql.functions.col
     val vt1 = tmpTable(); val dl = tmpTable(); val vt2 = tmpTable()
