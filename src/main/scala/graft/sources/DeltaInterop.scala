@@ -709,6 +709,50 @@ object DeltaInterop {
     VersionedTable.write(read(spark, deltaPath), versionedPath,
       org.apache.spark.sql.SaveMode.Overwrite)
 
+  /** VACUUM: delete data and deletion-vector files under the table root
+    * that the CURRENT snapshot does not reference and whose modification
+    * time is older than `retainMs` — the Delta maintenance op that
+    * reclaims space after overwrites and DV rewrites, at the documented
+    * cost of time travel to the versions whose files it removes. Driver
+    * traffic is file-count bounded (one walk + the snapshot's manifest).
+    * Returns the number of files deleted.
+    */
+  def vacuum(spark: SparkSession, path: String, retainMs: Long = 0L): Long = {
+    val root = Paths.get(path)
+    val snap = snapshot(spark, path)
+    val liveData = snap.files.map(f =>
+      root.resolve(decodePath(f.path)).toAbsolutePath.normalize.toString).toSet
+    // DV files referenced by the live snapshot ("u" storage only — the
+    // others have no table-root file)
+    val liveDv = snap.files.flatMap(_.dv).filter(_.storageType == "u").map { d =>
+      val enc = d.pathOrInlineDv
+      val (prefix, uuidPart) = enc.splitAt(enc.length - 20)
+      val bytes = z85Decode(uuidPart)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+      val name = s"deletion_vector_$uuid.bin"
+      (if (prefix.isEmpty) root.resolve(name) else root.resolve(prefix).resolve(name))
+        .toAbsolutePath.normalize.toString
+    }.toSet
+    val cutoff = System.currentTimeMillis() - retainMs
+    var deleted = 0L
+    withWalk(root) { it =>
+      it.filter(Files.isRegularFile(_))
+        .filter(p => !p.startsWith(root.resolve("_delta_log")))
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.endsWith(".parquet") || n.startsWith("deletion_vector_")
+        }
+        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .filter { p =>
+          val abs = p.toAbsolutePath.normalize.toString
+          !liveData.contains(abs) && !liveDv.contains(abs)
+        }
+        .toSeq // materialize before deleting (the walk holds the dir handle)
+    }.foreach { p => Files.delete(p); deleted += 1 }
+    deleted
+  }
+
   /** Write a parquet checkpoint of the current snapshot plus the
     * `_last_checkpoint` pointer, allowing pre-checkpoint JSON commits to
     * be cleaned — the same compaction a Delta writer performs. Add

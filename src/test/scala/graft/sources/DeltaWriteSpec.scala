@@ -167,6 +167,29 @@ class DeltaWriteSpec extends SparkSpec {
       "both stacks' deletion vectors must survive the bridge")
   }
 
+  test("vacuum reclaims unreferenced data and DV files; live reads intact") {
+    import org.apache.spark.sql.functions.col
+    val path = tmpTable()
+    DeltaInterop.write((1L to 6L).map(i => (i, s"r$i")).toDF("k", "v"),
+      path, SaveMode.Overwrite)
+    // a delete creates a DV; a second delete orphans the first DV file;
+    // an overwrite orphans the original data files too
+    DeltaInterop.deleteWhere(spark, path, col("k") === 1)
+    DeltaInterop.deleteWhere(spark, path, col("k") === 2)
+    DeltaInterop.write((9L to 10L).map(i => (i, s"n$i")).toDF("k", "v"),
+      path, SaveMode.Overwrite)
+    val removed = DeltaInterop.vacuum(spark, path)
+    assert(removed >= 3, s"old data files + both orphaned DV files: $removed")
+    assert(DeltaInterop.read(spark, path).as[(Long, String)].collect()
+      .map(_._1).sorted.toSeq == Seq(9L, 10L), "live reads survive vacuum")
+    // a second vacuum finds nothing
+    assert(DeltaInterop.vacuum(spark, path) == 0L)
+    // time travel to vacuumed versions now fails at the scan, as documented
+    intercept[Exception] {
+      DeltaInterop.read(spark, path, asOf = Some(0L)).collect()
+    }
+  }
+
   test("ErrorIfExists refuses an existing table; Ignore is a no-op") {
     val path = tmpTable()
     DeltaInterop.write(Seq((1L, "a")).toDF("k", "v"), path, SaveMode.Overwrite)
