@@ -2904,6 +2904,76 @@ object LlmQueries {
       |  rrf
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** q146 — exact distributed Lloyd's k-means over the embedding corpus
+    * ([[SimilarityOps.kmeansExactStats]]): 8 clusters, 2 full
+    * assign+update rounds on integer-quantized vectors, floor-divided
+    * integer centroid means, deterministic ties. This puts the Lloyd
+    * ITERATIONS themselves under the exact oracle — assignment argmin,
+    * centroid update, empty-cluster fallback — not just a downstream
+    * consumer of rounded centroids (q30/q67 audit IVF behavior; here the
+    * training loop is hash-checked step for step). Per cluster: member
+    * count, inertia (Σ squared-L2 to the assigned centroid), and the
+    * post-update centroid's L1 mass.
+    */
+  def kmeansClusters(s: SparkSession, d: String): DataFrame =
+    SimilarityOps.kmeansExactStats(emb(s, d), k = 8, dims = 64, iters = 2)
+
+  val kmeansClustersOracle: String = {
+    // integer floor-division (DuckDB // truncates; sums can be negative)
+    def fdiv(s: String, n: String) = s"(($s - ((($s % $n) + $n) % $n)) // $n)"
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id, CAST(u.i AS INTEGER) AS pos, qv[u.i] AS x
+       |  FROM e, UNNEST(generate_series(1, 64)) AS u(i)
+       |), seeds AS (
+       |  SELECT vec_id,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl
+       |  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)
+       |), c0 AS (
+       |  SELECT s.cl, q.pos, q.x AS c FROM seeds s JOIN q USING (vec_id)
+       |), d1 AS (
+       |  SELECT q.vec_id, p.cl, sum((q.x - p.c) * (q.x - p.c)) AS dist
+       |  FROM q JOIN c0 p USING (pos) GROUP BY 1, 2
+       |), a1 AS (
+       |  SELECT vec_id, cl FROM (
+       |    SELECT vec_id, cl,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+       |    FROM d1) WHERE rn = 1
+       |), u1 AS (
+       |  SELECT a.cl, q.pos, sum(q.x) AS s, count(*) AS n
+       |  FROM a1 a JOIN q USING (vec_id) GROUP BY 1, 2
+       |), c1 AS (
+       |  SELECT p.cl, p.pos,
+       |    coalesce(${fdiv("u.s", "u.n")}, p.c) AS c
+       |  FROM c0 p LEFT JOIN u1 u ON u.cl = p.cl AND u.pos = p.pos
+       |), d2 AS (
+       |  SELECT q.vec_id, p.cl, sum((q.x - p.c) * (q.x - p.c)) AS dist
+       |  FROM q JOIN c1 p USING (pos) GROUP BY 1, 2
+       |), a2 AS (
+       |  SELECT vec_id, cl, dist FROM (
+       |    SELECT vec_id, cl, dist,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+       |    FROM d2) WHERE rn = 1
+       |), u2 AS (
+       |  SELECT a.cl, q.pos, sum(q.x) AS s, count(*) AS n
+       |  FROM a2 a JOIN q USING (vec_id) GROUP BY 1, 2
+       |), c2 AS (
+       |  SELECT p.cl, p.pos,
+       |    coalesce(${fdiv("u.s", "u.n")}, p.c) AS c
+       |  FROM c1 p LEFT JOIN u2 u ON u.cl = p.cl AND u.pos = p.pos
+       |), l1 AS (
+       |  SELECT cl, sum(abs(c)) AS centroid_l1 FROM c2 GROUP BY cl
+       |)
+       |SELECT a.cl AS cluster, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(sum(a.dist) AS BIGINT) AS inertia,
+       |  CAST(l1.centroid_l1 AS BIGINT) AS centroid_l1
+       |FROM a2 a JOIN l1 USING (cl)
+       |GROUP BY a.cl, l1.centroid_l1 ORDER BY cluster""".stripMargin
+  }
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2973,6 +3043,7 @@ object LlmQueries {
     "q143_twap" -> (twap(_, _)),
     "q144_embedding_dim_stats" -> (embeddingDimStats(_, _)),
     "q145_sketch_ks_drift" -> (sketchKsDrift(_, _)),
+    "q146_kmeans" -> (kmeansClusters(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3042,5 +3113,6 @@ object LlmQueries {
     "q143_twap" -> twapOracle,
     "q144_embedding_dim_stats" -> embeddingDimStatsOracle,
     "q145_sketch_ks_drift" -> sketchKsDriftOracle,
+    "q146_kmeans" -> kmeansClustersOracle,
   )
 }

@@ -199,6 +199,93 @@ object SimilarityOps {
         (-col("sim")).as("pq_dist"))
   }
 
+  /** Exact distributed Lloyd's k-means over INTEGER-quantized embeddings
+    * — the clustering primitive behind SemDeDup blocking, IVF coarse
+    * quantizers, and data-mixture cluster balancing, with every step
+    * under an exact cross-engine oracle (unlike [[kmeansCentroids]],
+    * whose float means are only rounding-stable):
+    *
+    *  - quantize: q[d] = floor(v[d] · 1000) (float→double exact,
+    *    double·1000 correctly rounded, floor exact → bit-identical in
+    *    any IEEE engine);
+    *  - init: the first k vectors by id, cluster ids 0..k-1 in id order;
+    *  - assign: argmin integer squared-L2 (ties → lower cluster id) —
+    *    a pure projection over a BROADCAST of k literal centroids, the
+    *    corpus never shuffles;
+    *  - update: per-dimension floor-divided integer mean
+    *    (Math.floorDiv(sum, n)) via ONE map-combinable aggregation of
+    *    k·dims sums (k rows, dims sum columns — no explode); empty
+    *    clusters keep their previous centroid.
+    *
+    * Driver traffic per iteration is k·dims longs — bounded by the
+    * centroid count, never by data, the same shape any distributed
+    * k-means (Spark MLlib included) uses. Returns per-cluster stats
+    * under the FINAL assignment: (cluster, n_members, inertia = Σ
+    * squared-L2 to the assigned pre-update centroid, centroid_l1 = Σ|c|
+    * of the post-update centroid). Inertia rides a DECIMAL(38,0)
+    * carrier internally (Σ over 100 TB of ~10⁸-scale distances wraps
+    * BIGINT) and is cast to BIGINT in the final projection.
+    */
+  def kmeansExactStats(embDf: DataFrame, k: Int, dims: Int,
+      iters: Int): DataFrame = {
+    val eq = graft.CacheScope.persisted(
+      embDf.select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * 1000).cast("long")).as("qv")))
+    var cents: Seq[(Int, Array[Long])] =
+      eq.orderBy("vec_id").limit(k).collect()
+        .sortBy(_.getLong(0)).zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Long](1).toArray) }.toSeq
+
+    def assign(c: Seq[(Int, Array[Long])]): DataFrame = {
+      val scored = c.map { case (cid, cv) =>
+        struct(
+          aggregate(
+            zip_with(col("qv"), array(cv.map(lit(_)): _*),
+              (x, cc) => (x - cc) * (x - cc)),
+            lit(0L), (s, x) => s + x).as("dist"),
+          lit(cid.toLong).as("cl"))
+      }
+      eq.select(col("vec_id"), col("qv"), least(scored: _*).as("best"))
+        .select(col("vec_id"), col("qv"),
+          col("best").getField("cl").as("cl"),
+          col("best").getField("dist").as("dist"))
+    }
+
+    def update(a: DataFrame,
+        prev: Seq[(Int, Array[Long])]): Seq[(Int, Array[Long])] = {
+      val sumCols = (0 until dims).map(i =>
+        sum(element_at(col("qv"), i + 1)).as(s"s$i"))
+      val byCl = a.groupBy(col("cl"))
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .collect().map { r =>
+          val n = r.getLong(1)
+          r.getLong(0).toInt ->
+            (0 until dims).map(i => Math.floorDiv(r.getLong(2 + i), n)).toArray
+        }.toMap
+      prev.map { case (cid, cv) => (cid, byCl.getOrElse(cid, cv)) }
+    }
+
+    var assigned: DataFrame = null
+    for (_ <- 0 until iters) {
+      assigned = assign(cents)
+      cents = update(assigned, cents)
+    }
+    val l1 = cents.map { case (cid, cv) =>
+      (cid.toLong, cv.map(math.abs).sum) }
+    val l1Df = broadcast(
+      embDf.sparkSession.createDataFrame(l1).toDF("cl", "centroid_l1"))
+    assigned.groupBy(col("cl"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("dist").cast("decimal(38,0)")).as("inertia_d"))
+      .join(l1Df, "cl")
+      .select(col("cl").as("cluster"),
+        col("n_members").cast("bigint").as("n_members"),
+        col("inertia_d").cast("bigint").as("inertia"),
+        col("centroid_l1").cast("bigint").as("centroid_l1"))
+      .orderBy("cluster")
+  }
+
   /** Sign-LSH bucket key over the first `dims` dimensions: bit d set iff
     * v[d] > 0. Scale-invariant, so exact and scaled duplicates share a
     * bucket. 16 bits by default → 65,536 buckets: within-bucket all-pairs

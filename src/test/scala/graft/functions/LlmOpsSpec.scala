@@ -283,6 +283,24 @@ class LlmOpsSpec extends SparkSpec {
       "trained centroids must fit at least as well as the raw seed vectors")
   }
 
+  test("exact kmeans: partition-invariant, partitions the corpus, converges") {
+    val total = emb.count()
+    val r1 = SimilarityOps.kmeansExactStats(emb, k = 8, dims = 64, iters = 2)
+    val r2 = SimilarityOps.kmeansExactStats(
+      emb.repartition(7, $"label"), k = 8, dims = 64, iters = 2)
+    val rows1 = r1.as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows1 == r2.as[(Long, Long, Long, Long)].collect().toSeq,
+      "integer kmeans must be bit-identical under any partitioning")
+    assert(rows1.map(_._2).sum == total,
+      "every vector is assigned to exactly one cluster")
+    assert(rows1.nonEmpty && rows1.size <= 8)
+    // Lloyd monotonicity: total inertia after 2 rounds <= after 1 round
+    val i1 = SimilarityOps.kmeansExactStats(emb, k = 8, dims = 64, iters = 1)
+      .agg(sum($"inertia")).as[Long].collect()(0)
+    val i2 = rows1.map(_._3).sum
+    assert(i2 <= i1, s"inertia must not increase across Lloyd rounds ($i1 -> $i2)")
+  }
+
   test("IVF probed search returns a subset ranking consistent with brute force") {
     val seeds = emb.filter($"vec_id" < 8)
       .select($"vec_id".as("seed_id"), $"embedding".as("seed_vec"))
