@@ -2974,6 +2974,91 @@ object LlmQueries {
        |GROUP BY a.cl, l1.centroid_l1 ORDER BY cluster""".stripMargin
   }
 
+  /** q147 — IVF-PQ composite ANN ([[SimilarityOps.ivfPqTopK]]): a
+    * 4-bucket inverted-file coarse quantizer prunes the corpus, PQ codes
+    * (m=8 × 16 centroids) built on coarse RESIDUALS rank the survivors
+    * via ADC — the IVFADC serving layout (Jégou et al. 2011). Probing 2
+    * of 4 buckets halves the ranked corpus before any distance math;
+    * both quantizers are seeded, so bucket assignment, residual encode,
+    * probe selection, and ADC ranking all replay exactly in DuckDB — one
+    * hash certifies the full composite index.
+    */
+  def ivfPqAnn(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    SimilarityOps.ivfPqTopK(e, q, k = 3, kCoarse = 4, probes = 2,
+      m = 8, subDim = 8, kCodes = 16)
+      .orderBy("query_id", "rank")
+  }
+
+  val ivfPqAnnOracle: String = {
+    def d2(n: Int, a: String, b: String): String =
+      s"list_reduce(list_transform(generate_series(1, $n), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (p, q) -> p + q)"
+    val dsum = (0 until 8).map(i => s"sum(CASE WHEN l.s = $i THEN dq END)")
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), coarse AS (
+       |  SELECT vec_id AS cj, v AS cvec FROM e WHERE vec_id < 4
+       |), cassign AS (
+       |  SELECT vec_id, cj AS bucket FROM (
+       |    SELECT e.vec_id, c.cj,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d2(64, "e.v", "c.cvec")}, c.cj) AS rn
+       |    FROM e, coarse c)
+       |  WHERE rn = 1
+       |), resid AS (
+       |  SELECT e.vec_id, a.bucket,
+       |    list_transform(generate_series(1, 64), i -> e.v[i] - c.cvec[i]) AS rv
+       |  FROM e JOIN cassign a USING (vec_id) JOIN coarse c ON c.cj = a.bucket
+       |), sub AS (
+       |  SELECT vec_id, bucket, CAST(u.s AS INTEGER) AS s,
+       |    rv[u.s * 8 + 1 : u.s * 8 + 8] AS sv
+       |  FROM resid, UNNEST(range(8)) AS u(s)
+       |), cb AS (
+       |  SELECT s, vec_id - 4 AS j, sv AS cent FROM sub
+       |  WHERE vec_id >= 4 AND vec_id < 20
+       |), enc AS (
+       |  SELECT vec_id, bucket, s, j AS code FROM (
+       |    SELECT sub.vec_id, sub.bucket, sub.s, cb.j,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |        ORDER BY ${d2(8, "sub.sv", "cb.cent")}, cb.j) AS rn
+       |    FROM sub JOIN cb USING (s))
+       |  WHERE rn = 1
+       |), qprobe AS (
+       |  SELECT query_id, bucket, qrv FROM (
+       |    SELECT q.vec_id AS query_id, c.cj AS bucket,
+       |      list_transform(generate_series(1, 64), i -> q.v[i] - c.cvec[i]) AS qrv,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${d2(64, "q.v", "c.cvec")}, c.cj) AS rn
+       |    FROM e q, coarse c WHERE q.vec_id % 200 = 0)
+       |  WHERE rn <= 2
+       |), qsub AS (
+       |  SELECT query_id, bucket, CAST(u.s AS INTEGER) AS s,
+       |    qrv[u.s * 8 + 1 : u.s * 8 + 8] AS qsv
+       |  FROM qprobe, UNNEST(range(8)) AS u(s)
+       |), lut AS (
+       |  SELECT q.query_id, q.bucket, cb.s, cb.j,
+       |    ${d2(8, "q.qsv", "cb.cent")} AS dq
+       |  FROM qsub q JOIN cb ON q.s = cb.s
+       |), scored AS (
+       |  SELECT l.query_id, enc.vec_id, $dsum AS dist
+       |  FROM enc JOIN lut l
+       |    ON enc.bucket = l.bucket AND enc.s = l.s AND enc.code = l.j
+       |  WHERE enc.vec_id <> l.query_id
+       |  GROUP BY 1, 2
+       |), r AS (
+       |  SELECT query_id, vec_id, dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+       |  dist AS ivfpq_dist
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3044,6 +3129,7 @@ object LlmQueries {
     "q144_embedding_dim_stats" -> (embeddingDimStats(_, _)),
     "q145_sketch_ks_drift" -> (sketchKsDrift(_, _)),
     "q146_kmeans" -> (kmeansClusters(_, _)),
+    "q147_ivfpq_ann" -> (ivfPqAnn(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3114,5 +3200,6 @@ object LlmQueries {
     "q144_embedding_dim_stats" -> embeddingDimStatsOracle,
     "q145_sketch_ks_drift" -> sketchKsDriftOracle,
     "q146_kmeans" -> kmeansClustersOracle,
+    "q147_ivfpq_ann" -> ivfPqAnnOracle,
   )
 }

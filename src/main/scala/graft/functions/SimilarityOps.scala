@@ -199,6 +199,91 @@ object SimilarityOps {
         (-col("sim")).as("pq_dist"))
   }
 
+  /** IVF-PQ: the production ANN composite (Jégou et al. 2011's IVFADC) —
+    * an inverted-file coarse quantizer partitions the corpus, and product
+    * quantization compresses the RESIDUAL (v − coarse centroid), which
+    * carries far less variance than v itself, so the same code budget
+    * quantizes finer. At 100 TB this is THE serving layout: queries probe
+    * `probes` coarse buckets (pruning |C|·(1 − probes/kCoarse) of the
+    * corpus before any ranking) and rank 8-byte codes via ADC lookup
+    * tables — never decoding, never shuffling the corpus (assignment is
+    * one bounded min_by; encode and ADC are broadcast joins).
+    *
+    * Both quantizers are seeded (coarse centroid j = vector j; residual
+    * codebook entry j = seed (kCoarse+j)'s residual subvector), and every
+    * distance is a fold-ordered double sum — so encode, probe, and ADC
+    * ranking all replay bit-exactly in another engine: the oracle
+    * certifies the whole composite index, not a tolerance band.
+    * Returns (query_id, rank, neighbor_id, ivfpq_dist).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      kCoarse: Int, probes: Int, m: Int, subDim: Int,
+      kCodes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cd = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val coarse = cd.filter(col("vec_id") < kCoarse)
+      .select(col("vec_id").as("cj"), col("v").as("cvec"))
+    // coarse assignment: argmin fold-ordered L2 (cj tie-break), residual
+    // computed in the same pass — corpus rows never shuffle wider than 1
+    val assigned = cd.crossJoin(broadcast(coarse))
+      .withColumn("cd2", l2sq(col("v"), col("cvec")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cj"), col("cvec")),
+          struct(col("cd2"), col("cj"))).as("cc"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("cc").getField("cj").as("bucket"),
+        zip_with(col("v"), col("cc").getField("cvec"),
+          (a, b) => a - b).as("rv"))
+    // residual codebook: seeds kCoarse..kCoarse+kCodes-1 — their residuals
+    // are nonzero (unlike the coarse seeds', which are exactly 0)
+    val codebook = assigned
+      .filter(col("vec_id") >= kCoarse && col("vec_id") < kCoarse + kCodes)
+      .select((col("vec_id") - kCoarse).as("j"),
+        posexplode(subvectors(col("rv"), m, subDim)))
+      .select(col("pos").as("s"), col("j"), col("col").as("cent"))
+    val enc = assigned
+      .select(col("vec_id"), col("bucket"),
+        posexplode(subvectors(col("rv"), m, subDim)))
+      .select(col("vec_id"), col("bucket"), col("pos").as("s"),
+        col("col").as("sub"))
+      .join(broadcast(codebook), "s")
+      .withColumn("d2", l2sq(col("sub"), col("cent")))
+      .groupBy(col("vec_id"), col("bucket"), col("s"))
+      .agg(min_by(col("j"), struct(col("d2"), col("j"))).as("code"))
+    // probe: per-query top-P coarse buckets (partition-bounded window —
+    // kCoarse rows per query), query residual vs each probed centroid
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cd2"), col("cj"))
+    val probed = queries
+      .select(col("query_id"), col("query_vec").cast("array<double>").as("qv"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("cd2", l2sq(col("qv"), col("cvec")))
+      .withColumn("rn", row_number().over(pw)).filter(col("rn") <= probes)
+      .select(col("query_id"), col("cj").as("bucket"),
+        zip_with(col("qv"), col("cvec"), (a, b) => a - b).as("qrv"))
+    val lut = probed
+      .select(col("query_id"), col("bucket"),
+        posexplode(subvectors(col("qrv"), m, subDim)))
+      .select(col("query_id"), col("bucket"), col("pos").as("ls"),
+        col("col").as("qsub"))
+      .join(broadcast(codebook), col("ls") === col("s"))
+      .select(col("query_id"), col("bucket").as("lb"), col("ls"), col("j"),
+        l2sq(col("qsub"), col("cent")).as("dq"))
+    val partials = enc.join(broadcast(lut),
+        col("bucket") === col("lb") && col("s") === col("ls") &&
+          col("code") === col("j"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val sums = (0 until m).map(i =>
+      sum(when(col("s") === i, col("dq"))).as(s"d_$i"))
+    val scored = partials.groupBy(col("query_id"), col("vec_id"))
+      .agg(sums.head, sums.tail: _*)
+      .withColumn("sim", -(0 until m).map(i => col(s"d_$i")).reduce(_ + _))
+    rankTopK(scored, "query_id", "vec_id", k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (-col("sim")).as("ivfpq_dist"))
+  }
+
   /** Exact distributed Lloyd's k-means over INTEGER-quantized embeddings
     * — the clustering primitive behind SemDeDup blocking, IVF coarse
     * quantizers, and data-mixture cluster balancing, with every step

@@ -301,6 +301,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(i2 <= i1, s"inertia must not increase across Lloyd rounds ($i1 -> $i2)")
   }
 
+  test("IVF-PQ: partition-invariant, ranked per query, neighbors only from probed buckets") {
+    val q = emb.filter($"vec_id" % 200 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    def run(c: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.ivfPqTopK(c, q, k = 3, kCoarse = 4, probes = 2,
+        m = 8, subDim = 8, kCodes = 16)
+        .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val r1 = run(emb)
+    assert(r1 == run(emb.repartition(5, $"label")),
+      "seeded IVF-PQ must be bit-identical under any partitioning")
+    assert(r1.nonEmpty)
+    // ranks are 1..n per query, distances non-decreasing with rank
+    r1.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._2) == (1L to byRank.size).toSeq)
+      assert(byRank.map(_._4) == byRank.map(_._4).sorted)
+    }
+    // probing ALL buckets can only add candidates: the 2-probe result's
+    // neighbor set per query is a subset of the 4-probe result's
+    val all = SimilarityOps.ivfPqTopK(emb, q, k = 500, kCoarse = 4,
+      probes = 4, m = 8, subDim = 8, kCodes = 16)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(r1.map(t => (t._1, t._3)).forall(all.contains),
+      "2-probe neighbors must come from the full probed candidate set")
+  }
+
   test("IVF probed search returns a subset ranking consistent with brute force") {
     val seeds = emb.filter($"vec_id" < 8)
       .select($"vec_id".as("seed_id"), $"embedding".as("seed_vec"))
