@@ -3059,6 +3059,50 @@ object LlmQueries {
        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q148 — weighted systematic sampling ([[Sampling.systematicSample]]):
+    * draw 100 documents with probability exactly proportional to length
+    * (n_chars), PPS-systematic — an exclusive prefix sum lays the corpus
+    * on a weight line, every step-th point draws the row it lands in.
+    * Deterministic (no RNG: the draw is an integer function of data +
+    * doc_id order) and multiplicity-aware: a document longer than the
+    * step is drawn `n_picks` > 1 times, the epoch semantics length-
+    * balanced token budgets need. The oracle recomputes the prefix sum
+    * with a plain window — proving the bucketed distributed PrefixSum
+    * equals the single-window semantics.
+    */
+  def systematicSampleQ(s: SparkSession, d: String): DataFrame =
+    graft.functions.Sampling.systematicSample(
+      docs(s, d).select(col("doc_id"), col("n_chars")),
+      Seq(col("doc_id")), col("n_chars"), nSamples = 100L)
+      .select(col("doc_id"), col("weight"), col("cum_before"),
+        col("n_picks").cast("bigint").as("n_picks"))
+      .orderBy("doc_id")
+
+  val systematicSampleOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight FROM documents
+      |), c AS (
+      |  SELECT doc_id, weight,
+      |    CAST(coalesce(sum(weight) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_before
+      |  FROM w
+      |), t AS (
+      |  SELECT CAST(sum(weight) AS BIGINT) AS tw FROM w
+      |), p AS (
+      |  SELECT c.doc_id, c.weight, c.cum_before,
+      |    (t.tw // 100) AS step, ((t.tw // 100) // 2) AS off
+      |  FROM c, t
+      |)
+      |SELECT doc_id, weight, cum_before,
+      |  CAST(least((cum_before + weight + step - off - 1) // step, 100)
+      |     - least((cum_before + step - off - 1) // step, 100) AS BIGINT)
+      |    AS n_picks
+      |FROM p
+      |WHERE least((cum_before + weight + step - off - 1) // step, 100)
+      |    - least((cum_before + step - off - 1) // step, 100) >= 1
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3130,6 +3174,7 @@ object LlmQueries {
     "q145_sketch_ks_drift" -> (sketchKsDrift(_, _)),
     "q146_kmeans" -> (kmeansClusters(_, _)),
     "q147_ivfpq_ann" -> (ivfPqAnn(_, _)),
+    "q148_systematic_sample" -> (systematicSampleQ(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3201,5 +3246,6 @@ object LlmQueries {
     "q145_sketch_ks_drift" -> sketchKsDriftOracle,
     "q146_kmeans" -> kmeansClustersOracle,
     "q147_ivfpq_ann" -> ivfPqAnnOracle,
+    "q148_systematic_sample" -> systematicSampleOracle,
   )
 }

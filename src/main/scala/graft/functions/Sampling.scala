@@ -132,4 +132,47 @@ object Sampling {
       .select(col("doc_id"),
         expr("(sum_score * 1000) div n_tokens").as("weight"))
   }
+
+  /** Weight-proportional SYSTEMATIC sampling: lay the corpus on a number
+    * line where each row owns an interval as wide as its integer weight
+    * (exclusive prefix sum in `orderCols` order), then take every
+    * step-th point (step = totalW div nSamples, offset = step div 2).
+    * A row is drawn once per sample point inside its interval, so
+    * inclusion probability is exactly proportional to weight, heavy rows
+    * can be drawn multiple times (`n_picks` > 1 — epoch semantics, like
+    * [[epochUpsample]]), and the whole draw is a pure integer function
+    * of (data, order) — no RNG, identical on any engine or partitioning.
+    * This is the classic PPS-systematic design (probability proportional
+    * to size; Madow 1949), the deterministic counterpart of weighted
+    * reservoir sampling.
+    *
+    * Scale shape: the prefix sum is the bucketed [[graft.operators.PrefixSum]]
+    * (never a single-partition window), the total is ONE broadcast
+    * scalar, and the pick count is a pure projection — the corpus
+    * shuffles once (range-bucketing), then streams. Requires
+    * totalW >= nSamples (step >= 1; with ANSI off a zero step nulls
+    * `div` and every row silently drops — callers size nSamples below
+    * the weight mass).
+    */
+  def systematicSample(df: DataFrame, orderCols: Seq[Column],
+      weightCol: Column, nSamples: Long): DataFrame = {
+    val base = df.withColumn("weight", weightCol.cast("bigint"))
+    val withCum = graft.operators.PrefixSum.exclusiveRunningTotal(
+      base, orderCols, col("weight"), "cum_before")
+    val tot = base.agg(sum(col("weight")).cast("bigint").as("tw"))
+    withCum.crossJoin(broadcast(tot))
+      .withColumn("step", expr(s"tw div ${nSamples}L"))
+      .withColumn("off", expr("step div 2"))
+      // g(x) = #{sample points < x} = (x + step - off - 1) div step —
+      // numerator >= 0 for x >= 0, so truncating div == floor div in any
+      // engine; capped at nSamples so a trailing remainder interval
+      // cannot invent an (nSamples+1)-th point
+      .withColumn("n_picks",
+        least(expr("(cum_before + weight + step - off - 1) div step"),
+            lit(nSamples))
+          - least(expr("(cum_before + step - off - 1) div step"),
+            lit(nSamples)))
+      .filter(col("n_picks") >= 1)
+      .drop("tw", "step", "off")
+  }
 }

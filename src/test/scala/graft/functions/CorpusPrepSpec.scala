@@ -157,6 +157,27 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("systematic sample: exactly n draws, weight-proportional, layout-independent") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"n_chars")
+    val n = 40L
+    val s1 = Sampling.systematicSample(docs, Seq($"doc_id"), $"n_chars", n)
+      .select($"doc_id", $"n_picks").as[(Long, Long)].collect().toSeq.sorted
+    // the draw is a pure function of (data, order) — partitioning is invisible
+    val s2 = Sampling.systematicSample(docs.repartition(9), Seq($"doc_id"),
+      $"n_chars", n).select($"doc_id", $"n_picks")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(s1 == s2)
+    assert(s1.map(_._2).sum == n, "total multiplicity is exactly nSamples")
+    // a row heavier than the whole step must be drawn more than once
+    val tw = docs.agg(sum($"n_chars")).as[Long].collect()(0)
+    val heavy = docs.withColumn("n_chars",
+      when($"doc_id" === 7, lit(tw / 4)).otherwise($"n_chars"))
+    val h = Sampling.systematicSample(heavy, Seq($"doc_id"), $"n_chars", n)
+      .filter($"doc_id" === 7).select($"n_picks").as[Long].collect()
+    assert(h.nonEmpty && h(0) > 1,
+      s"a quarter-mass row must carry multiple epochs, got ${h.toSeq}")
+  }
+
   test("DSIR importance weights separate a topic-defined target and ignore layout") {
     val toks = TextAnalysis.tokens($"text")
     val isTarget = array_contains(toks, "dup")
