@@ -217,9 +217,39 @@ object DeltaInterop {
     }
 
     val cpActs: Seq[Act] = cpVersion.toSeq.flatMap { v =>
-      val cp = logDir.resolve(f"$v%020d.checkpoint.parquet")
-      require(Files.exists(cp), s"_last_checkpoint points at missing $cp")
-      acts(spark.read.parquet(cp.toString), lit(v))
+      val single = logDir.resolve(f"$v%020d.checkpoint.parquet")
+      val files: Seq[Path] =
+        if (Files.exists(single)) Seq(single)
+        else {
+          // multi-part classic checkpoint (the protocol's
+          // <version>.checkpoint.<part>.<total>.parquet layout, emitted
+          // by production writers when one part would be too large):
+          // every declared part must be present — a partial set is a
+          // torn checkpoint, not a smaller one
+          val MultiPart =
+            (f"$v%020d" + """\.checkpoint\.(\d{10})\.(\d{10})\.parquet""").r
+          val parts = withList(logDir)(_.flatMap { p =>
+            p.getFileName.toString match {
+              case MultiPart(i, n) => Some((i.toInt, n.toInt, p))
+              case _ => None
+            }
+          }.toSeq).sortBy(_._1)
+          require(parts.nonEmpty,
+            s"_last_checkpoint points at missing $single (no parts either)")
+          val total = parts.head._2
+          require(parts.map(_._2).forall(_ == total) &&
+              parts.map(_._1) == (1 to total),
+            s"torn multi-part checkpoint at version $v: found parts " +
+              s"${parts.map(t => s"${t._1}/${t._2}").mkString(",")}")
+          // _last_checkpoint's parts field, when present, must agree
+          val declared = """"parts"\s*:\s*(\d+)""".r
+            .findFirstMatchIn(Files.readString(logDir.resolve("_last_checkpoint")))
+            .map(_.group(1).toInt)
+          require(declared.forall(_ == total),
+            s"_last_checkpoint declares parts=${declared.get}, found $total")
+          parts.map(_._3)
+        }
+      acts(spark.read.parquet(files.map(_.toString): _*), lit(v))
     }
     val jsonActs: Seq[Act] =
       if (replay.isEmpty) Nil

@@ -125,6 +125,62 @@ class DeltaInteropSpec extends SparkSpec {
       (5L, "e", "2024-01-03")))
   }
 
+  private def writeCheckpointPart(logDir: Path, name: String,
+      actions: Seq[String]): Unit = {
+    val tmp = logDir.resolve(s"cp_tmp_$name")
+    spark.read.json(actions.toDS).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, logDir.resolve(name))
+  }
+
+  test("multi-part checkpoint bootstrap: all declared parts are combined") {
+    val root = fixture()
+    val logDir = root.resolve("_delta_log")
+    // same live state as the single-part test, split across two parts
+    // (production writers shard large checkpoints exactly this way)
+    writeCheckpointPart(logDir,
+      f"${2L}%020d.checkpoint.${1}%010d.${2}%010d.parquet",
+      Seq(addAction("ds=2024-01-02/part-0001.parquet", "2024-01-02"),
+        metaAction))
+    writeCheckpointPart(logDir,
+      f"${2L}%020d.checkpoint.${2}%010d.${2}%010d.parquet",
+      Seq(addAction("ds=2024-01-01/part-0002.parquet", "2024-01-01"),
+        protocolAction()))
+    Files.writeString(logDir.resolve("_last_checkpoint"),
+      """{"version":2,"size":4,"parts":2}""")
+    Seq(0L, 1L, 2L).foreach(v =>
+      Files.delete(logDir.resolve(f"$v%020d.json")))
+    writeDataFile(root, "ds=2024-01-03/part-0003.parquet",
+      Seq((5L, "e")).toDF("k", "v"))
+    writeCommit(root, 3L, Seq(
+      addAction("ds=2024-01-03/part-0003.parquet", "2024-01-03")))
+    val rows = DeltaInterop.read(spark, root.toString)
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((3L, "c", "2024-01-02"), (4L, "d", "2024-01-01"),
+      (5L, "e", "2024-01-03")))
+  }
+
+  test("a torn multi-part checkpoint (missing part) is refused, not misread") {
+    val root = fixture()
+    val logDir = root.resolve("_delta_log")
+    // only part 1 of 2 lands — a reader that replays it would silently
+    // drop every file in the missing part
+    writeCheckpointPart(logDir,
+      f"${2L}%020d.checkpoint.${1}%010d.${2}%010d.parquet",
+      Seq(addAction("ds=2024-01-02/part-0001.parquet", "2024-01-02"),
+        metaAction, protocolAction()))
+    Files.writeString(logDir.resolve("_last_checkpoint"),
+      """{"version":2,"size":4,"parts":2}""")
+    Seq(0L, 1L, 2L).foreach(v =>
+      Files.delete(logDir.resolve(f"$v%020d.json")))
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.read(spark, root.toString).collect()
+    }
+    assert(e.getMessage.contains("torn multi-part checkpoint"))
+  }
+
   test("unsupported reader protocol is refused, not misread") {
     val root = Files.createTempDirectory("delta_v3").resolve("t")
     Files.createDirectories(root)
