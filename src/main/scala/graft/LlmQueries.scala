@@ -2992,12 +2992,21 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
-  val ivfPqAnnOracle: String = {
-    def d2(n: Int, a: String, b: String): String =
-      s"list_reduce(list_transform(generate_series(1, $n), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (p, q) -> p + q)"
+  /** Exact SQL squared-L2 between two DOUBLE[] columns, fold-ordered to
+    * mirror the Spark aggregate (shared by the IVF-PQ oracles).
+    */
+  private def sqlD2(n: Int, a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, $n), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (p, q) -> p + q)"
+
+  /** CTE chain ending in `r(query_id, vec_id, dist, rank)` — the full
+    * IVF-PQ pipeline (coarse assign, residual encode, probe, ADC),
+    * shared by the q147 oracle and the q149 recall oracle.
+    */
+  private val ivfPqPipelineSql: String = {
+    def d2(n: Int, a: String, b: String): String = sqlD2(n, a, b)
     val dsum = (0 until 8).map(i => s"sum(CASE WHEN l.s = $i THEN dq END)")
       .mkString(" + ")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), coarse AS (
        |  SELECT vec_id AS cj, v AS cvec FROM e WHERE vec_id < 4
@@ -3053,11 +3062,60 @@ object LlmQueries {
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY dist, vec_id) AS rank
        |  FROM scored
-       |)
+       |)""".stripMargin
+  }
+
+  val ivfPqAnnOracle: String =
+    s"""WITH $ivfPqPipelineSql
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
        |  dist AS ivfpq_dist
        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** q149 — IVF-PQ recall@3 against the EXACT L2 truth: the audit that
+    * prices the composite index's two approximations at once (bucket
+    * pruning can drop a true neighbor entirely; PQ codes can misrank a
+    * survivor) before pointing production at it — the same
+    * quality-gate shape as q67 (IVF) and q105 (PQ), completing the
+    * audit ladder for the q147 layout. Truth is brute-force squared-L2
+    * ([[SimilarityOps.bruteForceTopKL2]]), the metric IVF-PQ actually
+    * ranks by — cosine truth would mis-measure recall on unnormalized
+    * vectors.
+    */
+  def ivfPqRecall(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val truth = SimilarityOps.bruteForceTopKL2(q, e, 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = SimilarityOps.ivfPqTopK(e, q, k = 3, kCoarse = 4,
+        probes = 2, m = 8, subDim = 8, kCodes = 16)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), col("hits").cast("bigint").as("hits"),
+        round(col("hits") / 3.0, 4).as("recall_at_3"))
+      .orderBy("query_id")
   }
+
+  val ivfPqRecallOracle: String =
+    s"""WITH $ivfPqPipelineSql, approx AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM r WHERE rank <= 3
+       |), truth AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, e2.vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${sqlD2(64, "q.v", "e2.v")}, e2.vec_id) AS rank
+       |    FROM e q, e e2
+       |    WHERE q.vec_id % 200 = 0 AND e2.vec_id <> q.vec_id)
+       |  WHERE rank <= 3
+       |)
+       |SELECT t.query_id,
+       |  CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+       |  round(count(a.neighbor_id) / 3.0, 4) AS recall_at_3
+       |FROM truth t LEFT JOIN approx a
+       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
 
   /** q148 — weighted systematic sampling ([[Sampling.systematicSample]]):
     * draw 100 documents with probability exactly proportional to length
@@ -3175,6 +3233,7 @@ object LlmQueries {
     "q146_kmeans" -> (kmeansClusters(_, _)),
     "q147_ivfpq_ann" -> (ivfPqAnn(_, _)),
     "q148_systematic_sample" -> (systematicSampleQ(_, _)),
+    "q149_ivfpq_recall" -> (ivfPqRecall(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3247,5 +3306,6 @@ object LlmQueries {
     "q146_kmeans" -> kmeansClustersOracle,
     "q147_ivfpq_ann" -> ivfPqAnnOracle,
     "q148_systematic_sample" -> systematicSampleOracle,
+    "q149_ivfpq_recall" -> ivfPqRecallOracle,
   )
 }

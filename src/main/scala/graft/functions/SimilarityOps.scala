@@ -69,6 +69,23 @@ object SimilarityOps {
     rankTopK(scored, "query_id", "vec_id", k)
   }
 
+  /** Brute-force EXACT squared-L2 top-k — the truth baseline for
+    * L2-metric indexes (IVF-PQ ranks by L2, so its recall audit must
+    * compare against L2 truth, not cosine truth: the two metrics rank
+    * differently on unnormalized vectors). Fold-ordered double sums, id
+    * tie-break — bit-reproducible, no rounding needed. Same scale shape
+    * as [[bruteForceTopK]].
+    */
+  def bruteForceTopKL2(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("sim", -l2sq(col("query_vec").cast("array<double>"),
+        col("embedding").cast("array<double>")))
+    rankTopK(scored, "query_id", "vec_id", k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (-col("sim")).as("l2_dist"))
+  }
+
   /** Predicate-filtered brute-force top-k — the "filtered vector
     * search" every retrieval stack needs (metadata constraints on ANN:
     * tenant, language, freshness … or, as in hard-negative mining,
