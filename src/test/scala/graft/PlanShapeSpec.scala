@@ -25,6 +25,46 @@ class PlanShapeSpec extends SparkSpec {
   private def count(plan: String, marker: String): Int =
     plan.sliding(marker.length).count(_ == marker)
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in the final plan)") {
+    // Manual salting (Skew.saltedJoin, q60) handles KNOWN skew; this pins
+    // the complementary runtime path — AQE detecting an unforeseen hot key
+    // from shuffle statistics and splitting its partition — so the engine
+    // demonstrably has both levers a 100 TB join needs. Thresholds are
+    // lowered to make toy-scale partitions register as skewed.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> scala.util.Try(conf.get(k)).toOption)
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val pad = "x" * 200
+      // one key owns half the fact rows — the classic hot-customer shape
+      val facts = spark.range(40000).select(
+        when(col("id") % 2 === 0, 0L).otherwise(col("id") % 50).as("k"),
+        concat(lit(pad), col("id")).as("payload"))
+      val dim = spark.range(50).select(col("id").as("k"),
+        (col("id") * 7).as("attr"))
+      val joined = facts.join(dim, "k")
+      val plan = executed(joined)
+      assert(plan.contains("SortMergeJoin"),
+        s"broadcast disabled — expected a sort-merge join:\n$plan")
+      assert(plan.contains("skew=true"),
+        s"AQE should have split the hot partition (skew=true):\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("flagship: dimension joins are broadcast, no sort-merge join") {
     val plan = executed(Queries.flagship(spark, sf))
     assert(count(plan, "BroadcastHashJoin") >= 3,
