@@ -218,38 +218,67 @@ object DeltaInterop {
 
     val cpActs: Seq[Act] = cpVersion.toSeq.flatMap { v =>
       val single = logDir.resolve(f"$v%020d.checkpoint.parquet")
-      val files: Seq[Path] =
-        if (Files.exists(single)) Seq(single)
-        else {
-          // multi-part classic checkpoint (the protocol's
-          // <version>.checkpoint.<part>.<total>.parquet layout, emitted
-          // by production writers when one part would be too large):
-          // every declared part must be present — a partial set is a
-          // torn checkpoint, not a smaller one
-          val MultiPart =
-            (f"$v%020d" + """\.checkpoint\.(\d{10})\.(\d{10})\.parquet""").r
-          val parts = withList(logDir)(_.flatMap { p =>
-            p.getFileName.toString match {
-              case MultiPart(i, n) => Some((i.toInt, n.toInt, p))
-              case _ => None
-            }
-          }.toSeq).sortBy(_._1)
-          require(parts.nonEmpty,
-            s"_last_checkpoint points at missing $single (no parts either)")
-          val total = parts.head._2
-          require(parts.map(_._2).forall(_ == total) &&
-              parts.map(_._1) == (1 to total),
-            s"torn multi-part checkpoint at version $v: found parts " +
-              s"${parts.map(t => s"${t._1}/${t._2}").mkString(",")}")
-          // _last_checkpoint's parts field, when present, must agree
-          val declared = """"parts"\s*:\s*(\d+)""".r
-            .findFirstMatchIn(Files.readString(logDir.resolve("_last_checkpoint")))
-            .map(_.group(1).toInt)
-          require(declared.forall(_ == total),
-            s"_last_checkpoint declares parts=${declared.get}, found $total")
-          parts.map(_._3)
-        }
-      acts(spark.read.parquet(files.map(_.toString): _*), lit(v))
+      lazy val multiParts: Seq[(Int, Int, Path)] = {
+        // multi-part classic checkpoint (the protocol's
+        // <version>.checkpoint.<part>.<total>.parquet layout, emitted
+        // by production writers when one part would be too large)
+        val MultiPart =
+          (f"$v%020d" + """\.checkpoint\.(\d{10})\.(\d{10})\.parquet""").r
+        withList(logDir)(_.flatMap { p =>
+          p.getFileName.toString match {
+            case MultiPart(i, n) => Some((i.toInt, n.toInt, p))
+            case _ => None
+          }
+        }.toSeq).sortBy(_._1)
+      }
+      if (Files.exists(single))
+        acts(spark.read.parquet(single.toString), lit(v))
+      else if (multiParts.nonEmpty) {
+        // every declared part must be present — a partial set is a
+        // torn checkpoint, not a smaller one
+        val total = multiParts.head._2
+        require(multiParts.map(_._2).forall(_ == total) &&
+            multiParts.map(_._1) == (1 to total),
+          s"torn multi-part checkpoint at version $v: found parts " +
+            s"${multiParts.map(t => s"${t._1}/${t._2}").mkString(",")}")
+        // _last_checkpoint's parts field, when present, must agree
+        val declared = """"parts"\s*:\s*(\d+)""".r
+          .findFirstMatchIn(Files.readString(logDir.resolve("_last_checkpoint")))
+          .map(_.group(1).toInt)
+        require(declared.forall(_ == total),
+          s"_last_checkpoint declares parts=${declared.get}, found $total")
+        acts(spark.read.parquet(multiParts.map(_._3.toString): _*), lit(v))
+      } else {
+        // v2 checkpoint (the `v2Checkpoint` table feature): a UUID-named
+        // manifest — json or parquet — holding protocol/metaData plus
+        // `sidecar` actions that point at add/remove shards under
+        // _delta_log/_sidecars/. Several manifests may coexist (any is
+        // complete by construction); take the lexically first for
+        // determinism.
+        val V2Name =
+          (f"$v%020d" + """\.checkpoint\.[0-9a-fA-F-]{36}\.(?:json|parquet)""").r
+        val manifests = withList(logDir)(_.filter(p =>
+            V2Name.pattern.matcher(p.getFileName.toString).matches())
+          .toSeq).sortBy(_.getFileName.toString)
+        require(manifests.nonEmpty,
+          s"_last_checkpoint points at version $v but no classic, " +
+            "multi-part, or v2 checkpoint file exists")
+        val mPath = manifests.head
+        val mDf =
+          if (mPath.getFileName.toString.endsWith(".json"))
+            spark.read.json(mPath.toString)
+          else spark.read.parquet(mPath.toString)
+        val sidecars: Seq[String] =
+          if (mDf.columns.contains("sidecar"))
+            mDf.select(col("sidecar.path")).na.drop()
+              .collect().map(_.getString(0)).toSeq
+          else Nil
+        val sideActs =
+          if (sidecars.isEmpty) Nil
+          else acts(spark.read.parquet(sidecars.map(p =>
+            logDir.resolve("_sidecars").resolve(p).toString): _*), lit(v))
+        acts(mDf, lit(v)) ++ sideActs
+      }
     }
     val jsonActs: Seq[Act] =
       if (replay.isEmpty) Nil
@@ -274,7 +303,8 @@ object DeltaInterop {
         val features = proto.flatMap(_.readerFeatures)
         require(features.isDefined,
           s"malformed protocol: minReaderVersion 3 requires readerFeatures")
-        val supported = Set("columnMapping", "deletionVectors", "timestampNtz")
+        val supported = Set("columnMapping", "deletionVectors", "timestampNtz",
+          "v2Checkpoint")
         val unsupported = features.get.toSet -- supported
         require(unsupported.isEmpty,
           s"Delta reader protocol features ${unsupported.mkString(", ")} " +

@@ -162,6 +162,41 @@ class DeltaInteropSpec extends SparkSpec {
       (5L, "e", "2024-01-03")))
   }
 
+  test("v2 UUID checkpoint: json manifest + parquet sidecar shards bootstrap the snapshot") {
+    val root = fixture()
+    val logDir = root.resolve("_delta_log")
+    val sidecarDir = logDir.resolve("_sidecars")
+    Files.createDirectories(sidecarDir)
+    // sidecar shards carry the file actions; the manifest carries
+    // protocol/metaData/checkpointMetadata plus pointers at the shards
+    val tmp = logDir.resolve("sc_tmp")
+    spark.read.json(Seq(
+        addAction("ds=2024-01-02/part-0001.parquet", "2024-01-02"),
+        addAction("ds=2024-01-01/part-0002.parquet", "2024-01-01")).toDS)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val shard = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(shard, sidecarDir.resolve("shard-0001.parquet"))
+    val uuid = "0a1b2c3d-1111-2222-3333-444455556666"
+    Files.writeString(logDir.resolve(f"${2L}%020d.checkpoint.$uuid.json"),
+      Seq(protocolV3("v2Checkpoint"), metaAction,
+        """{"checkpointMetadata":{"version":2}}""",
+        """{"sidecar":{"path":"shard-0001.parquet","sizeInBytes":512,"modificationTime":0}}""")
+        .mkString("", "\n", "\n"))
+    Files.writeString(logDir.resolve("_last_checkpoint"),
+      """{"version":2,"size":4}""")
+    Seq(0L, 1L, 2L).foreach(v =>
+      Files.delete(logDir.resolve(f"$v%020d.json")))
+    writeDataFile(root, "ds=2024-01-03/part-0003.parquet",
+      Seq((5L, "e")).toDF("k", "v"))
+    writeCommit(root, 3L, Seq(
+      addAction("ds=2024-01-03/part-0003.parquet", "2024-01-03")))
+    val rows = DeltaInterop.read(spark, root.toString)
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((3L, "c", "2024-01-02"), (4L, "d", "2024-01-01"),
+      (5L, "e", "2024-01-03")))
+  }
+
   test("a torn multi-part checkpoint (missing part) is refused, not misread") {
     val root = fixture()
     val logDir = root.resolve("_delta_log")
@@ -343,13 +378,13 @@ class DeltaInteropSpec extends SparkSpec {
     val root = Files.createTempDirectory("delta_v3f").resolve("t")
     Files.createDirectories(root)
     writeDataFile(root, "part-0000.parquet", Seq((1L, "a")).toDF("k", "v"))
-    writeCommit(root, 0L, Seq(protocolV3("deletionVectors", "v2Checkpoint"),
+    writeCommit(root, 0L, Seq(protocolV3("deletionVectors", "typeWidening"),
       metaAction,
       s"""{"add":{"path":"part-0000.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
     val e = intercept[IllegalArgumentException] {
       DeltaInterop.snapshot(spark, root.toString)
     }
-    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(e.getMessage.contains("typeWidening"))
   }
 
   test("replay keys on the RAW percent-encoded path: overwrite removes an encoded add") {
