@@ -2918,10 +2918,14 @@ object LlmQueries {
   def kmeansClusters(s: SparkSession, d: String): DataFrame =
     SimilarityOps.kmeansExactStats(emb(s, d), k = 8, dims = 64, iters = 2)
 
-  val kmeansClustersOracle: String = {
+  /** CTE chain ending in a2(vec_id, cl, dist) / c2 / l1 — the full
+    * 2-round integer Lloyd pipeline, shared by the q146 stats oracle and
+    * the q150 exemplar oracle.
+    */
+  private val kmeansPipelineSql: String = {
     // integer floor-division (DuckDB // truncates; sums can be negative)
     def fdiv(s: String, n: String) = s"(($s - ((($s % $n) + $n) % $n)) // $n)"
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
        |    x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
        |  FROM embeddings
@@ -2966,13 +2970,47 @@ object LlmQueries {
        |  FROM c1 p LEFT JOIN u2 u ON u.cl = p.cl AND u.pos = p.pos
        |), l1 AS (
        |  SELECT cl, sum(abs(c)) AS centroid_l1 FROM c2 GROUP BY cl
-       |)
+       |)""".stripMargin
+  }
+
+  val kmeansClustersOracle: String =
+    s"""WITH $kmeansPipelineSql
        |SELECT a.cl AS cluster, CAST(count(*) AS BIGINT) AS n_members,
        |  CAST(sum(a.dist) AS BIGINT) AS inertia,
        |  CAST(l1.centroid_l1 AS BIGINT) AS centroid_l1
        |FROM a2 a JOIN l1 USING (cl)
        |GROUP BY a.cl, l1.centroid_l1 ORDER BY cluster""".stripMargin
+
+  /** q150 — cluster exemplars: the 8 vectors CLOSEST to their k-means
+    * centroid per cluster ([[SimilarityOps.kmeansAssignments]] + ranked
+    * window) — prototypical-example selection, the diversity-sampling
+    * primitive cluster-balanced curation builds on (pick representatives
+    * per region of embedding space instead of frequency-weighted
+    * duplicates). The per-cluster rank-≤-m window plans as
+    * WindowGroupLimit: map-side top-m per cluster before the exchange,
+    * so the corpus never materializes a full per-cluster sort at scale.
+    */
+  def clusterExemplars(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = SimilarityOps.kmeansAssignments(emb(s, d), k = 8, dims = 64,
+      iters = 2)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("dist"), col("vec_id"))
+    a.withColumn("rank", row_number().over(w)).filter(col("rank") <= 8)
+      .select(col("cluster"), col("rank").cast("bigint").as("rank"),
+        col("vec_id"), col("dist"))
+      .orderBy("cluster", "rank")
   }
+
+  val clusterExemplarsOracle: String =
+    s"""WITH $kmeansPipelineSql
+       |SELECT cl AS cluster, CAST(rn AS BIGINT) AS rank, vec_id,
+       |  CAST(dist AS BIGINT) AS dist
+       |FROM (
+       |  SELECT vec_id, cl, dist,
+       |    row_number() OVER (PARTITION BY cl ORDER BY dist, vec_id) AS rn
+       |  FROM a2)
+       |WHERE rn <= 8 ORDER BY cluster, rank""".stripMargin
 
   /** q147 — IVF-PQ composite ANN ([[SimilarityOps.ivfPqTopK]]): a
     * 4-bucket inverted-file coarse quantizer prunes the corpus, PQ codes
@@ -3234,6 +3272,7 @@ object LlmQueries {
     "q147_ivfpq_ann" -> (ivfPqAnn(_, _)),
     "q148_systematic_sample" -> (systematicSampleQ(_, _)),
     "q149_ivfpq_recall" -> (ivfPqRecall(_, _)),
+    "q150_cluster_exemplars" -> (clusterExemplars(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3307,5 +3346,6 @@ object LlmQueries {
     "q147_ivfpq_ann" -> ivfPqAnnOracle,
     "q148_systematic_sample" -> systematicSampleOracle,
     "q149_ivfpq_recall" -> ivfPqRecallOracle,
+    "q150_cluster_exemplars" -> clusterExemplarsOracle,
   )
 }

@@ -330,6 +330,37 @@ object SimilarityOps {
     */
   def kmeansExactStats(embDf: DataFrame, k: Int, dims: Int,
       iters: Int): DataFrame = {
+    val (assigned, cents) = kmeansCore(embDf, k, dims, iters)
+    val l1 = cents.map { case (cid, cv) =>
+      (cid.toLong, cv.map(math.abs).sum) }
+    val l1Df = broadcast(
+      embDf.sparkSession.createDataFrame(l1).toDF("cl", "centroid_l1"))
+    assigned.groupBy(col("cl"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("dist").cast("decimal(38,0)")).as("inertia_d"))
+      .join(l1Df, "cl")
+      .select(col("cl").as("cluster"),
+        col("n_members").cast("bigint").as("n_members"),
+        col("inertia_d").cast("bigint").as("inertia"),
+        col("centroid_l1").cast("bigint").as("centroid_l1"))
+      .orderBy("cluster")
+  }
+
+  /** The final per-vector assignment of [[kmeansExactStats]]'s run:
+    * (vec_id, cluster, dist) under the last Lloyd round's centroids —
+    * the input to cluster-balanced selection, SemDeDup blocking, or
+    * exemplar extraction.
+    */
+  def kmeansAssignments(embDf: DataFrame, k: Int, dims: Int,
+      iters: Int): DataFrame =
+    kmeansCore(embDf, k, dims, iters)._1
+      .select(col("vec_id"), col("cl").as("cluster"), col("dist"))
+
+  /** Shared Lloyd loop: returns (final assignment (vec_id, qv, cl, dist),
+    * post-update centroids).
+    */
+  private def kmeansCore(embDf: DataFrame, k: Int, dims: Int,
+      iters: Int): (DataFrame, Seq[(Int, Array[Long])]) = {
     val eq = graft.CacheScope.persisted(
       embDf.select(col("vec_id"),
         transform(col("embedding").cast("array<double>"),
@@ -373,19 +404,7 @@ object SimilarityOps {
       assigned = assign(cents)
       cents = update(assigned, cents)
     }
-    val l1 = cents.map { case (cid, cv) =>
-      (cid.toLong, cv.map(math.abs).sum) }
-    val l1Df = broadcast(
-      embDf.sparkSession.createDataFrame(l1).toDF("cl", "centroid_l1"))
-    assigned.groupBy(col("cl"))
-      .agg(count(lit(1)).as("n_members"),
-        sum(col("dist").cast("decimal(38,0)")).as("inertia_d"))
-      .join(l1Df, "cl")
-      .select(col("cl").as("cluster"),
-        col("n_members").cast("bigint").as("n_members"),
-        col("inertia_d").cast("bigint").as("inertia"),
-        col("centroid_l1").cast("bigint").as("centroid_l1"))
-      .orderBy("cluster")
+    (assigned, cents)
   }
 
   /** Sign-LSH bucket key over the first `dims` dimensions: bit d set iff

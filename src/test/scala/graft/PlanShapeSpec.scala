@@ -65,6 +65,12 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("cluster exemplars: per-cluster top-m plans as WindowGroupLimit") {
+    val plan = executed(LlmQueries.clusterExemplars(spark, sf))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=m must push a group limit below the exchange:\n$plan")
+  }
+
   test("flagship: dimension joins are broadcast, no sort-merge join") {
     val plan = executed(Queries.flagship(spark, sf))
     assert(count(plan, "BroadcastHashJoin") >= 3,
