@@ -3199,6 +3199,60 @@ object LlmQueries {
       |    - least((cum_before + step - off - 1) // step, 100) >= 1
       |ORDER BY doc_id""".stripMargin
 
+  /** q151 — near-containment detection ([[DedupOps.containmentPairs]]):
+    * excerpts planted in-query (every 20th document re-ingested as its
+    * first-half token prefix under a new id) must be flagged against
+    * their source with containment ≈ 1, even though their JACCARD is
+    * only ≈ 0.5 — below every near-dup threshold, which is why a
+    * Jaccard-only dedup pass ships excerpt duplicates and a containment
+    * pass exists at all. Exact integer ppm scores; same inverted-index
+    * candidate shape as q26.
+    */
+  def containmentDetection(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val toks = TextAnalysis.tokens(col("text"))
+    val excerpts = base.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1),
+          floor(size(toks) / 2).cast("int"))).as("text"))
+    DedupOps.containmentPairs(base.unionByName(excerpts), "text", "doc_id")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val containmentDetectionOracle: String =
+    """WITH feed AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |    array_to_string(
+      |      (string_split_regex(lower(text), '\s+'))[1 :
+      |        len(string_split_regex(lower(text), '\s+')) // 2], ' ')
+      |  FROM documents WHERE doc_id % 20 = 0
+      |), tok AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM feed
+      |), sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) >= 5
+      |         THEN list_distinct(list_transform(range(1, len(t) - 3),
+      |                            i -> array_to_string(t[i:i+4], ' ')))
+      |         ELSE [] END AS sh
+      |  FROM tok
+      |), ex AS (
+      |  SELECT doc_id, unnest(sh) AS g FROM sh
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |), v AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+      |    (CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 1000000)
+      |      // least(len(sa.sh), len(sb.sh)) AS containment_ppm
+      |  FROM cand JOIN sh sa ON doc_a = sa.doc_id
+      |            JOIN sh sb ON doc_b = sb.doc_id
+      |)
+      |SELECT doc_a, doc_b, inter, CAST(containment_ppm AS BIGINT) AS containment_ppm
+      |FROM v WHERE containment_ppm >= 900000 ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3273,6 +3327,7 @@ object LlmQueries {
     "q148_systematic_sample" -> (systematicSampleQ(_, _)),
     "q149_ivfpq_recall" -> (ivfPqRecall(_, _)),
     "q150_cluster_exemplars" -> (clusterExemplars(_, _)),
+    "q151_containment" -> (containmentDetection(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3347,5 +3402,6 @@ object LlmQueries {
     "q148_systematic_sample" -> systematicSampleOracle,
     "q149_ivfpq_recall" -> ivfPqRecallOracle,
     "q150_cluster_exemplars" -> clusterExemplarsOracle,
+    "q151_containment" -> containmentDetectionOracle,
   )
 }

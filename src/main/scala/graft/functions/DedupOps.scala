@@ -174,6 +174,48 @@ object DedupOps {
     verifyJaccard(cand, sh, threshold, maxBroadcastCandidates)
   }
 
+  /** Near-CONTAINMENT pairs: |A∩B| / min(|A|,|B|) ≥ threshold over
+    * shingle sets — the dedup semantics Jaccard systematically misses.
+    * An excerpt, a quoted passage, or a page embedded in a larger
+    * boilerplate frame has containment ≈ 1 while its Jaccard is only
+    * |small|/|large| (a half-length excerpt scores J ≈ 0.5, far under
+    * any near-dup threshold) — so containment detection is its own
+    * required pass in corpus curation (Broder 1997 defines both
+    * resemblance AND containment for exactly this reason).
+    *
+    * Same candidate generation as [[ngramJaccardPairs]] (inverted
+    * shingle index, hot-shingle df cap): a pair with containment ≥ t
+    * shares ≥ t·min(|A|,|B|) ≥ 1 shingles, so the equality join finds
+    * it. The score is an exact integer ppm — inter·10⁶ div min — no
+    * float anywhere, so the oracle check is a hash match, not a
+    * tolerance band.
+    */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 5, thresholdPpm: Long = 900000L,
+      maxShingleDf: Int = MaxShingleDocFreq,
+      maxBroadcastCandidates: Long = MaxBroadcastCandidates): DataFrame = {
+    val sh = shingleSets(docs, textCol, idCol, shingleN)
+    val ex = dropHotShingles(
+      sh.select(col("doc_id"), explode(col("sh")).as("g")), maxShingleDf)
+    val cand = ex.as("a").join(ex.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val c = graft.CacheScope.persisted(cand)
+    val gate = candidateGate(c, maxBroadcastCandidates)
+    val withA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .join(gate(c), "doc_a")
+    sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      .join(gate(withA), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("containment_ppm",
+        expr("(inter * 1000000) div least(size(sh_a), size(sh_b))"))
+      .filter(col("containment_ppm") >= thresholdPpm)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("containment_ppm"))
+  }
+
   /** Prefix-filtered exact Jaccard pairs (the AllPairs/PPJoin candidate
     * scheme, Bayardo et al. 2007 / Xiao et al. 2008): order every
     * document's shingles by GLOBAL rarity (ascending document frequency,

@@ -283,6 +283,25 @@ class LlmOpsSpec extends SparkSpec {
       "trained centroids must fit at least as well as the raw seed vectors")
   }
 
+  test("containment flags an excerpt its Jaccard score would ship") {
+    val base = docs.select($"doc_id", $"text").filter($"doc_id" < 50)
+    val long = base.filter(length($"text") > 400).limit(1)
+    val toks = org.apache.spark.sql.functions.split(lower($"text"), "\\s+")
+    val excerpt = long.select(lit(999999L).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1),
+        floor(size(toks) / 2).cast("int"))).as("text"))
+    val feed = base.unionByName(excerpt)
+    val cont = DedupOps.containmentPairs(feed, "text", "doc_id")
+      .filter($"doc_b" === 999999L)
+      .select($"containment_ppm").as[Long].collect()
+    assert(cont.nonEmpty && cont.max >= 900000L,
+      s"half-length excerpt must show containment ~1, got ${cont.toSeq}")
+    val jac = DedupOps.ngramJaccardPairs(feed, "text", "doc_id")
+      .filter($"doc_b" === 999999L).count()
+    assert(jac == 0,
+      "the same pair must be invisible to a 0.6-Jaccard near-dup pass")
+  }
+
   test("exact kmeans: partition-invariant, partitions the corpus, converges") {
     val total = emb.count()
     val r1 = SimilarityOps.kmeansExactStats(emb, k = 8, dims = 64, iters = 2)
