@@ -3253,6 +3253,33 @@ object LlmQueries {
       |SELECT doc_a, doc_b, inter, CAST(containment_ppm AS BIGINT) AS containment_ppm
       |FROM v WHERE containment_ppm >= 900000 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q152 — Johnson-Lindenstrauss sign projection
+    * ([[SimilarityOps.jlProject]]): 64-dim quantized embeddings → 16
+    * exact-integer coordinates under an md5-derived ±1 matrix, the
+    * dimension-reduction front end for cheaper LSH/coarse quantization.
+    * Deterministic end to end: the oracle rebuilds the same matrix from
+    * DuckDB's md5 and must reproduce every projected value exactly.
+    */
+  def jlProjection(s: SparkSession, d: String): DataFrame =
+    SimilarityOps.jlProject(emb(s, d), dims = 64, outDims = 16)
+      .orderBy("vec_id", "dim")
+
+  val jlProjectionOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), dims AS (
+      |  SELECT CAST(u.j AS BIGINT) AS dim FROM UNNEST(range(16)) AS u(j)
+      |)
+      |SELECT e.vec_id, d.dim,
+      |  CAST(list_sum(list_transform(range(1, 65),
+      |    i -> qv[i] * (CASE WHEN substr(md5(d.dim || '_' || i), 1, 1)
+      |                       IN ('0','1','2','3','4','5','6','7')
+      |                  THEN 1 ELSE -1 END))) AS BIGINT) AS y
+      |FROM e, dims d
+      |ORDER BY vec_id, dim""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3328,6 +3355,7 @@ object LlmQueries {
     "q149_ivfpq_recall" -> (ivfPqRecall(_, _)),
     "q150_cluster_exemplars" -> (clusterExemplars(_, _)),
     "q151_containment" -> (containmentDetection(_, _)),
+    "q152_jl_projection" -> (jlProjection(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3403,5 +3431,6 @@ object LlmQueries {
     "q149_ivfpq_recall" -> ivfPqRecallOracle,
     "q150_cluster_exemplars" -> clusterExemplarsOracle,
     "q151_containment" -> containmentDetectionOracle,
+    "q152_jl_projection" -> jlProjectionOracle,
   )
 }

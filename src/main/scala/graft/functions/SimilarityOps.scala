@@ -407,6 +407,40 @@ object SimilarityOps {
     (assigned, cents)
   }
 
+  /** Deterministic Johnson-Lindenstrauss sign projection: y[j] = Σ_i
+    * R[j][i] · q[i] with R a ±1 matrix derived from md5 parities (the
+    * Achlioptas 2001 database-friendly JL construction — ±1 entries
+    * preserve pairwise distances in expectation as well as Gaussians).
+    * The input is the floor(×1000) integer quantization, so every
+    * projected coordinate is an EXACT integer — the projection replays
+    * bit-for-bit in any engine with md5, and downstream ANN (LSH
+    * bucketing, coarse quantizers) can run in the reduced space at
+    * outDims/dims of the memory and dot-product cost.
+    *
+    * Scale shape: the sign matrix is outDims·dims literal ±1s baked into
+    * the plan (a few KB — no join, no shuffle, no driver traffic at
+    * eval time); the projection is one codegen'd projection over the
+    * corpus scan.
+    */
+  def jlProject(embDf: DataFrame, dims: Int, outDims: Int): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, i: Int): Long = {
+      // first hex nibble of md5("<j>_<i>") — mirrors the SQL oracle's
+      // substr(md5(...), 1, 1); 0-7 → +1, 8-f → -1
+      val h = md.digest(s"${j}_$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0x8) == 0) 1L else -1L
+    }
+    val q = transform(col("embedding").cast("array<double>"),
+      x => floor(x * 1000).cast("long"))
+    val ys = (0 until outDims).map { j =>
+      val row = array((1 to dims).map(i => lit(sign(j, i))): _*)
+      aggregate(zip_with(q, row, (x, s) => x * s), lit(0L), (s, x) => s + x)
+    }
+    embDf.select(col("vec_id"), posexplode(array(ys: _*)))
+      .select(col("vec_id"), col("pos").cast("bigint").as("dim"),
+        col("col").as("y"))
+  }
+
   /** Sign-LSH bucket key over the first `dims` dimensions: bit d set iff
     * v[d] > 0. Scale-invariant, so exact and scaled duplicates share a
     * bucket. 16 bits by default → 65,536 buckets: within-bucket all-pairs

@@ -346,6 +346,29 @@ class LlmOpsSpec extends SparkSpec {
       "2-probe neighbors must come from the full probed candidate set")
   }
 
+  test("JL sign projection preserves pairwise squared distances in aggregate") {
+    // E[|y_a - y_b|^2] = outDims * |q_a - q_b|^2 for +-1 rows; with a
+    // fixed matrix and fixed data the observed mean ratio is a
+    // deterministic number — assert it sits near 1 (JL at work), far
+    // from 0 (information destroyed) and from blowup
+    val proj = SimilarityOps.jlProject(emb, dims = 64, outDims = 16)
+      .groupBy("vec_id").agg(collect_list(struct($"dim", $"y")).as("ys"))
+      .select($"vec_id",
+        transform(array_sort($"ys"), x => x.getField("y")).as("y"))
+    val q = emb.select($"vec_id",
+      transform($"embedding".cast("array<double>"),
+        x => floor(x * lit(1000)).cast("long")).as("q"))
+    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    val pairs = q.as("qa").join(q.as("qb"), $"qa.vec_id" + 1 === $"qb.vec_id")
+      .join(proj.as("pa"), $"qa.vec_id" === $"pa.vec_id")
+      .join(proj.as("pb"), $"qb.vec_id" === $"pb.vec_id")
+      .select(d2($"qa.q", $"qb.q").as("dq"), d2($"pa.y", $"pb.y").as("dy"))
+    val ratio = pairs.agg(avg($"dy" / ($"dq" * 16.0))).as[Double].collect()(0)
+    assert(ratio > 0.5 && ratio < 1.5,
+      s"mean distortion ratio should be near 1, got $ratio")
+  }
+
   test("IVF probed search returns a subset ranking consistent with brute force") {
     val seeds = emb.filter($"vec_id" < 8)
       .select($"vec_id".as("seed_id"), $"embedding".as("seed_vec"))
