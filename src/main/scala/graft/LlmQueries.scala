@@ -3280,6 +3280,85 @@ object LlmQueries {
       |FROM e, dims d
       |ORDER BY vec_id, dim""".stripMargin
 
+  /** q153 — one full BPE training round under the exact oracle: count
+    * adjacent character pairs inside whitespace tokens, pick the most
+    * frequent NON-SELF pair (count desc, pair asc — self-pairs like
+    * 'aa'+'a' need run-parity greedy semantics, excluded so the merge is
+    * positionally independent and engine-portable), merge every
+    * occurrence left-to-right, and recount — the Sennrich et al. 2016
+    * subword-vocabulary induction step. The merge is array surgery in
+    * one codegen'd projection (mark left halves, null consumed right
+    * halves, filter) — no UDF, no driver loop; the argmax pair is a
+    * 1-row broadcast. A hash match certifies count → argmax → merge →
+    * recount as a unit, which is the inductive step of the whole BPE
+    * training loop.
+    */
+  def bpeMergeRound(s: SparkSession, d: String): DataFrame =
+    bpeMergeRoundOn(docs(s, d))
+
+  /** The q153 body over any (…, text) corpus — exposed so specs can pin
+    * the greedy-merge semantics on constructed token runs.
+    */
+  def bpeMergeRoundOn(corpus: DataFrame): DataFrame = {
+    val syms = graft.CacheScope.persisted(
+      corpus
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) >= 2)
+        .select(expr("regexp_extract_all(tok, '.', 0)").as("sym")))
+    def adjPairs(c: Column): Column = explode(zip_with(
+      slice(c, lit(1), size(c) - 1), slice(c, lit(2), size(c) - 1),
+      (a, b) => struct(a.as("l"), b.as("r"))))
+    val top = syms.select(adjPairs(col("sym")).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+      .filter(col("l") =!= col("r"))
+      .groupBy("l", "r").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("l"), col("r")).limit(1)
+      .select(col("l"), col("r"))
+    val merged = syms.crossJoin(broadcast(top))
+      .select(expr(
+        """filter(
+          |  transform(sequence(1, size(sym)), i -> CASE
+          |    WHEN element_at(sym, i) = l AND i < size(sym)
+          |         AND element_at(sym, i + 1) = r THEN concat(l, r)
+          |    WHEN i > 1 AND element_at(sym, i - 1) = l
+          |         AND element_at(sym, i) = r THEN NULL
+          |    ELSE element_at(sym, i) END),
+          |  x -> x IS NOT NULL)""".stripMargin).as("sym2"))
+    merged.select(adjPairs(col("sym2")).as("p"))
+      .groupBy(col("p.l").as("left_tok"), col("p.r").as("right_tok"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("left_tok"), col("right_tok"))
+      .limit(20)
+  }
+
+  val bpeMergeRoundOracle: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |  FROM documents
+      |), syms AS (
+      |  SELECT regexp_extract_all(tok, '.') AS sym FROM toks
+      |  WHERE len(tok) >= 2
+      |), pc AS (
+      |  SELECT sym[i] AS l, sym[i + 1] AS r, count(*) AS n
+      |  FROM syms, UNNEST(range(1, len(sym))) AS u(i)
+      |  WHERE sym[i] <> sym[i + 1]
+      |  GROUP BY 1, 2
+      |), top AS (
+      |  SELECT l, r FROM pc ORDER BY n DESC, l, r LIMIT 1
+      |), m AS (
+      |  SELECT list_filter(list_transform(range(1, len(sym) + 1), i -> CASE
+      |      WHEN sym[i] = t.l AND i < len(sym) AND sym[i + 1] = t.r
+      |        THEN t.l || t.r
+      |      WHEN i > 1 AND sym[i - 1] = t.l AND sym[i] = t.r THEN NULL
+      |      ELSE sym[i] END), x -> x IS NOT NULL) AS sym2
+      |  FROM syms, top t
+      |)
+      |SELECT sym2[i] AS left_tok, sym2[i + 1] AS right_tok,
+      |  CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM m, UNNEST(range(1, len(sym2))) AS u(i)
+      |GROUP BY 1, 2
+      |ORDER BY n_pairs DESC, left_tok, right_tok LIMIT 20""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3356,6 +3435,7 @@ object LlmQueries {
     "q150_cluster_exemplars" -> (clusterExemplars(_, _)),
     "q151_containment" -> (containmentDetection(_, _)),
     "q152_jl_projection" -> (jlProjection(_, _)),
+    "q153_bpe_merge" -> (bpeMergeRound(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3432,5 +3512,6 @@ object LlmQueries {
     "q150_cluster_exemplars" -> clusterExemplarsOracle,
     "q151_containment" -> containmentDetectionOracle,
     "q152_jl_projection" -> jlProjectionOracle,
+    "q153_bpe_merge" -> bpeMergeRoundOracle,
   )
 }

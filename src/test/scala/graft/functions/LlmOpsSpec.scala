@@ -283,6 +283,17 @@ class LlmOpsSpec extends SparkSpec {
       "trained centroids must fit at least as well as the raw seed vectors")
   }
 
+  test("BPE merge round: greedy left-to-right merge on constructed runs") {
+    // corpus of "ababa" tokens: top non-self pair is (a,b) by the
+    // lexicographic tie-break over (a,b) and (b,a); greedy merge gives
+    // [ab, ab, a], so the recount must see (ab,ab) and (ab,a) twice each
+    val corpus = Seq("ababa ababa").toDF("text")
+    val out = graft.LlmQueries.bpeMergeRoundOn(corpus)
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("ab", "ab", 2L), ("ab", "a", 2L)),
+      s"got $out")
+  }
+
   test("containment flags an excerpt its Jaccard score would ship") {
     val base = docs.select($"doc_id", $"text").filter($"doc_id" < 50)
     val long = base.filter(length($"text") > 400).limit(1)
