@@ -70,11 +70,15 @@ object DeltaInterop {
       dv: Option[DvDescriptor])
 
   /** A resolved table state: live files, declared (logical) schema,
-    * partition columns, and table configuration.
+    * partition columns, table configuration, and the latest
+    * SetTransaction version per application id (`txn` actions — the
+    * protocol's idempotent-writer bookkeeping, what streaming sinks use
+    * to skip replayed micro-batches).
     */
   final case class DeltaSnapshot(version: Long, schema: StructType,
       partitionColumns: Seq[String], configuration: Map[String, String],
-      files: Seq[DeltaFile]) {
+      files: Seq[DeltaFile],
+      transactions: Map[String, Long] = Map.empty) {
     def columnMappingMode: String =
       configuration.getOrElse("delta.columnMapping.mode", "none")
   }
@@ -137,7 +141,8 @@ object DeltaInterop {
     final case class Act(v: Long, kind: String, filePath: String,
         pv: Map[String, String], dv: Option[DvDescriptor], schemaString: String,
         partitionColumns: Seq[String], configuration: Map[String, String],
-        minReader: Long, readerFeatures: Option[Seq[String]])
+        minReader: Long, readerFeatures: Option[Seq[String]],
+        txnApp: String = null, txnVer: Long = 0L)
     def acts(df: DataFrame, versionCol: Column): Seq[Act] = {
       val cols = df.columns.toSet
       def structOf(name: String): Option[StructType] =
@@ -189,7 +194,9 @@ object DeltaInterop {
           dvSub("pathOrInlineDv").as("dv_path"),
           dvSub("offset").cast("long").as("dv_off"),
           dvSub("sizeInBytes").cast("long").as("dv_size"),
-          dvSub("cardinality").cast("long").as("dv_card"))
+          dvSub("cardinality").cast("long").as("dv_card"),
+          sub("txn", "appId").as("txn_app"),
+          sub("txn", "version").cast("long").as("txn_ver"))
         .collect().toSeq.flatMap { r =>
           val v = r.getLong(0)
           val out = scala.collection.mutable.ArrayBuffer.empty[Act]
@@ -212,6 +219,9 @@ object DeltaInterop {
           if (!r.isNullAt(7)) out += Act(v, "protocol", null, Map.empty, None,
             null, Nil, Map.empty, r.getLong(7),
             Option(r.getSeq[String](8)).map(_.toSeq))
+          if (!r.isNullAt(14)) out += Act(v, "txn", null, Map.empty, None,
+            null, Nil, Map.empty, 0L, None,
+            txnApp = r.getString(14), txnVer = r.getLong(15))
           out.toSeq
         }
     }
@@ -326,7 +336,13 @@ object DeltaInterop {
       .filter(a => lastRemove.get(a.filePath).forall(_ <= a.v))
       .sortBy(_.filePath)
       .map(a => DeltaFile(a.filePath, a.pv, a.dv))
-    DeltaSnapshot(upTo, schema, meta.partitionColumns, meta.configuration, live)
+    // latest SetTransaction per appId: highest commit version wins (the
+    // protocol's idempotent-writer rule); checkpoint entries carry the
+    // checkpoint's version and lose to any later JSON commit
+    val txns = all.filter(_.kind == "txn").groupBy(_.txnApp)
+      .view.mapValues(as => as.maxBy(a => (a.v, a.txnVer)).txnVer).toMap
+    DeltaSnapshot(upTo, schema, meta.partitionColumns, meta.configuration,
+      live, txns)
   }
 
   /** add.path is a percent-encoded relative URI per the protocol —
@@ -529,12 +545,20 @@ object DeltaInterop {
     * `partitionBy` is an error, not a silent metadata rewrite. Returns
     * the committed version.
     *
+    * `txn = Some((appId, version))` makes the write IDEMPOTENT per the
+    * protocol's SetTransaction rule: the commit carries a `txn` action,
+    * and a write whose (appId, version) is already at or below the
+    * table's recorded high-water mark returns without committing — the
+    * contract streaming sinks need to turn at-least-once foreachBatch
+    * delivery into exactly-once table commits.
+    *
     * Scale: driver traffic is file-count bounded (staged-file listing +
     * log replay); the data itself moves file-by-file with no re-read.
     */
   def write(df: DataFrame, path: String,
       mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.ErrorIfExists,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.SaveMode
     val spark = df.sparkSession
     val root = Paths.get(path)
@@ -549,6 +573,16 @@ object DeltaInterop {
     require(mode != SaveMode.ErrorIfExists || !exists0,
       s"delta table already exists at $path")
     if (mode == SaveMode.Ignore && exists0) return snapshot(spark, path).version
+    // idempotent-writer pre-check: a (appId, version) already recorded by
+    // a SetTransaction means this batch committed before (streaming
+    // replay after restart) — skip before staging any data. The same
+    // check runs INSIDE the commit loop against a fresh snapshot, so a
+    // concurrent replay that wins the race is also caught (its staged
+    // files are left unreferenced — VACUUM's job, like any lost writer).
+    txn.foreach { case (app, ver) =>
+      if (exists0 && snapshot(spark, path).transactions.get(app).exists(_ >= ver))
+        return snapshot(spark, path).version
+    }
 
     // an Append inherits the existing table's layout: its declared
     // partition columns drive the staged directory structure, and a
@@ -597,10 +631,19 @@ object DeltaInterop {
     val protocolAction =
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
+    val txnAction = txn.map { case (app, ver) =>
+      s"""{"txn":{"appId":${jstr(app)},"version":$ver,"lastUpdated":${System.currentTimeMillis()}}}"""
+    }.toSeq
+
     // optimistic commit loop: derive the state FRESH each attempt, try
     // CREATE_NEW, retry on a concurrent writer's collision
     while (true) {
       val existsNow = tableExists()
+      txn.foreach { case (app, ver) =>
+        if (existsNow &&
+            snapshot(spark, path).transactions.get(app).exists(_ >= ver))
+          return snapshot(spark, path).version
+      }
       val (version, head) =
         if (!existsNow || mode == SaveMode.Overwrite) {
           val snapNow = if (existsNow) Some(snapshot(spark, path)) else None
@@ -627,7 +670,7 @@ object DeltaInterop {
         }
       try {
         Files.write(logDir.resolve(f"$version%020d.json"),
-          (head ++ adds).mkString("", "\n", "\n").getBytes("UTF-8"),
+          (head ++ txnAction ++ adds).mkString("", "\n", "\n").getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE_NEW)
         return version
       } catch {
@@ -838,7 +881,12 @@ object DeltaInterop {
         throw new IllegalStateException("no metaData action to checkpoint"))
     val lastProtocol = commitLines.filter(_.contains("\"protocol\""))
       .lastOption.getOrElse("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
-    val metaSrc = Seq(lastProtocol, lastMeta)
+    // the latest SetTransaction per appId rides along, or log cleanup
+    // would reset every idempotent writer's high-water mark
+    val txnJson = snap.transactions.toSeq.sortBy(_._1).map { case (app, ver) =>
+      s"""{"txn":{"appId":${jstr(app)},"version":$ver,"lastUpdated":0}}"""
+    }
+    val metaSrc = Seq(lastProtocol, lastMeta) ++ txnJson
     val addJson = snap.files.map { f =>
       val pvJson = f.partitionValues.toSeq.sortBy(_._1).map { case (k, v) =>
         s"${jstr(k)}:${if (v == null) "null" else jstr(v)}" }

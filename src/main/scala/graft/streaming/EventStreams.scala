@@ -152,6 +152,28 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming sink into a REAL Delta-format table: each micro-batch
+    * commits as one Delta version carrying a SetTransaction (appId,
+    * batchId), so replayed batches (restart recovery, zombie retries)
+    * are skipped by the table's own txn high-water mark — exactly-once
+    * Delta commits on the at-least-once foreachBatch contract, the same
+    * idempotence scheme production Delta streaming writers use. Unlike
+    * [[sinkToVersionedTable]]'s driver-side tag cache, the skip decision
+    * here lives entirely IN the table log (DeltaInterop.write's txn
+    * pre-check + in-commit-loop recheck), so any number of concurrent
+    * replaying writers converge on one commit per batch.
+    */
+  def sinkToDelta(df: DataFrame, path: String, checkpointDir: String,
+      appId: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.DeltaInterop.write(batch.toDF(), path,
+          org.apache.spark.sql.SaveMode.Append, txn = Some((appId, batchId)))
+        ()
+      }
+      .start()
+
   final case class Event(event_id: Long, ts: java.time.Instant, user_id: Long,
       event_type: String, value: Double)
   /** State in epoch MICROseconds — event time carries µs precision and

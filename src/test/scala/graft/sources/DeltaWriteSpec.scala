@@ -101,6 +101,49 @@ class DeltaWriteSpec extends SparkSpec {
     assert(e.getMessage.contains("partition"))
   }
 
+  test("txn actions: recorded in the snapshot, replayed versions skip idempotently") {
+    val path = tmpTable()
+    DeltaInterop.write(Seq((1L, "a")).toDF("k", "v"), path, SaveMode.Overwrite)
+    val v1 = DeltaInterop.write(Seq((2L, "b")).toDF("k", "v"), path,
+      SaveMode.Append, txn = Some(("stream-q", 0L)))
+    assert(v1 == 1L)
+    assert(DeltaInterop.snapshot(spark, path).transactions == Map("stream-q" -> 0L))
+    // a replay of the SAME (appId, version) must not commit again
+    val vReplay = DeltaInterop.write(Seq((2L, "b")).toDF("k", "v"), path,
+      SaveMode.Append, txn = Some(("stream-q", 0L)))
+    assert(vReplay == v1, "replayed batch returns the already-committed version")
+    assert(DeltaInterop.read(spark, path).count() == 2,
+      "no duplicate rows from the replay")
+    // the next batch id commits, and the latest version per appId wins
+    val v2 = DeltaInterop.write(Seq((3L, "c")).toDF("k", "v"), path,
+      SaveMode.Append, txn = Some(("stream-q", 1L)))
+    assert(v2 == 2L)
+    assert(DeltaInterop.snapshot(spark, path).transactions == Map("stream-q" -> 1L))
+    assert(DeltaInterop.read(spark, path).count() == 3)
+    // an independent appId is tracked separately
+    DeltaInterop.write(Seq((4L, "d")).toDF("k", "v"), path,
+      SaveMode.Append, txn = Some(("other", 7L)))
+    assert(DeltaInterop.snapshot(spark, path).transactions ==
+      Map("stream-q" -> 1L, "other" -> 7L))
+  }
+
+  test("txn actions survive checkpoint + log cleanup") {
+    val path = tmpTable()
+    DeltaInterop.write(Seq((1L, "a")).toDF("k", "v"), path, SaveMode.Overwrite)
+    DeltaInterop.write(Seq((2L, "b")).toDF("k", "v"), path,
+      SaveMode.Append, txn = Some(("stream-q", 3L)))
+    DeltaInterop.checkpoint(spark, path)
+    val logDir = Paths.get(path, "_delta_log")
+    Seq(0L, 1L).foreach(v => Files.delete(logDir.resolve(f"$v%020d.json")))
+    assert(DeltaInterop.snapshot(spark, path).transactions == Map("stream-q" -> 3L),
+      "checkpoint must carry the latest txn per appId through cleanup")
+    // replay after cleanup still skips
+    val v = DeltaInterop.write(Seq((2L, "b")).toDF("k", "v"), path,
+      SaveMode.Append, txn = Some(("stream-q", 3L)))
+    assert(DeltaInterop.read(spark, path).count() == 2)
+    assert(v == 1L)
+  }
+
   test("deleteWhere writes protocol-3 deletion vectors; reads + time travel agree") {
     import org.apache.spark.sql.functions.col
     val path = tmpTable()

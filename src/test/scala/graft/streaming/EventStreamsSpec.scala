@@ -78,6 +78,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(graft.sources.VersionedTable.read(spark, table).count() == committed.count())
   }
 
+  test("Delta streaming sink: exactly-once via SetTransaction, replay-safe") {
+    val table = Files.createTempDirectory("delta_sink").resolve("events").toString
+    val q = EventStreams.sinkToDelta(
+      EventStreams.readEvents(spark, eventsDir), table,
+      Files.createTempDirectory("ckpt_dsink").toString, appId = "events-q")
+    q.processAllAvailable(); q.stop()
+    val committed = graft.sources.DeltaInterop.read(spark, table)
+    assert(committed.count() == Tables.events(spark, sf).count())
+    val snap = graft.sources.DeltaInterop.snapshot(spark, table)
+    assert(snap.transactions.contains("events-q"),
+      s"commit must carry the SetTransaction, got ${snap.transactions}")
+    // a fresh checkpoint re-delivers batch 0: the txn high-water mark in
+    // the TABLE LOG (not driver memory) must skip it
+    val before = snap.version
+    val q2 = EventStreams.sinkToDelta(
+      EventStreams.readEvents(spark, eventsDir), table,
+      Files.createTempDirectory("ckpt_dsink2").toString, appId = "events-q")
+    q2.processAllAvailable(); q2.stop()
+    assert(graft.sources.DeltaInterop.snapshot(spark, table).version == before,
+      "re-delivered batch ids must not create new Delta versions")
+    assert(graft.sources.DeltaInterop.read(spark, table).count() == committed.count())
+  }
+
   test("stream-stream purchase-view join equals the batch interval join") {
     val stream = runStream("pv_join",
       EventStreams.purchaseViewJoin(EventStreams.readEvents(spark, eventsDir)))
