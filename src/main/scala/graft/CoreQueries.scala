@@ -3143,6 +3143,75 @@ object CoreQueries {
        |FROM vc ORDER BY l_orderkey, l_linenumber""".stripMargin
   }
 
+  /** q154 — Mann-Whitney U (Wilcoxon rank-sum) comparing purchase vs
+    * view event values: the NONPARAMETRIC two-sample location test, the
+    * standard drift check when distributions are skewed and a mean-based
+    * z-test misleads (complements q135's KS, which tests shape). Exact
+    * integers throughout: tie groups get average ranks DOUBLED
+    * (2·avg_rank = 2·first_rank + cnt − 1 — integer even for half-step
+    * averages), U₁ doubles with them, and the effect size is emitted as
+    * AUC ppm (U₁/(n₁n₂) is exactly P(X>Y) + ½P(X=Y), the
+    * probability-of-superiority reading of U).
+    *
+    * Scale shape: one map-combinable by-value aggregate, the rank prefix
+    * over it via the bucketed [[graft.operators.PrefixSum]] (event
+    * values are continuous, so the by-value table scales with data — a
+    * naive global rank window would single-partition it), and a scalar
+    * fold. Sums ride DECIMAL(38,0) (rank·count products wrap BIGINT at
+    * billions of rows), cast to BIGINT in the final projection.
+    */
+  def mannWhitney(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_type"), col("value"))
+    val byVal = ev.groupBy("value").agg(
+      count(lit(1)).as("cnt"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("cnt1"))
+    val ranked = graft.operators.PrefixSum.exclusiveRunningTotal(
+        byVal, Seq(col("value")), col("cnt"), "before")
+      .withColumn("r2", lit(2) * (col("before") + 1) + col("cnt") - 1)
+    ranked.agg(
+        sum(col("cnt1")).as("n1"),
+        sum(col("cnt") - col("cnt1")).as("n2"),
+        sum((col("r2") * col("cnt1")).cast("decimal(38,0)")).as("r1_2x"))
+      .select(col("n1").cast("bigint").as("n1"),
+        col("n2").cast("bigint").as("n2"),
+        expr("CAST(r1_2x - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS BIGINT)")
+          .as("u1_2x"),
+        expr("CAST(CAST(2 AS DECIMAL(38,0)) * n1 * n2 - (r1_2x - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)) AS BIGINT)")
+          .as("u2_2x"),
+        expr("CAST((r1_2x - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)) * 500000 div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")
+          .as("auc_ppm"))
+  }
+
+  val mannWhitneyOracle: String =
+    """WITH s AS (
+      |  SELECT event_type, value FROM events
+      |  WHERE event_type IN ('purchase', 'view')
+      |), bv AS (
+      |  SELECT value, count(*) AS cnt,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cnt1
+      |  FROM s GROUP BY value
+      |), r AS (
+      |  SELECT cnt, cnt1,
+      |    2 * (coalesce(sum(cnt) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1)
+      |      + cnt - 1 AS r2
+      |  FROM bv
+      |), a AS (
+      |  SELECT CAST(sum(cnt1) AS BIGINT) AS n1,
+      |    CAST(sum(cnt - cnt1) AS BIGINT) AS n2,
+      |    CAST(sum(r2 * cnt1) AS HUGEINT) AS r1_2x
+      |  FROM r
+      |)
+      |SELECT n1, n2,
+      |  CAST(r1_2x - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u1_2x,
+      |  CAST(CAST(2 AS HUGEINT) * n1 * n2
+      |    - (r1_2x - CAST(n1 AS HUGEINT) * (n1 + 1)) AS BIGINT) AS u2_2x,
+      |  CAST((r1_2x - CAST(n1 AS HUGEINT) * (n1 + 1)) * 500000
+      |    // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS auc_ppm
+      |FROM a""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3222,6 +3291,7 @@ object CoreQueries {
     "q138_snapshot_diff" -> (snapshotDiff(_, _)),
     "q139_kcore" -> (kcoreParts(_, _)),
     "q140_weighted_median" -> (weightedMedian(_, _)),
+    "q154_mann_whitney" -> (mannWhitney(_, _)),
     "q141_hilbert_values" -> (hilbertValues(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
@@ -3303,6 +3373,7 @@ object CoreQueries {
     "q138_snapshot_diff" -> snapshotDiffOracle,
     "q139_kcore" -> kcorePartsOracle,
     "q140_weighted_median" -> weightedMedianOracle,
+    "q154_mann_whitney" -> mannWhitneyOracle,
     "q141_hilbert_values" -> hilbertValuesOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )

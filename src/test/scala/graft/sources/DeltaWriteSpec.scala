@@ -144,6 +144,76 @@ class DeltaWriteSpec extends SparkSpec {
     assert(v == 1L)
   }
 
+  test("CDF read: inserts and deletes derived from dataChange adds/removes") {
+    val path = tmpTable()
+    DeltaInterop.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path,
+      SaveMode.Overwrite)
+    DeltaInterop.write(Seq((3L, "c")).toDF("k", "v"), path, SaveMode.Append)
+    DeltaInterop.write(Seq((9L, "z")).toDF("k", "v"), path, SaveMode.Overwrite)
+    val chg = DeltaInterop.readChanges(spark, path, 0L, 2L)
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(chg == Set(
+      (1L, "a", "insert", 0L), (2L, "b", "insert", 0L),
+      (3L, "c", "insert", 1L),
+      (1L, "a", "delete", 2L), (2L, "b", "delete", 2L),
+      (3L, "c", "delete", 2L), (9L, "z", "insert", 2L)),
+      s"got $chg")
+    // a sub-range excludes the other versions' changes
+    assert(DeltaInterop.readChanges(spark, path, 1L, 1L)
+      .as[(Long, String, String, Long)].collect().toSeq ==
+      Seq((3L, "c", "insert", 1L)))
+  }
+
+  test("CDF read: cdc actions describe their commit completely; DV-no-cdc refused") {
+    val path = tmpTable()
+    DeltaInterop.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path,
+      SaveMode.Overwrite)
+    // hand-written v1: an UPDATE described by a cdc action — the
+    // add/remove pair in the same commit is layout, not changes
+    val root = Paths.get(path)
+    val cdDir = root.resolve("_change_data")
+    Files.createDirectories(cdDir)
+    val tmp = Files.createTempDirectory("cdc_stage")
+    Seq((2L, "b", "update_preimage"), (2L, "B2", "update_postimage"))
+      .toDF("k", "v", "_change_type")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, cdDir.resolve("cdc-0.parquet"))
+    // stage a replacement data file so the add action is resolvable
+    Seq((1L, "a"), (2L, "B2")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val dataPart = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(dataPart, root.resolve("part-upd.parquet"))
+    val oldAdds = DeltaInterop.snapshot(spark, path).files.map(_.path)
+    Files.writeString(root.resolve("_delta_log").resolve(f"${1L}%020d.json"),
+      (Seq(
+        s"""{"cdc":{"path":"_change_data/cdc-0.parquet","partitionValues":{},"size":1,"dataChange":false}}""") ++
+        oldAdds.map(p =>
+          s"""{"remove":{"path":"$p","deletionTimestamp":0,"dataChange":true}}""") ++
+        Seq(
+          s"""{"add":{"path":"part-upd.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+        .mkString("", "\n", "\n"))
+    val chg = DeltaInterop.readChanges(spark, path, 1L, 1L)
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(chg == Set(
+      (2L, "b", "update_preimage", 1L), (2L, "B2", "update_postimage", 1L)),
+      s"cdc actions must shadow add/remove in the same commit, got $chg")
+    // and the post-state read reflects the update
+    assert(DeltaInterop.read(spark, path).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B2")))
+    // DV delete without cdc: its row delta is not derivable — refused
+    val path2 = tmpTable()
+    DeltaInterop.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+      path2, SaveMode.Overwrite)
+    DeltaInterop.deleteWhere(spark, path2, org.apache.spark.sql.functions.col("k") === 2L)
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.readChanges(spark, path2, 1L, 1L).collect()
+    }
+    assert(e.getMessage.contains("deletion vector without cdc"))
+  }
+
   test("deleteWhere writes protocol-3 deletion vectors; reads + time travel agree") {
     import org.apache.spark.sql.functions.col
     val path = tmpTable()
