@@ -3212,6 +3212,250 @@ object CoreQueries {
       |    // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS auc_ppm
       |FROM a""".stripMargin
 
+  /** q155 — winsorized robust statistics: per return flag, clip
+    * l_quantity at the exact nearest-rank p05/p95 cut points and emit
+    * the clipped sum next to the raw sum — the standard outlier-robust
+    * mean prep before any metric feeds a model. Cut points are EXACT
+    * (nearest-rank: smallest value whose cumulative count reaches
+    * ceil(q·n)), not an interpolated or sketched percentile, so the
+    * result is bit-stable at any parallelism.
+    *
+    * Scale shape: quantity's by-value table is bounded by the VALUE
+    * DOMAIN (50 distinct), not the data, so the per-flag cumulative
+    * window runs over a ≤ flags×50-row aggregate — for continuous
+    * metrics the q122 histogram-sketch path is the scale analog. The
+    * cut table broadcasts back onto the fact rows for the clipped
+    * re-aggregation (two map-combinable passes, no row-level window).
+    */
+  def winsorizedStats(s: SparkSession, d: String): DataFrame = {
+    val byVal = t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity").cast("bigint").as("qty"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("qty"))
+    val cum = byVal.select(col("l_returnflag"), col("qty"),
+      sum(col("cnt")).over(w).as("cum"),
+      sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))).as("n"))
+    // nearest-rank cut: ceil(q*n) = (q_num*n + 99) div 100
+    val cuts = cum.groupBy(col("l_returnflag"), col("n")).agg(
+      min(when(col("cum") >= (col("n") * 5 + 99) / 100, col("qty"))).as("lo"),
+      min(when(col("cum") >= (col("n") * 95 + 99) / 100, col("qty"))).as("hi"))
+    t(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("bigint").as("qty"))
+      .join(broadcast(cuts), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(first(col("n")).as("n"),
+        first(col("lo")).as("p05"), first(col("hi")).as("p95"),
+        sum(col("qty")).as("raw_sum"),
+        sum(greatest(col("lo"), least(col("hi"), col("qty")))).as("wins_sum"))
+      .orderBy("l_returnflag")
+  }
+
+  val winsorizedStatsOracle: String =
+    """WITH bv AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT l_returnflag, qty,
+      |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY qty) AS cum,
+      |    sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM bv
+      |), cuts AS (
+      |  SELECT l_returnflag, n,
+      |    min(CASE WHEN cum >= (n * 5 + 99) // 100 THEN qty END) AS lo,
+      |    min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN qty END) AS hi
+      |  FROM cum GROUP BY 1, 2
+      |)
+      |SELECT l.l_returnflag, CAST(any_value(c.n) AS BIGINT) AS n,
+      |  any_value(c.lo) AS p05, any_value(c.hi) AS p95,
+      |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS raw_sum,
+      |  CAST(sum(greatest(c.lo, least(c.hi, CAST(l.l_quantity AS BIGINT))))
+      |    AS BIGINT) AS wins_sum
+      |FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q156 — Spearman rank correlation between quantity and extended
+    * price: the nonparametric monotone-association measure (robust to
+    * the price outliers q107/q121 detect, where Pearson q84 is not).
+    * Ties get average ranks, carried DOUBLED so every rank is an exact
+    * integer (2·avg = 2·first + cnt − 1, the q154 device); all five
+    * co-moments accumulate as exact DECIMAL(38,0) integers, and only
+    * the final Pearson-on-ranks ratio is evaluated in floating point —
+    * one fixed-shape expression over exact inputs, identical in both
+    * engines, rounded to 6 dp.
+    *
+    * Scale shape: quantity's rank map is domain-bounded (broadcast);
+    * the price rank map scales with distinct prices, so its cumulative
+    * count runs through the bucketed [[graft.operators.PrefixSum]]
+    * (never a single-partition window) and joins back by value as an
+    * ordinary hash join. One exact aggregate finishes. At extreme row
+    * counts the n·S products outgrow DECIMAL(38) — there the centered
+    * single-pass co-moment form is the swap-in; exact at any plausible
+    * fixture scale.
+    */
+  def spearmanCorr(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select(col("l_quantity").cast("bigint").as("x"),
+        col("l_extendedprice").as("y"))
+    val rx = li.groupBy("x").agg(count(lit(1)).as("cnt"))
+    val rxRanked = graft.operators.PrefixSum.exclusiveRunningTotal(
+        rx, Seq(col("x")), col("cnt"), "before")
+      .select(col("x"), (lit(2) * (col("before") + 1) + col("cnt") - 1).as("rx2"))
+    val ry = li.groupBy("y").agg(count(lit(1)).as("cnt"))
+    val ryRanked = graft.operators.PrefixSum.exclusiveRunningTotal(
+        ry, Seq(col("y")), col("cnt"), "before")
+      .select(col("y"), (lit(2) * (col("before") + 1) + col("cnt") - 1).as("ry2"))
+    li.join(broadcast(rxRanked), Seq("x")).join(ryRanked, Seq("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx2").cast("decimal(38,0)")).as("sx"),
+        sum(col("ry2").cast("decimal(38,0)")).as("sy"),
+        sum((col("rx2") * col("ry2")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("rx2") * col("rx2")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("ry2") * col("ry2")).cast("decimal(38,0)")).as("syy"))
+      .select(col("n").cast("bigint").as("n"),
+        round(expr(
+          """CAST(n * sxy - sx * sy AS DOUBLE) /
+            | sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+            |     * CAST(n * syy - sy * sy AS DOUBLE))""".stripMargin), 6)
+          .as("spearman_rho"))
+  }
+
+  val spearmanCorrOracle: String =
+    """WITH li AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS x, l_extendedprice AS y FROM lineitem
+      |), rx AS (
+      |  SELECT x, 2 * (coalesce(sum(cnt) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1)
+      |      + cnt - 1 AS rx2
+      |  FROM (SELECT x, count(*) AS cnt FROM li GROUP BY x)
+      |), ry AS (
+      |  SELECT y, 2 * (coalesce(sum(cnt) OVER (ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1)
+      |      + cnt - 1 AS ry2
+      |  FROM (SELECT y, count(*) AS cnt FROM li GROUP BY y)
+      |), m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(CAST(rx2 AS HUGEINT)) AS HUGEINT) AS sx,
+      |    CAST(sum(CAST(ry2 AS HUGEINT)) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(rx2 AS HUGEINT) * ry2) AS HUGEINT) AS sxy,
+      |    CAST(sum(CAST(rx2 AS HUGEINT) * rx2) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(ry2 AS HUGEINT) * ry2) AS HUGEINT) AS syy
+      |  FROM li JOIN rx USING (x) JOIN ry USING (y)
+      |)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |       * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS spearman_rho
+      |FROM m""".stripMargin
+
+  /** q157 — decision-stump training: the exact best Gini split of
+    * l_quantity predicting a returned line (l_returnflag = 'R') — the
+    * depth-1 CART tree, and the building block boosted-tree trainers
+    * evaluate millions of times. Every candidate threshold's weighted
+    * Gini impurity is EXACT: with nL/pL (rows/positives left of the
+    * cut) the weighted impurity is
+    *   [(nL²−pL²−(nL−pL)²)·nR + (nR²−pR²−(nR−pR)²)·nL] / (nL·nR·n)
+    * — emitted in ppm via one DECIMAL(38,0) integral divide, no
+    * floating point anywhere, so argmin ties break identically in both
+    * engines (smallest threshold wins via the ordering).
+    *
+    * Scale shape: candidate thresholds are the quantity domain (≤50) —
+    * class counts per value are one map-combinable aggregate, the
+    * cumulative sweep runs over the bounded by-value table, and the
+    * fact table is scanned exactly once. Continuous features would
+    * first bin through q122's histogram sketch, same as real GBDT
+    * implementations (LightGBM-style feature histograms).
+    */
+  def decisionStump(s: SparkSession, d: String): DataFrame = {
+    val byVal = t(s, d, "lineitem")
+      .groupBy(col("l_quantity").cast("bigint").as("qty"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("qty"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    // bounded table (≤ domain size): single-partition windows are fine
+    val cum = byVal.select(col("qty"),
+        sum(col("cnt")).over(w).as("nl"), sum(col("pos")).over(w).as("pl"),
+        sum(col("cnt")).over(wAll).as("n"), sum(col("pos")).over(wAll).as("p"))
+      .filter(col("nl") < col("n")) // right side must be non-empty
+      .select(col("qty"), col("nl"), col("pl"),
+        (col("n") - col("nl")).as("nr"), (col("p") - col("pl")).as("pr"),
+        col("n"))
+    val gini = cum.select(col("qty"), col("nl"), col("pl"),
+      expr("""CAST(1000000 AS DECIMAL(38,0)) * (
+             |  (nl*nl - pl*pl - (nl-pl)*(nl-pl)) * nr +
+             |  (nr*nr - pr*pr - (nr-pr)*(nr-pr)) * nl
+             |) div (CAST(nl AS DECIMAL(38,0)) * nr * n)""".stripMargin)
+        .cast("bigint").as("gini_ppm"))
+    gini.withColumn("is_best",
+        col("gini_ppm") === min(col("gini_ppm")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      .orderBy("qty")
+  }
+
+  val decisionStumpOracle: String =
+    """WITH bv AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS qty, count(*) AS cnt,
+      |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
+      |  FROM lineitem GROUP BY 1
+      |), cum AS (
+      |  SELECT qty,
+      |    sum(cnt) OVER (ORDER BY qty) AS nl, sum(pos) OVER (ORDER BY qty) AS pl,
+      |    sum(cnt) OVER () AS n, sum(pos) OVER () AS p
+      |  FROM bv
+      |), g AS (
+      |  SELECT qty, nl, pl,
+      |    CAST(CAST(1000000 AS HUGEINT) * (
+      |      (nl*nl - pl*pl - (nl-pl)*(nl-pl)) * (n-nl) +
+      |      ((n-nl)*(n-nl) - (p-pl)*(p-pl) - ((n-nl)-(p-pl))*((n-nl)-(p-pl))) * nl
+      |    ) // (CAST(nl AS HUGEINT) * (n-nl) * n) AS BIGINT) AS gini_ppm
+      |  FROM cum WHERE nl < n
+      |)
+      |SELECT qty, CAST(nl AS BIGINT) AS nl, CAST(pl AS BIGINT) AS pl, gini_ppm,
+      |  gini_ppm = min(gini_ppm) OVER () AS is_best
+      |FROM g ORDER BY qty""".stripMargin
+
+  /** q158 — leave-one-out target encoding: each order's priority class
+    * encoded as the mean total price of all OTHER orders in the class —
+    * the standard high-cardinality categorical feature that avoids the
+    * self-leakage of a plain group mean (the row's own target never
+    * contributes to its encoding). Exact: class sums ride
+    * DECIMAL(18,2), the per-row (sum − y)/(cnt − 1) is an integral
+    * cents divide in DECIMAL(38,0) — bit-stable at any parallelism.
+    *
+    * Scale shape: one map-combinable class aggregate (bounded by class
+    * cardinality → broadcast back), one scan emitting the encoded rows.
+    * No window, no shuffle of the fact beyond the final sort.
+    */
+  def looTargetEncoding(s: SparkSession, d: String): DataFrame = {
+    val cls = t(s, d, "orders").groupBy(col("o_orderpriority"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("csum"),
+        count(lit(1)).as("cnt"))
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("y"))
+      .join(broadcast(cls), Seq("o_orderpriority"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("CAST((CAST(csum AS DECIMAL(38,2)) - y) * 100 AS DECIMAL(38,0))" +
+          " div (cnt - 1)").cast("bigint").as("loo_cents"))
+      .orderBy("o_orderkey")
+  }
+
+  val looTargetEncodingOracle: String =
+    """WITH cls AS (
+      |  SELECT o_orderpriority,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS csum, count(*) AS cnt
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT o_orderkey, o.o_orderpriority,
+      |  CAST(CAST((CAST(csum AS DECIMAL(38,2))
+      |    - CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS HUGEINT)
+      |    // (cnt - 1) AS BIGINT) AS loo_cents
+      |FROM orders o JOIN cls c ON o.o_orderpriority = c.o_orderpriority
+      |ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3292,6 +3536,10 @@ object CoreQueries {
     "q139_kcore" -> (kcoreParts(_, _)),
     "q140_weighted_median" -> (weightedMedian(_, _)),
     "q154_mann_whitney" -> (mannWhitney(_, _)),
+    "q155_winsorized_stats" -> (winsorizedStats(_, _)),
+    "q156_spearman" -> (spearmanCorr(_, _)),
+    "q157_decision_stump" -> (decisionStump(_, _)),
+    "q158_target_encoding" -> (looTargetEncoding(_, _)),
     "q141_hilbert_values" -> (hilbertValues(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
@@ -3374,6 +3622,10 @@ object CoreQueries {
     "q139_kcore" -> kcorePartsOracle,
     "q140_weighted_median" -> weightedMedianOracle,
     "q154_mann_whitney" -> mannWhitneyOracle,
+    "q155_winsorized_stats" -> winsorizedStatsOracle,
+    "q156_spearman" -> spearmanCorrOracle,
+    "q157_decision_stump" -> decisionStumpOracle,
+    "q158_target_encoding" -> looTargetEncodingOracle,
     "q141_hilbert_values" -> hilbertValuesOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )

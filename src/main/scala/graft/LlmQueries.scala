@@ -3359,6 +3359,263 @@ object LlmQueries {
       |GROUP BY 1, 2
       |ORDER BY n_pairs DESC, left_tok, right_tok LIMIT 20""".stripMargin
 
+  /** q159 — community-quality scoring: Newman modularity of the q109
+    * label-propagation partition over the part co-purchase graph — the
+    * standard "are these communities real" diagnostic a clustering
+    * pipeline must report before anyone consumes its communities. Exact
+    * integers end to end: per community the coverage term l_c/m and the
+    * expected term (d_c/2m)² are emitted as ppb via DECIMAL(38,0)
+    * integral divides (both nonnegative — no engine-dependent negative
+    * division semantics anywhere), so Q_c = cover − expected is exact.
+    *
+    * Scale shape: the partition comes from the same synchronous LPA
+    * rounds as q109 (join+agg per round); modularity itself is two hash
+    * joins of the DISTINCT edge list against the label table plus
+    * map-combinable sums — one extra pass over edges, no windows, the
+    * edge total m a 1-row broadcast.
+    */
+  def modularityScore(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.load(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      .filter(col("l_partkey") % 4 === 0)
+    val e1 = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").cast("bigint").as("pa"),
+        col("b.l_partkey").cast("bigint").as("pb"))
+    val e1d = graft.CacheScope.persisted(e1.distinct())
+    val labels = graft.operators.LabelPropagation.labels(e1, "pa", "pb", iters = 3)
+    val m = e1d.agg(count(lit(1)).as("m"))
+    val sym = e1d.unionAll(e1d.select(col("pb").as("pa"), col("pa").as("pb")))
+    val deg = sym.groupBy(col("pa").as("id")).agg(count(lit(1)).as("deg"))
+    val lc = e1d
+      .join(labels.select(col("id").as("pa"), col("label").as("la")), Seq("pa"))
+      .join(labels.select(col("id").as("pb"), col("label").as("lb")), Seq("pb"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(count(lit(1)).as("l_c"))
+    val dc = deg.join(labels, Seq("id"))
+      .groupBy(col("label").as("community"))
+      .agg(sum(col("deg")).as("d_c"), count(lit(1)).as("n_nodes"))
+    dc.join(lc, Seq("community"), "left")
+      .na.fill(0L, Seq("l_c"))
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        col("l_c").cast("bigint").as("internal_edges"),
+        col("d_c").cast("bigint").as("degree_sum"),
+        expr("CAST(CAST(1000000000 AS DECIMAL(38,0)) * l_c div m AS BIGINT)")
+          .as("cover_ppb"),
+        expr("CAST(CAST(1000000000 AS DECIMAL(38,0)) * d_c * d_c" +
+          " div (CAST(4 AS DECIMAL(38,0)) * m * m) AS BIGINT)")
+          .as("expected_ppb"))
+      .orderBy("community")
+  }
+
+  val modularityScoreOracle: String = {
+    def round(k: Int): String =
+      s"""v$k AS (
+         |  SELECT e.dst AS id, l.label, count(*) AS cnt
+         |  FROM e JOIN l${k - 1} l ON e.src = l.id GROUP BY 1, 2
+         |), l$k AS (
+         |  SELECT id, label FROM (
+         |    SELECT id, label,
+         |      row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label) AS rn
+         |    FROM v$k) WHERE rn = 1
+         |)""".stripMargin
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0
+       |), e1 AS (
+       |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
+       |    CAST(b.l_partkey AS BIGINT) AS v
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |), e AS (
+       |  SELECT u AS src, v AS dst FROM e1 UNION SELECT v, u FROM e1
+       |), l0 AS (
+       |  SELECT DISTINCT src AS id, src AS label FROM e
+       |), ${round(1)}, ${round(2)}, ${round(3)},
+       |mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e1),
+       |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+       |lc AS (
+       |  SELECT la.label AS community, count(*) AS l_c
+       |  FROM e1 JOIN l3 la ON e1.u = la.id JOIN l3 lb ON e1.v = lb.id
+       |  WHERE la.label = lb.label GROUP BY 1
+       |), dc AS (
+       |  SELECT l3.label AS community, sum(deg.deg) AS d_c,
+       |    count(*) AS n_nodes
+       |  FROM deg JOIN l3 ON deg.id = l3.id GROUP BY 1
+       |)
+       |SELECT dc.community, CAST(dc.n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(coalesce(lc.l_c, 0) AS BIGINT) AS internal_edges,
+       |  CAST(dc.d_c AS BIGINT) AS degree_sum,
+       |  CAST(CAST(1000000000 AS HUGEINT) * coalesce(lc.l_c, 0)
+       |    // (SELECT m FROM mm) AS BIGINT) AS cover_ppb,
+       |  CAST(CAST(1000000000 AS HUGEINT) * dc.d_c * dc.d_c
+       |    // (CAST(4 AS HUGEINT) * (SELECT m FROM mm) * (SELECT m FROM mm))
+       |    AS BIGINT) AS expected_ppb
+       |FROM dc LEFT JOIN lc ON dc.community = lc.community
+       |ORDER BY dc.community""".stripMargin
+  }
+
+  /** q160 — corpus drift as total-variation distance: the token
+    * unigram distributions of the even- vs odd-numbered document
+    * sources, compared by TVD = ½·Σ|p_i − q_i| — the distribution-shift
+    * gate a training-mix owner runs when a new crawl slice lands
+    * (complements q135/q145 KS on numeric columns and q154's rank test:
+    * TVD is THE metric for categorical/token space). Exact: with group
+    * totals N0/N1 as common denominators, Σ|c0·N1 − c1·N0| is an exact
+    * DECIMAL(38,0) integer and TVD_ppm one integral divide by 2·N0·N1.
+    *
+    * Scale shape: one token-count aggregate per group (map-combinable),
+    * the two distributions align by token in the same groupBy (no
+    * join), the 1-row totals broadcast, one exact fold. At 100 TB the
+    * by-token table is vocabulary-sized, orders below the corpus.
+    */
+  def tvdDrift(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d)
+      .select((substring(col("source"), 4, 10).cast("int") % 2).as("grp"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val byTok = toks.groupBy("tok").agg(
+      sum(when(col("grp") === 0, 1L).otherwise(0L)).as("c0"),
+      sum(when(col("grp") === 1, 1L).otherwise(0L)).as("c1"))
+    val totals = byTok.agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+    byTok.crossJoin(broadcast(totals))
+      .agg(first(col("n0")).cast("bigint").as("n0"),
+        first(col("n1")).cast("bigint").as("n1"),
+        count(lit(1)).as("n_distinct"),
+        sum(abs(col("c0").cast("decimal(38,0)") * col("n1")
+          - col("c1").cast("decimal(38,0)") * col("n0"))).as("s"))
+      .select(col("n0"), col("n1"), col("n_distinct"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * s" +
+          " div (CAST(2 AS DECIMAL(38,0)) * n0 * n1) AS BIGINT)")
+          .as("tvd_ppm"))
+  }
+
+  val tvdDriftOracle: String =
+    """WITH toks AS (
+      |  SELECT CAST(substr(source, 4) AS INT) % 2 AS grp,
+      |    unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |  FROM documents
+      |), bt AS (
+      |  SELECT tok,
+      |    sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c0,
+      |    sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1
+      |  FROM toks GROUP BY 1
+      |), tt AS (
+      |  SELECT CAST(sum(c0) AS HUGEINT) AS n0, CAST(sum(c1) AS HUGEINT) AS n1
+      |  FROM bt
+      |), a AS (
+      |  SELECT (SELECT n0 FROM tt) AS n0, (SELECT n1 FROM tt) AS n1,
+      |    count(*) AS n_distinct,
+      |    sum(abs(CAST(c0 AS HUGEINT) * (SELECT n1 FROM tt)
+      |      - CAST(c1 AS HUGEINT) * (SELECT n0 FROM tt))) AS s
+      |  FROM bt
+      |)
+      |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+      |  CAST(n_distinct AS BIGINT) AS n_distinct,
+      |  CAST(CAST(1000000 AS HUGEINT) * s
+      |    // (CAST(2 AS HUGEINT) * n0 * n1) AS BIGINT) AS tvd_ppm
+      |FROM a""".stripMargin
+
+  /** q161 — BPE ENCODE: apply a learned merge table to the corpus — the
+    * other half of the q153 training step (train picks merges; encode
+    * replays them over new text, which is what the tokenizer actually
+    * does at serving time). The table is the top-4 non-self adjacent
+    * character pairs ranked on the INITIAL symbol stream (count desc,
+    * pair asc — the static rank order a trained tokenizer ships), each
+    * applied with q153's positionally-independent greedy semantics in
+    * rank order. Output: the post-encode symbol vocabulary's top 20
+    * (count desc, symbol asc) plus each symbol's length — multi-char
+    * entries are the merges actually firing.
+    *
+    * Scale shape: rank table is a 4-row broadcast pivoted into scalars;
+    * each merge round is one codegen'd transform/filter projection over
+    * the symbol arrays (no shuffle); the only exchanges are the rank
+    * groupBy and the final vocabulary groupBy.
+    */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val syms = graft.CacheScope.persisted(
+      docs(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) >= 2)
+        .select(expr("regexp_extract_all(tok, '.', 0)").as("sym")))
+    def adjPairs(c: Column): Column = explode(zip_with(
+      slice(c, lit(1), size(c) - 1), slice(c, lit(2), size(c) - 1),
+      (a, b) => struct(a.as("l"), b.as("r"))))
+    val ranked = syms.select(adjPairs(col("sym")).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+      .filter(col("l") =!= col("r"))
+      .groupBy("l", "r").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("l"), col("r")).limit(4)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("l"), col("r"))).as("rk"),
+        col("l"), col("r"))
+    // 4 ranked rows -> one broadcast row of scalars (l1,r1..l4,r4)
+    val merges = ranked.groupBy(lit(1).as("one")).pivot("rk", Seq(1, 2, 3, 4))
+      .agg(first(col("l")).as("l"), first(col("r")).as("r"))
+      .drop("one")
+    def mergeExpr(in: String, l: String, r: String): String =
+      s"""filter(
+         |  transform(sequence(1, size($in)), i -> CASE
+         |    WHEN element_at($in, i) = $l AND i < size($in)
+         |         AND element_at($in, i + 1) = $r THEN concat($l, $r)
+         |    WHEN i > 1 AND element_at($in, i - 1) = $l
+         |         AND element_at($in, i) = $r THEN NULL
+         |    ELSE element_at($in, i) END),
+         |  x -> x IS NOT NULL)""".stripMargin
+    val encoded = syms.crossJoin(broadcast(merges))
+      .withColumn("s1", expr(mergeExpr("sym", "`1_l`", "`1_r`")))
+      .withColumn("s2", expr(mergeExpr("s1", "`2_l`", "`2_r`")))
+      .withColumn("s3", expr(mergeExpr("s2", "`3_l`", "`3_r`")))
+      .withColumn("s4", expr(mergeExpr("s3", "`4_l`", "`4_r`")))
+    encoded.select(explode(col("s4")).as("symbol"))
+      .groupBy("symbol").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("symbol"))
+      .limit(20)
+      .select(col("symbol"), length(col("symbol")).as("sym_len"), col("n"))
+  }
+
+  val bpeEncodeOracle: String = {
+    def mergeSql(in: String, k: Int, out: String): String =
+      s"""$out AS (
+         |  SELECT list_filter(list_transform(range(1, len($in) + 1), i -> CASE
+         |      WHEN $in[i] = mg.l$k AND i < len($in)
+         |           AND $in[i + 1] = mg.r$k THEN concat(mg.l$k, mg.r$k)
+         |      WHEN i > 1 AND $in[i - 1] = mg.l$k
+         |           AND $in[i] = mg.r$k THEN NULL
+         |      ELSE $in[i] END), x -> x IS NOT NULL) AS $out
+         |  FROM $in, mg)""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+       |  FROM documents
+       |), syms AS (
+       |  SELECT regexp_extract_all(tok, '.') AS sym FROM toks
+       |  WHERE len(tok) >= 2
+       |), pc AS (
+       |  SELECT sym[i] AS l, sym[i + 1] AS r, count(*) AS n
+       |  FROM syms, UNNEST(range(1, len(sym))) AS u(i)
+       |  WHERE sym[i] <> sym[i + 1]
+       |  GROUP BY 1, 2
+       |), rk AS (
+       |  SELECT row_number() OVER (ORDER BY n DESC, l, r) AS rk, l, r
+       |  FROM pc ORDER BY n DESC, l, r LIMIT 4
+       |), mg AS (
+       |  SELECT
+       |    max(CASE WHEN rk = 1 THEN l END) AS l1, max(CASE WHEN rk = 1 THEN r END) AS r1,
+       |    max(CASE WHEN rk = 2 THEN l END) AS l2, max(CASE WHEN rk = 2 THEN r END) AS r2,
+       |    max(CASE WHEN rk = 3 THEN l END) AS l3, max(CASE WHEN rk = 3 THEN r END) AS r3,
+       |    max(CASE WHEN rk = 4 THEN l END) AS l4, max(CASE WHEN rk = 4 THEN r END) AS r4
+       |  FROM rk
+       |), s0 AS (SELECT sym AS s0 FROM syms),
+       |${mergeSql("s0", 1, "s1")},
+       |${mergeSql("s1", 2, "s2")},
+       |${mergeSql("s2", 3, "s3")},
+       |${mergeSql("s3", 4, "s4")}
+       |SELECT s4[i] AS symbol, CAST(len(s4[i]) AS INTEGER) AS sym_len,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM s4, UNNEST(range(1, len(s4) + 1)) AS u(i)
+       |GROUP BY 1, 2
+       |ORDER BY n DESC, symbol LIMIT 20""".stripMargin
+  }
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3436,6 +3693,9 @@ object LlmQueries {
     "q151_containment" -> (containmentDetection(_, _)),
     "q152_jl_projection" -> (jlProjection(_, _)),
     "q153_bpe_merge" -> (bpeMergeRound(_, _)),
+    "q159_modularity" -> (modularityScore(_, _)),
+    "q160_tvd_drift" -> (tvdDrift(_, _)),
+    "q161_bpe_encode" -> (bpeEncode(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3513,5 +3773,8 @@ object LlmQueries {
     "q151_containment" -> containmentDetectionOracle,
     "q152_jl_projection" -> jlProjectionOracle,
     "q153_bpe_merge" -> bpeMergeRoundOracle,
+    "q159_modularity" -> modularityScoreOracle,
+    "q160_tvd_drift" -> tvdDriftOracle,
+    "q161_bpe_encode" -> bpeEncodeOracle,
   )
 }
