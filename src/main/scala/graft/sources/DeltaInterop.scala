@@ -63,11 +63,14 @@ object DeltaInterop {
       offset: Option[Long], sizeInBytes: Long, cardinality: Long)
 
   /** One live file: RAW (still percent-encoded) path, partition values
-    * (keyed by PHYSICAL column name when column mapping is on), and the
-    * optional deletion vector masking its dead rows.
+    * (keyed by PHYSICAL column name when column mapping is on), the
+    * optional deletion vector masking its dead rows, and the add
+    * action's per-file statistics (`stats` — a JSON STRING per the
+    * protocol, carrying numRecords/minValues/maxValues/nullCount) when
+    * the writer emitted them.
     */
   final case class DeltaFile(path: String, partitionValues: Map[String, String],
-      dv: Option[DvDescriptor])
+      dv: Option[DvDescriptor], stats: Option[String] = None)
 
   /** A resolved table state: live files, declared (logical) schema,
     * partition columns, table configuration, and the latest
@@ -142,7 +145,8 @@ object DeltaInterop {
         pv: Map[String, String], dv: Option[DvDescriptor], schemaString: String,
         partitionColumns: Seq[String], configuration: Map[String, String],
         minReader: Long, readerFeatures: Option[Seq[String]],
-        txnApp: String = null, txnVer: Long = 0L)
+        txnApp: String = null, txnVer: Long = 0L,
+        stats: Option[String] = None)
     def acts(df: DataFrame, versionCol: Column): Seq[Act] = {
       val cols = df.columns.toSet
       def structOf(name: String): Option[StructType] =
@@ -196,7 +200,8 @@ object DeltaInterop {
           dvSub("sizeInBytes").cast("long").as("dv_size"),
           dvSub("cardinality").cast("long").as("dv_card"),
           sub("txn", "appId").as("txn_app"),
-          sub("txn", "version").cast("long").as("txn_ver"))
+          sub("txn", "version").cast("long").as("txn_ver"),
+          sub("add", "stats").as("add_stats"))
         .collect().toSeq.flatMap { r =>
           val v = r.getLong(0)
           val out = scala.collection.mutable.ArrayBuffer.empty[Act]
@@ -207,7 +212,8 @@ object DeltaInterop {
               r.getLong(12), r.getLong(13)))
             out += Act(v, "add", r.getString(1),
               Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty),
-              dv, null, Nil, Map.empty, 0L, None)
+              dv, null, Nil, Map.empty, 0L, None,
+              stats = if (r.isNullAt(16)) None else Some(r.getString(16)))
           }
           if (!r.isNullAt(3)) out += Act(v, "remove", r.getString(3), Map.empty,
             None, null, Nil, Map.empty, 0L, None)
@@ -335,7 +341,7 @@ object DeltaInterop {
     val live = lastAdd.values.toSeq
       .filter(a => lastRemove.get(a.filePath).forall(_ <= a.v))
       .sortBy(_.filePath)
-      .map(a => DeltaFile(a.filePath, a.pv, a.dv))
+      .map(a => DeltaFile(a.filePath, a.pv, a.dv, a.stats))
     // latest SetTransaction per appId: highest commit version wins (the
     // protocol's idempotent-writer rule); checkpoint entries carry the
     // checkpoint's version and lose to any later JSON commit
@@ -555,6 +561,69 @@ object DeltaInterop {
     * Scale: driver traffic is file-count bounded (staged-file listing +
     * log replay); the data itself moves file-by-file with no re-read.
     */
+  /** Data types whose per-file min/max are serialized into add.stats:
+    * numerics render as bare JSON numbers; strings and dates as JSON
+    * strings (ISO dates compare correctly as strings, the same
+    * convention Delta uses); booleans as true/false. Timestamps,
+    * binary, and nested types are skipped — they still get numRecords
+    * and nullCount coverage via the columns that ARE tracked.
+    */
+  private def statsTrackable(dt: DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.NumericType => true
+    case org.apache.spark.sql.types.StringType => true
+    case org.apache.spark.sql.types.DateType => true
+    case org.apache.spark.sql.types.BooleanType => true
+    case _ => false
+  }
+
+  /** One aggregation over the freshly-staged files, grouped by
+    * `input_file_name`, producing each file's protocol-shaped stats
+    * JSON: `{"numRecords":N,"minValues":{..},"maxValues":{..},
+    * "nullCount":{..}}` keyed by staged-relative path. Driver traffic is
+    * one row per staged FILE (never per data row); all-null columns are
+    * omitted from minValues/maxValues, matching the protocol's "may
+    * omit" rule.
+    */
+  private def collectStagedStats(spark: SparkSession, dir: Path,
+      schema: StructType, partCols: Seq[String]): Map[String, String] = {
+    val tracked = schema.fields.toSeq
+      .filterNot(f => partCols.contains(f.name))
+      .filter(f => statsTrackable(f.dataType))
+    val isNum = tracked.map(f => f.name -> (f.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.BooleanType => true
+      case _ => false
+    })).toMap
+    val aggs = count(lit(1)).as("__n") +: tracked.flatMap(f => Seq(
+      min(col(s"`${f.name}`")).cast("string").as(s"mn_${f.name}"),
+      max(col(s"`${f.name}`")).cast("string").as(s"mx_${f.name}"),
+      sum(when(col(s"`${f.name}`").isNull, 1L).otherwise(0L))
+        .as(s"nc_${f.name}")))
+    spark.read.parquet(dir.toString)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val rel = dir.relativize(
+          Paths.get(new java.net.URI(r.getString(0)))).toString
+        def j(name: String, v: String): String =
+          if (isNum(name)) v else jstr(v)
+        def at(prefix: String, f: StructField): Int =
+          r.fieldIndex(s"$prefix${f.name}")
+        val mins = tracked.collect {
+          case f if !r.isNullAt(at("mn_", f)) =>
+            s"${jstr(f.name)}:${j(f.name, r.getString(at("mn_", f)))}" }
+        val maxs = tracked.collect {
+          case f if !r.isNullAt(at("mx_", f)) =>
+            s"${jstr(f.name)}:${j(f.name, r.getString(at("mx_", f)))}" }
+        val ncs = tracked.map(f =>
+          s"${jstr(f.name)}:${r.getLong(at("nc_", f))}")
+        rel -> (s"""{"numRecords":${r.getLong(r.fieldIndex("__n"))},""" +
+          s""""minValues":${mins.mkString("{", ",", "}")},""" +
+          s""""maxValues":${maxs.mkString("{", ",", "}")},""" +
+          s""""nullCount":${ncs.mkString("{", ",", "}")}}""")
+      }.toMap
+  }
+
   def write(df: DataFrame, path: String,
       mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.ErrorIfExists,
       partitionBy: Seq[String] = Nil,
@@ -609,6 +678,10 @@ object DeltaInterop {
     val staged = withWalk(tmp)(
       _.filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq)
       .sortBy(_.toString)
+    // per-file stats BEFORE the move (one aggregation over the staged
+    // data, grouped by file — the write-amplification Delta writers pay
+    // for data skipping, here a re-read of just-written local files)
+    val statsByRel = collectStagedStats(spark, tmp, df.schema, effPartitionBy)
     val adds = staged.map { p =>
       val rel = tmp.relativize(p)
       val target = root.resolve(rel)
@@ -623,7 +696,9 @@ object DeltaInterop {
         s"${jstr(k)}:${if (v == null) "null" else jstr(v)}" }
         .mkString("{", ",", "}")
       val size = Files.size(target)
-      s"""{"add":{"path":${jstr(rel.toString)},"partitionValues":$pvJson,"size":$size,"modificationTime":${Files.getLastModifiedTime(target).toMillis},"dataChange":true}}"""
+      val statsPart = statsByRel.get(rel.toString)
+        .map(sj => s""","stats":${jstr(sj)}""").getOrElse("")
+      s"""{"add":{"path":${jstr(rel.toString)},"partitionValues":$pvJson,"size":$size,"modificationTime":${Files.getLastModifiedTime(target).toMillis},"dataChange":true$statsPart}}"""
     }
 
     val metaAction = (schema: StructType, pcols: Seq[String]) =>
@@ -891,7 +966,8 @@ object DeltaInterop {
       val pvJson = f.partitionValues.toSeq.sortBy(_._1).map { case (k, v) =>
         s"${jstr(k)}:${if (v == null) "null" else jstr(v)}" }
         .mkString("{", ",", "}")
-      s"""{"add":{"path":${jstr(f.path)},"partitionValues":$pvJson,"size":0,"modificationTime":0,"dataChange":false${f.dv.map(dvJson).getOrElse("")}}}"""
+      val statsPart = f.stats.map(sj => s""","stats":${jstr(sj)}""").getOrElse("")
+      s"""{"add":{"path":${jstr(f.path)},"partitionValues":$pvJson,"size":0,"modificationTime":0,"dataChange":false$statsPart${f.dv.map(dvJson).getOrElse("")}}}"""
     }
     val tmp = Files.createTempDirectory("delta_cp")
     spark.read.json((metaSrc ++ addJson).toDS).coalesce(1)
@@ -913,20 +989,29 @@ object DeltaInterop {
     */
   def read(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, path, asOf)
+    readFiles(spark, path, snap, snap.files)
+  }
+
+  /** The shared scan over an explicit live-file subset (full reads pass
+    * `snap.files`; stats-pruned reads pass the surviving files). DV
+    * masks are restricted to the files actually scanned.
+    */
+  private def readFiles(spark: SparkSession, path: String,
+      snap: DeltaSnapshot, files: Seq[DeltaFile]): DataFrame = {
     val mapping = snap.columnMappingMode
     val partSet = snap.partitionColumns.toSet
     val dataFields = snap.schema.filterNot(f => partSet.contains(f.name))
-    if (snap.files.isEmpty)
+    if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     // the parquet files carry PHYSICAL names; read with those, rename to
     // logical on the way out
     val physDataSchema = StructType(dataFields.map(f =>
       StructField(physicalName(f, mapping), f.dataType, f.nullable)))
-    val hasDv = snap.files.exists(_.dv.isDefined)
+    val hasDv = files.exists(_.dv.isDefined)
     val root = Paths.get(path)
 
-    val byPv = snap.files.groupBy(_.partitionValues)
+    val byPv = files.groupBy(_.partitionValues)
     val unioned = byPv.map { case (pv, fs) =>
       val base0 = spark.read.schema(physDataSchema)
         .parquet(fs.map(f => s"$path/${decodePath(f.path)}"): _*)
@@ -951,7 +1036,7 @@ object DeltaInterop {
     else {
       // deleted (file, position) pairs: bounded by total DV cardinality,
       // broadcast so the mask never shuffles the data side
-      val deleted = snap.files.flatMap { f =>
+      val deleted = files.flatMap { f =>
         f.dv.toSeq.flatMap { d =>
           val abs = root.resolve(decodePath(f.path)).toAbsolutePath.toString
           dvRowIndexes(root, d).map(abs -> _)
@@ -963,6 +1048,81 @@ object DeltaInterop {
         .drop("__dv_file", "__dv_pos")
         .select(snap.schema.fieldNames.map(col).toSeq: _*)
     }
+  }
+
+  /** Files that can contain a row with `column` in [lo, hi], decided
+    * from add.stats min/max (and from partitionValues when `column` is a
+    * partition column) WITHOUT touching any data file. A file with no
+    * stats — or with the column absent from minValues/maxValues (an
+    * all-null or untracked column) — survives conservatively; when the
+    * column's nullCount shows every row null, the range can never match
+    * and the file is skipped. Returns (surviving files, total live).
+    * Skipping is DV-sound: a deletion vector only removes rows, so a
+    * range that cannot match the file's full contents cannot match its
+    * undeleted subset either.
+    */
+  def statsCandidateFiles(spark: SparkSession, path: String, column: String,
+      lo: Any, hi: Any, asOf: Option[Long] = None): (Seq[DeltaFile], Int) = {
+    val snap = snapshot(spark, path, asOf)
+    (pruneByStats(snap, column, lo, hi), snap.files.size)
+  }
+
+  private def pruneByStats(snap: DeltaSnapshot, column: String,
+      lo: Any, hi: Any): Seq[DeltaFile] = {
+    val field = snap.schema.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(s"no column $column in table schema"))
+    // numbers compare numerically, strings/ISO-dates lexically — the
+    // same convention the stats were serialized with
+    val numeric = field.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.BooleanType => true
+      case _ => false
+    }
+    def cmp(a: String, b: String): Int =
+      if (numeric) BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
+    val (loS, hiS) = (String.valueOf(lo), String.valueOf(hi))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val kept =
+      if (snap.partitionColumns.contains(column)) {
+        val phys = physicalName(field, snap.columnMappingMode)
+        snap.files.filter { f =>
+          f.partitionValues.get(phys) match {
+            case Some(v) if v != null => cmp(v, loS) >= 0 && cmp(v, hiS) <= 0
+            case _ => false // null partition value never matches a range
+          }
+        }
+      } else snap.files.filter { f =>
+        f.stats match {
+          case None => true // no stats: cannot exclude
+          case Some(sj) =>
+            val node = om.readTree(sj)
+            val mn = node.path("minValues").path(column)
+            val mx = node.path("maxValues").path(column)
+            if (mn.isMissingNode || mx.isMissingNode) {
+              // column untracked or all-null; all-null is provable from
+              // nullCount == numRecords and excludes the file
+              val nc = node.path("nullCount").path(column)
+              val nr = node.path("numRecords")
+              !(nc.isNumber && nr.isNumber && nc.asLong == nr.asLong)
+            } else
+              cmp(mx.asText, loS) >= 0 && cmp(mn.asText, hiS) <= 0
+        }
+      }
+    kept
+  }
+
+  /** Range read with Delta-native data skipping: prune live files via
+    * their add.stats before the scan (the reason Delta writers pay the
+    * stats write amplification), then apply the exact predicate to the
+    * surviving rows. Semantically identical to
+    * `read(...).filter(column between lo and hi)` — the spec asserts
+    * both the equivalence and that fewer files are scanned.
+    */
+  def readWhere(spark: SparkSession, path: String, column: String,
+      lo: Any, hi: Any, asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, path, asOf)
+    readFiles(spark, path, snap, pruneByStats(snap, column, lo, hi))
+      .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
   /** Change-data-feed read over the commit range [fromVersion,
