@@ -3456,6 +3456,59 @@ object CoreQueries {
       |FROM orders o JOIN cls c ON o.o_orderpriority = c.o_orderpriority
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q164 — quantile normalization: each customer's lifetime spend
+    * mapped to its exact percentile rank in the spend distribution —
+    * the rank-based feature transform (percent_rank at scale) that
+    * makes a heavy-tailed metric comparable across cohorts and model
+    * features robust to outliers. Average-rank ties carried DOUBLED
+    * (2·avg = 2·before + cnt + 1 — exact integers, the q154/q156
+    * device); the percentile is one DECIMAL ppm divide by 2n.
+    *
+    * Scale shape: spend aggregates map-combinably per customer; the
+    * cumulative count over the by-value table runs through the bucketed
+    * [[graft.operators.PrefixSum]] — NOT percent_rank's global window,
+    * which single-partitions the whole table — and joins back by value
+    * as an ordinary hash join.
+    */
+  def quantileNormalize(s: SparkSession, d: String): DataFrame = {
+    val spend = t(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("decimal(38,0)").cast("bigint").as("spend_cents"))
+    val byVal = spend.groupBy("spend_cents").agg(count(lit(1)).as("cnt"))
+    val ranked = graft.operators.PrefixSum.exclusiveRunningTotal(
+        byVal, Seq(col("spend_cents")), col("cnt"), "before")
+      .select(col("spend_cents"),
+        (lit(2) * col("before") + col("cnt") + 1).as("r2"))
+    val n = spend.agg(count(lit(1)).as("n"))
+    spend.join(ranked, Seq("spend_cents")).crossJoin(broadcast(n))
+      .select(col("o_custkey"), col("spend_cents"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * r2" +
+          " div (CAST(2 AS DECIMAL(38,0)) * n) AS BIGINT)").as("pct_ppm"))
+      .orderBy("o_custkey")
+  }
+
+  val quantileNormalizeOracle: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS spend_cents
+      |  FROM orders GROUP BY 1
+      |), bv AS (
+      |  SELECT spend_cents, count(*) AS cnt FROM spend GROUP BY 1
+      |), r AS (
+      |  SELECT spend_cents,
+      |    2 * coalesce(sum(cnt) OVER (ORDER BY spend_cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + cnt + 1 AS r2
+      |  FROM bv
+      |), nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM spend)
+      |SELECT s.o_custkey, s.spend_cents,
+      |  CAST(CAST(1000000 AS HUGEINT) * r.r2
+      |    // (CAST(2 AS HUGEINT) * (SELECT n FROM nn)) AS BIGINT) AS pct_ppm
+      |FROM spend s JOIN r ON s.spend_cents = r.spend_cents
+      |ORDER BY s.o_custkey""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3540,6 +3593,7 @@ object CoreQueries {
     "q156_spearman" -> (spearmanCorr(_, _)),
     "q157_decision_stump" -> (decisionStump(_, _)),
     "q158_target_encoding" -> (looTargetEncoding(_, _)),
+    "q164_quantile_normalize" -> (quantileNormalize(_, _)),
     "q141_hilbert_values" -> (hilbertValues(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
@@ -3626,6 +3680,7 @@ object CoreQueries {
     "q156_spearman" -> spearmanCorrOracle,
     "q157_decision_stump" -> decisionStumpOracle,
     "q158_target_encoding" -> looTargetEncodingOracle,
+    "q164_quantile_normalize" -> quantileNormalizeOracle,
     "q141_hilbert_values" -> hilbertValuesOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )

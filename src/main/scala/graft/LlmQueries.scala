@@ -380,7 +380,13 @@ object LlmQueries {
   /** q25 — n-gram-heuristic language ID: stopword-hit votes per language,
     * first-wins tie-break in a fixed language order.
     */
-  def langId(s: SparkSession, d: String): DataFrame = {
+  def langId(s: SparkSession, d: String): DataFrame =
+    langPredictions(s, d).orderBy("doc_id")
+
+  /** The q25 stopword-vote classifier per doc (shared with the q162/q163
+    * evaluation queries): hits per language, labeled + predicted class.
+    */
+  private def langPredictions(s: SparkSession, d: String): DataFrame = {
     // explode + conditional-sum instead of 4 higher-order filter() calls:
     // HOFs evaluate interpreted (outside codegen), so counting votes in a
     // single codegen'd aggregation over exploded tokens is ~10x faster
@@ -400,7 +406,7 @@ object LlmQueries {
       .when(col("hits_es") >= col("hits_fr") && col("hits_es") > 0, lit("es"))
       .when(col("hits_fr") > 0, lit("fr"))
       .otherwise(lit("unknown"))
-    base.withColumn("predicted_lang", predicted).orderBy("doc_id")
+    base.withColumn("predicted_lang", predicted)
   }
 
   val langIdOracle: String = {
@@ -3616,6 +3622,153 @@ object LlmQueries {
        |ORDER BY n DESC, symbol LIMIT 20""".stripMargin
   }
 
+  /** Shared oracle prefix for the classifier-evaluation queries: the
+    * q25 stopword-vote predictions as `p(doc_id, labeled_lang,
+    * predicted_lang)`.
+    */
+  private def langPredSql: String = {
+    def hits(l: String) = {
+      val set = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ($set))) AS INTEGER)"
+    }
+    s"""m AS (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |    ${hits("en")} AS hits_en, ${hits("de")} AS hits_de,
+       |    ${hits("es")} AS hits_es, ${hits("fr")} AS hits_fr
+       |  FROM documents
+       |), p AS (
+       |  SELECT doc_id, labeled_lang,
+       |    CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+       |         WHEN hits_de >= hits_es AND hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+       |         WHEN hits_es >= hits_fr AND hits_es > 0 THEN 'es'
+       |         WHEN hits_fr > 0 THEN 'fr'
+       |         ELSE 'unknown' END AS predicted_lang
+       |  FROM m
+       |)""".stripMargin
+  }
+
+  /** q162 — classifier evaluation: per-class precision / recall / F1 of
+    * the q25 language classifier against the labeled `lang` column —
+    * the confusion-matrix summary every model gate reads before a
+    * classifier's output is allowed to filter a corpus. Exact-integer
+    * ppm metrics (tp/pred, tp/labeled, 2tp/(pred+labeled)); classes
+    * with zero predictions (never emitted by the rule) report 0
+    * precision rather than an engine-dependent null.
+    *
+    * Scale shape: predictions are one token-explode aggregate (q25's
+    * plan); the confusion matrix is class²-bounded, so every join after
+    * it is over tiny aggregates.
+    */
+  def classifierEval(s: SparkSession, d: String): DataFrame = {
+    val p = graft.CacheScope.persisted(
+      langPredictions(s, d).select(col("labeled_lang"), col("predicted_lang")))
+    val classes = p.select(col("labeled_lang").as("clazz"))
+      .union(p.select(col("predicted_lang").as("clazz"))).distinct()
+    val lab = p.groupBy(col("labeled_lang").as("clazz"))
+      .agg(count(lit(1)).as("n_labeled"))
+    val prd = p.groupBy(col("predicted_lang").as("clazz"))
+      .agg(count(lit(1)).as("n_predicted"))
+    val tp = p.filter(col("labeled_lang") === col("predicted_lang"))
+      .groupBy(col("labeled_lang").as("clazz")).agg(count(lit(1)).as("tp"))
+    classes.join(lab, Seq("clazz"), "left").join(prd, Seq("clazz"), "left")
+      .join(tp, Seq("clazz"), "left")
+      .na.fill(0L, Seq("n_labeled", "n_predicted", "tp"))
+      .select(col("clazz"), col("n_labeled"), col("n_predicted"), col("tp"),
+        when(col("n_predicted") === 0, 0L).otherwise(
+          expr("CAST(1000000 AS DECIMAL(38,0)) * tp div n_predicted")
+            .cast("bigint")).as("precision_ppm"),
+        when(col("n_labeled") === 0, 0L).otherwise(
+          expr("CAST(1000000 AS DECIMAL(38,0)) * tp div n_labeled")
+            .cast("bigint")).as("recall_ppm"),
+        expr("CAST(CAST(2000000 AS DECIMAL(38,0)) * tp" +
+          " div (n_predicted + n_labeled) AS BIGINT)").as("f1_ppm"))
+      .orderBy("clazz")
+  }
+
+  val classifierEvalOracle: String =
+    s"""WITH $langPredSql, cls AS (
+       |  SELECT labeled_lang AS clazz FROM p
+       |  UNION SELECT predicted_lang FROM p
+       |), lab AS (
+       |  SELECT labeled_lang AS clazz, count(*) AS n_labeled FROM p GROUP BY 1
+       |), prd AS (
+       |  SELECT predicted_lang AS clazz, count(*) AS n_predicted FROM p GROUP BY 1
+       |), tp AS (
+       |  SELECT labeled_lang AS clazz, count(*) AS tp FROM p
+       |  WHERE labeled_lang = predicted_lang GROUP BY 1
+       |)
+       |SELECT cls.clazz,
+       |  CAST(coalesce(lab.n_labeled, 0) AS BIGINT) AS n_labeled,
+       |  CAST(coalesce(prd.n_predicted, 0) AS BIGINT) AS n_predicted,
+       |  CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
+       |  CAST(CASE WHEN coalesce(prd.n_predicted, 0) = 0 THEN 0
+       |    ELSE CAST(1000000 AS HUGEINT) * coalesce(tp.tp, 0) // prd.n_predicted
+       |    END AS BIGINT) AS precision_ppm,
+       |  CAST(CASE WHEN coalesce(lab.n_labeled, 0) = 0 THEN 0
+       |    ELSE CAST(1000000 AS HUGEINT) * coalesce(tp.tp, 0) // lab.n_labeled
+       |    END AS BIGINT) AS recall_ppm,
+       |  CAST(CAST(2000000 AS HUGEINT) * coalesce(tp.tp, 0)
+       |    // (coalesce(prd.n_predicted, 0) + coalesce(lab.n_labeled, 0))
+       |    AS BIGINT) AS f1_ppm
+       |FROM cls LEFT JOIN lab ON cls.clazz = lab.clazz
+       |LEFT JOIN prd ON cls.clazz = prd.clazz
+       |LEFT JOIN tp ON cls.clazz = tp.clazz
+       |ORDER BY cls.clazz""".stripMargin
+
+  /** q163 — chance-corrected agreement: overall accuracy and Cohen's
+    * kappa of the q25 classifier vs the labels. Kappa corrects raw
+    * accuracy for the agreement two independent raters would reach by
+    * chance (the standard guard against "90% accurate" on a 90%-one-
+    * class corpus). po and pe are exact ppm integers; kappa itself is
+    * (n·agree − S)/(n² − S) with S = Σ_c labeled_c·predicted_c —
+    * evaluated as ONE fixed-shape double expression over exact integer
+    * inputs, rounded to 6 dp (the q84/q156 convention).
+    */
+  def kappaAgreement(s: SparkSession, d: String): DataFrame = {
+    val p = graft.CacheScope.persisted(
+      langPredictions(s, d).select(col("labeled_lang"), col("predicted_lang")))
+    val lab = p.groupBy(col("labeled_lang").as("clazz"))
+      .agg(count(lit(1)).as("lc"))
+    val prd = p.groupBy(col("predicted_lang").as("clazz"))
+      .agg(count(lit(1)).as("pc"))
+    val chance = lab.join(prd, Seq("clazz"))
+      .agg(sum((col("lc") * col("pc")).cast("decimal(38,0)")).as("s"))
+    val agree = p.agg(count(lit(1)).as("n"),
+      sum(when(col("labeled_lang") === col("predicted_lang"), 1L).otherwise(0L))
+        .as("agree"))
+    agree.crossJoin(broadcast(chance))
+      .select(col("n").cast("bigint").as("n"),
+        col("agree").cast("bigint").as("agree"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * agree div n AS BIGINT)")
+          .as("po_ppm"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * s" +
+          " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("pe_ppm"),
+        round(expr("CAST(CAST(n AS DECIMAL(38,0)) * agree - s AS DOUBLE) /" +
+          " CAST(CAST(n AS DECIMAL(38,0)) * n - s AS DOUBLE)"), 6)
+          .as("kappa"))
+  }
+
+  val kappaAgreementOracle: String =
+    s"""WITH $langPredSql, lab AS (
+       |  SELECT labeled_lang AS clazz, count(*) AS lc FROM p GROUP BY 1
+       |), prd AS (
+       |  SELECT predicted_lang AS clazz, count(*) AS pc FROM p GROUP BY 1
+       |), ch AS (
+       |  SELECT CAST(sum(CAST(lc AS HUGEINT) * pc) AS HUGEINT) AS s
+       |  FROM lab JOIN prd ON lab.clazz = prd.clazz
+       |), ag AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(CASE WHEN labeled_lang = predicted_lang THEN 1 ELSE 0 END)
+       |      AS HUGEINT) AS agree
+       |  FROM p
+       |)
+       |SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+       |  CAST(CAST(1000000 AS HUGEINT) * agree // n AS BIGINT) AS po_ppm,
+       |  CAST(CAST(1000000 AS HUGEINT) * s // (n * n) AS BIGINT) AS pe_ppm,
+       |  round(CAST(n * agree - s AS DOUBLE) / CAST(n * n - s AS DOUBLE), 6)
+       |    AS kappa
+       |FROM ag, ch""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3696,6 +3849,8 @@ object LlmQueries {
     "q159_modularity" -> (modularityScore(_, _)),
     "q160_tvd_drift" -> (tvdDrift(_, _)),
     "q161_bpe_encode" -> (bpeEncode(_, _)),
+    "q162_classifier_eval" -> (classifierEval(_, _)),
+    "q163_kappa" -> (kappaAgreement(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3776,5 +3931,7 @@ object LlmQueries {
     "q159_modularity" -> modularityScoreOracle,
     "q160_tvd_drift" -> tvdDriftOracle,
     "q161_bpe_encode" -> bpeEncodeOracle,
+    "q162_classifier_eval" -> classifierEvalOracle,
+    "q163_kappa" -> kappaAgreementOracle,
   )
 }
