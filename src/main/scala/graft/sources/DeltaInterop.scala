@@ -852,7 +852,9 @@ object DeltaInterop {
           .mkString("{", ",", "}")
         Seq(
           s"""{"remove":{"path":${jstr(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}""",
-          s"""{"add":{"path":${jstr(f.path)},"partitionValues":$pvJson,"size":0,"modificationTime":0,"dataChange":true${dvJson(dv)}}}""")
+          // stats stay valid over the undeleted subset (a DV only
+          // removes rows), so carry them — skipping keeps working
+          s"""{"add":{"path":${jstr(f.path)},"partitionValues":$pvJson,"size":0,"modificationTime":0,"dataChange":true${f.stats.map(sj => s""","stats":${jstr(sj)}""").getOrElse("")}${dvJson(dv)}}}""")
       }
       val upgrade =
         """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
@@ -863,6 +865,90 @@ object DeltaInterop {
         return Some(snap.version + 1)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => () // re-derive from the new snapshot
+      }
+    }
+    None // unreachable
+  }
+
+  /** OPTIMIZE-style compaction: every partition group holding more than
+    * one live file — or any file carrying a deletion vector — is
+    * rewritten into a single file with its DV mask applied and dropped,
+    * committed as `dataChange:false` remove+add pairs (layout change,
+    * not a data change: CDF readers see nothing, per the protocol).
+    * Fresh per-file stats are computed for the rewritten files, so data
+    * skipping keeps working after compaction — and gets TIGHTER when
+    * the group was range-clustered. Old files stay for time travel
+    * until [[vacuum]]. Returns the commit version, or None when there
+    * is nothing to compact.
+    *
+    * Concurrency: the optimistic loop re-derives the snapshot on a
+    * commit collision and re-checks its victims are still live; staged
+    * files from a lost race become unreferenced orphans (vacuum's job,
+    * like any lost writer).
+    */
+  def compact(spark: SparkSession, path: String): Option[Long] = {
+    val root = Paths.get(path)
+    val logDir = root.resolve("_delta_log")
+    while (true) {
+      val snap = snapshot(spark, path)
+      require(snap.columnMappingMode == "none",
+        "compact on a column-mapped table unsupported")
+      val partSet = snap.partitionColumns.toSet
+      val dataSchema = StructType(
+        snap.schema.filterNot(f => partSet.contains(f.name)))
+      val groups = snap.files.groupBy(_.partitionValues).toSeq
+        .filter { case (_, fs) => fs.size > 1 || fs.exists(_.dv.isDefined) }
+        .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+      if (groups.isEmpty) return None
+
+      val tmp = Files.createTempDirectory("delta_opt")
+      val rewritten = groups.zipWithIndex.map { case ((pv, fs), gi) =>
+        val base = spark.read.schema(dataSchema)
+          .parquet(fs.map(f => s"$path/${decodePath(f.path)}"): _*)
+        val dead = fs.flatMap(f => f.dv.toSeq.flatMap(d =>
+          dvRowIndexes(root, d).map(
+            root.resolve(decodePath(f.path)).toAbsolutePath.toString -> _)))
+        import spark.implicits._
+        val live =
+          if (dead.isEmpty) base
+          else base
+            .withColumn("__dv_file",
+              regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+            .withColumn("__dv_pos", col("_metadata.row_index"))
+            .join(broadcast(dead.toDF("__dv_file", "__dv_pos")),
+              Seq("__dv_file", "__dv_pos"), "left_anti")
+            .drop("__dv_file", "__dv_pos")
+        val groupDir = tmp.resolve(s"g$gi")
+        live.coalesce(1).write.parquet(groupDir.toString)
+        val staged = withWalk(groupDir)(
+          _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+        require(staged.size == 1, s"coalesce(1) staged ${staged.size} files")
+        val stats = collectStagedStats(spark, groupDir, dataSchema, Nil)
+          .values.headOption
+        (pv, fs, staged.head, stats)
+      }
+      val actions = rewritten.flatMap { case (pv, fs, staged, stats) =>
+        val pvDirs = snap.partitionColumns.flatMap(pc => pv.get(pc).map(v =>
+          s"$pc=${if (v == null) "__HIVE_DEFAULT_PARTITION__" else v}"))
+        val rel = (pvDirs :+
+          s"part-opt-${java.util.UUID.randomUUID()}.parquet").mkString("/")
+        val target = root.resolve(rel)
+        Files.createDirectories(target.getParent)
+        Files.move(staged, target)
+        val pvJson = pv.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"${jstr(k)}:${if (v == null) "null" else jstr(v)}" }
+          .mkString("{", ",", "}")
+        fs.map(f =>
+          s"""{"remove":{"path":${jstr(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":false}}""") :+
+          s"""{"add":{"path":${jstr(rel)},"partitionValues":$pvJson,"size":${Files.size(target)},"modificationTime":${Files.getLastModifiedTime(target).toMillis},"dataChange":false${stats.map(sj => s""","stats":${jstr(sj)}""").getOrElse("")}}}"""
+      }
+      try {
+        Files.write(logDir.resolve(f"${snap.version + 1}%020d.json"),
+          actions.mkString("", "\n", "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        return Some(snap.version + 1)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // lost the race: re-derive
       }
     }
     None // unreachable
