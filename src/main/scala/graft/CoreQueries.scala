@@ -3509,6 +3509,156 @@ object CoreQueries {
       |FROM spend s JOIN r ON s.spend_cents = r.spend_cents
       |ORDER BY s.o_custkey""".stripMargin
 
+  /** q165 — exact Gini coefficient of customer lifetime spend: the
+    * inequality/concentration summary ("do 10% of customers carry 90%
+    * of revenue?") that pairs with q164's per-customer percentile and
+    * q136's HHI. Computed from the rank form
+    * G = Σ(2i − n − 1)·x_(i) / (n·Σx), which is tie-invariant, so the
+    * doubled-average-rank device (r2 = 2·before + cnt + 1) makes every
+    * term exact: numerator A − (n+1)·B with A = Σ r2·cnt·x and
+    * B = Σ cnt·x, one final ppm divide on a DECIMAL(38,0) carrier.
+    *
+    * Scale shape: spend per customer is map-combinable; ranks come from
+    * the bucketed [[graft.operators.PrefixSum]] over the by-value table
+    * (never a global window); one exact fold finishes — no join back to
+    * the row level at all.
+    */
+  def giniSpend(s: SparkSession, d: String): DataFrame = {
+    val spend = t(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("decimal(38,0)").cast("bigint").as("x"))
+    val byVal = spend.groupBy("x").agg(count(lit(1)).as("cnt"))
+    val ranked = graft.operators.PrefixSum.exclusiveRunningTotal(
+        byVal, Seq(col("x")), col("cnt"), "before")
+      .select(col("x"), col("cnt"),
+        (lit(2) * col("before") + col("cnt") + 1).as("r2"))
+    ranked.agg(
+        sum(col("cnt")).as("n"),
+        sum((col("cnt") * col("x")).cast("decimal(38,0)")).as("b"),
+        sum((col("r2").cast("decimal(38,0)") * col("cnt") * col("x")))
+          .as("a"))
+      .select(col("n").cast("bigint").as("n"),
+        expr("CAST(b AS DECIMAL(38,0))").cast("bigint").as("total_cents"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * (a - (n + 1) * b)" +
+          " div (CAST(n AS DECIMAL(38,0)) * b) AS BIGINT)").as("gini_ppm"))
+  }
+
+  val giniSpendOracle: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+      |  FROM orders GROUP BY 1
+      |), bv AS (
+      |  SELECT x, count(*) AS cnt FROM spend GROUP BY 1
+      |), r AS (
+      |  SELECT x, cnt,
+      |    2 * coalesce(sum(cnt) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + cnt + 1 AS r2
+      |  FROM bv
+      |), agg AS (
+      |  SELECT CAST(sum(cnt) AS HUGEINT) AS n,
+      |    CAST(sum(CAST(cnt AS HUGEINT) * x) AS HUGEINT) AS b,
+      |    CAST(sum(CAST(r2 AS HUGEINT) * cnt * x) AS HUGEINT) AS a
+      |  FROM r
+      |)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(b AS BIGINT) AS total_cents,
+      |  CAST(CAST(1000000 AS HUGEINT) * (a - (n + 1) * b)
+      |    // (n * b) AS BIGINT) AS gini_ppm
+      |FROM agg""".stripMargin
+
+  /** q166 — first-order Markov transition matrix over user event
+    * streams: P(next event type | current), the behavioral model behind
+    * next-action prediction and anomaly scoring (q119's path trigrams
+    * are the order-2 cousin; this is the normalized order-1 kernel).
+    * Transitions come from a lag window per user over the total order
+    * (ts, event_id) — a per-user partition, bounded by a user's
+    * activity, never global; probabilities are exact ppm integral
+    * divides by the source-state total.
+    */
+  def markovTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n_trans"))
+    val srcTotals = trans.groupBy("src").agg(sum(col("n_trans")).as("src_total"))
+    trans.join(broadcast(srcTotals), Seq("src"))
+      .select(col("src"), col("dst"), col("n_trans"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_trans" +
+          " div src_total AS BIGINT)").as("p_ppm"))
+      .orderBy("src", "dst")
+  }
+
+  val markovTransitionsOracle: String =
+    """WITH tr AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS dst
+      |  FROM events
+      |), c AS (
+      |  SELECT src, dst, count(*) AS n_trans FROM tr
+      |  WHERE dst IS NOT NULL GROUP BY 1, 2
+      |), st AS (
+      |  SELECT src, sum(n_trans) AS src_total FROM c GROUP BY 1
+      |)
+      |SELECT c.src, c.dst, CAST(c.n_trans AS BIGINT) AS n_trans,
+      |  CAST(CAST(1000000 AS HUGEINT) * c.n_trans
+      |    // st.src_total AS BIGINT) AS p_ppm
+      |FROM c JOIN st ON c.src = st.src
+      |ORDER BY c.src, c.dst""".stripMargin
+
+  /** q167 — k-anonymity audit: for each privacy threshold k, how many
+    * quasi-identifier equivalence classes (nation × market segment ×
+    * account-balance band) are smaller than k, and how many customers
+    * sit in them — the re-identification risk report a dataset owner
+    * runs before releasing "anonymized" records, and the gate a
+    * training-data pipeline applies before user-derived features enter
+    * a corpus. Exact integers; thresholds are a 3-row broadcast.
+    *
+    * Scale shape: one map-combinable class-size aggregate (bounded by
+    * the QI domain), one small cross join against the threshold list,
+    * one re-aggregate. The raw table is scanned once.
+    */
+  def kAnonymity(s: SparkSession, d: String): DataFrame = {
+    val classes = t(s, d, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        // floor BEFORE the bigint cast: Spark truncates a double->long
+        // cast toward zero while DuckDB rounds it — floor() agrees
+        (floor(col("c_acctbal")).cast("bigint")
+          - (floor(col("c_acctbal")).cast("bigint") % 1000)).as("bal_band"))
+      .agg(count(lit(1)).as("cls_size"))
+    val ks = s.createDataFrame(Seq(Tuple1(2L), Tuple1(5L), Tuple1(10L)))
+      .toDF("k")
+    classes.crossJoin(broadcast(ks))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("cls_size") < col("k"), 1L).otherwise(0L))
+          .as("classes_at_risk"),
+        sum(when(col("cls_size") < col("k"), col("cls_size")).otherwise(0L))
+          .as("rows_at_risk"))
+      .orderBy("k")
+  }
+
+  val kAnonymityOracle: String =
+    """WITH cls AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal) AS BIGINT)
+      |      - (CAST(floor(c_acctbal) AS BIGINT) % 1000) AS bal_band,
+      |    count(*) AS cls_size
+      |  FROM customer GROUP BY 1, 2, 3
+      |), ks AS (SELECT unnest([2, 5, 10]) AS k)
+      |SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_classes,
+      |  CAST(sum(CASE WHEN cls_size < k THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS classes_at_risk,
+      |  CAST(sum(CASE WHEN cls_size < k THEN cls_size ELSE 0 END) AS BIGINT)
+      |    AS rows_at_risk
+      |FROM cls, ks GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3594,6 +3744,9 @@ object CoreQueries {
     "q157_decision_stump" -> (decisionStump(_, _)),
     "q158_target_encoding" -> (looTargetEncoding(_, _)),
     "q164_quantile_normalize" -> (quantileNormalize(_, _)),
+    "q165_gini_spend" -> (giniSpend(_, _)),
+    "q166_markov_transitions" -> (markovTransitions(_, _)),
+    "q167_k_anonymity" -> (kAnonymity(_, _)),
     "q141_hilbert_values" -> (hilbertValues(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
@@ -3681,6 +3834,9 @@ object CoreQueries {
     "q157_decision_stump" -> decisionStumpOracle,
     "q158_target_encoding" -> looTargetEncodingOracle,
     "q164_quantile_normalize" -> quantileNormalizeOracle,
+    "q165_gini_spend" -> giniSpendOracle,
+    "q166_markov_transitions" -> markovTransitionsOracle,
+    "q167_k_anonymity" -> kAnonymityOracle,
     "q141_hilbert_values" -> hilbertValuesOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )
