@@ -3295,24 +3295,45 @@ object CoreQueries {
     * fixture scale.
     */
   def spearmanCorr(s: SparkSession, d: String): DataFrame = {
+    // price keyed as exact cents: ranks are identical to ranking the
+    // raw double (the 2-decimal -> cents map is strictly monotone), and
+    // the rank join + prefix bucketing run on BIGINT instead of DOUBLE
     val li = t(s, d, "lineitem")
       .select(col("l_quantity").cast("bigint").as("x"),
-        col("l_extendedprice").as("y"))
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("decimal(38,0)").cast("bigint").as("y"))
     val rx = li.groupBy("x").agg(count(lit(1)).as("cnt"))
     val rxRanked = graft.operators.PrefixSum.exclusiveRunningTotal(
         rx, Seq(col("x")), col("cnt"), "before")
-      .select(col("x"), (lit(2) * (col("before") + 1) + col("cnt") - 1).as("rx2"))
+      .select(col("x"), col("cnt"),
+        (lit(2) * (col("before") + 1) + col("cnt") - 1).as("rx2"))
     val ry = li.groupBy("y").agg(count(lit(1)).as("cnt"))
-    val ryRanked = graft.operators.PrefixSum.exclusiveRunningTotal(
-        ry, Seq(col("y")), col("cnt"), "before")
-      .select(col("y"), (lit(2) * (col("before") + 1) + col("cnt") - 1).as("ry2"))
-    li.join(broadcast(rxRanked), Seq("x")).join(ryRanked, Seq("y"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("rx2").cast("decimal(38,0)")).as("sx"),
-        sum(col("ry2").cast("decimal(38,0)")).as("sy"),
-        sum((col("rx2") * col("ry2")).cast("decimal(38,0)")).as("sxy"),
-        sum((col("rx2") * col("rx2")).cast("decimal(38,0)")).as("sxx"),
-        sum((col("ry2") * col("ry2")).cast("decimal(38,0)")).as("syy"))
+    // 16 prefix buckets instead of 64: the codegen'd bucket/offset
+    // when-chains compile 4x faster (janino cost scales with chain
+    // length) and 16-way parallelism already saturates the rank window
+    // for a by-value table this size
+    val ryRanked = graft.CacheScope.persisted(
+      graft.operators.PrefixSum.exclusiveRunningTotal(
+          ry, Seq(col("y")), col("cnt"), "before", buckets = 16)
+        .select(col("y"), col("cnt"),
+          (lit(2) * (col("before") + 1) + col("cnt") - 1).as("ry2")))
+    // n/Sx/Sxx and Sy/Syy fold over the BY-VALUE tables (weighting each
+    // rank by its multiplicity) — only the cross-moment Sxy genuinely
+    // needs the row-level (x,y) pairing, so exactly ONE decimal sum runs
+    // at row scale; the rest run at domain/vocabulary scale
+    val mx = rxRanked.agg(
+      sum(col("cnt")).cast("decimal(38,0)").as("n"),
+      sum((col("rx2") * col("cnt")).cast("decimal(38,0)")).as("sx"),
+      sum((col("rx2") * col("rx2")).cast("decimal(38,0)") * col("cnt"))
+        .as("sxx"))
+    val my = ryRanked.agg(
+      sum((col("ry2") * col("cnt")).cast("decimal(38,0)")).as("sy"),
+      sum((col("ry2") * col("ry2")).cast("decimal(38,0)") * col("cnt"))
+        .as("syy"))
+    val mxy = li.join(broadcast(rxRanked.select(col("x"), col("rx2"))), Seq("x"))
+      .join(ryRanked.select(col("y"), col("ry2")), Seq("y"))
+      .agg(sum((col("rx2") * col("ry2")).cast("decimal(38,0)")).as("sxy"))
+    mxy.crossJoin(broadcast(mx)).crossJoin(broadcast(my))
       .select(col("n").cast("bigint").as("n"),
         round(expr(
           """CAST(n * sxy - sx * sy AS DOUBLE) /
@@ -3659,6 +3680,62 @@ object CoreQueries {
       |    AS rows_at_risk
       |FROM cls, ks GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q169 — A/B two-proportion z-test: purchase-conversion rate of the
+    * deterministic variant split (user_id parity — the hash-bucket
+    * assignment an experimentation system uses) compared with the
+    * pooled-variance z statistic. Counts and the rate difference are
+    * exact integers/ppm; z itself is one fixed-shape double expression
+    * over the exact counts (q84/q156 convention, 6 dp):
+    *   z = (x1·n2 − x2·n1) / sqrt(x·(n − x)·n1·n2/n)
+    * with x = x1+x2, n = n1+n2 — the algebraic form that avoids
+    * intermediate ratios entirely.
+    *
+    * Scale shape: one map-combinable conditional-count aggregate over
+    * the event stream; everything after is a 1-row projection.
+    */
+  def twoProportionTest(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select((col("user_id") % 2).as("variant"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("x1"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("x2"))
+      .select(col("n1"), col("x1"), col("n2"), col("x2"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * x1 div n1 AS BIGINT)")
+          .as("p1_ppm"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * x2 div n2 AS BIGINT)")
+          .as("p2_ppm"),
+        round(expr(
+          """CAST(CAST(x1 AS DECIMAL(38,0)) * n2
+            |  - CAST(x2 AS DECIMAL(38,0)) * n1 AS DOUBLE) /
+            | sqrt(CAST(CAST(x1 + x2 AS DECIMAL(38,0))
+            |   * (n1 + n2 - x1 - x2) * n1 * n2 AS DOUBLE)
+            |   / CAST(n1 + n2 AS DOUBLE))""".stripMargin), 6).as("z"))
+
+  val twoProportionTestOracle: String =
+    """WITH a AS (
+      |  SELECT
+      |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n1,
+      |    sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+      |      THEN 1 ELSE 0 END) AS x1,
+      |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n2,
+      |    sum(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+      |      THEN 1 ELSE 0 END) AS x2
+      |  FROM events
+      |)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+      |  CAST(n2 AS BIGINT) AS n2, CAST(x2 AS BIGINT) AS x2,
+      |  CAST(CAST(1000000 AS HUGEINT) * x1 // n1 AS BIGINT) AS p1_ppm,
+      |  CAST(CAST(1000000 AS HUGEINT) * x2 // n2 AS BIGINT) AS p2_ppm,
+      |  round(CAST(CAST(x1 AS HUGEINT) * n2
+      |      - CAST(x2 AS HUGEINT) * n1 AS DOUBLE) /
+      |    sqrt(CAST(CAST(x1 + x2 AS HUGEINT)
+      |      * (n1 + n2 - x1 - x2) * n1 * n2 AS DOUBLE)
+      |      / CAST(n1 + n2 AS DOUBLE)), 6) AS z
+      |FROM a""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3747,6 +3824,7 @@ object CoreQueries {
     "q165_gini_spend" -> (giniSpend(_, _)),
     "q166_markov_transitions" -> (markovTransitions(_, _)),
     "q167_k_anonymity" -> (kAnonymity(_, _)),
+    "q169_two_proportion" -> (twoProportionTest(_, _)),
     "q141_hilbert_values" -> (hilbertValues(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
   )
@@ -3837,6 +3915,7 @@ object CoreQueries {
     "q165_gini_spend" -> giniSpendOracle,
     "q166_markov_transitions" -> markovTransitionsOracle,
     "q167_k_anonymity" -> kAnonymityOracle,
+    "q169_two_proportion" -> twoProportionTestOracle,
     "q141_hilbert_values" -> hilbertValuesOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
   )

@@ -3389,7 +3389,9 @@ object LlmQueries {
       .select(col("a.l_partkey").cast("bigint").as("pa"),
         col("b.l_partkey").cast("bigint").as("pb"))
     val e1d = graft.CacheScope.persisted(e1.distinct())
-    val labels = graft.operators.LabelPropagation.labels(e1, "pa", "pb", iters = 3)
+    // LPA dedupes/symmetrizes internally, so feeding the persisted
+    // distinct set is equivalent — and the orderkey self-join runs once
+    val labels = graft.operators.LabelPropagation.labels(e1d, "pa", "pb", iters = 3)
     val m = e1d.agg(count(lit(1)).as("m"))
     val sym = e1d.unionAll(e1d.select(col("pb").as("pa"), col("pa").as("pb")))
     val deg = sym.groupBy(col("pa").as("id")).agg(count(lit(1)).as("deg"))
@@ -3567,12 +3569,16 @@ object LlmQueries {
          |         AND element_at($in, i) = $r THEN NULL
          |    ELSE element_at($in, i) END),
          |  x -> x IS NOT NULL)""".stripMargin
-    val encoded = syms.crossJoin(broadcast(merges))
-      .withColumn("s1", expr(mergeExpr("sym", "`1_l`", "`1_r`")))
-      .withColumn("s2", expr(mergeExpr("s1", "`2_l`", "`2_r`")))
-      .withColumn("s3", expr(mergeExpr("s2", "`3_l`", "`3_r`")))
-      .withColumn("s4", expr(mergeExpr("s3", "`4_l`", "`4_r`")))
-    encoded.select(explode(col("s4")).as("symbol"))
+    // one MATERIALIZED stage per merge: higher-order transforms evaluate
+    // interpreted, and a chained s1→s2→s3→s4 projection re-evaluates
+    // each upstream transform at every element_at/size reference of the
+    // next stage — exponential recompute (measured: minutes vs ~2 s).
+    // Persisting each stage caps every merge at exactly one pass.
+    val encoded = (1 to 4).foldLeft(syms) { (df, k) =>
+      graft.CacheScope.persisted(df.crossJoin(broadcast(merges))
+        .select(expr(mergeExpr("sym", s"`${k}_l`", s"`${k}_r`")).as("sym")))
+    }
+    encoded.select(explode(col("sym")).as("symbol"))
       .groupBy("symbol").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("symbol"))
       .limit(20)
@@ -3769,6 +3775,51 @@ object LlmQueries {
        |    AS kappa
        |FROM ag, ch""".stripMargin
 
+  /** q168 — MRR retrieval evaluation: the rank of the first same-label
+    * neighbor per query under exact brute-force cosine ranking, and its
+    * reciprocal in ppm — the first-hit quality metric that complements
+    * the recall audits (q67/q105/q149 measure overlap@k; MRR measures
+    * how SOON the right answer appears). Aggregate-only rank
+    * derivation — see [[SimilarityOps.mrrFirstRelevant]] for why no
+    * rank window appears.
+    */
+  def mrrEval(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+        col("label").as("query_label"))
+    SimilarityOps.mrrFirstRelevant(q, e).orderBy("query_id")
+  }
+
+  val mrrEvalOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+      |    label AS qlabel
+      |  FROM embeddings WHERE vec_id < 10
+      |), s AS (
+      |  SELECT query_id, qlabel, vec_id, label,
+      |    round(list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])), 4) AS sim
+      |  FROM q, embeddings WHERE vec_id <> query_id
+      |), b AS (
+      |  SELECT query_id, sim AS bsim, vec_id AS bvec FROM (
+      |    SELECT query_id, sim, vec_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY sim DESC, vec_id) AS rn
+      |    FROM s WHERE label = qlabel) WHERE rn = 1
+      |), r AS (
+      |  SELECT s.query_id, any_value(s.qlabel) AS label,
+      |    CASE WHEN max(b.bsim) IS NULL THEN 0
+      |      ELSE 1 + sum(CASE WHEN s.sim > b.bsim
+      |        OR (s.sim = b.bsim AND s.vec_id < b.bvec) THEN 1 ELSE 0 END)
+      |      END AS first_rel_rank
+      |  FROM s LEFT JOIN b ON s.query_id = b.query_id
+      |  GROUP BY s.query_id
+      |)
+      |SELECT query_id, label, CAST(first_rel_rank AS BIGINT) AS first_rel_rank,
+      |  CAST(CASE WHEN first_rel_rank = 0 THEN 0
+      |    ELSE 1000000 // first_rel_rank END AS BIGINT) AS rr_ppm
+      |FROM r ORDER BY query_id""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3851,6 +3902,7 @@ object LlmQueries {
     "q161_bpe_encode" -> (bpeEncode(_, _)),
     "q162_classifier_eval" -> (classifierEval(_, _)),
     "q163_kappa" -> (kappaAgreement(_, _)),
+    "q168_mrr_eval" -> (mrrEval(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3933,5 +3985,6 @@ object LlmQueries {
     "q161_bpe_encode" -> bpeEncodeOracle,
     "q162_classifier_eval" -> classifierEvalOracle,
     "q163_kappa" -> kappaAgreementOracle,
+    "q168_mrr_eval" -> mrrEvalOracle,
   )
 }

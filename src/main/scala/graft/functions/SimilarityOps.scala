@@ -69,6 +69,41 @@ object SimilarityOps {
     rankTopK(scored, "query_id", "vec_id", k)
   }
 
+  /** Rank of the FIRST relevant result per query (relevant = corpus
+    * `label` equals the query's `query_label`) and its reciprocal —
+    * the ingredients of MRR, retrieval's standard first-hit metric.
+    * NO ranking window anywhere: the best relevant neighbor is a
+    * lexicographic max aggregate over (sim, −id), and its rank is
+    * 1 + count of strictly-better neighbors — two map-combinable
+    * aggregates, so a query's full candidate list never materializes in
+    * one partition (a rank window partitioned by query would put an
+    * entire corpus-sized partition behind each of the few queries).
+    * Queries broadcast; the corpus never shuffles. A query whose label
+    * never occurs elsewhere reports rank 0 / rr 0.
+    */
+  def mrrFirstRelevant(queries: DataFrame, corpus: DataFrame): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("sim", round(cosine(col("query_vec"), col("embedding")), 4))
+    val best = scored.filter(col("label") === col("query_label"))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("sim"), (-col("vec_id")).as("nv"))).as("b"))
+      .select(col("query_id"), col("b.sim").as("bsim"),
+        (-col("b.nv")).as("bvec"))
+    scored.join(broadcast(best), Seq("query_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(first(col("query_label")).as("label"),
+        when(first(col("bsim")).isNull, 0L)
+          .otherwise(sum(when(col("sim") > col("bsim") ||
+              (col("sim") === col("bsim") && col("vec_id") < col("bvec")), 1L)
+            .otherwise(0L)) + 1)
+          .as("first_rel_rank"))
+      .select(col("query_id"), col("label"),
+        col("first_rel_rank").cast("bigint").as("first_rel_rank"),
+        expr("CASE WHEN first_rel_rank = 0 THEN CAST(0 AS BIGINT)" +
+          " ELSE CAST(1000000 div first_rel_rank AS BIGINT) END").as("rr_ppm"))
+  }
+
   /** Brute-force EXACT squared-L2 top-k — the truth baseline for
     * L2-metric indexes (IVF-PQ ranks by L2, so its recall audit must
     * compare against L2 truth, not cosine truth: the two metrics rank
