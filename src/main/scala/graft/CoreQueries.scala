@@ -3736,6 +3736,235 @@ object CoreQueries {
       |      / CAST(n1 + n2 AS DOUBLE)), 6) AS z
       |FROM a""".stripMargin
 
+  /** q170 — expected-calibration-error bins: a model-score reliability
+    * diagram over the event stream, the standard audit before a
+    * predicted propensity is trusted for ranking or routing (and the
+    * same shape a training pipeline uses to calibrate a quality
+    * classifier's scores before thresholding a corpus gate on them).
+    * The pseudo-score is a fixed monotone map of the event value
+    * (floor(value·2000) ppm, clamped) so both engines derive the
+    * identical integer confidence; per decile bin the observed purchase
+    * rate (acc_ppm), mean claimed confidence (conf_ppm) and their gap
+    * are exact integer ppm.
+    *
+    * Scale shape: one map-combinable 10-group aggregate over a scan;
+    * confidence sums ride DECIMAL(38,0) (ppm·rows wraps BIGINT near
+    * 10^13 rows of one bin). No window, no join.
+    */
+  def eceCalibration(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(
+        least(expr("CAST(floor(value * 2000) AS BIGINT)"), lit(999999L))
+          .as("conf_ppm"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy(expr("conf_ppm div 100000").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("pos"),
+        sum(col("conf_ppm").cast("decimal(38,0)")).as("conf_sum"))
+      .select(col("bin"), col("n"), col("pos").cast("bigint").as("pos"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * pos div n AS BIGINT)")
+          .as("acc_ppm"),
+        expr("CAST(conf_sum div n AS BIGINT)").as("conf_avg_ppm"),
+        expr("""CAST(abs(CAST(1000000 AS DECIMAL(38,0)) * pos div n
+               |  - conf_sum div n) AS BIGINT)""".stripMargin).as("gap_ppm"))
+      .orderBy("bin")
+
+  val eceCalibrationOracle: String =
+    """WITH e AS (
+      |  SELECT least(CAST(floor(value * 2000) AS BIGINT), 999999) AS conf_ppm,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      |  FROM events
+      |), b AS (
+      |  SELECT conf_ppm // 100000 AS bin, count(*) AS n, sum(pos) AS pos,
+      |    CAST(sum(conf_ppm) AS HUGEINT) AS conf_sum
+      |  FROM e GROUP BY 1
+      |)
+      |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+      |  CAST(pos AS BIGINT) AS pos,
+      |  CAST(CAST(1000000 AS HUGEINT) * pos // n AS BIGINT) AS acc_ppm,
+      |  CAST(conf_sum // n AS BIGINT) AS conf_avg_ppm,
+      |  CAST(abs(CAST(1000000 AS HUGEINT) * pos // n - conf_sum // n)
+      |    AS BIGINT) AS gap_ppm
+      |FROM b ORDER BY bin""".stripMargin
+
+  /** q171 — bucketed table checksum: a 256-bucket content fingerprint of
+    * the lineitem fact (per bucket: row count and the commutative sum of
+    * a 48-bit md5-derived row digest, folded mod 2^62), the integrity
+    * primitive behind replication audits, migration sign-offs, and
+    * cheap "did these two 100 TB copies diverge, and in which shard?"
+    * comparisons — two tables differ iff some bucket row differs, and
+    * the bucket id localizes the diff to 1/256 of the data.
+    *
+    * Scale shape: the digest sum is commutative-associative, so the
+    * whole checksum is ONE map-combinable aggregate over a scan — no
+    * sort, no collect, no per-bucket materialization of rows (the
+    * classic Merkle string-concat formulation would single-partition
+    * each bucket's rows; the modular sum keeps it embarrassingly
+    * parallel while detecting any single-row change).
+    */
+  def tableChecksum(s: SparkSession, d: String): DataFrame = {
+    val digest = md5(concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("bigint"), col("l_returnflag")))
+    t(s, d, "lineitem")
+      .select(
+        conv(substring(digest, 1, 2), 16, 10).cast("bigint").as("bucket"),
+        conv(substring(digest, 3, 12), 16, 10).cast("bigint").as("v48"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("v48").cast("decimal(38,0)")).as("vsum"))
+      .select(col("bucket"), col("n_rows"),
+        expr("CAST(vsum % 4611686018427387904 AS BIGINT)").as("checksum"))
+      .orderBy("bucket")
+  }
+
+  val tableChecksumOracle: String =
+    """WITH r AS (
+      |  SELECT md5(CAST(l_orderkey AS VARCHAR) || '|'
+      |    || CAST(l_linenumber AS VARCHAR) || '|'
+      |    || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '|'
+      |    || l_returnflag) AS h
+      |  FROM lineitem
+      |), v AS (
+      |  SELECT CAST('0x' || substr(h, 1, 2) AS BIGINT) AS bucket,
+      |    CAST('0x' || substr(h, 3, 12) AS BIGINT) AS v48
+      |  FROM r
+      |)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(CAST(sum(CAST(v48 AS HUGEINT)) AS HUGEINT)
+      |    % 4611686018427387904 AS BIGINT) AS checksum
+      |FROM v GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** q172 — seasonal-naive forecast evaluation (MASE): score the
+    * week-ago forecast of daily revenue against the one-day-naive
+    * scale, the standard first benchmark any demand-forecast model must
+    * beat. Daily revenue is summed in exact cents; both error sums are
+    * exact integers and MASE = (sae7/n7)/(sae1/n1) is emitted as ppm
+    * through a DECIMAL(38,0) cross-multiplication — bit-stable at any
+    * parallelism.
+    *
+    * Scale shape: one map-combinable daily rollup (bounded by the DATE
+    * DOMAIN, ~2.5k rows), then two equality self-joins on shifted dates
+    * — no window over raw rows, and the lag structure is join-shaped so
+    * a per-series partitioned version scales to millions of series.
+    */
+  def seasonalMase(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "lineitem")
+      .groupBy(col("l_shipdate").cast("date").as("dt"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast("decimal(38,0)").as("rev_c"))
+    val cur = daily.select(col("dt"), col("rev_c"))
+    val lag7 = daily.select(date_add(col("dt"), 7).as("dt"),
+      col("rev_c").as("rev_c7"))
+    val lag1 = daily.select(date_add(col("dt"), 1).as("dt"),
+      col("rev_c").as("rev_c1"))
+    cur.join(lag7, Seq("dt"), "left").join(lag1, Seq("dt"), "left")
+      .agg(
+        sum(when(col("rev_c7").isNotNull, 1L).otherwise(0L)).as("n7"),
+        sum(when(col("rev_c7").isNotNull, abs(col("rev_c") - col("rev_c7")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("sae7_c"),
+        sum(when(col("rev_c1").isNotNull, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("rev_c1").isNotNull, abs(col("rev_c") - col("rev_c1")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("sae1_c"))
+      .select(col("n7").cast("bigint").as("n7"),
+        col("sae7_c").cast("bigint").as("sae7_c"),
+        col("n1").cast("bigint").as("n1"),
+        col("sae1_c").cast("bigint").as("sae1_c"),
+        expr("""CAST(CAST(1000000 AS DECIMAL(38,0)) * sae7_c * n1
+               |  div (CAST(n7 AS DECIMAL(38,0)) * sae1_c) AS BIGINT)"""
+          .stripMargin).as("mase_ppm"))
+  }
+
+  val seasonalMaseOracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS dt,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+      |      AS HUGEINT) AS rev_c
+      |  FROM lineitem GROUP BY 1
+      |), j AS (
+      |  SELECT c.dt, c.rev_c, l7.rev_c AS rev_c7, l1.rev_c AS rev_c1
+      |  FROM daily c
+      |  LEFT JOIN daily l7 ON c.dt = l7.dt + 7
+      |  LEFT JOIN daily l1 ON c.dt = l1.dt + 1
+      |), a AS (
+      |  SELECT
+      |    sum(CASE WHEN rev_c7 IS NOT NULL THEN 1 ELSE 0 END) AS n7,
+      |    sum(CASE WHEN rev_c7 IS NOT NULL THEN abs(rev_c - rev_c7)
+      |      ELSE 0 END) AS sae7_c,
+      |    sum(CASE WHEN rev_c1 IS NOT NULL THEN 1 ELSE 0 END) AS n1,
+      |    sum(CASE WHEN rev_c1 IS NOT NULL THEN abs(rev_c - rev_c1)
+      |      ELSE 0 END) AS sae1_c
+      |  FROM j
+      |)
+      |SELECT CAST(n7 AS BIGINT) AS n7, CAST(sae7_c AS BIGINT) AS sae7_c,
+      |  CAST(n1 AS BIGINT) AS n1, CAST(sae1_c AS BIGINT) AS sae1_c,
+      |  CAST(CAST(1000000 AS HUGEINT) * sae7_c * n1
+      |    // (CAST(n7 AS HUGEINT) * sae1_c) AS BIGINT) AS mase_ppm
+      |FROM a""".stripMargin
+
+  /** q173 — sole-late-supplier attribution (the TPC-H Q21 plan shape on
+    * this schema): in multi-supplier orders, find the supplier whose
+    * line shipped late (> 60 days after the order date) while EVERY
+    * other supplier in the order shipped on time — the unambiguous
+    * bottleneck. The classic formulation is EXISTS(other supplier) AND
+    * NOT EXISTS(other late supplier); here the two correlated
+    * subqueries collapse into one per-(order, supplier) aggregate
+    * joined to a per-order supplier/late-supplier count — same
+    * semantics, one fewer pass over the fact.
+    *
+    * Scale shape: one orders⋈lineitem equality join (the date lives on
+    * orders, broadcast-joinable side is the small projection), two
+    * map-combinable aggregates keyed by (order, supplier) then order,
+    * and a broadcast of the per-order counts back onto per-supplier
+    * rows. Top-10 is a TakeOrdered, not a global sort.
+    */
+  def soleLateSupplier(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_shipdate").cast("date").as("ship_date"))
+      .join(t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderdate").cast("date")
+            .as("order_date")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("ship_date") > date_add(col("order_date"), 60)).as("late"))
+    val perSupp = li.groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("late"), 1L).otherwise(0L)).as("any_late"))
+    val perOrder = perSupp.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"), sum(col("any_late")).as("n_late"))
+    perSupp.filter(col("any_late") === 1)
+      .join(perOrder.filter(col("n_supp") > 1 && col("n_late") === 1),
+        Seq("l_orderkey"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(t(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+  val soleLateSupplierOracle: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    CASE WHEN CAST(l_shipdate AS DATE)
+      |      > CAST(o_orderdate AS DATE) + 60 THEN 1 ELSE 0 END AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), per_supp AS (
+      |  SELECT l_orderkey, l_suppkey, max(late) AS any_late
+      |  FROM li GROUP BY 1, 2
+      |), per_order AS (
+      |  SELECT l_orderkey, count(*) AS n_supp, sum(any_late) AS n_late
+      |  FROM per_supp GROUP BY 1
+      |)
+      |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM per_supp
+      |JOIN per_order USING (l_orderkey)
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE any_late = 1 AND n_supp > 1 AND n_late = 1
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3827,6 +4056,10 @@ object CoreQueries {
     "q169_two_proportion" -> (twoProportionTest(_, _)),
     "q141_hilbert_values" -> (hilbertValues(_, _)),
     "q82_cohort_retention" -> (cohortRetention(_, _)),
+    "q170_ece_calibration" -> (eceCalibration(_, _)),
+    "q171_table_checksum" -> (tableChecksum(_, _)),
+    "q172_seasonal_mase" -> (seasonalMase(_, _)),
+    "q173_sole_late_supplier" -> (soleLateSupplier(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3918,5 +4151,9 @@ object CoreQueries {
     "q169_two_proportion" -> twoProportionTestOracle,
     "q141_hilbert_values" -> hilbertValuesOracle,
     "q82_cohort_retention" -> cohortRetentionOracle,
+    "q170_ece_calibration" -> eceCalibrationOracle,
+    "q171_table_checksum" -> tableChecksumOracle,
+    "q172_seasonal_mase" -> seasonalMaseOracle,
+    "q173_sole_late_supplier" -> soleLateSupplierOracle,
   )
 }
