@@ -3820,6 +3820,276 @@ object LlmQueries {
       |    ELSE 1000000 // first_rel_rank END AS BIGINT) AS rr_ppm
       |FROM r ORDER BY query_id""".stripMargin
 
+  /** q174 — content-defined chunking dedup (the FastCDC/rsync family,
+    * per-token): chunk boundaries are placed where the TOKEN's own hash
+    * hits `h % 16 == 0`, so an insertion early in a document shifts only
+    * the chunk it lands in — unlike q69's fixed windows, where one
+    * added token re-hashes every downstream chunk. Per document:
+    * variable chunks, the chunks shared with ≥2 docs, and the token
+    * mass those shared chunks cover (what a CDC-level dedup store would
+    * save). Planted near-duplicate docs make sharing non-trivial.
+    *
+    * Scale shape: boundary detection is a scan-local codegen'd hash on
+    * each token (no cross-row state — that is the POINT of CDC); the
+    * running chunk id is a per-document window (bounded by document
+    * length, the q70 convention); chunk membership aggregates by
+    * (doc, chunk); sharing is one groupBy on the chunk digest — an
+    * equality join on a bounded key, never all-pairs.
+    */
+  def cdcChunks(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(s, d)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("bnd",
+        when(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("bigint")
+          % 16 === 0, 1L).otherwise(0L))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunks = toks.withColumn("chunk", sum(col("bnd")).over(w))
+      .groupBy("doc_id", "chunk")
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("""md5(array_join(transform(
+               |  array_sort(collect_list(struct(pos, tok))),
+               |  x -> x.tok), ' '))""".stripMargin).as("chunk_md5"))
+    val sharing = chunks.groupBy("chunk_md5")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    chunks.join(sharing, Seq("chunk_md5"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"),
+        sum(when(col("nd") > 1, col("n_tokens")).otherwise(0L))
+          .as("shared_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val cdcChunksOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents
+      |), p AS (
+      |  SELECT doc_id, i AS pos, t[i] AS tok,
+      |    CASE WHEN CAST('0x' || substr(md5(t[i]), 1, 8) AS BIGINT) % 16 = 0
+      |      THEN 1 ELSE 0 END AS bnd
+      |  FROM tok, UNNEST(range(1, len(t) + 1)) AS u(i)
+      |), c AS (
+      |  SELECT doc_id, pos, tok,
+      |    sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk
+      |  FROM p
+      |), ch AS (
+      |  SELECT doc_id, chunk, count(*) AS n_tokens,
+      |    md5(array_to_string(list(tok ORDER BY pos), ' ')) AS chunk_md5
+      |  FROM c GROUP BY doc_id, chunk
+      |), sh AS (
+      |  SELECT chunk_md5, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      |  CAST(sum(CASE WHEN nd > 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+      |    AS shared_tokens
+      |FROM ch JOIN sh USING (chunk_md5)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q175 — curriculum interleave order: emit the first rows of a
+    * training order that walks sources round-robin, each source
+    * internally ranked by descending length (the "quality first, but
+    * never two of the same source adjacent" ordering data-mixing
+    * pipelines feed to sequential trainers). Global position
+    * `(rank_in_source − 1)·k + source_index` is exact integer
+    * arithmetic over per-source ranks.
+    *
+    * Scale shape: the source list is a bounded collect (mixture
+    * weights' q57 convention); per-source ranks come from the bucketed
+    * [[graft.operators.PrefixSum]] — NOT a window partitioned by
+    * source, which would put each source's entire corpus slice in one
+    * task at 100 TB. One union of k prefix-summed scans, then a top-N.
+    */
+  def curriculumInterleave(s: SparkSession, d: String): DataFrame = {
+    val base = graft.CacheScope.persisted(
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars")))
+    val sources = base.select("source").distinct()
+      .collect().map(_.getString(0)).sorted
+    val k = sources.length
+    val ranked = sources.zipWithIndex.map { case (src, i) =>
+      graft.operators.PrefixSum.exclusiveRunningTotal(
+          base.filter(col("source") === src)
+            .withColumn("neg_len", -col("n_chars")),
+          Seq(col("neg_len"), col("doc_id")), lit(1L), "before")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (col("before") * k + i).cast("bigint").as("position"))
+    }.reduce(_ unionAll _)
+    ranked.orderBy("position").limit(40)
+  }
+
+  val curriculumInterleaveOracle: String =
+    """WITH src AS (
+      |  SELECT source, row_number() OVER (ORDER BY source) - 1 AS sidx
+      |  FROM (SELECT DISTINCT source FROM documents)
+      |), k AS (SELECT count(*) AS k FROM src),
+      |r AS (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) - 1 AS rk
+      |  FROM documents
+      |)
+      |SELECT doc_id, source, n_chars,
+      |  CAST(rk * k.k + src.sidx AS BIGINT) AS position
+      |FROM r JOIN src USING (source), k
+      |ORDER BY position LIMIT 40""".stripMargin
+
+  /** q176 — deterministic negative sampling for contrastive training:
+    * each document draws 3 negatives from a bounded per-bucket
+    * candidate pool (64 buckets × 8 pool docs, selected by hash rank),
+    * excluding same-source candidates — the in-batch-negatives
+    * alternative a retrieval-training pipeline uses when batches can't
+    * span the corpus. Selection and ranking are pure md5 arithmetic:
+    * same result at any parallelism, and an epoch key in the seed
+    * string would yield fresh negatives per epoch.
+    *
+    * Scale shape: the pool is a per-bucket top-k (WindowGroupLimit —
+    * partial top-k map-side, never a full per-bucket sort) bounded at
+    * 512 rows, broadcast onto the anchor scan; per-anchor ranking
+    * windows run over ≤ 8 candidate rows. No self-join of the corpus
+    * against itself.
+    */
+  def negativeSampling(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, d).select(col("doc_id"), col("source"))
+    val pool = base
+      .withColumn("bucket", col("doc_id") % 64)
+      .withColumn("pk", md5(concat(lit("pool-v1|"),
+        col("doc_id").cast("string"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("bucket").orderBy(col("pk"), col("doc_id"))))
+      .filter(col("rn") <= 8)
+      .select(col("bucket"), col("doc_id").as("cand_id"),
+        col("source").as("cand_source"))
+    base
+      .join(broadcast(pool), (col("doc_id") % 64) === col("bucket"))
+      .filter(col("cand_id") =!= col("doc_id")
+        && col("cand_source") =!= col("source"))
+      .withColumn("nk", md5(concat(lit("neg-v1|"),
+        col("doc_id").cast("string"), lit("|"),
+        col("cand_id").cast("string"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("nk"), col("cand_id"))))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("cand_id").as("neg_id"),
+        col("rk").cast("bigint").as("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val negativeSamplingOracle: String =
+    """WITH pool AS (
+      |  SELECT bucket, doc_id AS cand_id, source AS cand_source FROM (
+      |    SELECT doc_id % 64 AS bucket, doc_id, source,
+      |      row_number() OVER (PARTITION BY doc_id % 64
+      |        ORDER BY md5('pool-v1|' || CAST(doc_id AS VARCHAR)), doc_id)
+      |        AS rn
+      |    FROM documents) WHERE rn <= 8
+      |), cand AS (
+      |  SELECT d.doc_id, p.cand_id,
+      |    row_number() OVER (PARTITION BY d.doc_id
+      |      ORDER BY md5('neg-v1|' || CAST(d.doc_id AS VARCHAR) || '|'
+      |        || CAST(p.cand_id AS VARCHAR)), p.cand_id) AS rk
+      |  FROM documents d JOIN pool p ON d.doc_id % 64 = p.bucket
+      |  WHERE p.cand_id <> d.doc_id AND p.cand_source <> d.source
+      |)
+      |SELECT doc_id, cand_id AS neg_id, CAST(rk AS BIGINT) AS rk
+      |FROM cand WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  /** q177 — KMV (k-minimum-values) distinct sketch: per event type, the
+    * 64 smallest md5-derived 48-bit user hashes estimate distinct users
+    * as `(k−1)·2⁴⁸ div h_k`; the '__all' row is built by MERGING the
+    * five per-type sketches (k smallest of the union of k-sets — for
+    * KMV the merge is exactly the sketch of the union, which the row's
+    * agreement with the exact global count demonstrates). Groups with
+    * fewer than k distinct hashes report their sketch size exactly, per
+    * the estimator's definition. Exact-count columns audit the error in
+    * ppm.
+    *
+    * Scale shape: the per-group sketch is a rank-≤k window over the
+    * DISTINCT hash set (WindowGroupLimit — partial top-k before any
+    * exchange), the merge touches ≤ groups·k rows, and the exact
+    * audit is Spark's two-stage distinct aggregate. Driver traffic is
+    * zero; at 100 TB the sketch column is what you'd persist per
+    * partition and fold.
+    */
+  def kmvDistinct(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 64
+    val ev = graft.CacheScope.persisted(Tables.events(s, d)
+      .select(col("event_type"),
+        col("user_id"),
+        conv(substring(md5(concat(lit("kmv-v1|"),
+          col("user_id").cast("string"))), 1, 12), 16, 10)
+          .cast("bigint").as("h")))
+    val tops = graft.CacheScope.persisted(ev.select("event_type", "h").distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")))
+      .filter(col("rn") <= K))
+    val merged = tops.select("h").distinct().orderBy("h").limit(K)
+      .select(lit("__all").as("event_type"), col("h"))
+    val sk = tops.select("event_type", "h").unionAll(merged)
+      .groupBy("event_type")
+      .agg(max(col("h")).as("h_k"), count(lit(1)).as("k_used"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+      .unionAll(ev.agg(countDistinct(col("user_id")).as("n_exact"))
+        .select(lit("__all").as("event_type"), col("n_exact")))
+    sk.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_exact").cast("bigint").as("n_exact"),
+        col("k_used").cast("bigint").as("k_used"), col("h_k"),
+        expr(s"""CASE WHEN k_used < $K THEN k_used
+                |  ELSE CAST((CAST(k_used AS DECIMAL(38,0)) - 1)
+                |    * 281474976710656 div h_k AS BIGINT) END"""
+          .stripMargin).as("est"),
+        expr(s"""CAST(CAST(1000000 AS DECIMAL(38,0))
+                |  * abs((CASE WHEN k_used < $K THEN k_used
+                |      ELSE CAST((CAST(k_used AS DECIMAL(38,0)) - 1)
+                |        * 281474976710656 div h_k AS BIGINT) END) - n_exact)
+                |  div n_exact AS BIGINT)""".stripMargin).as("err_ppm"))
+      .orderBy("event_type")
+  }
+
+  val kmvDistinctOracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, user_id,
+      |    CAST('0x' || substr(md5('kmv-v1|' || CAST(user_id AS VARCHAR)),
+      |      1, 12) AS BIGINT) AS h
+      |  FROM events
+      |), dh AS (SELECT DISTINCT event_type, h FROM ev),
+      |tops AS (
+      |  SELECT event_type, h FROM (
+      |    SELECT event_type, h,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |    FROM dh) WHERE rn <= 64
+      |), merged AS (
+      |  SELECT '__all' AS event_type, h
+      |  FROM (SELECT DISTINCT h FROM tops ORDER BY h LIMIT 64)
+      |), sk AS (
+      |  SELECT event_type, max(h) AS h_k, count(*) AS k_used
+      |  FROM (SELECT * FROM tops UNION ALL SELECT * FROM merged)
+      |  GROUP BY event_type
+      |), ex AS (
+      |  SELECT event_type, count(DISTINCT user_id) AS n_exact FROM ev
+      |  GROUP BY event_type
+      |  UNION ALL
+      |  SELECT '__all', count(DISTINCT user_id) FROM ev
+      |), j AS (
+      |  SELECT event_type, n_exact, k_used, h_k,
+      |    CASE WHEN k_used < 64 THEN k_used
+      |      ELSE CAST((CAST(k_used AS HUGEINT) - 1)
+      |        * 281474976710656 // h_k AS BIGINT) END AS est
+      |  FROM sk JOIN ex USING (event_type)
+      |)
+      |SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
+      |  CAST(k_used AS BIGINT) AS k_used, h_k, CAST(est AS BIGINT) AS est,
+      |  CAST(CAST(1000000 AS HUGEINT) * abs(est - n_exact) // n_exact
+      |    AS BIGINT) AS err_ppm
+      |FROM j ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3903,6 +4173,10 @@ object LlmQueries {
     "q162_classifier_eval" -> (classifierEval(_, _)),
     "q163_kappa" -> (kappaAgreement(_, _)),
     "q168_mrr_eval" -> (mrrEval(_, _)),
+    "q174_cdc_chunks" -> (cdcChunks(_, _)),
+    "q175_curriculum_interleave" -> (curriculumInterleave(_, _)),
+    "q176_negative_sampling" -> (negativeSampling(_, _)),
+    "q177_kmv_distinct" -> (kmvDistinct(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3986,5 +4260,9 @@ object LlmQueries {
     "q162_classifier_eval" -> classifierEvalOracle,
     "q163_kappa" -> kappaAgreementOracle,
     "q168_mrr_eval" -> mrrEvalOracle,
+    "q174_cdc_chunks" -> cdcChunksOracle,
+    "q175_curriculum_interleave" -> curriculumInterleaveOracle,
+    "q176_negative_sampling" -> negativeSamplingOracle,
+    "q177_kmv_distinct" -> kmvDistinctOracle,
   )
 }
