@@ -3965,6 +3965,201 @@ object CoreQueries {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
 
+  /** q178 — Krippendorff's alpha (nominal): chance-corrected agreement
+    * treating each order as a unit and its line-level return flags as
+    * independent ratings — the generalization of q163's kappa to
+    * variable raters per unit, the metric label-quality audits report
+    * when annotation counts differ per item. Per-unit disagreement
+    * rides a ×10⁹ integer scale before the (n_u−1) divide (floor
+    * division agrees across engines), so alpha_ppm is bit-stable.
+    *
+    * Scale shape: two map-combinable aggregates — (unit, category)
+    * counts then per-unit moments (Σ_c n_uc(n_u−n_uc) = n_u² − Σ n_uc²,
+    * no second pass over rows) — a broadcast semi-join for the
+    * pairable-unit category totals, and scalar folds. No window.
+    */
+  def krippendorffAlpha(s: SparkSession, d: String): DataFrame = {
+    val nuc = graft.CacheScope.persisted(
+      t(s, d, "lineitem").groupBy(col("l_orderkey"), col("l_returnflag"))
+        .agg(count(lit(1)).as("nuc")))
+    val units = graft.CacheScope.persisted(
+      nuc.groupBy("l_orderkey")
+        .agg(sum(col("nuc")).as("nu"), sum(col("nuc") * col("nuc")).as("s2"))
+        .filter(col("nu") >= 2))
+    val perUnit = units.agg(
+      count(lit(1)).as("n_units"), sum(col("nu")).as("n_val"),
+      sum(expr("""CAST(CAST(nu * nu - s2 AS DECIMAL(38,0)) * 1000000000
+                 |  div (nu - 1) AS DECIMAL(38,0))""".stripMargin))
+        .as("do_scaled"))
+    val catTotals = nuc
+      .join(units.select("l_orderkey"), Seq("l_orderkey"), "left_semi")
+      .groupBy("l_returnflag").agg(sum(col("nuc")).as("nc"))
+    val de = catTotals.crossJoin(broadcast(perUnit.select(col("n_val"))))
+      .agg(sum(expr("CAST(nc AS DECIMAL(38,0)) * (n_val - nc)")).as("de_num"))
+    perUnit.crossJoin(broadcast(de))
+      .select(col("n_units").cast("bigint").as("n_units"),
+        col("n_val").cast("bigint").as("n_val"),
+        col("do_scaled").cast("bigint").as("do_scaled"),
+        col("de_num").cast("bigint").as("de_num"),
+        expr("""CAST(1000000 - CAST(1000000 AS DECIMAL(38,0)) * do_scaled
+               |  * (n_val - 1) div (CAST(1000000000 AS DECIMAL(38,0))
+               |  * de_num) AS BIGINT)""".stripMargin).as("alpha_ppm"))
+  }
+
+  val krippendorffAlphaOracle: String =
+    """WITH nuc AS (
+      |  SELECT l_orderkey, l_returnflag, count(*) AS nuc
+      |  FROM lineitem GROUP BY 1, 2
+      |), units AS (
+      |  SELECT l_orderkey, sum(nuc) AS nu, sum(nuc * nuc) AS s2
+      |  FROM nuc GROUP BY 1 HAVING sum(nuc) >= 2
+      |), per_unit AS (
+      |  SELECT count(*) AS n_units, sum(nu) AS n_val,
+      |    sum(CAST(nu * nu - s2 AS HUGEINT) * 1000000000 // (nu - 1))
+      |      AS do_scaled
+      |  FROM units
+      |), cat AS (
+      |  SELECT l_returnflag, sum(nuc) AS nc FROM nuc
+      |  WHERE l_orderkey IN (SELECT l_orderkey FROM units)
+      |  GROUP BY 1
+      |), de AS (
+      |  SELECT sum(CAST(nc AS HUGEINT) * (n_val - nc)) AS de_num
+      |  FROM cat, per_unit
+      |)
+      |SELECT CAST(n_units AS BIGINT) AS n_units,
+      |  CAST(n_val AS BIGINT) AS n_val,
+      |  CAST(do_scaled AS BIGINT) AS do_scaled,
+      |  CAST(de_num AS BIGINT) AS de_num,
+      |  CAST(1000000 - CAST(1000000 AS HUGEINT) * do_scaled * (n_val - 1)
+      |    // (CAST(1000000000 AS HUGEINT) * de_num) AS BIGINT) AS alpha_ppm
+      |FROM per_unit, de""".stripMargin
+
+  /** q179 — journey pattern matching: encode each user's full ordered
+    * event-type sequence as an initial-letter string and count users
+    * matching behavioral regexes (view→…→purchase, click→…→signup,
+    * error-before-purchase) — the MATCH_RECOGNIZE-style sequence
+    * analysis funnels (q81) can't express, because the pattern spans
+    * arbitrary gaps. Ordering is the total (ts, event_id) key, so the
+    * encoded string is deterministic under ties.
+    *
+    * Scale shape: one groupBy-user ordered collect (per-user event
+    * counts are activity-bounded — the q86/q119 convention), then a
+    * scan-local regex per bounded pattern (broadcast 3-row pattern
+    * list). The corpus-size dimension never enters a window.
+    */
+  def journeyPatterns(s: SparkSession, d: String): DataFrame = {
+    val seqs = t(s, d, "events")
+      .groupBy("user_id")
+      .agg(expr("""array_join(transform(
+                  |  array_sort(collect_list(struct(ts, event_id, event_type))),
+                  |  x -> substring(x.event_type, 1, 1)), '')""".stripMargin)
+        .as("seq"))
+    val pats = s.createDataFrame(Seq(
+        ("view_then_purchase", "v.*p"),
+        ("click_then_signup", "c.*s"),
+        ("error_before_purchase", "e.*p")))
+      .toDF("pattern", "re")
+    seqs.crossJoin(broadcast(pats))
+      .groupBy("pattern")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(expr("seq rlike re"), 1L).otherwise(0L))
+          .as("n_matching"))
+      .orderBy("pattern")
+  }
+
+  val journeyPatternsOracle: String =
+    """WITH s AS (
+      |  SELECT user_id,
+      |    array_to_string(list(substr(event_type, 1, 1)
+      |      ORDER BY ts, event_id), '') AS seq
+      |  FROM events GROUP BY user_id
+      |), p AS (
+      |  SELECT * FROM (VALUES
+      |    ('view_then_purchase', 'v.*p'),
+      |    ('click_then_signup', 'c.*s'),
+      |    ('error_before_purchase', 'e.*p')) AS v(pattern, re)
+      |)
+      |SELECT pattern, CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(CASE WHEN regexp_matches(seq, re) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_matching
+      |FROM s, p GROUP BY pattern ORDER BY pattern""".stripMargin
+
+  /** q180 — Poisson-bootstrap confidence interval for mean order value:
+    * 64 deterministic pseudo-replicates, each reweighting every order
+    * by hash-derived multiplicity {0,1,2} (the Poisson bootstrap — the
+    * resampling scheme that works on a distributed scan, since classic
+    * bootstrap's fixed-n resample needs global coordination). Replicate
+    * means are exact integer cents; the interval is the nearest-rank
+    * p05/p95 over the 64 replicate means.
+    *
+    * Scale shape: the 64× expansion is a scan-side explode folded
+    * immediately into a 64-group map-combinable aggregate (partial
+    * aggregation reduces each partition to ≤64 rows before the
+    * exchange); the rank step runs over exactly 64 rows. At 100 TB
+    * this is one pass over the data, ~nothing shuffled.
+    */
+  def poissonBootstrap(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 64
+    val reps = t(s, d, "orders")
+      .select(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("cents"), col("o_orderkey"))
+      .select(col("cents"), col("o_orderkey"),
+        explode(sequence(lit(0), lit(B - 1))).as("b"))
+      .withColumn("w",
+        conv(substring(md5(concat(lit("boot-v1|"), col("b").cast("string"),
+          lit("|"), col("o_orderkey").cast("string"))), 1, 4), 16, 10)
+          .cast("bigint") % 3)
+      .groupBy("b")
+      .agg(sum(col("w")).as("sw"),
+        sum((col("w") * col("cents")).cast("decimal(38,0)")).as("swx"))
+      .select(col("b"),
+        expr("CAST(swx div sw AS BIGINT)").as("mean_c"))
+    val ranked = reps.withColumn("rn",
+      row_number().over(Window.orderBy(col("mean_c"), col("b"))))
+    ranked.agg(count(lit(1)).as("n_reps"),
+        min(col("mean_c")).as("boot_min_c"),
+        max(col("mean_c")).as("boot_max_c"),
+        max(when(col("rn") === 4, col("mean_c"))).as("boot_lo_c"),
+        max(when(col("rn") === 61, col("mean_c"))).as("boot_hi_c"))
+      .crossJoin(broadcast(t(s, d, "orders").agg(
+        expr("""CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               |  AS DECIMAL(38,0))) div count(*) AS BIGINT)""".stripMargin)
+          .as("mean_c"))))
+      .select(col("n_reps"), col("mean_c"), col("boot_lo_c"),
+        col("boot_hi_c"), col("boot_min_c"), col("boot_max_c"))
+  }
+
+  val poissonBootstrapOracle: String =
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders
+      |), r AS (
+      |  SELECT b.b, o.cents,
+      |    CAST('0x' || substr(md5('boot-v1|' || CAST(b.b AS VARCHAR) || '|'
+      |      || CAST(o.o_orderkey AS VARCHAR)), 1, 4) AS BIGINT) % 3 AS w
+      |  FROM o, (SELECT unnest(range(0, 64)) AS b) b
+      |), m AS (
+      |  SELECT b, CAST(CAST(sum(w * cents) AS HUGEINT) // sum(w) AS BIGINT)
+      |    AS mean_c
+      |  FROM r GROUP BY b
+      |), rk AS (
+      |  SELECT mean_c, row_number() OVER (ORDER BY mean_c, b) AS rn FROM m
+      |), agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_reps,
+      |    min(mean_c) AS boot_min_c, max(mean_c) AS boot_max_c,
+      |    max(CASE WHEN rn = 4 THEN mean_c END) AS boot_lo_c,
+      |    max(CASE WHEN rn = 61 THEN mean_c END) AS boot_hi_c
+      |  FROM rk
+      |), pt AS (
+      |  SELECT CAST(CAST(sum(cents) AS HUGEINT) // count(*) AS BIGINT)
+      |    AS mean_c
+      |  FROM o
+      |)
+      |SELECT n_reps, mean_c, boot_lo_c, boot_hi_c, boot_min_c, boot_max_c
+      |FROM agg, pt""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4060,6 +4255,9 @@ object CoreQueries {
     "q171_table_checksum" -> (tableChecksum(_, _)),
     "q172_seasonal_mase" -> (seasonalMase(_, _)),
     "q173_sole_late_supplier" -> (soleLateSupplier(_, _)),
+    "q178_krippendorff_alpha" -> (krippendorffAlpha(_, _)),
+    "q179_journey_patterns" -> (journeyPatterns(_, _)),
+    "q180_poisson_bootstrap" -> (poissonBootstrap(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4155,5 +4353,8 @@ object CoreQueries {
     "q171_table_checksum" -> tableChecksumOracle,
     "q172_seasonal_mase" -> seasonalMaseOracle,
     "q173_sole_late_supplier" -> soleLateSupplierOracle,
+    "q178_krippendorff_alpha" -> krippendorffAlphaOracle,
+    "q179_journey_patterns" -> journeyPatternsOracle,
+    "q180_poisson_bootstrap" -> poissonBootstrapOracle,
   )
 }
