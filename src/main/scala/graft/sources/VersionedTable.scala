@@ -647,6 +647,110 @@ object VersionedTable {
     (out, toRead.size.toLong, fs.size.toLong)
   }
 
+  // ---------------------------------------------------------- bloom skip
+  // Min/max stats prune RANGE predicates; a point lookup on a column the
+  // table is not clustered by (every file's [min,max] spans the probe)
+  // skips nothing. The Bloom sidecar fixes exactly that: per file, the
+  // SET of k md5-derived bit positions its values touch — equality
+  // probes read only files whose set covers all k probe positions.
+  // Same lifecycle discipline as the stats sidecar: data files are
+  // immutable so entries never change, missing entries are computed
+  // lazily for exactly the unindexed files, DVs only shrink live rows
+  // (a fully-deleted value costs one false-positive file read, never a
+  // wrong result), and [[vacuumStats]]-style cleanup is inherited by
+  // keying on the same file paths.
+
+  private def bloomDir(path: String, column: String): Path =
+    Paths.get(path, "_graft_bloom", column)
+
+  private val BloomBits = 4096
+  private val BloomK = 5
+
+  private def bloomHashHex(i: Int, v: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"bloom-v1|$i|$v".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Equality read with Bloom file skipping: the live rows of the latest
+    * version where `column = value`, scanning only files whose Bloom
+    * side entry covers the probe. Result is identical to
+    * `read(...).filter(col === value)`; only files touched differ.
+    * Returns (rows, filesRead, filesTotal).
+    *
+    * The per-file "filter" is stored as the sorted distinct position
+    * set (≤ [[BloomBits]] ints — the sparse representation of the
+    * bitmap, exact for the membership test and cheaper to build with a
+    * distinct-aggregate than a bitmap OR). Probe positions are computed
+    * driver-side from the identical md5 formula the build runs in the
+    * engine, over the column's string cast — supported for string and
+    * integral columns, where both renderings agree.
+    */
+  def readWhereEquals(spark: SparkSession, path: String, column: String,
+      value: Any): (DataFrame, Long, Long) = {
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalStateException(s"no versions at $path"))
+    val fs = files(path, v)
+    if (fs.isEmpty) return (spark.emptyDataFrame, 0L, 0L)
+    val dir = bloomDir(path, column)
+    val have: Set[String] =
+      if (Files.exists(dir))
+        spark.read.parquet(dir.toString)
+          .select("file").collect().map(_.getString(0)).toSet
+      else Set.empty
+    val missing = fs.filterNot(have)
+    if (missing.nonEmpty) {
+      val src = spark.read.option("mergeSchema", "true").parquet(missing: _*)
+      val fileList = src.select(col("_metadata.file_path").as("uri")).distinct()
+      val sets =
+        if (src.columns.contains(column)) {
+          val posExprs = (0 until BloomK).map { i =>
+            (conv(substring(md5(concat(lit(s"bloom-v1|$i|"), col("v"))),
+              1, 12), 16, 10).cast("bigint") % BloomBits).cast("int")
+          }
+          src
+            .select(col("_metadata.file_path").as("uri"),
+              col(column).cast("string").as("v"))
+            .filter(col("v").isNotNull)
+            .select(col("uri"), explode(array(posExprs: _*)).as("pos"))
+            .groupBy("uri")
+            .agg(sort_array(collect_set(col("pos"))).as("pos_set"))
+        } else fileList.limit(0)
+          .select(col("uri"), array().cast("array<int>").as("pos_set"))
+      // every scanned file gets an entry: a file whose values are all
+      // NULL for the column (old-schema file under mergeSchema, or a
+      // genuinely all-null file) contributes no position rows, and its
+      // sound entry is the EMPTY set — an equality probe excludes null
+      val entries = fileList.join(sets, Seq("uri"), "left")
+        .select(col("uri"),
+          coalesce(col("pos_set"), array().cast("array<int>")).as("pos_set"))
+      entries
+        .select(regexp_replace(col("uri"), "^file:(//)?", "").as("file"),
+          col("pos_set"))
+        .coalesce(1)
+        .write.mode(SaveMode.Append).parquet(dir.toString)
+    }
+    val probe: Seq[Int] = (0 until BloomK).map { i =>
+      (java.lang.Long.parseLong(
+        bloomHashHex(i, String.valueOf(value)).substring(0, 12), 16)
+        % BloomBits).toInt
+    }
+    val side = spark.read.parquet(dir.toString)
+      .filter(col("file").isInCollection(fs))
+    val kept = side
+      .filter(probe.distinct.map(p => array_contains(col("pos_set"), p))
+        .reduce(_ && _))
+      .select("file").collect().map(_.getString(0)).distinct.toSeq
+    val haveNow = side.select("file").collect().map(_.getString(0)).toSet
+    val toRead = kept ++ fs.filterNot(haveNow)
+    val cond = col(column) === lit(value)
+    val out =
+      if (toRead.isEmpty) read(spark, path).filter(cond).limit(0)
+      else liveWithPos(spark, toRead, dvFiles(path, v))
+        .drop(FileCol, PosCol).filter(cond)
+    (out, toRead.size.toLong, fs.size.toLong)
+  }
+
   /** Drop data-skipping sidecar rows whose file is referenced by NO
     * retained manifest — the stats analog of [[vacuum]] (dead rows are
     * inert for correctness but accumulate forever on a churning table).
@@ -658,16 +762,19 @@ object VersionedTable {
     * never a wrong result. Returns the number of rows dropped.
     */
   def vacuumStats(spark: SparkSession, path: String): Long = {
-    val statsRoot = Paths.get(path, "_graft_stats")
-    if (!Files.exists(statsRoot)) return 0L
+    // the Bloom sidecar shares the (file, …) keying — same cleanup
+    val roots = Seq("_graft_stats", "_graft_bloom")
+      .map(Paths.get(path, _)).filter(Files.exists(_))
+    if (roots.isEmpty) return 0L
     val live: Set[String] =
       versions(path).flatMap(v => files(path, v)).toSet
     var dropped = 0L
-    listDir(statsRoot)(_.toSeq).filter(Files.isDirectory(_)).foreach { colDir =>
+    roots.flatMap(r => listDir(r)(_.toSeq)).filter(Files.isDirectory(_))
+      .foreach { colDir =>
       val df = spark.read.parquet(colDir.toString)
       val schema = df.schema
       val rows = df.collect()
-      val kept = rows.filter(r => live.contains(r.getString(0)))
+      val kept = rows.filter(r => live.contains(r.getAs[String]("file")))
       if (kept.length < rows.length) {
         spark.createDataFrame(
             java.util.Arrays.asList(kept: _*), schema)
