@@ -4160,6 +4160,352 @@ object CoreQueries {
       |SELECT n_reps, mean_c, boot_lo_c, boot_hi_c, boot_min_c, boot_max_c
       |FROM agg, pt""".stripMargin
 
+  /** q181 — linear multi-touch attribution: each purchase's value is
+    * split equally (exact integer micro-cents, floor per touch) across
+    * the user's view/click touches in the preceding 7 days, then rolled
+    * up per touch channel — the marketing-attribution shape (last-touch
+    * is q40's as-of join; this is the divide-credit generalization).
+    *
+    * Scale shape: purchases⋈touches is an EQUALITY join on user_id
+    * (the time window is a post-join filter, not a join condition), the
+    * per-purchase touch count is a map-combinable aggregate re-joined
+    * on the purchase key, and the final rollup has one row per channel.
+    * Per-user event counts are activity-bounded (q86 convention).
+    */
+  def linearAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.CacheScope.persisted(t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        col("ts").as("pts"), col("cents"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts").as("tts"),
+        col("event_type").as("channel"))
+    val joined = purchases.join(touches, Seq("user_id"))
+      .filter(col("tts") < col("pts")
+        && col("tts") >= col("pts") - expr("INTERVAL 7 DAYS"))
+    val counts = joined.groupBy("pid")
+      .agg(count(lit(1)).as("n_touch"), first(col("cents")).as("c"))
+    joined.join(counts.select("pid", "n_touch"), Seq("pid"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * 1000000 div n_touch"))
+          .as("credit"))
+      .select(col("channel"), col("n_touches"),
+        expr("CAST(credit AS BIGINT)").as("credit_microcents"))
+      .orderBy("channel")
+  }
+
+  val linearAttributionOracle: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), p AS (
+      |  SELECT event_id AS pid, user_id, ts AS pts, cents FROM ev
+      |  WHERE event_type = 'purchase'
+      |), t AS (
+      |  SELECT user_id, ts AS tts, event_type AS channel FROM ev
+      |  WHERE event_type IN ('view', 'click')
+      |), j AS (
+      |  SELECT p.pid, p.cents, t.channel
+      |  FROM p JOIN t USING (user_id)
+      |  WHERE t.tts < p.pts AND t.tts >= p.pts - INTERVAL 7 DAY
+      |), c AS (
+      |  SELECT pid, count(*) AS n_touch FROM j GROUP BY pid
+      |)
+      |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+      |  CAST(sum(CAST(j.cents AS HUGEINT) * 1000000 // c.n_touch)
+      |    AS BIGINT) AS credit_microcents
+      |FROM j JOIN c USING (pid)
+      |GROUP BY channel ORDER BY channel""".stripMargin
+
+  /** q182 — Brier score decomposition: the mean squared error of the
+    * q170 pseudo-confidence against purchase outcomes, split into
+    * reliability − resolution + uncertainty over the 10 calibration
+    * bins (Murphy 1973) — the standard diagnosis of WHERE a probability
+    * model loses: miscalibration (reliability) vs missing
+    * discrimination (resolution). All four terms are exact integers at
+    * the ×10¹² (ppm²) scale; floor-divided bin means make the
+    * decomposition engine-exact rather than algebraically exact, which
+    * is the right trade for a bit-stable distributed metric.
+    *
+    * Scale shape: one map-combinable scan aggregate for the global
+    * Brier sum, one 10-group bin aggregate, one broadcast of the global
+    * base rate — no window, no join wider than 10 rows.
+    */
+  def brierDecomposition(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.CacheScope.persisted(t(s, d, "events")
+      .select(
+        least(expr("CAST(floor(value * 2000) AS BIGINT)"), lit(999999L))
+          .as("conf"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y")))
+    val glob = ev.agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+      sum(expr("""CAST((conf - 1000000 * y) AS DECIMAL(38,0))
+                 |  * (conf - 1000000 * y)""".stripMargin)).as("se"))
+      .select(col("n"), col("pos"),
+        expr("CAST(se div n AS BIGINT)").as("brier_e12"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * pos div n AS BIGINT)")
+          .as("base_ppm"))
+    val bins = ev.groupBy(expr("conf div 100000").as("bin"))
+      .agg(count(lit(1)).as("nb"), sum(col("y")).as("posb"),
+        sum(col("conf").cast("decimal(38,0)")).as("confsum"))
+      .select(col("nb"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * posb div nb AS BIGINT)")
+          .as("accb"),
+        expr("CAST(confsum div nb AS BIGINT)").as("confb"))
+    bins.crossJoin(broadcast(glob))
+      .groupBy("n", "pos", "brier_e12", "base_ppm")
+      .agg(
+        sum(expr("""CAST(nb AS DECIMAL(38,0)) * (confb - accb)
+                   |  * (confb - accb)""".stripMargin)).as("rel_num"),
+        sum(expr("""CAST(nb AS DECIMAL(38,0)) * (accb - base_ppm)
+                   |  * (accb - base_ppm)""".stripMargin)).as("res_num"))
+      .select(col("n").cast("bigint").as("n"), col("brier_e12"),
+        expr("CAST(rel_num div n AS BIGINT)").as("reliability_e12"),
+        expr("CAST(res_num div n AS BIGINT)").as("resolution_e12"),
+        expr("""CAST(CAST(base_ppm AS DECIMAL(38,0)) * (1000000 - base_ppm)
+               |  AS BIGINT)""".stripMargin).as("uncertainty_e12"))
+  }
+
+  val brierDecompositionOracle: String =
+    """WITH ev AS (
+      |  SELECT least(CAST(floor(value * 2000) AS BIGINT), 999999) AS conf,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events
+      |), g AS (
+      |  SELECT count(*) AS n, sum(y) AS pos,
+      |    CAST(sum(CAST(conf - 1000000 * y AS HUGEINT)
+      |      * (conf - 1000000 * y)) // count(*) AS BIGINT) AS brier_e12,
+      |    CAST(CAST(1000000 AS HUGEINT) * sum(y) // count(*) AS BIGINT)
+      |      AS base_ppm
+      |  FROM ev
+      |), b AS (
+      |  SELECT count(*) AS nb,
+      |    CAST(CAST(1000000 AS HUGEINT) * sum(y) // count(*) AS BIGINT)
+      |      AS accb,
+      |    CAST(CAST(sum(conf) AS HUGEINT) // count(*) AS BIGINT) AS confb
+      |  FROM ev GROUP BY conf // 100000
+      |)
+      |SELECT CAST(g.n AS BIGINT) AS n, g.brier_e12,
+      |  CAST(sum(CAST(nb AS HUGEINT) * (confb - accb) * (confb - accb))
+      |    // g.n AS BIGINT) AS reliability_e12,
+      |  CAST(sum(CAST(nb AS HUGEINT) * (accb - g.base_ppm)
+      |    * (accb - g.base_ppm)) // g.n AS BIGINT) AS resolution_e12,
+      |  CAST(CAST(g.base_ppm AS HUGEINT) * (1000000 - g.base_ppm) AS BIGINT)
+      |    AS uncertainty_e12
+      |FROM b, g
+      |GROUP BY g.n, g.brier_e12, g.base_ppm""".stripMargin
+
+  /** q183 — discrete-time conversion hazard: for each day-since-signup
+    * d ∈ [0, 13], the users still unconverted entering day d, the users
+    * whose FIRST purchase lands on day d, and the hazard ppm — the
+    * survival-analysis life table a growth pipeline reads conversion
+    * velocity from. Users who never purchase stay at risk through the
+    * whole window (administratively censored at day 14).
+    *
+    * Scale shape: two map-combinable per-user min-aggregates, one
+    * equality join on user, a bounded ×14 explode folded straight into
+    * a 14-group aggregate. Nothing scales beyond user count.
+    */
+  def hazardTable(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.CacheScope.persisted(t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_type")))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("s_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+    val cohort = signups.join(purchases, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("p_ts") >= col("s_ts"),
+          datediff(col("p_ts").cast("date"), col("s_ts").cast("date")))
+          .cast("bigint").as("conv_day"))
+    cohort
+      .select(col("conv_day"),
+        explode(sequence(lit(0L), lit(13L))).as("day"))
+      .groupBy("day")
+      .agg(
+        sum(when(col("conv_day").isNull || col("conv_day") >= col("day"), 1L)
+          .otherwise(0L)).as("n_at_risk"),
+        sum(when(col("conv_day") === col("day"), 1L).otherwise(0L))
+          .as("n_converted"))
+      .select(col("day"), col("n_at_risk"), col("n_converted"),
+        expr("""CAST(CASE WHEN n_at_risk = 0 THEN 0
+               |  ELSE CAST(1000000 AS DECIMAL(38,0)) * n_converted
+               |    div n_at_risk END AS BIGINT)""".stripMargin)
+          .as("hazard_ppm"))
+      .orderBy("day")
+  }
+
+  val hazardTableOracle: String =
+    """WITH s AS (
+      |  SELECT user_id, min(ts) AS s_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id
+      |), p AS (
+      |  SELECT user_id, min(ts) AS p_ts FROM events
+      |  WHERE event_type = 'purchase' GROUP BY user_id
+      |), c AS (
+      |  SELECT s.user_id,
+      |    CASE WHEN p.p_ts >= s.s_ts THEN CAST(date_diff('day',
+      |      CAST(s.s_ts AS DATE), CAST(p.p_ts AS DATE)) AS BIGINT)
+      |    END AS conv_day
+      |  FROM s LEFT JOIN p USING (user_id)
+      |), x AS (
+      |  SELECT conv_day, CAST(d AS BIGINT) AS day
+      |  FROM c, (SELECT unnest(range(0, 14)) AS d)
+      |), h AS (
+      |  SELECT day,
+      |    sum(CASE WHEN conv_day IS NULL OR conv_day >= day
+      |      THEN 1 ELSE 0 END) AS n_at_risk,
+      |    sum(CASE WHEN conv_day = day THEN 1 ELSE 0 END) AS n_converted
+      |  FROM x GROUP BY day
+      |)
+      |SELECT day, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+      |  CAST(n_converted AS BIGINT) AS n_converted,
+      |  CAST(CASE WHEN n_at_risk = 0 THEN 0
+      |    ELSE CAST(1000000 AS HUGEINT) * n_converted // n_at_risk END
+      |    AS BIGINT) AS hazard_ppm
+      |FROM h ORDER BY day""".stripMargin
+
+  /** q184 — Jaccard-normalized link prediction: q112's common-neighbor
+    * candidates rescored by |N(u)∩N(v)| / |N(u)∪N(v)| (exact ppm), which
+    * stops high-degree parts from dominating purely by popularity — the
+    * normalization every production "similar items" ranker applies.
+    * Degrees are the UNCAPPED distinct-neighbor counts (the true
+    * denominator); the wedge-side hub cap only bounds candidate
+    * GENERATION, mirroring q112 exactly.
+    *
+    * Scale shape: inherits q112's degree-capped wedge join; degrees are
+    * a map-combinable groupBy-count joined twice on node keys. Top 50
+    * under a total (score DESC, pair) order.
+    */
+  def jaccardLinks(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      .filter(col("l_partkey") % 4 === 0)
+    val edges = graft.CacheScope.persisted(
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .distinct())
+    val deg = edges.select(col("pa").as("node"))
+      .unionAll(edges.select(col("pb").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    graft.operators.Triangles.commonNeighbors(edges, "pa", "pb", maxDegree = 64)
+      .filter(col("common_neighbors") >= 3)
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(col("u").cast("bigint").as("part_a"),
+        col("v").cast("bigint").as("part_b"), col("common_neighbors"),
+        expr("""CAST(CAST(1000000 AS DECIMAL(38,0)) * common_neighbors
+               |  div (du + dv - common_neighbors) AS BIGINT)"""
+          .stripMargin).as("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("part_a"), col("part_b"))
+      .limit(50)
+  }
+
+  val jaccardLinksOracle: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0
+      |), e1 AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), adj AS (
+      |  SELECT u AS c, v AS n FROM e1 UNION ALL SELECT v, u FROM e1
+      |), deg AS (
+      |  SELECT c AS node, count(*) AS deg FROM adj GROUP BY c
+      |), capped AS (
+      |  SELECT c, n FROM (
+      |    SELECT c, n, count(*) OVER (PARTITION BY c) AS dc FROM adj)
+      |  WHERE dc <= 64
+      |), w AS (
+      |  SELECT x.n AS u, y.n AS v
+      |  FROM capped x JOIN capped y ON x.c = y.c AND x.n < y.n
+      |), cn AS (
+      |  SELECT u, v, count(*) AS common_neighbors FROM w GROUP BY u, v
+      |)
+      |SELECT CAST(cn.u AS BIGINT) AS part_a, CAST(cn.v AS BIGINT) AS part_b,
+      |  cn.common_neighbors,
+      |  CAST(CAST(1000000 AS HUGEINT) * cn.common_neighbors
+      |    // (du.deg + dv.deg - cn.common_neighbors) AS BIGINT)
+      |    AS jaccard_ppm
+      |FROM cn
+      |JOIN deg du ON du.node = cn.u
+      |JOIN deg dv ON dv.node = cn.v
+      |WHERE NOT EXISTS (SELECT 1 FROM e1 WHERE e1.u = cn.u AND e1.v = cn.v)
+      |  AND cn.common_neighbors >= 3
+      |ORDER BY jaccard_ppm DESC, part_a, part_b LIMIT 50""".stripMargin
+
+  /** q185 — degree assortativity: the Pearson correlation of endpoint
+    * degrees over every directed edge instance of the co-purchase
+    * graph — positive means hubs link to hubs (social-network-like),
+    * negative means hub-and-spoke (typical for catalogs). Sums are
+    * exact integers; r is one fixed-shape double over them (q84
+    * convention, 6 dp).
+    *
+    * Scale shape: degree is a map-combinable groupBy-count joined onto
+    * the edge list by node key (twice); the moments are one
+    * map-combinable fold. No window, no wedge expansion at all.
+    */
+  def degreeAssortativity(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      .filter(col("l_partkey") % 4 === 0)
+    val edges = graft.CacheScope.persisted(
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .distinct())
+    val adj = edges.select(col("pa").as("c"), col("pb").as("n"))
+      .unionAll(edges.select(col("pb").as("c"), col("pa").as("n")))
+    val deg = adj.groupBy("c").agg(count(lit(1)).as("deg"))
+    adj
+      .join(deg.select(col("c"), col("deg").as("dx")), Seq("c"))
+      .join(deg.select(col("c").as("n"), col("deg").as("dy")), Seq("n"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("dx")).as("sx"),
+        sum(expr("CAST(dx AS DECIMAL(38,0)) * dx")).as("sxx"),
+        sum(expr("CAST(dx AS DECIMAL(38,0)) * dy")).as("sxy"))
+      .select(col("n_pairs").cast("bigint").as("n_pairs"),
+        col("sx").cast("bigint").as("sx"),
+        col("sxx").cast("bigint").as("sxx"),
+        col("sxy").cast("bigint").as("sxy"),
+        round(expr("""CAST(CAST(n_pairs AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+               | / CAST(CAST(n_pairs AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"""
+          .stripMargin), 6).as("assortativity"))
+  }
+
+  val degreeAssortativityOracle: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0
+      |), e1 AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), adj AS (
+      |  SELECT u AS c, v AS n FROM e1 UNION ALL SELECT v, u FROM e1
+      |), deg AS (
+      |  SELECT c AS node, count(*) AS deg FROM adj GROUP BY c
+      |), pr AS (
+      |  SELECT dx.deg AS dx, dy.deg AS dy
+      |  FROM adj JOIN deg dx ON dx.node = adj.c
+      |           JOIN deg dy ON dy.node = adj.n
+      |), a AS (
+      |  SELECT count(*) AS n_pairs, sum(dx) AS sx,
+      |    sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+      |    sum(CAST(dx AS HUGEINT) * dy) AS sxy
+      |  FROM pr
+      |)
+      |SELECT CAST(n_pairs AS BIGINT) AS n_pairs, CAST(sx AS BIGINT) AS sx,
+      |  CAST(sxx AS BIGINT) AS sxx, CAST(sxy AS BIGINT) AS sxy,
+      |  round(CAST(CAST(n_pairs AS HUGEINT) * sxy
+      |      - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+      |    / CAST(CAST(n_pairs AS HUGEINT) * sxx
+      |      - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6) AS assortativity
+      |FROM a""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4258,6 +4604,11 @@ object CoreQueries {
     "q178_krippendorff_alpha" -> (krippendorffAlpha(_, _)),
     "q179_journey_patterns" -> (journeyPatterns(_, _)),
     "q180_poisson_bootstrap" -> (poissonBootstrap(_, _)),
+    "q181_linear_attribution" -> (linearAttribution(_, _)),
+    "q182_brier_decomposition" -> (brierDecomposition(_, _)),
+    "q183_hazard_table" -> (hazardTable(_, _)),
+    "q184_jaccard_links" -> (jaccardLinks(_, _)),
+    "q185_degree_assortativity" -> (degreeAssortativity(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4356,5 +4707,10 @@ object CoreQueries {
     "q178_krippendorff_alpha" -> krippendorffAlphaOracle,
     "q179_journey_patterns" -> journeyPatternsOracle,
     "q180_poisson_bootstrap" -> poissonBootstrapOracle,
+    "q181_linear_attribution" -> linearAttributionOracle,
+    "q182_brier_decomposition" -> brierDecompositionOracle,
+    "q183_hazard_table" -> hazardTableOracle,
+    "q184_jaccard_links" -> jaccardLinksOracle,
+    "q185_degree_assortativity" -> degreeAssortativityOracle,
   )
 }
