@@ -4090,6 +4090,246 @@ object LlmQueries {
       |    AS BIGINT) AS err_ppm
       |FROM j ORDER BY event_type""".stripMargin
 
+  /** q186 — winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * scheme): per document, hash every 4-gram, then over each sliding
+    * window of 8 consecutive hashes select the minimum (ties → the
+    * RIGHTMOST, encoded as one integer min: `h·10⁵ + (10⁵ − pos)` so a
+    * plain window-min realizes the tie rule) — the guarantee is that
+    * any shared run of ≥ 11 tokens yields at least one shared
+    * fingerprint, at a fraction of q70's every-position index. Emits
+    * per-doc gram/fingerprint counts and how many fingerprints recur in
+    * other documents (the planted near-dups light up).
+    *
+    * Scale shape: hashing is scan-local; the window min runs per
+    * document over positions (doc-length bounded, q70 convention);
+    * sharing is one groupBy on the selected hash — an equality join on
+    * a bounded key. The fingerprint table is ~|tokens|/w rows, the
+    * whole point of winnowing at 100 TB.
+    */
+  def winnowing(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = 8
+    val grams = docs(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 4)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 3)).as("p"))
+      .select(col("doc_id"), col("p"),
+        (conv(substring(md5(array_join(slice(col("t"), col("p"), lit(4)), " ")),
+          1, 8), 16, 10).cast("bigint") * 100000
+          + (lit(100000) - col("p"))).as("hp"))
+    val win = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(-(W - 1), Window.currentRow)
+    val fps = grams
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy("doc_id").orderBy("p")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("sel", min(col("hp")).over(win))
+      .filter(col("m") >= W)
+      .select(col("doc_id"), col("sel")).distinct()
+      .select(col("doc_id"), expr("sel div 100000").as("fp"))
+    val shared = fps.groupBy("fp").agg(countDistinct(col("doc_id")).as("nd"))
+    val perDoc = fps.join(shared, Seq("fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared_fp"))
+    docs(s, d)
+      .select(col("doc_id"),
+        greatest(size(TextAnalysis.tokens(col("text"))) - 3, lit(0))
+          .cast("bigint").as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("n_shared_fp"), lit(0L)).as("n_shared_fp"))
+      .orderBy("doc_id")
+  }
+
+  val winnowingOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, i AS p,
+      |    CAST('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 8)
+      |      AS BIGINT) * 100000 + (100000 - i) AS hp
+      |  FROM tok, UNNEST(range(1, len(t) - 2)) AS u(i)
+      |  WHERE len(t) >= 4
+      |), w AS (
+      |  SELECT doc_id, p,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY p) AS m,
+      |    min(hp) OVER (PARTITION BY doc_id ORDER BY p
+      |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS sel
+      |  FROM g
+      |), fp AS (
+      |  SELECT DISTINCT doc_id, sel // 100000 AS fp FROM w WHERE m >= 8
+      |), sh AS (
+      |  SELECT fp, count(DISTINCT doc_id) AS nd FROM fp GROUP BY fp
+      |), pd AS (
+      |  SELECT doc_id, count(*) AS n_fp,
+      |    sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_shared_fp
+      |  FROM fp JOIN sh USING (fp) GROUP BY doc_id
+      |)
+      |SELECT tok.doc_id,
+      |  CAST(greatest(len(t) - 3, 0) AS BIGINT) AS n_grams,
+      |  CAST(coalesce(pd.n_fp, 0) AS BIGINT) AS n_fp,
+      |  CAST(coalesce(pd.n_shared_fp, 0) AS BIGINT) AS n_shared_fp
+      |FROM tok LEFT JOIN pd ON tok.doc_id = pd.doc_id
+      |ORDER BY tok.doc_id""".stripMargin
+
+  /** q187 — word-order-insensitive duplicate detection: fingerprint
+    * each document by its sorted token MULTISET, catching shuffled or
+    * re-ordered copies that every positional scheme (exact hash,
+    * shingles, winnowing) misses. The corpus has no such pairs, so the
+    * query plants them deterministically — each doc_id % 7 == 0 gains a
+    * token-sorted twin (the q21 convention for exact-dup synthesis) —
+    * and reports the groups whose members' raw texts DIFFER while the
+    * bag fingerprint agrees.
+    *
+    * Scale shape: the fingerprint is scan-local (sort a per-doc token
+    * array); grouping is one equality aggregate on the digest. At
+    * 100 TB the bag digest is what you'd store next to the exact hash
+    * in the dedup index.
+    */
+  def bagDedup(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val twins = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        array_join(array_sort(TextAnalysis.tokens(col("text"))), " ")
+          .as("text"))
+    base.unionAll(twins)
+      .select(col("doc_id"), col("text"),
+        md5(array_join(array_sort(TextAnalysis.tokens(col("text"))), " "))
+          .as("bag_fp"))
+      .groupBy("bag_fp")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_texts"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") > 1 && col("n_texts") > 1)
+      .select(col("bag_fp"), col("n_docs"), col("n_texts"),
+        col("first_doc"), col("last_doc"))
+      .orderBy("first_doc")
+  }
+
+  val bagDedupOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    array_to_string(list_sort(string_split_regex(lower(text), '\s+')),
+      |      ' ')
+      |  FROM documents WHERE doc_id % 7 = 0
+      |), f AS (
+      |  SELECT doc_id, text,
+      |    md5(array_to_string(list_sort(string_split_regex(lower(text),
+      |      '\s+')), ' ')) AS bag_fp
+      |  FROM base
+      |)
+      |SELECT bag_fp, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT text) AS BIGINT) AS n_texts,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM f GROUP BY bag_fp
+      |HAVING count(*) > 1 AND count(DISTINCT text) > 1
+      |ORDER BY first_doc""".stripMargin
+
+  /** q188 — token burstiness (Fano factor): for the 20 most frequent
+    * tokens, the variance-to-mean ratio of per-document counts — the
+    * statistic that separates bursty CONTENT words (high Fano: absent
+    * from most docs, piled up in a few) from evenly spread FUNCTION
+    * words (Fano ≈ 1, Poisson-like), which is how stop-lists and
+    * keyword weights get derived without any labeled data. Zero-count
+    * documents enter through D·Σx² − S² over the corpus doc count, so
+    * no per-(token, doc) zero rows ever materialize. Exact ppm.
+    *
+    * Scale shape: one (token, doc) count aggregate, one token-level
+    * moment fold, one bounded top-k (WindowGroupLimit) — all
+    * map-combinable; the doc count rides a 1-row broadcast.
+    */
+  def tokenBurstiness(s: SparkSession, d: String): DataFrame = {
+    val perDoc = docs(s, d)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text")))
+        .as("tok"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("x"))
+    val moments = perDoc.groupBy("tok")
+      .agg(sum(col("x")).as("s1"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("s2"),
+        count(lit(1)).as("n_docs_with"))
+    val dCount = docs(s, d).agg(count(lit(1)).as("d_total"))
+    moments.crossJoin(broadcast(dCount))
+      .orderBy(col("s1").desc, col("tok"))
+      .limit(20)
+      .select(col("tok"), col("s1").cast("bigint").as("n_total"),
+        col("n_docs_with"), col("d_total"),
+        expr("""CAST(CAST(1000000 AS DECIMAL(38,0))
+               |  * (d_total * s2 - CAST(s1 AS DECIMAL(38,0)) * s1)
+               |  div (CAST(d_total AS DECIMAL(38,0)) * s1) AS BIGINT)"""
+          .stripMargin).as("fano_ppm"))
+      .orderBy(col("n_total").desc, col("tok"))
+  }
+
+  val tokenBurstinessOracle: String =
+    """WITH pd AS (
+      |  SELECT t.tok, doc_id, count(*) AS x
+      |  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+'))
+      |          AS tok FROM documents) t
+      |  GROUP BY t.tok, doc_id
+      |), m AS (
+      |  SELECT tok, sum(x) AS s1, sum(CAST(x AS HUGEINT) * x) AS s2,
+      |    count(*) AS n_docs_with
+      |  FROM pd GROUP BY tok
+      |), d AS (SELECT count(*) AS d_total FROM documents),
+      |top AS (
+      |  SELECT * FROM m, d ORDER BY s1 DESC, tok LIMIT 20
+      |)
+      |SELECT tok, CAST(s1 AS BIGINT) AS n_total,
+      |  CAST(n_docs_with AS BIGINT) AS n_docs_with,
+      |  CAST(d_total AS BIGINT) AS d_total,
+      |  CAST(CAST(1000000 AS HUGEINT)
+      |    * (d_total * s2 - CAST(s1 AS HUGEINT) * s1)
+      |    // (CAST(d_total AS HUGEINT) * s1) AS BIGINT) AS fano_ppm
+      |FROM top ORDER BY n_total DESC, tok""".stripMargin
+
+  /** q189 — blocklist phrase filtering: the curation gate that counts
+    * and flags documents containing any of a bounded phrase list
+    * (policy terms, boilerplate markers, license strings). Occurrences
+    * are counted exactly via length arithmetic on a single replace —
+    * no per-phrase regex compilation, and the phrase list rides a
+    * broadcast so the corpus is scanned once.
+    *
+    * Scale shape: corpus × bounded-phrase-list broadcast cross join;
+    * every term is scan-local string arithmetic; one small rollup.
+    */
+  def blocklistFilter(s: SparkSession, d: String): DataFrame = {
+    val phrases = s.createDataFrame(Seq(
+        Tuple1("slow fast"), Tuple1("table value"),
+        Tuple1("spark data"), Tuple1("key agg")))
+      .toDF("phrase")
+    docs(s, d).select(col("doc_id"), lower(col("text")).as("t"))
+      .crossJoin(broadcast(phrases))
+      .select(col("phrase"),
+        ((length(col("t")) - length(expr("replace(t, phrase, '')")))
+          / length(col("phrase"))).cast("bigint").as("hits"))
+      .groupBy("phrase")
+      .agg(sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_docs"),
+        sum(col("hits")).as("n_hits"))
+      .orderBy("phrase")
+  }
+
+  val blocklistFilterOracle: String =
+    """WITH p AS (
+      |  SELECT * FROM (VALUES ('slow fast'), ('table value'),
+      |    ('spark data'), ('key agg')) AS v(phrase)
+      |), h AS (
+      |  SELECT phrase,
+      |    (length(lower(text)) - length(replace(lower(text), phrase, '')))
+      |      // length(phrase) AS hits
+      |  FROM documents, p
+      |)
+      |SELECT phrase,
+      |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+      |  CAST(sum(hits) AS BIGINT) AS n_hits
+      |FROM h GROUP BY phrase ORDER BY phrase""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4177,6 +4417,10 @@ object LlmQueries {
     "q175_curriculum_interleave" -> (curriculumInterleave(_, _)),
     "q176_negative_sampling" -> (negativeSampling(_, _)),
     "q177_kmv_distinct" -> (kmvDistinct(_, _)),
+    "q186_winnowing" -> (winnowing(_, _)),
+    "q187_bag_dedup" -> (bagDedup(_, _)),
+    "q188_token_burstiness" -> (tokenBurstiness(_, _)),
+    "q189_blocklist_filter" -> (blocklistFilter(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4264,5 +4508,9 @@ object LlmQueries {
     "q175_curriculum_interleave" -> curriculumInterleaveOracle,
     "q176_negative_sampling" -> negativeSamplingOracle,
     "q177_kmv_distinct" -> kmvDistinctOracle,
+    "q186_winnowing" -> winnowingOracle,
+    "q187_bag_dedup" -> bagDedupOracle,
+    "q188_token_burstiness" -> tokenBurstinessOracle,
+    "q189_blocklist_filter" -> blocklistFilterOracle,
   )
 }
