@@ -624,10 +624,33 @@ object DeltaInterop {
       }.toMap
   }
 
+  /** Deterministic physical name for name-mode column mapping: real
+    * writers draw random UUIDs; keying the UUID on (table, logical
+    * name) keeps re-creates byte-reproducible without violating the
+    * protocol (any unique string is a valid physical name).
+    */
+  private def mappedPhysicalName(path: String, logical: String): String =
+    "col-" + java.util.UUID.nameUUIDFromBytes(
+      s"cmap|$path|$logical".getBytes("UTF-8")).toString
+
+  /** The logical schema annotated with the field metadata name-mode
+    * column mapping requires (`delta.columnMapping.id` +
+    * `delta.columnMapping.physicalName`), per the public protocol.
+    */
+  private def mappedSchema(path: String, schema: StructType): StructType =
+    StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putLong("delta.columnMapping.id", i + 1L)
+        .putString(PhysicalNameKey, mappedPhysicalName(path, f.name))
+        .build())
+    })
+
   def write(df: DataFrame, path: String,
       mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.ErrorIfExists,
       partitionBy: Seq[String] = Nil,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      columnMapping: Boolean = false): Long = {
     import org.apache.spark.sql.SaveMode
     val spark = df.sparkSession
     val root = Paths.get(path)
@@ -657,22 +680,48 @@ object DeltaInterop {
     // partition columns drive the staged directory structure, and a
     // caller-passed partitionBy must agree (ADVICE r6: a widened append
     // with default partitionBy silently rewrote the table metadata to
-    // unpartitioned). Column-mapped tables are refused for writes —
-    // this writer stages logical-named parquet.
+    // unpartitioned). Column-mapped APPENDS stage under the table's
+    // existing physical names (no evolution); enabling mapping is only
+    // valid on a table-creating write.
     val snap0 = if (exists0 && mode != SaveMode.Overwrite)
       Some(snapshot(spark, path)) else None
+    val appendMapped = snap0.exists(_.columnMappingMode == "name")
     snap0.foreach { s =>
-      require(s.columnMappingMode == "none",
-        s"append to a column-mapped table (mode ${s.columnMappingMode}) unsupported")
       require(partitionBy.isEmpty || partitionBy == s.partitionColumns,
         s"append partitionBy ${partitionBy.mkString(",")} does not match table " +
           s"partition columns ${s.partitionColumns.mkString(",")}")
+      if (appendMapped) {
+        require(df.schema.fieldNames.sorted.sameElements(
+            s.schema.fieldNames.sorted),
+          "append to a column-mapped table must match its logical schema " +
+            s"exactly (table: ${s.schema.fieldNames.mkString(",")})")
+        require(s.partitionColumns.isEmpty,
+          "append to a PARTITIONED column-mapped table unsupported")
+      }
     }
+    require(!columnMapping || (!exists0 || mode == SaveMode.Overwrite),
+      "columnMapping can only be enabled by a table-creating write")
+    require(!columnMapping || partitionBy.isEmpty,
+      "columnMapping with partitioned writes unsupported")
+    val createMapped = columnMapping && (!exists0 || mode == SaveMode.Overwrite)
     val effPartitionBy = snap0.map(_.partitionColumns).getOrElse(partitionBy)
+
+    // under column mapping the parquet files carry PHYSICAL names: the
+    // staged frame is the logical frame renamed (deterministic names on
+    // create; the table's declared names on append)
+    val stageDf =
+      if (createMapped)
+        df.select(df.schema.fields.toSeq.map(f =>
+          col(s"`${f.name}`").as(mappedPhysicalName(path, f.name))): _*)
+      else if (appendMapped) {
+        val s = snap0.get
+        df.select(s.schema.fields.toSeq.map(f =>
+          col(s"`${f.name}`").as(physicalName(f, "name"))): _*)
+      } else df
 
     // stage data files with Spark's writer, then move under the root
     val tmp = Files.createTempDirectory("delta_stage")
-    val w0 = df.write.mode(SaveMode.Overwrite)
+    val w0 = stageDf.write.mode(SaveMode.Overwrite)
     (if (effPartitionBy.nonEmpty) w0.partitionBy(effPartitionBy: _*) else w0)
       .parquet(tmp.toString)
     val staged = withWalk(tmp)(
@@ -680,8 +729,10 @@ object DeltaInterop {
       .sortBy(_.toString)
     // per-file stats BEFORE the move (one aggregation over the staged
     // data, grouped by file — the write-amplification Delta writers pay
-    // for data skipping, here a re-read of just-written local files)
-    val statsByRel = collectStagedStats(spark, tmp, df.schema, effPartitionBy)
+    // for data skipping, here a re-read of just-written local files).
+    // Under mapping the staged schema IS the physical one, so stats are
+    // keyed by physical names — exactly what the reader resolves.
+    val statsByRel = collectStagedStats(spark, tmp, stageDf.schema, effPartitionBy)
     val adds = staged.map { p =>
       val rel = tmp.relativize(p)
       val target = root.resolve(rel)
@@ -701,10 +752,21 @@ object DeltaInterop {
       s"""{"add":{"path":${jstr(rel.toString)},"partitionValues":$pvJson,"size":$size,"modificationTime":${Files.getLastModifiedTime(target).toMillis},"dataChange":true$statsPart}}"""
     }
 
-    val metaAction = (schema: StructType, pcols: Seq[String]) =>
-      s"""{"metaData":{"id":${jstr(java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8")).toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema.json)},"partitionColumns":${pcols.map(jstr).mkString("[", ",", "]")},"configuration":{},"createdTime":${System.currentTimeMillis()}}}"""
+    val configJson =
+      if (createMapped)
+        s"""{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":${jstr(df.schema.length.toString)}}"""
+      else "{}"
+    val metaAction = (schema: StructType, pcols: Seq[String]) => {
+      val declared = if (createMapped) mappedSchema(path, schema) else schema
+      s"""{"metaData":{"id":${jstr(java.util.UUID.nameUUIDFromBytes(path.getBytes("UTF-8")).toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jstr(declared.json)},"partitionColumns":${pcols.map(jstr).mkString("[", ",", "]")},"configuration":$configJson,"createdTime":${System.currentTimeMillis()}}}"""
+    }
     val protocolAction =
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      if (createMapped)
+        // name-mode column mapping is a reader-2/writer-5 feature in the
+        // pre-table-features protocol numbering (the public spec's
+        // compatibility table); our own reader accepts reader 2
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+      else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
     val txnAction = txn.map { case (app, ver) =>
       s"""{"txn":{"appId":${jstr(app)},"version":$ver,"lastUpdated":${System.currentTimeMillis()}}}"""
@@ -1177,21 +1239,26 @@ object DeltaInterop {
             case _ => false // null partition value never matches a range
           }
         }
-      } else snap.files.filter { f =>
-        f.stats match {
-          case None => true // no stats: cannot exclude
-          case Some(sj) =>
-            val node = om.readTree(sj)
-            val mn = node.path("minValues").path(column)
-            val mx = node.path("maxValues").path(column)
-            if (mn.isMissingNode || mx.isMissingNode) {
-              // column untracked or all-null; all-null is provable from
-              // nullCount == numRecords and excludes the file
-              val nc = node.path("nullCount").path(column)
-              val nr = node.path("numRecords")
-              !(nc.isNumber && nr.isNumber && nc.asLong == nr.asLong)
-            } else
-              cmp(mx.asText, loS) >= 0 && cmp(mn.asText, hiS) <= 0
+      } else {
+        // stats are keyed by PHYSICAL names when column mapping is on
+        // (the protocol's rule — our writer and real writers agree)
+        val statKey = physicalName(field, snap.columnMappingMode)
+        snap.files.filter { f =>
+          f.stats match {
+            case None => true // no stats: cannot exclude
+            case Some(sj) =>
+              val node = om.readTree(sj)
+              val mn = node.path("minValues").path(statKey)
+              val mx = node.path("maxValues").path(statKey)
+              if (mn.isMissingNode || mx.isMissingNode) {
+                // column untracked or all-null; all-null is provable from
+                // nullCount == numRecords and excludes the file
+                val nc = node.path("nullCount").path(statKey)
+                val nr = node.path("numRecords")
+                !(nc.isNumber && nr.isNumber && nc.asLong == nr.asLong)
+              } else
+                cmp(mx.asText, loS) >= 0 && cmp(mn.asText, hiS) <= 0
+          }
         }
       }
     kept
