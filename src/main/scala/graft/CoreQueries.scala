@@ -4506,6 +4506,170 @@ object CoreQueries {
       |      - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6) AS assortativity
       |FROM a""".stripMargin
 
+  /** q190 — functional-dependency profiling: audit a bounded list of
+    * candidate A→B dependencies (the Metanome-style structure-discovery
+    * pass a warehouse runs before trusting join keys or building dims):
+    * for each candidate, how many LHS groups exist, how many violate
+    * (more than one distinct RHS), and whether the FD holds. q14 checks
+    * declared foreign keys; this DISCOVERS which determinations the
+    * data actually supports.
+    *
+    * Scale shape: each candidate is one map-combinable two-level
+    * aggregate (groupBy LHS → distinct RHS count → fold); candidates
+    * are a bounded list unioned together. No windows, no joins.
+    */
+  def fdProfile(s: SparkSession, d: String): DataFrame = {
+    def audit(df: DataFrame, name: String, lhs: String,
+        rhs: String): DataFrame =
+      df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("nrhs"))
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("nrhs") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"),
+          when(col("n_violating") === 0, 1L).otherwise(0L).as("holds"))
+    audit(t(s, d, "customer"), "c_custkey->c_nationkey",
+        "c_custkey", "c_nationkey")
+      .unionAll(audit(t(s, d, "customer"), "c_nationkey->c_mktsegment",
+        "c_nationkey", "c_mktsegment"))
+      .unionAll(audit(t(s, d, "nation"), "n_nationkey->n_regionkey",
+        "n_nationkey", "n_regionkey"))
+      .unionAll(audit(t(s, d, "orders"), "o_custkey->o_orderpriority",
+        "o_custkey", "o_orderpriority"))
+      .unionAll(audit(t(s, d, "lineitem"), "l_partkey->l_suppkey",
+        "l_partkey", "l_suppkey"))
+      .orderBy("fd")
+  }
+
+  val fdProfileOracle: String =
+    """WITH a1 AS (
+      |  SELECT 'c_custkey->c_nationkey' AS fd, count(*) AS n_lhs,
+      |    sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) AS n_violating
+      |  FROM (SELECT c_custkey, count(DISTINCT c_nationkey) AS nrhs
+      |        FROM customer GROUP BY 1)
+      |), a2 AS (
+      |  SELECT 'c_nationkey->c_mktsegment', count(*),
+      |    sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END)
+      |  FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS nrhs
+      |        FROM customer GROUP BY 1)
+      |), a3 AS (
+      |  SELECT 'n_nationkey->n_regionkey', count(*),
+      |    sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END)
+      |  FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS nrhs
+      |        FROM nation GROUP BY 1)
+      |), a4 AS (
+      |  SELECT 'o_custkey->o_orderpriority', count(*),
+      |    sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END)
+      |  FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nrhs
+      |        FROM orders GROUP BY 1)
+      |), a5 AS (
+      |  SELECT 'l_partkey->l_suppkey', count(*),
+      |    sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END)
+      |  FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS nrhs
+      |        FROM lineitem GROUP BY 1)
+      |), u AS (
+      |  SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL
+      |  SELECT * FROM a3 UNION ALL SELECT * FROM a4 UNION ALL
+      |  SELECT * FROM a5
+      |)
+      |SELECT fd, CAST(n_lhs AS BIGINT) AS n_lhs,
+      |  CAST(n_violating AS BIGINT) AS n_violating,
+      |  CAST(CASE WHEN n_violating = 0 THEN 1 ELSE 0 END AS BIGINT) AS holds
+      |FROM u ORDER BY fd""".stripMargin
+
+  /** q191 — promotion revenue share (the TPC-H Q14 shape): per ship
+    * month, the permille of revenue earned by PROMO-type parts — the
+    * conditional-aggregate-over-join pattern every campaign dashboard
+    * runs. Revenue is exact decimal cents; the share is an exact
+    * integer permille.
+    *
+    * Scale shape: one fact⋈part equality join with the part side a
+    * broadcast projection (p_partkey, p_type), then a map-combinable
+    * month rollup. Filters and the two-column part projection reach the
+    * scans.
+    */
+  def promoShare(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part").select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate").cast("date"), "yyyy-MM")
+        .as("ship_month"))
+      .agg(
+        sum(expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   |  * (1 - CAST(l_discount AS DECIMAL(4,2))) * 100
+                   |  AS DECIMAL(38,0))""".stripMargin)).as("rev_c"),
+        sum(expr("""CASE WHEN p_type = 'PROMO'
+                   |  THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   |    * (1 - CAST(l_discount AS DECIMAL(4,2))) * 100
+                   |    AS DECIMAL(38,0))
+                   |  ELSE CAST(0 AS DECIMAL(38,0)) END""".stripMargin))
+          .as("promo_c"))
+      .select(col("ship_month"),
+        col("rev_c").cast("bigint").as("rev_c"),
+        col("promo_c").cast("bigint").as("promo_c"),
+        expr("CAST(CAST(1000 AS DECIMAL(38,0)) * promo_c div rev_c AS BIGINT)")
+          .as("promo_permille"))
+      .orderBy("ship_month")
+
+  val promoShareOracle: String =
+    """WITH j AS (
+      |  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(4,2))) * 100 AS HUGEINT)
+      |      AS cents,
+      |    p_type
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |), m AS (
+      |  SELECT ship_month, sum(cents) AS rev_c,
+      |    sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS promo_c
+      |  FROM j GROUP BY 1
+      |)
+      |SELECT ship_month, CAST(rev_c AS BIGINT) AS rev_c,
+      |  CAST(promo_c AS BIGINT) AS promo_c,
+      |  CAST(CAST(1000 AS HUGEINT) * promo_c // rev_c AS BIGINT)
+      |    AS promo_permille
+      |FROM m ORDER BY ship_month""".stripMargin
+
+  /** q192 — returned-revenue customers (the TPC-H Q10 shape): the top
+    * 20 customers by revenue on RETURNED lines, with their nation — the
+    * "who is sending things back" report joining the fact through
+    * orders to two dims. Revenue is exact cents; the top-k order is
+    * total (revenue DESC, custkey), so the LIMIT is deterministic.
+    *
+    * Scale shape: lineitem filters on the return flag AT THE SCAN, one
+    * shuffle join to orders, broadcast joins to customer and nation,
+    * one customer-keyed rollup, TakeOrdered for the top 20.
+    */
+  def returnedCustomers(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer")
+          .select("c_custkey", "c_name", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     |  * (1 - CAST(l_discount AS DECIMAL(4,2))) * 100
+                     |  AS DECIMAL(38,0))""".stripMargin)).as("rev"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("rev").cast("bigint").as("returned_rev_c"))
+      .orderBy(col("returned_rev_c").desc, col("c_custkey"))
+      .limit(20)
+
+  val returnedCustomersOracle: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(4,2))) * 100 AS HUGEINT))
+      |    AS BIGINT) AS returned_rev_c
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY returned_rev_c DESC, c_custkey LIMIT 20""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4609,6 +4773,9 @@ object CoreQueries {
     "q183_hazard_table" -> (hazardTable(_, _)),
     "q184_jaccard_links" -> (jaccardLinks(_, _)),
     "q185_degree_assortativity" -> (degreeAssortativity(_, _)),
+    "q190_fd_profile" -> (fdProfile(_, _)),
+    "q191_promo_share" -> (promoShare(_, _)),
+    "q192_returned_customers" -> (returnedCustomers(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4712,5 +4879,8 @@ object CoreQueries {
     "q183_hazard_table" -> hazardTableOracle,
     "q184_jaccard_links" -> jaccardLinksOracle,
     "q185_degree_assortativity" -> degreeAssortativityOracle,
+    "q190_fd_profile" -> fdProfileOracle,
+    "q191_promo_share" -> promoShareOracle,
+    "q192_returned_customers" -> returnedCustomersOracle,
   )
 }

@@ -4330,6 +4330,101 @@ object LlmQueries {
       |  CAST(sum(hits) AS BIGINT) AS n_hits
       |FROM h GROUP BY phrase ORDER BY phrase""".stripMargin
 
+  /** q193 — IVF probe-count tuning curve: aggregate recall@3 against
+    * exact truth at probes ∈ {1, 2, 4} in one result — the sweep an ANN
+    * operator runs on a sample to pick its latency/recall point before
+    * committing the full corpus (q67 audits ONE configuration; this is
+    * the curve). Recall is an exact integer ppm over hit counts.
+    *
+    * Scale shape: truth is the broadcast-bounded brute-force baseline
+    * computed once and persisted; each probe setting reuses the same
+    * seeded bucket assignment inside [[SimilarityOps.ivfTopK]] (probing
+    * more buckets only widens the candidate equality join). The union
+    * is 3 bounded aggregates.
+    */
+  def ivfProbeSweep(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+    val q = e.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val truth = graft.CacheScope.persisted(
+      SimilarityOps.bruteForceTopK(q, e, 3)
+        .select(col("query_id"), col("neighbor_id")))
+    Seq(1, 2, 4).map { p =>
+      val approx = SimilarityOps.ivfTopK(e, seeds, q, k = 3, probes = p)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          sum(coalesce(col("hit"), lit(0L))).as("total_hits"))
+        .select(lit(p.toLong).as("probes"),
+          col("n_queries").cast("bigint").as("n_queries"),
+          col("total_hits").cast("bigint").as("total_hits"),
+          expr("""CAST(CAST(1000000 AS DECIMAL(38,0)) * total_hits
+                 |  div (3 * n_queries) AS BIGINT)""".stripMargin)
+            .as("recall_ppm"))
+    }.reduce(_ unionAll _).orderBy("probes")
+  }
+
+  val ivfProbeSweepOracle: String = {
+    def block(p: Int): String =
+      s"""probed$p AS (
+         |  SELECT query_id, qv, bucket FROM (
+         |    SELECT q.query_id, q.qv, s.seed_id AS bucket,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round(list_cosine_similarity(q.qv, s.sv), 6) DESC,
+         |                 s.seed_id) AS rn
+         |    FROM q, seeds s)
+         |  WHERE rn <= $p
+         |), approx$p AS (
+         |  SELECT query_id, vec_id AS neighbor_id FROM (
+         |    SELECT pr.query_id, a.vec_id,
+         |      row_number() OVER (PARTITION BY pr.query_id
+         |        ORDER BY round(list_cosine_similarity(pr.qv, CAST(a.embedding AS DOUBLE[])), 4) DESC,
+         |                 a.vec_id) AS rank
+         |    FROM probed$p pr JOIN assigned a ON pr.bucket = a.bucket
+         |    WHERE pr.query_id <> a.vec_id)
+         |  WHERE rank <= 3
+         |), r$p AS (
+         |  SELECT CAST($p AS BIGINT) AS probes,
+         |    CAST(count(DISTINCT t.query_id) AS BIGINT) AS n_queries,
+         |    CAST(count(a.neighbor_id) AS BIGINT) AS total_hits
+         |  FROM truth t LEFT JOIN approx$p a
+         |    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |)""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id % 200 = 0
+       |), truth AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 4) DESC,
+       |                 e.vec_id) AS rank
+       |    FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+       |  WHERE rank <= 3
+       |), seeds AS (
+       |  SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+       |  FROM embeddings WHERE vec_id < 8
+       |), assigned AS (
+       |  SELECT vec_id, embedding, bucket FROM (
+       |    SELECT e.vec_id, e.embedding, s.seed_id AS bucket,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.sv), 6) DESC,
+       |                 s.seed_id) AS rn
+       |    FROM embeddings e, seeds s)
+       |  WHERE rn = 1
+       |), ${block(1)}, ${block(2)}, ${block(4)},
+       |u AS (
+       |  SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL
+       |  SELECT * FROM r4
+       |)
+       |SELECT probes, n_queries, total_hits,
+       |  CAST(CAST(1000000 AS HUGEINT) * total_hits // (3 * n_queries)
+       |    AS BIGINT) AS recall_ppm
+       |FROM u ORDER BY probes""".stripMargin
+  }
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4421,6 +4516,7 @@ object LlmQueries {
     "q187_bag_dedup" -> (bagDedup(_, _)),
     "q188_token_burstiness" -> (tokenBurstiness(_, _)),
     "q189_blocklist_filter" -> (blocklistFilter(_, _)),
+    "q193_ivf_probe_sweep" -> (ivfProbeSweep(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4512,5 +4608,6 @@ object LlmQueries {
     "q187_bag_dedup" -> bagDedupOracle,
     "q188_token_burstiness" -> tokenBurstinessOracle,
     "q189_blocklist_filter" -> blocklistFilterOracle,
+    "q193_ivf_probe_sweep" -> ivfProbeSweepOracle,
   )
 }
