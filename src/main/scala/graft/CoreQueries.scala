@@ -4670,6 +4670,191 @@ object CoreQueries {
       |GROUP BY c_custkey, c_name, n_name
       |ORDER BY returned_rev_c DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** q194 — exact expected shortfall (CVaR at 95%): per return flag,
+    * the nearest-rank p95 price cut (VaR) and the exact mean of the
+    * tail at-or-above it — the coherent tail-risk metric finance and
+    * capacity planning both use, computed EXACTLY from prefix sums
+    * rather than an interpolated percentile sketch. Ties at the cut are
+    * handled by the closed form `tail = total − below − (k−1−n_below)·cut`
+    * (the sub-k positions inside the cut's tie group all equal the
+    * cut), so the result is bit-stable.
+    *
+    * Scale shape: one map-combinable by-value aggregate per flag, TWO
+    * bucketed [[graft.operators.PrefixSum]] passes over it (count and
+    * value-mass prefixes) — flags are a bounded loop (q175 convention),
+    * never a per-flag window over data-scaled distinct prices. The cut
+    * row is found by a scalar-broadcast filter, not a sort.
+    */
+  def expectedShortfall(s: SparkSession, d: String): DataFrame = {
+    val byVal = graft.CacheScope.persisted(
+      t(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        .groupBy("flag", "cents")
+        .agg(count(lit(1)).as("cnt")))
+    val flags = byVal.select("flag").distinct()
+      .collect().map(_.getString(0)).sorted
+    flags.toSeq.map { f =>
+      val fv = byVal.filter(col("flag") === f)
+        .withColumn("mass", col("cnt") * col("cents"))
+      val pre = graft.operators.PrefixSum.exclusiveRunningTotal(
+        graft.operators.PrefixSum.exclusiveRunningTotal(
+          fv, Seq(col("cents")), col("cnt"), "below_cnt"),
+        Seq(col("cents")), col("mass"), "below_sum")
+      val tot = fv.agg(sum(col("cnt")).as("n"),
+        sum(col("mass").cast("decimal(38,0)")).as("total"))
+        .select(col("n"), col("total"),
+          expr("CAST((95 * n + 99) div 100 AS BIGINT)").as("k"))
+      pre.crossJoin(broadcast(tot))
+        .filter(col("below_cnt") < col("k")
+          && col("below_cnt") + col("cnt") >= col("k"))
+        .select(lit(f).as("flag"), col("n").cast("bigint").as("n"),
+          col("k"), col("cents").as("var_c"),
+          expr("""CAST((total - below_sum
+                 |  - (k - 1 - below_cnt) * CAST(cents AS DECIMAL(38,0)))
+                 |  div (n - k + 1) AS BIGINT)""".stripMargin).as("es_c"))
+    }.reduce(_ unionAll _).orderBy("flag")
+  }
+
+  val expectedShortfallOracle: String =
+    """WITH bv AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2
+      |), pre AS (
+      |  SELECT flag, cents, cnt,
+      |    coalesce(sum(cnt) OVER (PARTITION BY flag ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS below_cnt,
+      |    coalesce(sum(CAST(cnt AS HUGEINT) * cents) OVER (
+      |      PARTITION BY flag ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS below_sum
+      |  FROM bv
+      |), tot AS (
+      |  SELECT flag, sum(cnt) AS n,
+      |    sum(CAST(cnt AS HUGEINT) * cents) AS total,
+      |    (95 * sum(cnt) + 99) // 100 AS k
+      |  FROM bv GROUP BY flag
+      |)
+      |SELECT pre.flag, CAST(tot.n AS BIGINT) AS n, CAST(tot.k AS BIGINT) AS k,
+      |  pre.cents AS var_c,
+      |  CAST((tot.total - pre.below_sum
+      |    - (tot.k - 1 - pre.below_cnt) * CAST(pre.cents AS HUGEINT))
+      |    // (tot.n - tot.k + 1) AS BIGINT) AS es_c
+      |FROM pre JOIN tot ON pre.flag = tot.flag
+      |WHERE pre.below_cnt < tot.k AND pre.below_cnt + pre.cnt >= tot.k
+      |ORDER BY pre.flag""".stripMargin
+
+  /** q195 — fulfilment SLA percentiles: per order priority, the exact
+    * nearest-rank p50/p90/p99 of the order-to-ship lag in days — the
+    * latency-SLO table every ops dashboard carries. The lag DOMAIN is
+    * bounded (a shipping policy's worth of days), so the per-priority
+    * cumulative runs over a domain-bounded aggregate (the q155
+    * convention), never over raw rows.
+    */
+  def slaPercentiles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLag = t(s, d, "lineitem")
+      .join(t(s, d, "orders").select("o_orderkey", "o_orderdate",
+        "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")).cast("bigint").as("lag_days"))
+      .groupBy("priority", "lag_days").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("priority").orderBy("lag_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byLag.withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("priority")))
+    def pct(p: Int): Column =
+      min(when(col("cum") >= expr(s"($p * n + 99) div 100"),
+        col("lag_days"))).as(s"p$p")
+    cum.groupBy("priority")
+      .agg(max(col("n")).cast("bigint").as("n"), pct(50), pct(90), pct(99))
+      .orderBy("priority")
+  }
+
+  val slaPercentilesOracle: String =
+    """WITH bl AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+      |      CAST(l_shipdate AS DATE)) AS BIGINT) AS lag_days,
+      |    count(*) AS cnt
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2
+      |), c AS (
+      |  SELECT priority, lag_days, cnt,
+      |    sum(cnt) OVER (PARTITION BY priority ORDER BY lag_days
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(cnt) OVER (PARTITION BY priority) AS n
+      |  FROM bl
+      |)
+      |SELECT priority, CAST(max(n) AS BIGINT) AS n,
+      |  min(CASE WHEN cum >= (50 * n + 99) // 100 THEN lag_days END) AS p50,
+      |  min(CASE WHEN cum >= (90 * n + 99) // 100 THEN lag_days END) AS p90,
+      |  min(CASE WHEN cum >= (99 * n + 99) // 100 THEN lag_days END) AS p99
+      |FROM c GROUP BY priority ORDER BY priority""".stripMargin
+
+  /** q196 — Laspeyres price index: year-over-base price inflation of
+    * the part catalog, weighting each part's unit-price change by its
+    * BASE-year quantity (the CPI construction). Unit prices are exact
+    * micro-cents via integer division; the index is an exact permille
+    * over DECIMAL cross-products. Parts missing in either year drop
+    * out (matched-model index).
+    *
+    * Scale shape: one (year, part) map-combinable rollup, an equality
+    * self-join of each year against the base year on the part key, a
+    * per-year fold. No windows.
+    */
+  def laspeyresIndex(s: SparkSession, d: String): DataFrame = {
+    val yp = graft.CacheScope.persisted(
+      t(s, d, "lineitem")
+        .groupBy(year(col("l_shipdate").cast("date")).as("yr"),
+          col("l_partkey"))
+        .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))")).as("cents"),
+          sum(col("l_quantity").cast("bigint")).as("qty"))
+        .select(col("yr"), col("l_partkey"), col("qty"),
+          expr("CAST(cents * 1000000 div qty AS DECIMAL(38,0))")
+            .as("unit_uc")))
+    val base = yp.groupBy().agg(min(col("yr")).as("base_yr"))
+    val b = yp.join(broadcast(base), col("yr") === col("base_yr"))
+      .select(col("l_partkey"), col("qty").as("q0"),
+        col("unit_uc").as("p0"), col("base_yr"))
+    yp.join(b, Seq("l_partkey"))
+      .groupBy(col("yr"), col("base_yr"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(expr("CAST(q0 AS DECIMAL(38,0)) * unit_uc")).as("num"),
+        sum(expr("CAST(q0 AS DECIMAL(38,0)) * p0")).as("den"))
+      .select(col("yr").cast("bigint").as("yr"),
+        col("base_yr").cast("bigint").as("base_yr"), col("n_parts"),
+        expr("CAST(CAST(1000 AS DECIMAL(38,0)) * num div den AS BIGINT)")
+          .as("index_permille"))
+      .orderBy("yr")
+  }
+
+  val laspeyresIndexOracle: String =
+    """WITH yp AS (
+      |  SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS yr,
+      |    l_partkey,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS HUGEINT)) * 1000000
+      |      // sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS unit_uc,
+      |    sum(CAST(l_quantity AS BIGINT)) AS qty
+      |  FROM lineitem GROUP BY 1, 2
+      |), b AS (
+      |  SELECT l_partkey, qty AS q0, unit_uc AS p0, yr AS base_yr
+      |  FROM yp WHERE yr = (SELECT min(yr) FROM yp)
+      |)
+      |SELECT yp.yr, b.base_yr, CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(CAST(1000 AS HUGEINT) * sum(CAST(q0 AS HUGEINT) * yp.unit_uc)
+      |    // sum(CAST(q0 AS HUGEINT) * p0) AS BIGINT) AS index_permille
+      |FROM yp JOIN b USING (l_partkey)
+      |GROUP BY yp.yr, b.base_yr ORDER BY yp.yr""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4776,6 +4961,9 @@ object CoreQueries {
     "q190_fd_profile" -> (fdProfile(_, _)),
     "q191_promo_share" -> (promoShare(_, _)),
     "q192_returned_customers" -> (returnedCustomers(_, _)),
+    "q194_expected_shortfall" -> (expectedShortfall(_, _)),
+    "q195_sla_percentiles" -> (slaPercentiles(_, _)),
+    "q196_laspeyres_index" -> (laspeyresIndex(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4882,5 +5070,8 @@ object CoreQueries {
     "q190_fd_profile" -> fdProfileOracle,
     "q191_promo_share" -> promoShareOracle,
     "q192_returned_customers" -> returnedCustomersOracle,
+    "q194_expected_shortfall" -> expectedShortfallOracle,
+    "q195_sla_percentiles" -> slaPercentilesOracle,
+    "q196_laspeyres_index" -> laspeyresIndexOracle,
   )
 }

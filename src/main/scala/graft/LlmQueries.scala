@@ -4126,8 +4126,9 @@ object LlmQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("sel", min(col("hp")).over(win))
       .filter(col("m") >= W)
-      .select(col("doc_id"), col("sel")).distinct()
-      .select(col("doc_id"), expr("sel div 100000").as("fp"))
+      // decode BEFORE distinct: the fingerprint set is the distinct
+      // HASHES — the same gram selected at two positions is one print
+      .select(col("doc_id"), expr("sel div 100000").as("fp")).distinct()
     val shared = fps.groupBy("fp").agg(countDistinct(col("doc_id")).as("nd"))
     val perDoc = fps.join(shared, Seq("fp"))
       .groupBy("doc_id")
