@@ -4855,6 +4855,151 @@ object CoreQueries {
       |FROM yp JOIN b USING (l_partkey)
       |GROUP BY yp.yr, b.base_yr ORDER BY yp.yr""".stripMargin
 
+  /** q197 — additive day-of-week seasonal decomposition: the weekly
+    * profile of daily revenue (per-dow mean minus grand mean, exact
+    * cents) and how much variance the profile explains — the
+    * integer-exact core of an STL-style decomposition, and the
+    * seasonality check that should precede any anomaly threshold on
+    * daily metrics (q127's CUSUM assumes it). Variance terms ride
+    * D·Σx² − S² integer forms; the explained share is exact ppm.
+    *
+    * Scale shape: one date-domain-bounded daily rollup, one 7-group
+    * aggregate, one broadcast of the grand mean, one re-aggregate.
+    */
+  def dowSeasonality(s: SparkSession, d: String): DataFrame = {
+    val daily = graft.CacheScope.persisted(
+      t(s, d, "lineitem")
+        .groupBy(col("l_shipdate").cast("date").as("dt"))
+        .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))"))
+          .as("rev_c"))
+        .select(col("dt"), dayofweek(col("dt")).cast("bigint").as("dow"),
+          col("rev_c")))
+    val glob = daily.agg(count(lit(1)).as("nd"),
+        sum(col("rev_c")).as("s1"),
+        sum(expr("rev_c * rev_c")).as("s2"))
+      .select(col("nd"), col("s1"), col("s2"),
+        expr("CAST(s1 div nd AS DECIMAL(38,0))").as("grand_mean"))
+    daily.groupBy("dow")
+      .agg(count(lit(1)).as("n_days"), sum(col("rev_c")).as("dsum"),
+        sum(expr("rev_c * rev_c")).as("dsq"))
+      .crossJoin(broadcast(glob))
+      .select(col("dow"), col("n_days").cast("bigint").as("n_days"),
+        expr("CAST(dsum div n_days AS BIGINT)").as("dow_mean_c"),
+        expr("CAST(dsum div n_days - grand_mean AS BIGINT)")
+          .as("seasonal_c"),
+        // within-dow variance numerator vs the global one: the share of
+        // total variance NOT explained by the weekly profile
+        expr("""CAST(CAST(1000000 AS DECIMAL(38,0))
+               |  * (n_days * dsq - dsum * dsum)
+               |  div (n_days * (nd * s2 - s1 * s1)) AS BIGINT)"""
+          .stripMargin).as("within_var_share_ppm"))
+      .orderBy("dow")
+  }
+
+  val dowSeasonalityOracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS dt,
+      |    CAST(dayofweek(CAST(l_shipdate AS DATE)) AS BIGINT) AS dow_raw,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS HUGEINT)) AS HUGEINT) AS rev_c
+      |  FROM lineitem GROUP BY 1, 2
+      |), g AS (
+      |  SELECT count(*) AS nd, sum(rev_c) AS s1, sum(rev_c * rev_c) AS s2,
+      |    sum(rev_c) // count(*) AS grand_mean
+      |  FROM daily
+      |), dw AS (
+      |  SELECT dow_raw + 1 AS dow, count(*) AS n_days, sum(rev_c) AS dsum,
+      |    sum(rev_c * rev_c) AS dsq
+      |  FROM daily GROUP BY 1
+      |)
+      |SELECT CAST(dow AS BIGINT) AS dow, CAST(n_days AS BIGINT) AS n_days,
+      |  CAST(dsum // n_days AS BIGINT) AS dow_mean_c,
+      |  CAST(dsum // n_days - grand_mean AS BIGINT) AS seasonal_c,
+      |  CAST(CAST(1000000 AS HUGEINT) * (n_days * dsq - dsum * dsum)
+      |    // (n_days * (nd * s2 - s1 * s1)) AS BIGINT)
+      |    AS within_var_share_ppm
+      |FROM dw, g ORDER BY dow""".stripMargin
+
+  /** q198 — decile lift / gains table: rank events by the q170
+    * pseudo-score, split into score deciles by exact rank, and report
+    * each decile's capture of all purchases plus cumulative gains and
+    * lift — THE model-triage chart ("top 20% of scores capture X% of
+    * conversions"). Decile boundaries come from exact global ranks on
+    * the bucketed [[graft.operators.PrefixSum]] (a domain-bounded
+    * by-score aggregate), so ties land deterministically and no global
+    * window exists.
+    */
+  def decileLift(s: SparkSession, d: String): DataFrame = {
+    val byScore = t(s, d, "events")
+      .select(
+        least(expr("CAST(floor(value * 2000) AS BIGINT)"), lit(999999L))
+          .as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .groupBy("score")
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    // rank DESCENDING by score: highest scores in decile 1
+    val ranked = graft.operators.PrefixSum.exclusiveRunningTotal(
+      byScore.withColumn("neg", -col("score")),
+      Seq(col("neg")), col("cnt"), "before")
+    val glob = byScore.agg(sum(col("cnt")).as("n"), sum(col("pos")).as("p"))
+    // a score value straddling a decile boundary is assigned wholly to
+    // the decile of its FIRST row (exact-rank assignment; boundaries
+    // fall between value groups deterministically)
+    val dec = ranked.crossJoin(broadcast(glob))
+      .select(expr("(10 * before) div n + 1").as("decile"),
+        col("cnt"), col("pos"), col("n"), col("p"))
+      .groupBy("decile")
+      .agg(sum(col("cnt")).as("n_events"), sum(col("pos")).as("n_pos"),
+        max(col("n")).as("n"), max(col("p")).as("p"))
+    import org.apache.spark.sql.expressions.Window
+    dec
+      .withColumn("cum_pos", sum(col("n_pos")).over(
+        Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("decile").cast("bigint").as("decile"),
+        col("n_events").cast("bigint").as("n_events"),
+        col("n_pos").cast("bigint").as("n_pos"),
+        expr("""CAST(CAST(1000000 AS DECIMAL(38,0)) * n_pos div p
+               |  AS BIGINT)""".stripMargin).as("capture_ppm"),
+        expr("""CAST(CAST(1000000 AS DECIMAL(38,0)) * cum_pos div p
+               |  AS BIGINT)""".stripMargin).as("cum_gains_ppm"),
+        expr("""CAST(CAST(1000000 AS DECIMAL(38,0)) * n_pos * n
+               |  div (CAST(n_events AS DECIMAL(38,0)) * p) AS BIGINT)"""
+          .stripMargin).as("lift_ppm"))
+      .orderBy("decile")
+  }
+
+  val decileLiftOracle: String =
+    """WITH bs AS (
+      |  SELECT least(CAST(floor(value * 2000) AS BIGINT), 999999) AS score,
+      |    count(*) AS cnt,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+      |  FROM events GROUP BY 1
+      |), r AS (
+      |  SELECT score, cnt, pos,
+      |    coalesce(sum(cnt) OVER (ORDER BY score DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      |  FROM bs
+      |), g AS (SELECT sum(cnt) AS n, sum(pos) AS p FROM bs),
+      |dec AS (
+      |  SELECT (10 * before) // n + 1 AS decile, sum(cnt) AS n_events,
+      |    sum(pos) AS n_pos, max(n) AS n, max(p) AS p
+      |  FROM r, g GROUP BY 1
+      |), c AS (
+      |  SELECT decile, n_events, n_pos, n, p,
+      |    sum(n_pos) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+      |  FROM dec
+      |)
+      |SELECT CAST(decile AS BIGINT) AS decile,
+      |  CAST(n_events AS BIGINT) AS n_events, CAST(n_pos AS BIGINT) AS n_pos,
+      |  CAST(CAST(1000000 AS HUGEINT) * n_pos // p AS BIGINT) AS capture_ppm,
+      |  CAST(CAST(1000000 AS HUGEINT) * cum_pos // p AS BIGINT)
+      |    AS cum_gains_ppm,
+      |  CAST(CAST(1000000 AS HUGEINT) * n_pos * n
+      |    // (CAST(n_events AS HUGEINT) * p) AS BIGINT) AS lift_ppm
+      |FROM c ORDER BY decile""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4964,6 +5109,8 @@ object CoreQueries {
     "q194_expected_shortfall" -> (expectedShortfall(_, _)),
     "q195_sla_percentiles" -> (slaPercentiles(_, _)),
     "q196_laspeyres_index" -> (laspeyresIndex(_, _)),
+    "q197_dow_seasonality" -> (dowSeasonality(_, _)),
+    "q198_decile_lift" -> (decileLift(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5073,5 +5220,7 @@ object CoreQueries {
     "q194_expected_shortfall" -> expectedShortfallOracle,
     "q195_sla_percentiles" -> slaPercentilesOracle,
     "q196_laspeyres_index" -> laspeyresIndexOracle,
+    "q197_dow_seasonality" -> dowSeasonalityOracle,
+    "q198_decile_lift" -> decileLiftOracle,
   )
 }

@@ -4426,6 +4426,167 @@ object LlmQueries {
        |FROM u ORDER BY probes""".stripMargin
   }
 
+  /** q199 — dedup-method evaluation: precision/recall of the SimHash
+    * pipeline (Hamming ≤ 3 candidate pairs, q28) against the exact
+    * n-gram-Jaccard ≥ 0.6 pair set (q26) as ground truth — the audit a
+    * curation team runs before swapping a cheap detector in for an
+    * expensive one, answering "what fraction of true near-dups does
+    * SimHash find, and how much of what it flags is junk". Exact
+    * integer ppm.
+    *
+    * Scale shape: both pair generators are the existing bounded
+    * equality-join pipelines; the comparison is one full outer join on
+    * the pair key folded to a single row.
+    */
+  def nearDupEval(s: SparkSession, d: String): DataFrame = {
+    val truth = DedupOps.ngramJaccardPairs(docs(s, d), "text", "doc_id")
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+    val pred = DedupOps.simhashPairs(
+        DedupOps.simhashSignatures(docs(s, d), "text", "doc_id"))
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("q"))
+    truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(sum(coalesce(col("t"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("q"), lit(0L))).as("n_pred"),
+        sum(coalesce(col("t"), lit(0L)) * coalesce(col("q"), lit(0L)))
+          .as("tp"))
+      .select(col("n_truth").cast("bigint").as("n_truth"),
+        col("n_pred").cast("bigint").as("n_pred"),
+        col("tp").cast("bigint").as("tp"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * tp div n_pred AS BIGINT)")
+          .as("precision_ppm"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * tp div n_truth AS BIGINT)")
+          .as("recall_ppm"))
+  }
+
+  val nearDupEvalOracle: String =
+    s"""WITH $simhashCandSql, pred AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  WHERE bit_count(xor(sig_a, sig_b)) <= 3
+       |), jcand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM exg a JOIN exg b ON a.g = b.g AND a.doc_id < b.doc_id
+       |), truth AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b,
+       |      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+       |        AS jaccard
+       |    FROM jcand JOIN sh sa ON doc_a = sa.doc_id
+       |               JOIN sh sb ON doc_b = sb.doc_id)
+       |  WHERE jaccard >= 0.6
+       |), j AS (
+       |  SELECT coalesce(t.doc_a, p.doc_a) AS doc_a,
+       |    CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS t,
+       |    CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS q
+       |  FROM truth t FULL OUTER JOIN pred p
+       |    ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+       |), a AS (
+       |  SELECT sum(t) AS n_truth, sum(q) AS n_pred, sum(t * q) AS tp FROM j
+       |)
+       |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+       |  CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+       |  CAST(CAST(1000000 AS HUGEINT) * tp // n_pred AS BIGINT)
+       |    AS precision_ppm,
+       |  CAST(CAST(1000000 AS HUGEINT) * tp // n_truth AS BIGINT)
+       |    AS recall_ppm
+       |FROM a""".stripMargin
+
+  /** q200 — corpus health scorecard: the one-call KPI table a curation
+    * pipeline publishes per snapshot — size, language/source spread,
+    * token volume, exact-duplicate and near-duplicate exposure, PII
+    * incidence — each metric an existing verified operator folded to a
+    * (metric, value) row. Zeros are honest zeros (this corpus plants
+    * near-dups but no exact dups or PII).
+    *
+    * Scale shape: every row is a map-combinable aggregate or an
+    * already-bounded pair pipeline; the union is a constant number of
+    * 1-row plans.
+    */
+  def corpusHealth(s: SparkSession, d: String): DataFrame = {
+    val dd = graft.CacheScope.persisted(docs(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("bigint").as("n_tokens")))
+    def row(name: String, v: Column): DataFrame =
+      dd.agg(v.cast("bigint").as("value")).select(lit(name).as("metric"),
+        col("value"))
+    val dupDocs = dd.groupBy(md5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(when(col("n") > 1, col("n")).otherwise(0L))
+        .cast("bigint").as("value"))
+      .select(lit("exact_dup_docs").as("metric"), col("value"))
+    val pairs = graft.CacheScope.persisted(
+      DedupOps.ngramJaccardPairs(dd, "text", "doc_id")
+        .select("doc_a", "doc_b"))
+    val nearPairs = pairs.agg(count(lit(1)).cast("bigint").as("value"))
+      .select(lit("neardup_pairs").as("metric"), col("value"))
+    val nearDocs = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      .agg(count(lit(1)).cast("bigint").as("value"))
+      .select(lit("neardup_docs").as("metric"), col("value"))
+    val piiDocs = dd
+      .agg(sum(when(length(TextAnalysis.scrubPii(col("text")))
+          =!= length(col("text")), 1L).otherwise(0L))
+        .cast("bigint").as("value"))
+      .select(lit("pii_docs").as("metric"), col("value"))
+    row("n_docs", count(lit(1)))
+      .unionAll(row("n_langs", countDistinct(col("lang"))))
+      .unionAll(row("n_sources", countDistinct(col("source"))))
+      .unionAll(row("total_tokens", sum(col("n_tokens"))))
+      .unionAll(row("mean_tokens", expr("sum(n_tokens) div count(1)")))
+      .unionAll(dupDocs)
+      .unionAll(nearPairs)
+      .unionAll(nearDocs)
+      .unionAll(piiDocs)
+      .orderBy("metric")
+  }
+
+  val corpusHealthOracle: String = {
+    val scrub = TextAnalysis.piiRules.foldLeft("text") { case (c, (pat, repl)) =>
+      val p = pat.replace("'", "''")
+      val r = repl.replace("'", "''")
+      s"regexp_replace($c, '$p', '$r', 'g')"
+    }
+    s"""WITH $tokShSql, base AS (
+       |  SELECT doc_id, text, lang, source,
+       |    CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents
+       |), exg AS (
+       |  SELECT doc_id, unnest(sh) AS g FROM sh
+       |), jcand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM exg a JOIN exg b ON a.g = b.g AND a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b,
+       |      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+       |        AS jaccard
+       |    FROM jcand JOIN sh sa ON doc_a = sa.doc_id
+       |               JOIN sh sb ON doc_b = sb.doc_id)
+       |  WHERE jaccard >= 0.6
+       |), u AS (
+       |  SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM base
+       |  UNION ALL SELECT 'n_langs', count(DISTINCT lang) FROM base
+       |  UNION ALL SELECT 'n_sources', count(DISTINCT source) FROM base
+       |  UNION ALL SELECT 'total_tokens', sum(n_tokens) FROM base
+       |  UNION ALL SELECT 'mean_tokens', sum(n_tokens) // count(*) FROM base
+       |  UNION ALL SELECT 'exact_dup_docs',
+       |    coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0) FROM
+       |    (SELECT md5(text) AS fp, count(*) AS n FROM base GROUP BY 1)
+       |  UNION ALL SELECT 'neardup_pairs', count(*) FROM pairs
+       |  UNION ALL SELECT 'neardup_docs', count(*) FROM
+       |    (SELECT DISTINCT doc_id FROM
+       |      (SELECT doc_a AS doc_id FROM pairs
+       |       UNION ALL SELECT doc_b FROM pairs))
+       |  UNION ALL SELECT 'pii_docs',
+       |    sum(CASE WHEN length($scrub) <> length(text) THEN 1 ELSE 0 END)
+       |    FROM base
+       |)
+       |SELECT metric, CAST(value AS BIGINT) AS value FROM u
+       |ORDER BY metric""".stripMargin
+  }
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4518,6 +4679,8 @@ object LlmQueries {
     "q188_token_burstiness" -> (tokenBurstiness(_, _)),
     "q189_blocklist_filter" -> (blocklistFilter(_, _)),
     "q193_ivf_probe_sweep" -> (ivfProbeSweep(_, _)),
+    "q199_neardup_eval" -> (nearDupEval(_, _)),
+    "q200_corpus_health" -> (corpusHealth(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4610,5 +4773,7 @@ object LlmQueries {
     "q188_token_burstiness" -> tokenBurstinessOracle,
     "q189_blocklist_filter" -> blocklistFilterOracle,
     "q193_ivf_probe_sweep" -> ivfProbeSweepOracle,
+    "q199_neardup_eval" -> nearDupEvalOracle,
+    "q200_corpus_health" -> corpusHealthOracle,
   )
 }
