@@ -1,0 +1,636 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.TextAnalysis
+
+/** Extension query registry (q201+): round-7 additions beyond the
+  * 200-query core — corpus-quality rule engines in the C4/Gopher
+  * tradition, prefix dedup, and classic star-schema share analytics.
+  * Same contract as [[CoreQueries]]/[[LlmQueries]]: every query is
+  * deterministic, integer/decimal-exact where the oracle hashes values,
+  * and ships a DuckDB oracle computing the identical formula.
+  */
+object ExtQueries {
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    Tables.load(s, d, name)
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+
+  // shared oracle CTE: whitespace tokens of documents
+  private val tokSql =
+    """tok AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents
+      |)""".stripMargin
+
+  // ------------------------------------------------- corpus quality rules
+
+  /** q201 — Gopher-style quality rule table (Rae et al. 2021's repetition
+    * and word-statistics signals, re-expressed integer-exact): per
+    * document token count, mean word length (centi-chars), stopword
+    * vocabulary hits, and duplicate-bigram incidence (ppm), folded into a
+    * single `kept` verdict. All four signals are scan-local array
+    * expressions over the token vector — one pass, no shuffle beyond the
+    * final order; at 100 TB this is a map-only job.
+    *
+    * Integer carriers keep the oracle bit-exact: mean word length rides
+    * `total_chars * 100 div n_tokens`, duplicate-bigram share rides
+    * `(n_bigrams - n_distinct) * 1e6 div n_bigrams`.
+    */
+  def gopherRules(s: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val stop = array(Seq("the", "a", "of", "to", "in", "and", "is")
+      .map(lit): _*)
+    docs(s, d)
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("n_tokens", size(col("t")).cast("bigint"))
+      .withColumn("mean_len_centi",
+        expr("length(array_join(t, '')) * 100L div n_tokens"))
+      .withColumn("stop_hits",
+        size(array_intersect(array_distinct(col("t")), stop)).cast("bigint"))
+      .withColumn("bi", when(col("n_tokens") >= 2,
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1))))
+        .otherwise(array().cast("array<string>")))
+      .withColumn("dup_bigram_ppm",
+        when(size(col("bi")) > 0,
+          expr("(size(bi) - size(array_distinct(bi))) * 1000000L div size(bi)"))
+          .otherwise(0L).cast("bigint"))
+      .withColumn("kept",
+        col("n_tokens").between(20, 1000) &&
+          col("mean_len_centi").between(300, 700) &&
+          col("stop_hits") >= 1 && col("dup_bigram_ppm") < 250000)
+      .select("doc_id", "n_tokens", "mean_len_centi", "stop_hits",
+        "dup_bigram_ppm", "kept")
+      .orderBy("doc_id")
+  }
+
+  val gopherRulesOracle: String =
+    s"""WITH $tokSql, m AS (
+       |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens,
+       |    length(array_to_string(t, '')) * 100 // len(t) AS mean_len_centi,
+       |    CAST(len(list_intersect(list_distinct(t),
+       |      ['the','a','of','to','in','and','is'])) AS BIGINT) AS stop_hits,
+       |    CASE WHEN len(t) >= 2
+       |         THEN list_transform(range(1, len(t)),
+       |                             i -> t[i] || ' ' || t[i + 1])
+       |         ELSE [] END AS bi
+       |  FROM tok
+       |), r AS (
+       |  SELECT doc_id, n_tokens, mean_len_centi, stop_hits,
+       |    CAST(CASE WHEN len(bi) > 0
+       |         THEN (len(bi) - len(list_distinct(bi))) * 1000000 // len(bi)
+       |         ELSE 0 END AS BIGINT) AS dup_bigram_ppm
+       |  FROM m
+       |)
+       |SELECT doc_id, n_tokens, mean_len_centi, stop_hits, dup_bigram_ppm,
+       |  (n_tokens BETWEEN 20 AND 1000)
+       |    AND (mean_len_centi BETWEEN 300 AND 700)
+       |    AND stop_hits >= 1 AND dup_bigram_ppm < 250000 AS kept
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  /** q202 — leading-prefix dedup (the CCNet/CommonCrawl trick: pages that
+    * share their opening lines are boilerplate copies even when tails
+    * diverge): fingerprint each document's first 8 tokens, group, keep
+    * the min doc id, report multi-member groups. One groupBy on a short
+    * scan-local hash — the cheapest of the dedup family, used as the
+    * first pass before shingle methods.
+    */
+  def prefixDedup(s: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    docs(s, d)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(toks, 1, 8))).as("prefix_fp"))
+      .groupBy("prefix_fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .orderBy("prefix_fp")
+  }
+
+  val prefixDedupOracle: String =
+    s"""WITH $tokSql
+       |SELECT md5(array_to_string(t[1:8], ' ')) AS prefix_fp,
+       |  min(doc_id) AS keep_id, count(*) AS n_docs
+       |FROM tok GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------- share analytics
+
+  /** q203 — nation market share within region by order year (the TPC-H
+    * Q8 shape on the customer axis): decimal-exact revenue per
+    * (year, region, nation), and each nation's share of its region-year
+    * in ppm through a DECIMAL(38,0) carrier (the q110/q116 rule — a
+    * BIGINT ppm product overflows at 100 TB revenue sums).
+    *
+    * Scale shape: one fact-fact shuffle join (lineitem ⋈ orders on the
+    * order key), all dimensions broadcast, one partial-aggregated
+    * groupBy; the share window runs over the POST-aggregate table
+    * (years × nations rows), never over fact rows.
+    */
+  def marketShare(s: SparkSession, d: String): DataFrame = {
+    val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+    val nat = t(s, d, "lineitem")
+      .select(col("l_orderkey"), rev.as("rev"))
+      .join(t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer").select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")
+        .select("n_nationkey", "n_regionkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region").select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"),
+        col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(sum(expr("CAST(rev * 10000 AS DECIMAL(38,0))")).as("rev_i"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_year", "region")
+    nat.withColumn("reg_i", sum(col("rev_i")).over(w))
+      .select(col("o_year").cast("int").as("o_year"), col("region"),
+        col("nation"),
+        expr("CAST(rev_i AS DOUBLE) / 10000").as("revenue"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * rev_i div reg_i AS BIGINT)")
+          .as("share_ppm"))
+      .orderBy("o_year", "region", "nation")
+  }
+
+  val marketShareOracle: String =
+    """WITH nat AS (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |    r_name AS region, n_name AS nation,
+      |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS HUGEINT))
+      |      AS rev_i
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation   ON c_nationkey = n_nationkey
+      |  JOIN region   ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT o_year, region, nation,
+      |  CAST(rev_i AS DOUBLE) / 10000 AS revenue,
+      |  CAST(1000000 * rev_i // sum(rev_i) OVER (PARTITION BY o_year, region)
+      |       AS BIGINT) AS share_ppm
+      |FROM nat ORDER BY o_year, region, nation""".stripMargin
+
+  // --------------------------------------------- ML-prep: hashing, folds
+
+  /** q204 — feature-hashing (the hashing trick): every token folds into
+    * one of 64 md5 buckets; the corpus-level audit reports per-bucket
+    * token mass, document reach, and distinct-vocabulary collisions —
+    * the table you read before choosing a hash width. One explode + one
+    * map-combinable groupBy on a 64-value key: at 100 TB the combine
+    * collapses each partition to ≤64 rows before the shuffle.
+    */
+  def featureHashing(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tk"))
+      .withColumn("bucket",
+        conv(substring(md5(col("tk")), 1, 8), 16, 10).cast("bigint") % 64)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tk")).as("n_terms"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("bucket")
+
+  val featureHashingOracle: String =
+    s"""WITH $tokSql, ex AS (
+       |  SELECT doc_id, unnest(t) AS tk FROM tok
+       |)
+       |SELECT CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) % 64 AS bucket,
+       |  count(*) AS n_tokens, count(DISTINCT tk) AS n_terms,
+       |  count(DISTINCT doc_id) AS n_docs
+       |FROM ex GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q205 — deterministic cross-validation folds: md5(doc_id) mod 5
+    * assigns every document a stable fold independent of partitioning or
+    * ingest order; per-fold size, token mass, and language reach verify
+    * the split is balanced. The assignment is a scan-local expression —
+    * the same trick seeds train/validation/test splits at any scale
+    * with zero shuffles beyond the 5-row fold audit.
+    */
+  def cvFolds(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("bigint").as("n_tokens"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("bigint") % 5).as("fold"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("fold")
+
+  val cvFoldsOracle: String =
+    """WITH f AS (
+      |  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |              AS BIGINT) % 5 AS fold,
+      |    lang,
+      |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents
+      |)
+      |SELECT fold, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  count(DISTINCT lang) AS n_langs
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q206 — fold-leakage audit: near-duplicate pairs (the q26 verified
+    * Jaccard ≥ 0.6 set) whose endpoints land in DIFFERENT q205 folds —
+    * exactly the leakage a random split inflicts on eval metrics when
+    * the corpus wasn't deduped first. Counting them per fold-pair is the
+    * evidence a group-aware (cluster-then-split) strategy needs. The
+    * pair set is the bounded near-dup pipeline's output; fold tagging is
+    * two broadcast-sized joins on doc ids.
+    */
+  def foldLeakage(s: SparkSession, d: String): DataFrame = {
+    val fold = docs(s, d).select(col("doc_id"),
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 5).as("fold"))
+    val pairs = functions.DedupOps.ngramJaccardPairs(docs(s, d), "text", "doc_id")
+      .select("doc_a", "doc_b")
+    pairs
+      .join(fold.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("fold", "fold_a"), Seq("doc_a"))
+      .join(fold.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("fold", "fold_b"), Seq("doc_b"))
+      .groupBy(least(col("fold_a"), col("fold_b")).as("fold_lo"),
+        greatest(col("fold_a"), col("fold_b")).as("fold_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("fold_a") =!= col("fold_b"), 1L).otherwise(0L))
+          .as("n_leaked"))
+      .orderBy("fold_lo", "fold_hi")
+  }
+
+  val foldLeakageOracle: String =
+    s"""WITH ${LlmQueries.tokShSql}, ex AS (
+       |  SELECT doc_id, unnest(sh) AS g FROM sh
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b,
+       |      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+       |        AS jaccard
+       |    FROM cand JOIN sh sa ON doc_a = sa.doc_id
+       |              JOIN sh sb ON doc_b = sb.doc_id)
+       |  WHERE jaccard >= 0.6
+       |), f AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+       |                      AS BIGINT) % 5 AS fold
+       |  FROM documents
+       |)
+       |SELECT least(fa.fold, fb.fold) AS fold_lo,
+       |  greatest(fa.fold, fb.fold) AS fold_hi,
+       |  count(*) AS n_pairs,
+       |  CAST(sum(CASE WHEN fa.fold <> fb.fold THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_leaked
+       |FROM pairs JOIN f fa ON doc_a = fa.doc_id
+       |           JOIN f fb ON doc_b = fb.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------- classic OLAP join shapes
+
+  /** q207 — late-shipment priority counts (the TPC-H Q4 shape): orders
+    * per (year, priority) where at least one line shipped more than 60
+    * days after the order date — an EXISTS that must decorrelate to a
+    * LEFT SEMI hash join (asserted in ExtQueriesSpec), never a
+    * per-order subquery.
+    */
+  def priorityShipLag(s: SparkSession, d: String): DataFrame = {
+    val late = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate").cast("date").as("sd"))
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate").cast("date").as("od"))
+      .join(late, col("o_orderkey") === col("l_orderkey") &&
+        col("sd") > date_add(col("od"), 60), "left_semi")
+      .groupBy(year(col("od")).cast("int").as("o_year"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_year", "o_orderpriority")
+
+  }
+
+  val priorityShipLagOracle: String =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderpriority,
+      |  count(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q208 — top supplier per ship year (the TPC-H Q15 shape): revenue
+    * per (year, supplier) in exact decimal, then the per-year max via a
+    * window over the POST-aggregate table (years × suppliers rows, not
+    * fact rows). Ties keep every argmax supplier — deterministic because
+    * the comparison is decimal-exact.
+    */
+  def topSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+    val perSupp = t(s, d, "lineitem")
+      .groupBy(year(col("l_shipdate")).cast("int").as("ship_year"),
+        col("l_suppkey"))
+      .agg(sum(rev).as("rev_d"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ship_year")
+    perSupp
+      .withColumn("mx", max(col("rev_d")).over(w))
+      .filter(col("rev_d") === col("mx"))
+      .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("ship_year"), col("s_suppkey"), col("s_name"),
+        col("rev_d").cast("double").as("revenue"))
+      .orderBy("ship_year", "s_suppkey")
+  }
+
+  val topSupplierOracle: String =
+    """WITH per AS (
+      |  SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year, l_suppkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev_d
+      |  FROM lineitem GROUP BY 1, 2
+      |), mx AS (
+      |  SELECT *, max(rev_d) OVER (PARTITION BY ship_year) AS m FROM per
+      |)
+      |SELECT ship_year, s_suppkey, s_name, CAST(rev_d AS DOUBLE) AS revenue
+      |FROM mx JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_d = m ORDER BY ship_year, s_suppkey""".stripMargin
+
+  // ------------------------------------- sketch/parameter tuning audits
+
+  /** q209 — LSH band-shape sweep (the q193 probe-sweep discipline applied
+    * to MinHash): the same 16 minhash signatures banded three ways —
+    * 8 bands × 2 rows (recall-biased), 4 × 4 (default), 2 × 8
+    * (precision-biased) — each measured as verified-pair recall against
+    * the exact inverted-index truth set. This is the table that chooses
+    * a production band shape for a target dedup recall. Per config the
+    * pipeline is the bounded equality-join LSH; the sweep is 3× that
+    * cost, never all-pairs.
+    */
+  def lshBandSweep(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val truth = graft.CacheScope.persisted(
+      functions.DedupOps.ngramJaccardPairs(dd, "text", "doc_id")
+        .select("doc_a", "doc_b"))
+    val nTruth = truth.count()
+    val rows = Seq(2, 4, 8).map { r =>
+      val found = functions.DedupOps
+        .minhashLshPairs(dd, "text", "doc_id", bandRows = r)
+        .count()
+      (r.toLong, (16 / r).toLong, found, nTruth)
+    }
+    val s2 = s
+    import s2.implicits._
+    rows.toDF("band_rows", "n_bands", "n_pairs", "n_truth")
+      .withColumn("recall_ppm",
+        expr("n_pairs * 1000000L div n_truth"))
+      .orderBy("band_rows")
+  }
+
+  val lshBandSweepOracle: String = {
+    val p = functions.DedupOps.KmPrime
+    val sigCols = (0 until 16).map(i =>
+      s"min((h1 + $i * h2) % $p) AS sig_$i").mkString(",\n    ")
+    def bandCte(r: Int): String = {
+      val bands = (0 until 16 / r).map { b =>
+        val cols = (b * r until (b + 1) * r).map(i => s"sig_$i").mkString(", ")
+        s"SELECT doc_id, $b AS band_idx, md5(concat_ws('|', $cols)) AS band_hash FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""band$r AS (
+         |  $bands
+         |), cand$r AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band$r a JOIN band$r b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id
+         |), v$r AS (
+         |  SELECT count(*) AS n FROM (
+         |    SELECT doc_a FROM (
+         |      SELECT doc_a, doc_b,
+         |        CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |          / (len(sa.sh) + len(sb.sh)
+         |             - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+         |      FROM cand$r JOIN sh sa ON doc_a = sa.doc_id
+         |                  JOIN sh sb ON doc_b = sb.doc_id)
+         |    WHERE jaccard >= 0.6)
+         |)""".stripMargin
+    }
+    s"""WITH ${LlmQueries.tokShSql}, exg AS (
+       |  SELECT doc_id, unnest(sh) AS g FROM sh
+       |), hh AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % $p AS h1,
+       |    CAST('0x' || substr(md5(g), 17, 15) AS BIGINT) % $p AS h2
+       |  FROM exg
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM hh GROUP BY doc_id
+       |), ex2 AS (
+       |  SELECT doc_id, unnest(sh) AS g FROM sh
+       |), tcand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ex2 a JOIN ex2 b ON a.g = b.g AND a.doc_id < b.doc_id
+       |), truth AS (
+       |  SELECT count(*) AS n FROM (
+       |    SELECT doc_a FROM (
+       |      SELECT doc_a, doc_b,
+       |        CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |          / (len(sa.sh) + len(sb.sh)
+       |             - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+       |      FROM tcand JOIN sh sa ON doc_a = sa.doc_id
+       |                 JOIN sh sb ON doc_b = sb.doc_id)
+       |    WHERE jaccard >= 0.6)
+       |), ${bandCte(2)}, ${bandCte(4)}, ${bandCte(8)}, u AS (
+       |  SELECT CAST(2 AS BIGINT) AS band_rows, CAST(8 AS BIGINT) AS n_bands,
+       |    (SELECT n FROM v2) AS n_pairs FROM (VALUES (1))
+       |  UNION ALL SELECT 4, 4, (SELECT n FROM v4) FROM (VALUES (1))
+       |  UNION ALL SELECT 8, 2, (SELECT n FROM v8) FROM (VALUES (1))
+       |)
+       |SELECT band_rows, n_bands, CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  (SELECT CAST(n AS BIGINT) FROM truth) AS n_truth,
+       |  n_pairs * 1000000 // (SELECT n FROM truth) AS recall_ppm
+       |FROM u ORDER BY band_rows""".stripMargin
+  }
+
+  /** q210 — MinHash Jaccard-estimate error audit: for every exact
+    * near-dup pair, the fraction of the 16 minhash signature slots that
+    * agree estimates the pair's Jaccard; the audit reports the estimate
+    * (in 16ths as permille), the exact Jaccard, and the absolute error
+    * in permille — integer-exact end to end (the q105/q149/q199 family:
+    * every sketch ships with its measured error against exact truth).
+    */
+  def minhashEstimateError(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val sh = functions.DedupOps.shingleSets(dd, "text", "doc_id", 5)
+    val p = functions.DedupOps.KmPrime
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      .withColumn("h", md5(col("g")))
+      .select(col("doc_id"),
+        (conv(substring(col("h"), 1, 15), 16, 10).cast("bigint") % p).as("h1"),
+        (conv(substring(col("h"), 17, 15), 16, 10).cast("bigint") % p).as("h2"))
+    val sigs = ex.groupBy(col("doc_id")).agg(
+      min((col("h1") + col("h2") * lit(0L)) % p).as("sig_0"),
+      (1 until 16).map(i =>
+        min((col("h1") + col("h2") * lit(i.toLong)) % p).as(s"sig_$i")): _*)
+    // exact Jaccard re-derived in INTEGER permille (inter * 1000 div
+    // union) — never a double→bigint cast, whose truncation/rounding
+    // disagrees between engines on representation boundaries
+    val truthPairs = functions.DedupOps.ngramJaccardPairs(dd, "text", "doc_id")
+      .select(col("doc_a"), col("doc_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint")
+    val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("bigint") - inter
+    val truth = truthPairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(size(array_intersect(sh_a, sh_b)) * 1000L div " +
+          "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))) " +
+          "AS BIGINT)").as("exact_permille"))
+    truth
+      .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"CAST((${(0 until 16).map(i =>
+          s"(CASE WHEN a.sig_$i = b.sig_$i THEN 1L ELSE 0L END)")
+          .mkString(" + ")}) * 1000L div 16 AS BIGINT)").as("est_permille"),
+        col("exact_permille"))
+      .withColumn("abs_err_permille",
+        abs(col("est_permille") - col("exact_permille")))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val minhashEstimateErrorOracle: String = {
+    val p = functions.DedupOps.KmPrime
+    val sigCols = (0 until 16).map(i =>
+      s"min((h1 + $i * h2) % $p) AS sig_$i").mkString(",\n    ")
+    val matchSum = (0 until 16).map(i =>
+      s"CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ${LlmQueries.tokShSql}, exg AS (
+       |  SELECT doc_id, unnest(sh) AS g FROM sh
+       |), hh AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % $p AS h1,
+       |    CAST('0x' || substr(md5(g), 17, 15) AS BIGINT) % $p AS h2
+       |  FROM exg
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM hh GROUP BY doc_id
+       |), ex2 AS (
+       |  SELECT doc_id, unnest(sh) AS g FROM sh
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ex2 a JOIN ex2 b ON a.g = b.g AND a.doc_id < b.doc_id
+       |), truth AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(inter * 1000 // (na + nb - inter) AS BIGINT)
+       |      AS exact_permille
+       |  FROM (
+       |    SELECT doc_a, doc_b,
+       |      len(list_intersect(sa.sh, sb.sh)) AS inter,
+       |      len(sa.sh) AS na, len(sb.sh) AS nb
+       |    FROM cand JOIN sh sa ON doc_a = sa.doc_id
+       |              JOIN sh sb ON doc_b = sb.doc_id)
+       |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6
+       |)
+       |SELECT doc_a, doc_b,
+       |  CAST(($matchSum) * 1000 // 16 AS BIGINT) AS est_permille,
+       |  exact_permille,
+       |  abs(($matchSum) * 1000 // 16 - exact_permille) AS abs_err_permille
+       |FROM truth JOIN sig a ON doc_a = a.doc_id
+       |           JOIN sig b ON doc_b = b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** q211 — phrase-vocabulary growth curve (Heaps-law audit, log-free):
+    * each distinct 5-gram shingle's FIRST document (min doc_id over an
+    * ingest-ordered corpus), then cumulative phrase-vocabulary size per
+    * corpus decile — the curve that predicts dedup-index and n-gram-LM
+    * table growth as the corpus scales (unigram vocabulary saturates in
+    * the first decile on any real corpus; the 5-gram curve is the one
+    * that keeps growing). Two bounded aggregations: distinct
+    * (shingle → min doc) and a 10-row cumulative sum; no windows over
+    * raw rows.
+    */
+  def vocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val nDocs = dd.count()
+    val firstSeen = dd
+      .select(col("doc_id"),
+        explode(TextAnalysis.textShingles(col("text"), 5)).as("tk"))
+      .groupBy("tk").agg(min("doc_id").as("first_doc"))
+    // the per-decile table is ≤10 rows — fold the running total on the
+    // driver (the bounded-scalar shape) instead of a global-order window
+    val per = firstSeen
+      .withColumn("decile",
+        least(expr(s"(first_doc * 10) div $nDocs") + 1, lit(10L)))
+      .groupBy("decile").agg(count(lit(1)).as("new_terms"))
+      .orderBy("decile")
+      .collect()
+    val cum = per.scanLeft(0L)(_ + _.getAs[Long]("new_terms")).tail
+    val s2 = s
+    import s2.implicits._
+    per.zip(cum).toSeq
+      .map(p => (p._1.getAs[Long]("decile"), p._1.getAs[Long]("new_terms"),
+        p._2))
+      .toDF("decile", "new_terms", "vocab_size")
+      .orderBy("decile")
+  }
+
+  val vocabGrowthOracle: String =
+    s"""WITH ${LlmQueries.tokShSql}, ex AS (
+       |  SELECT doc_id, unnest(sh) AS tk FROM sh
+       |), fs AS (
+       |  SELECT tk, min(doc_id) AS first_doc FROM ex GROUP BY 1
+       |), n AS (
+       |  SELECT count(*) AS n_docs FROM documents
+       |), per AS (
+       |  SELECT least(first_doc * 10 // n_docs + 1, 10) AS decile,
+       |    count(*) AS new_terms
+       |  FROM fs CROSS JOIN n GROUP BY 1
+       |)
+       |SELECT CAST(decile AS BIGINT) AS decile, new_terms,
+       |  CAST(sum(new_terms) OVER (ORDER BY decile) AS BIGINT) AS vocab_size
+       |FROM per ORDER BY decile""".stripMargin
+
+  // ------------------------------------------------------- registries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_gopher_rules" -> (gopherRules(_, _)),
+    "q202_prefix_dedup" -> (prefixDedup(_, _)),
+    "q203_market_share" -> (marketShare(_, _)),
+    "q204_feature_hashing" -> (featureHashing(_, _)),
+    "q205_cv_folds" -> (cvFolds(_, _)),
+    "q206_fold_leakage" -> (foldLeakage(_, _)),
+    "q207_priority_ship_lag" -> (priorityShipLag(_, _)),
+    "q208_top_supplier" -> (topSupplier(_, _)),
+    "q209_lsh_band_sweep" -> (lshBandSweep(_, _)),
+    "q210_minhash_est_error" -> (minhashEstimateError(_, _)),
+    "q211_vocab_growth" -> (vocabGrowth(_, _))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q201_gopher_rules" -> gopherRulesOracle,
+    "q202_prefix_dedup" -> prefixDedupOracle,
+    "q203_market_share" -> marketShareOracle,
+    "q204_feature_hashing" -> featureHashingOracle,
+    "q205_cv_folds" -> cvFoldsOracle,
+    "q206_fold_leakage" -> foldLeakageOracle,
+    "q207_priority_ship_lag" -> priorityShipLagOracle,
+    "q208_top_supplier" -> topSupplierOracle,
+    "q209_lsh_band_sweep" -> lshBandSweepOracle,
+    "q210_minhash_est_error" -> minhashEstimateErrorOracle,
+    "q211_vocab_growth" -> vocabGrowthOracle
+  )
+}

@@ -24,7 +24,7 @@ object LlmQueries {
     Tables.embeddings(s, d)
 
   // shared oracle CTEs: whitespace tokens and distinct 5-gram shingles
-  private val tokShSql =
+  private[graft] val tokShSql =
     """tok AS (
       |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
       |), sh AS (

@@ -94,10 +94,10 @@ object Queries {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
       "q01_flagship_revenue" -> (flagship(_, _))
-    ) ++ CoreQueries.queries ++ LlmQueries.queries
+    ) ++ CoreQueries.queries ++ LlmQueries.queries ++ ExtQueries.queries
 
   /** name → DuckDB oracle SQL; merged into SparkEntry.oracleSql. */
   def oracleSql: Map[String, String] = Map(
     "q01_flagship_revenue" -> flagshipOracle
-  ) ++ CoreQueries.oracleSql ++ LlmQueries.oracleSql
+  ) ++ CoreQueries.oracleSql ++ LlmQueries.oracleSql ++ ExtQueries.oracleSql
 }

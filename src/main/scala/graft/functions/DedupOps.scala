@@ -273,7 +273,7 @@ object DedupOps {
     * scale, recomputing it per consumer dominates the query. Spill-safe:
     * the projection is (id, shingle array), a fraction of corpus bytes.
     */
-  private def shingleSets(docs: DataFrame, textCol: String, idCol: String,
+  private[graft] def shingleSets(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int): DataFrame =
     graft.CacheScope.persisted(
       docs.select(col(idCol).as("doc_id"),
