@@ -3899,27 +3899,34 @@ object LlmQueries {
     * `(rank_in_source − 1)·k + source_index` is exact integer
     * arithmetic over per-source ranks.
     *
-    * Scale shape: the source list is a bounded collect (mixture
-    * weights' q57 convention); per-source ranks come from the bucketed
-    * [[graft.operators.PrefixSum]] — NOT a window partitioned by
-    * source, which would put each source's entire corpus slice in one
-    * task at 100 TB. One union of k prefix-summed scans, then a top-N.
+    * Scale shape: per-source ranks come from ONE grouped bucketed
+    * prefix pass ([[graft.operators.PrefixSum
+    * .groupedExclusiveRunningTotals]] partitioned by (source, bucket)) —
+    * NOT a window partitioned by source, which would put each source's
+    * entire corpus slice in one task at 100 TB, and NOT a per-source
+    * loop of prefix pipelines (the first cut: k quantile sketches and
+    * caches — 9.0 s at sf0.1 for 40 output rows; the grouped pass is
+    * ~2 s). Source indexes are a bounded broadcast.
     */
   def curriculumInterleave(s: SparkSession, d: String): DataFrame = {
-    val base = graft.CacheScope.persisted(
-      docs(s, d).select(col("doc_id"), col("source"), col("n_chars")))
+    val base = docs(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("neg_len", -col("n_chars"))
     val sources = base.select("source").distinct()
       .collect().map(_.getString(0)).sorted
     val k = sources.length
-    val ranked = sources.zipWithIndex.map { case (src, i) =>
-      graft.operators.PrefixSum.exclusiveRunningTotal(
-          base.filter(col("source") === src)
-            .withColumn("neg_len", -col("n_chars")),
-          Seq(col("neg_len"), col("doc_id")), lit(1L), "before")
-        .select(col("doc_id"), col("source"), col("n_chars"),
-          (col("before") * k + i).cast("bigint").as("position"))
-    }.reduce(_ unionAll _)
-    ranked.orderBy("position").limit(40)
+    val s2 = s
+    import s2.implicits._
+    val sidx = sources.zipWithIndex
+      .map { case (src, i) => (src, i.toLong) }.toSeq
+      .toDF("source", "sidx")
+    graft.operators.PrefixSum.groupedExclusiveRunningTotals(
+        base, Seq(col("source")), Seq(col("neg_len"), col("doc_id")),
+        Seq((lit(1L), "before")))
+      .join(broadcast(sidx), "source")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (col("before") * k + col("sidx")).cast("bigint").as("position"))
+      .orderBy("position").limit(40)
   }
 
   val curriculumInterleaveOracle: String =

@@ -66,4 +66,63 @@ object PrefixSum {
         sum(col("__ps_val")).over(win) - col("__ps_val") + offsetExpr)
       .drop("__ps_ord", "__ps_val", "__ps_bucket")
   }
+
+  /** Per-group exclusive running totals of SEVERAL measures in ONE pass:
+    * for each `partCols` group, append one column per `(valueCol, name)`
+    * holding the sum of that value over the group's rows STRICTLY BEFORE
+    * the current row in `orderCols` order.
+    *
+    * This is the batched form of [[exclusiveRunningTotal]]: a caller
+    * that loops groups (one bucketed pipeline per flag/source — one
+    * cache, one quantile sketch, one collect EACH) pays k× the fixed
+    * cost; here every group shares a single quantile bucketing of the
+    * ordering column, windows run partitioned by (group, bucket) — so a
+    * group never serializes into one task — and per-(group, bucket) base
+    * offsets come from one bounded aggregate windowed over ≤ `buckets`
+    * rows per group. Same bit-exact result, one pipeline.
+    */
+  def groupedExclusiveRunningTotals(df: DataFrame, partCols: Seq[Column],
+      orderCols: Seq[Column], valueCols: Seq[(Column, String)],
+      buckets: Int = 64): DataFrame = {
+    require(valueCols.nonEmpty)
+    val vals = valueCols.zipWithIndex
+    val tmp = graft.CacheScope.persisted(vals.foldLeft(
+      df.withColumn("__ps_ord", orderCols.head.try_cast("double"))) {
+      case (acc, ((v, _), i)) => acc.withColumn(s"__ps_val_$i", v.cast("bigint"))
+    })
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = tmp.stat.approxQuantile("__ps_ord", probs, 0.01).distinct.sorted
+    val bucketExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__ps_ord") > lit(b), 1).otherwise(0)
+    }
+    val bucketed = tmp.withColumn("__ps_bucket", bucketExpr)
+    // per-(group, bucket) totals → exclusive base offsets via a window
+    // over the BOUNDED aggregate (≤ buckets rows per group) — driver
+    // never sees data, and the offsets broadcast-join back by key
+    val perBucket = bucketed
+      .groupBy(partCols :+ col("__ps_bucket"): _*)
+      .agg(sum(col("__ps_val_0")).as("__ps_sum_0"),
+        vals.tail.map { case (_, i) =>
+          sum(col(s"__ps_val_$i")).as(s"__ps_sum_$i")
+        }: _*)
+    val offWin = Window.partitionBy(partCols: _*).orderBy(col("__ps_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = vals.foldLeft(perBucket) { case (acc, (_, i)) =>
+      acc.withColumn(s"__ps_off_$i",
+        coalesce(sum(col(s"__ps_sum_$i")).over(offWin), lit(0L)))
+    }.drop(vals.map { case (_, i) => s"__ps_sum_$i" }: _*)
+    val partNames = partCols.map(_.toString)
+    val win = Window.partitionBy(partCols :+ col("__ps_bucket"): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = bucketed.join(broadcast(offsets),
+      partNames :+ "__ps_bucket")
+    vals.foldLeft(joined) { case (acc, ((_, name), i)) =>
+      acc.withColumn(name,
+        sum(col(s"__ps_val_$i")).over(win) - col(s"__ps_val_$i")
+          + col(s"__ps_off_$i"))
+    }.drop("__ps_ord", "__ps_bucket")
+      .drop(vals.flatMap { case (_, i) =>
+        Seq(s"__ps_val_$i", s"__ps_off_$i") }: _*)
+  }
 }

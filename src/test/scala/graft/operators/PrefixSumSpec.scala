@@ -70,4 +70,39 @@ class PrefixSumSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"),
       s"prefix sum must not funnel data through one task:\n$plan")
   }
+
+  test("groupedExclusiveRunningTotals matches per-group global windows, " +
+      "both measures") {
+    val df = spark.range(20000)
+      .select(($"id" % 7).cast("string").as("grp"), $"id",
+        ($"id" * 7919 % 101).cast("bigint").as("v"),
+        ($"id" * 104729 % 997).cast("bigint").as("u"))
+      .repartition(16)
+    val got = PrefixSum.groupedExclusiveRunningTotals(df,
+        Seq($"grp"), Seq($"id"), Seq(($"v", "rv"), ($"u", "ru")))
+      .select($"id", $"rv", $"ru").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val w = Window.partitionBy($"grp").orderBy($"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("rv", sum($"v").over(w) - $"v")
+      .withColumn("ru", sum($"u").over(w) - $"u")
+      .select($"id", $"rv", $"ru").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == want)
+  }
+
+  test("groupedExclusiveRunningTotals never funnels a group into one task") {
+    val df = spark.range(20000)
+      .select(($"id" % 3).cast("string").as("grp"), $"id", lit(1L).as("v"))
+      .repartition(16)
+    val out = PrefixSum.groupedExclusiveRunningTotals(df,
+      Seq($"grp"), Seq($"id"), Seq(($"v", "run")))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"grouped prefix must not funnel data through one task:\n$plan")
+    // window partitions must include the bucket, not just the group
+    assert(plan.contains("__ps_bucket"),
+      s"expected bucketed window partitioning:\n$plan")
+  }
 }
