@@ -377,17 +377,58 @@ object ExtQueries {
     * pipeline is the bounded equality-join LSH; the sweep is 3× that
     * cost, never all-pairs.
     */
+  /** One md5 per shingle expanded into 16 Kirsch–Mitzenmacher minhash
+    * signature columns (the [[functions.DedupOps]] formula), persisted —
+    * shared by the q209 sweep (3 band shapes off ONE signature table)
+    * and the q210 estimate audit.
+    */
+  private def kmSigs(sh: DataFrame): DataFrame = {
+    val p = functions.DedupOps.KmPrime
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      .withColumn("h", md5(col("g")))
+      .select(col("doc_id"),
+        (conv(substring(col("h"), 1, 15), 16, 10).cast("bigint") % p).as("h1"),
+        (conv(substring(col("h"), 17, 15), 16, 10).cast("bigint") % p).as("h2"))
+    graft.CacheScope.persisted(ex.groupBy(col("doc_id")).agg(
+      min((col("h1") + col("h2") * lit(0L)) % p).as("sig_0"),
+      (1 until 16).map(i =>
+        min((col("h1") + col("h2") * lit(i.toLong)) % p).as(s"sig_$i")): _*))
+  }
+
+  /** Exact-Jaccard verification count of a candidate pair set against the
+    * shingle table (integer sizes, ≥ 0.6).
+    */
+  private def verifiedCount(cand: DataFrame, sh: DataFrame): Long =
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .filter(expr("CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / " +
+        "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))) " +
+        ">= 0.6"))
+      .count()
+
   def lshBandSweep(s: SparkSession, d: String): DataFrame = {
     val dd = docs(s, d)
-    val truth = graft.CacheScope.persisted(
-      functions.DedupOps.ngramJaccardPairs(dd, "text", "doc_id")
-        .select("doc_a", "doc_b"))
+    val sh = functions.DedupOps.shingleSets(dd, "text", "doc_id", 5)
+    val truth = functions.DedupOps.ngramJaccardPairs(dd, "text", "doc_id")
+      .select("doc_a", "doc_b")
     val nTruth = truth.count()
+    // ONE signature table; each band shape is a projection + self-join
+    val sigs = kmSigs(sh)
     val rows = Seq(2, 4, 8).map { r =>
-      val found = functions.DedupOps
-        .minhashLshPairs(dd, "text", "doc_id", bandRows = r)
-        .count()
-      (r.toLong, (16 / r).toLong, found, nTruth)
+      val nb = 16 / r
+      val bands = graft.CacheScope.persisted(sigs.select(col("doc_id"),
+        posexplode(array((0 until nb).map { b =>
+          md5(concat_ws("|",
+            (b * r until (b + 1) * r).map(i => col(s"sig_$i")): _*))
+        }: _*))).toDF("doc_id", "band_idx", "band_hash"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      (r.toLong, nb.toLong, verifiedCount(cand, sh), nTruth)
     }
     val s2 = s
     import s2.implicits._
@@ -473,16 +514,7 @@ object ExtQueries {
   def minhashEstimateError(s: SparkSession, d: String): DataFrame = {
     val dd = docs(s, d)
     val sh = functions.DedupOps.shingleSets(dd, "text", "doc_id", 5)
-    val p = functions.DedupOps.KmPrime
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-      .withColumn("h", md5(col("g")))
-      .select(col("doc_id"),
-        (conv(substring(col("h"), 1, 15), 16, 10).cast("bigint") % p).as("h1"),
-        (conv(substring(col("h"), 17, 15), 16, 10).cast("bigint") % p).as("h2"))
-    val sigs = ex.groupBy(col("doc_id")).agg(
-      min((col("h1") + col("h2") * lit(0L)) % p).as("sig_0"),
-      (1 until 16).map(i =>
-        min((col("h1") + col("h2") * lit(i.toLong)) % p).as(s"sig_$i")): _*)
+    val sigs = kmSigs(sh)
     // exact Jaccard re-derived in INTEGER permille (inter * 1000 div
     // union) — never a double→bigint cast, whose truncation/rounding
     // disagrees between engines on representation boundaries
