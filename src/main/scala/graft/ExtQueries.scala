@@ -636,6 +636,230 @@ object ExtQueries {
        |  CAST(sum(new_terms) OVER (ORDER BY decile) AS BIGINT) AS vocab_size
        |FROM per ORDER BY decile""".stripMargin
 
+  // ------------------------------------------- corpus composition audits
+
+  /** q212 — lexical diversity per language: token mass, distinct types,
+    * hapax legomena (types seen once), and the integer-ppm type-token
+    * and hapax rates — the diversity panel that flags template-generated
+    * or over-deduplicated corpus slices. One (lang, token) aggregate
+    * feeding one per-lang aggregate, both map-combinable.
+    */
+  def lexicalDiversity(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tk"))
+      .groupBy("lang", "tk").agg(count(lit(1)).as("n"))
+      .groupBy("lang")
+      .agg(sum("n").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("lang"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("n_types * 1000000L div n_tokens").as("ttr_ppm"),
+        expr("n_hapax * 1000000L div n_types").as("hapax_ppm"))
+      .orderBy("lang")
+
+  val lexicalDiversityOracle: String =
+    """WITH tt AS (
+      |  SELECT lang, tk, count(*) AS n FROM (
+      |    SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS tk
+      |    FROM documents)
+      |  GROUP BY 1, 2
+      |), per AS (
+      |  SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+      |    count(*) AS n_types,
+      |    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      |  FROM tt GROUP BY 1
+      |)
+      |SELECT lang, n_tokens, n_types, n_hapax,
+      |  n_types * 1000000 // n_tokens AS ttr_ppm,
+      |  n_hapax * 1000000 // n_types AS hapax_ppm
+      |FROM per ORDER BY lang""".stripMargin
+
+  /** q213 — dedup's effect on the source mixture: per source, document
+    * and token mass BEFORE near-dup removal vs AFTER keeping only
+    * cluster canonicals (the q91 SimHash-cluster policy), with the
+    * share shift in ppm — the audit a mixture-weighted training run
+    * needs, since dedup removes mass NON-uniformly across sources. The
+    * removal set is the bounded near-dup pipeline; everything else is
+    * two map-combinable aggregates and a 5-row join.
+    */
+  def dedupMixtureShift(s: SparkSession, d: String): DataFrame = {
+    val dd = graft.CacheScope.persisted(docs(s, d)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("bigint").as("n_tokens")))
+    val pairs = functions.DedupOps.simhashPairs(
+      functions.DedupOps.simhashSignatures(docs(s, d), "text", "doc_id"))
+    val cc = operators.ConnectedComponents.components(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component").as("component_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component_id"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    val removed = dd.join(cc, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") > 1)
+      .select(col("doc_id"))
+    val after = dd.join(removed, Seq("doc_id"), "left_anti")
+    val before = dd.groupBy("source")
+      .agg(count(lit(1)).as("docs_before"),
+        sum("n_tokens").as("tokens_before"))
+    val kept = after.groupBy("source")
+      .agg(count(lit(1)).as("docs_after"), sum("n_tokens").as("tokens_after"))
+    val joined = graft.CacheScope.persisted(before.join(kept, "source")
+      .select(col("source"), col("docs_before"), col("docs_after"),
+        col("tokens_before"), col("tokens_after")))
+    // corpus totals as a broadcast 1-row scalar, not a global window
+    val totals = joined.agg(sum("tokens_before").as("tok_total_before"),
+      sum("tokens_after").as("tok_total_after"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("source"), col("docs_before"), col("docs_after"),
+        col("tokens_before"), col("tokens_after"),
+        expr("""tokens_after * 1000000L div tok_total_after
+               |  - tokens_before * 1000000L div tok_total_before"""
+          .stripMargin).as("share_shift_ppm"))
+      .orderBy("source")
+  }
+
+  // share oracle pipeline with q28/q91: SimHash candidates + CC
+  val dedupMixtureShiftOracle: String =
+    s"""WITH RECURSIVE ${LlmQueries.simhashCcSql}, base AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT b.doc_id,
+       |    row_number() OVER (PARTITION BY cc.component_id
+       |      ORDER BY b.n_tokens DESC, b.doc_id) AS rk
+       |  FROM cc JOIN base b ON cc.doc_id = b.doc_id
+       |), removed AS (
+       |  SELECT doc_id FROM ranked WHERE rk > 1
+       |), before AS (
+       |  SELECT source, count(*) AS docs_before,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tokens_before
+       |  FROM base GROUP BY 1
+       |), aft AS (
+       |  SELECT source, count(*) AS docs_after,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tokens_after
+       |  FROM base WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+       |  GROUP BY 1
+       |)
+       |SELECT source, docs_before, docs_after, tokens_before, tokens_after,
+       |  CAST(tokens_after * 1000000
+       |    // (SELECT sum(tokens_after) FROM aft)
+       |  - tokens_before * 1000000
+       |    // (SELECT sum(tokens_before) FROM before) AS BIGINT)
+       |    AS share_shift_ppm
+       |FROM before JOIN aft USING (source) ORDER BY source""".stripMargin
+
+  /** q214 — customer-lifetime-value triangle: cohort = first-order year,
+    * age = years since cohort; decimal-exact revenue per (cohort, age)
+    * plus cumulative LTV cents per cohort — the table subscription and
+    * retail analytics read retention economics from. First-order dates
+    * are one map-combinable min; ages are a broadcast-joined derived
+    * column; the cumulative runs over the bounded (cohorts × ages)
+    * aggregate.
+    */
+  def cohortLtv(s: SparkSession, d: String): DataFrame = {
+    val first = t(s, d, "orders")
+      .groupBy("o_custkey")
+      .agg(min(year(col("o_orderdate"))).as("cohort"))
+    val per = t(s, d, "orders")
+      .join(first, "o_custkey")
+      .groupBy(col("cohort"), (year(col("o_orderdate")) - col("cohort"))
+        .cast("bigint").as("age"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("revenue_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort").orderBy("age")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        0)
+    per.withColumn("cum_revenue_c", sum(col("revenue_c")).over(w))
+      .select(col("cohort").cast("int").as("cohort"), col("age"),
+        col("n_customers"), col("revenue_c"),
+        col("cum_revenue_c").cast("bigint").as("cum_revenue_c"))
+      .orderBy("cohort", "age")
+  }
+
+  val cohortLtvOracle: String =
+    """WITH f AS (
+      |  SELECT o_custkey, min(year(o_orderdate)) AS cohort
+      |  FROM orders GROUP BY 1
+      |), per AS (
+      |  SELECT cohort,
+      |    CAST(year(o_orderdate) - cohort AS BIGINT) AS age,
+      |    count(DISTINCT o.o_custkey) AS n_customers,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS revenue_c
+      |  FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT CAST(cohort AS INTEGER) AS cohort, age, n_customers, revenue_c,
+      |  CAST(sum(revenue_c) OVER (PARTITION BY cohort ORDER BY age
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_revenue_c
+      |FROM per ORDER BY cohort, age""".stripMargin
+
+  /** q215 — additive seasonal decomposition of monthly revenue (log-free
+    * classical decomposition): trend = centered 3-month moving average,
+    * seasonal = per-calendar-month mean deviation from trend, residual =
+    * the rest — all exact integer cents (the deviation means use `div`).
+    * The month table is bounded (years × 12), so every window here runs
+    * over a bounded aggregate, never raw rows.
+    */
+  def seasonalDecompose(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = t(s, d, "orders")
+      .groupBy(year(col("o_orderdate")).cast("int").as("yr"),
+        month(col("o_orderdate")).cast("int").as("mo"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("revenue_c"))
+      .withColumn("idx", col("yr") * 12 + col("mo"))
+    val w3 = Window.orderBy("idx").rowsBetween(-1, 1)
+    val wcnt = Window.orderBy("idx").rowsBetween(-1, 1)
+    val trended = monthly
+      .withColumn("sum3", sum(col("revenue_c")).over(w3))
+      .withColumn("cnt3", count(lit(1)).over(wcnt))
+      .withColumn("trend_c",
+        when(col("cnt3") === 3, expr("CAST(sum3 div 3 AS BIGINT)")))
+      .drop("sum3", "cnt3")
+    val seasonal = trended.filter(col("trend_c").isNotNull)
+      .groupBy("mo")
+      .agg(expr("sum(revenue_c - trend_c) div count(1)").as("seasonal_c"))
+    trended.join(broadcast(seasonal), Seq("mo"), "left")
+      .select(col("yr"), col("mo"), col("revenue_c"),
+        col("trend_c"), col("seasonal_c"),
+        when(col("trend_c").isNotNull,
+          col("revenue_c") - col("trend_c") - col("seasonal_c"))
+          .as("resid_c"))
+      .orderBy("yr", "mo")
+  }
+
+  val seasonalDecomposeOracle: String =
+    """WITH m AS (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |    CAST(month(o_orderdate) AS INTEGER) AS mo,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS revenue_c,
+      |    yr * 12 + mo AS idx
+      |  FROM orders GROUP BY 1, 2
+      |), tr AS (
+      |  SELECT yr, mo, revenue_c,
+      |    CASE WHEN count(*) OVER (ORDER BY idx
+      |        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) = 3
+      |      THEN CAST(sum(revenue_c) OVER (ORDER BY idx
+      |        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) // 3 AS BIGINT)
+      |    END AS trend_c
+      |  FROM m
+      |), se AS (
+      |  SELECT mo,
+      |    CAST(sum(revenue_c - trend_c) // count(*) AS BIGINT) AS seasonal_c
+      |  FROM tr WHERE trend_c IS NOT NULL GROUP BY 1
+      |)
+      |SELECT tr.yr, tr.mo, tr.revenue_c, tr.trend_c, se.seasonal_c,
+      |  CASE WHEN tr.trend_c IS NOT NULL
+      |       THEN tr.revenue_c - tr.trend_c - se.seasonal_c END AS resid_c
+      |FROM tr LEFT JOIN se ON tr.mo = se.mo
+      |ORDER BY tr.yr, tr.mo""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -649,7 +873,11 @@ object ExtQueries {
     "q208_top_supplier" -> (topSupplier(_, _)),
     "q209_lsh_band_sweep" -> (lshBandSweep(_, _)),
     "q210_minhash_est_error" -> (minhashEstimateError(_, _)),
-    "q211_vocab_growth" -> (vocabGrowth(_, _))
+    "q211_vocab_growth" -> (vocabGrowth(_, _)),
+    "q212_lexical_diversity" -> (lexicalDiversity(_, _)),
+    "q213_dedup_mixture_shift" -> (dedupMixtureShift(_, _)),
+    "q214_cohort_ltv" -> (cohortLtv(_, _)),
+    "q215_seasonal_decompose" -> (seasonalDecompose(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -663,6 +891,10 @@ object ExtQueries {
     "q208_top_supplier" -> topSupplierOracle,
     "q209_lsh_band_sweep" -> lshBandSweepOracle,
     "q210_minhash_est_error" -> minhashEstimateErrorOracle,
-    "q211_vocab_growth" -> vocabGrowthOracle
+    "q211_vocab_growth" -> vocabGrowthOracle,
+    "q212_lexical_diversity" -> lexicalDiversityOracle,
+    "q213_dedup_mixture_shift" -> dedupMixtureShiftOracle,
+    "q214_cohort_ltv" -> cohortLtvOracle,
+    "q215_seasonal_decompose" -> seasonalDecomposeOracle
   )
 }

@@ -241,6 +241,25 @@ object LlmQueries {
       .orderBy("component_id")
   }
 
+  /** Shared CTE chain ending in `cc(doc_id, component_id)`: SimHash
+    * candidate pairs → hamming gate → undirected closure → components.
+    * Callers must open with `WITH RECURSIVE`.
+    */
+  private[graft] val simhashCcSql: String =
+    s"""$simhashCandSql, pairs AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  WHERE bit_count(xor(sig_a, sig_b)) <= 3
+       |), e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), reach(id, comp) AS (
+       |  SELECT src, src FROM e
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id
+       |), cc AS (
+       |  SELECT id AS doc_id, min(comp) AS component_id FROM reach GROUP BY id
+       |)""".stripMargin
+
   val canonicalDocsOracle: String =
     s"""WITH RECURSIVE $simhashCandSql, pairs AS (
        |  SELECT doc_a, doc_b FROM cand
