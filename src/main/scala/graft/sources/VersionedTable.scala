@@ -546,6 +546,32 @@ object VersionedTable {
     }
   }
 
+  /** RESTORE `version` as a NEW commit: the table's head becomes a
+    * manifest referencing exactly the old version's files and deletion
+    * vectors (Delta's `RESTORE TABLE ... TO VERSION AS OF` semantics —
+    * time travel made durable while preserving history; a later restore
+    * can roll the restore itself back). Metadata-only: no data file is
+    * read, moved, or rewritten, so restoring a 100 TB table costs one
+    * manifest write. Retries on version races like any blind commit;
+    * requires the target version's manifest to still exist (VACUUM with
+    * a retention window shorter than the restore target forfeits it).
+    */
+  def restore(path: String, version: Long): Long = {
+    require(Files.exists(manifestPath(path, version)),
+      s"cannot restore to version $version: manifest vacuumed or absent")
+    val fs = files(path, version)
+    val dv = dvFiles(path, version)
+    var committed = -1L
+    while (committed < 0) {
+      val next = latestVersion(path).getOrElse(
+        throw new IllegalStateException(s"no versions at $path")) + 1
+      if (tryCommit(path, next, fs, s"restore($version)", dv))
+        committed = next
+    }
+    maybeCheckpoint(path, committed)
+    committed
+  }
+
   /** Read the latest version. */
   def read(spark: SparkSession, path: String): DataFrame =
     readVersion(spark, path,

@@ -368,4 +368,35 @@ class VersionedTableSpec extends SparkSpec {
     // history intact, v0 still readable
     assert(VersionedTable.readVersion(spark, path, 0).count() == 1)
   }
+
+  test("restore: head becomes an old version, metadata-only, history preserved") {
+    val path = Files.createTempDirectory("vt").resolve("t").toString
+    VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      path, SaveMode.Overwrite)                                    // v0
+    VersionedTable.write(Seq((3L, "c")).toDF("k", "v"),
+      path, SaveMode.Append)                                       // v1
+    // a DV delete so restore must carry deletion vectors too
+    VersionedTable.deleteWhere(spark, path, col("k") === 1L)       // v2
+    VersionedTable.write(Seq((9L, "z")).toDF("k", "v"),
+      path, SaveMode.Overwrite)                                    // v3
+    val rv = VersionedTable.restore(path, 2L)                      // v4
+    assert(rv == 4L)
+    val head = VersionedTable.read(spark, path)
+      .select("k").as[Long].collect().sorted.toSeq
+    val want = VersionedTable.readVersion(spark, path, 2L)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(head == want && head == Seq(2L, 3L))
+    // restore is a COMMIT: v3 remains readable behind it
+    assert(VersionedTable.readVersion(spark, path, 3L)
+      .select("k").as[Long].collect().toSeq == Seq(9L))
+    assert(VersionedTable.opOf(path, 4L) == "restore(2)")
+    // restoring the restore rolls forward again
+    VersionedTable.restore(path, 3L)                               // v5
+    assert(VersionedTable.read(spark, path)
+      .select("k").as[Long].collect().toSeq == Seq(9L))
+    // vacuum keeps files referenced by the restored head
+    VersionedTable.vacuum(path, retainLast = 2)
+    assert(VersionedTable.read(spark, path)
+      .select("k").as[Long].collect().toSeq == Seq(9L))
+  }
 }
