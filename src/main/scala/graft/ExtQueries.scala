@@ -860,6 +860,103 @@ object ExtQueries {
       |FROM tr LEFT JOIN se ON tr.mo = se.mo
       |ORDER BY tr.yr, tr.mo""".stripMargin
 
+  /** q216 — join-cardinality estimation audit (the optimizer-statistics
+    * op): predict |lineitem ⋈ orders| from 64-bucket key histograms —
+    * Σ over buckets of n_left·n_right — against the exact per-key
+    * product sum and the actual join count. The bucket estimate is what
+    * a cost-based optimizer computes from table stats before choosing a
+    * join strategy; the audit quantifies its overcount on this key
+    * distribution. Histograms are map-combinable 64-row aggregates; the
+    * exact product sum joins two per-key COUNT tables (never the raw
+    * fact rows against each other).
+    */
+  def joinCardinality(s: SparkSession, d: String): DataFrame = {
+    val lk = t(s, d, "lineitem").select(col("l_orderkey").as("k"))
+    val ok = t(s, d, "orders").select(col("o_orderkey").as("k"))
+    val lh = lk.groupBy((col("k") % 64).as("bucket"))
+      .agg(count(lit(1)).as("nl"))
+    val oh = ok.groupBy((col("k") % 64).as("bucket"))
+      .agg(count(lit(1)).as("no"))
+    val bucketEst = lh.join(oh, "bucket")
+      .agg(sum(col("nl") * col("no")).cast("bigint").as("v"))
+      .select(lit("bucket64_estimate").as("metric"), col("v"))
+    val exact = lk.groupBy("k").agg(count(lit(1)).as("nl"))
+      .join(ok.groupBy("k").agg(count(lit(1)).as("no")), "k")
+      .agg(sum(col("nl") * col("no")).cast("bigint").as("v"))
+      .select(lit("exact_key_product").as("metric"), col("v"))
+    val actual = lk.join(ok, "k")
+      .agg(count(lit(1)).cast("bigint").as("v"))
+      .select(lit("actual_join_rows").as("metric"), col("v"))
+    bucketEst.unionAll(exact).unionAll(actual).orderBy("metric")
+  }
+
+  val joinCardinalityOracle: String =
+    """WITH lh AS (
+      |  SELECT l_orderkey % 64 AS bucket, count(*) AS nl
+      |  FROM lineitem GROUP BY 1
+      |), oh AS (
+      |  SELECT o_orderkey % 64 AS bucket, count(*) AS no
+      |  FROM orders GROUP BY 1
+      |), u AS (
+      |  SELECT 'bucket64_estimate' AS metric,
+      |    CAST(sum(nl * no) AS BIGINT) AS v
+      |  FROM lh JOIN oh USING (bucket)
+      |  UNION ALL
+      |  SELECT 'exact_key_product', CAST(sum(nl * no) AS BIGINT) FROM (
+      |    SELECT l_orderkey AS k, count(*) AS nl FROM lineitem GROUP BY 1) a
+      |    JOIN (
+      |    SELECT o_orderkey AS k, count(*) AS no FROM orders GROUP BY 1) b
+      |    USING (k)
+      |  UNION ALL
+      |  SELECT 'actual_join_rows', CAST(count(*) AS BIGINT)
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |)
+      |SELECT metric, v FROM u ORDER BY metric""".stripMargin
+
+  /** q217 — running inventory balance per part (audited sample): net
+    * quantity movement per (part, ship day) — returns subtract, sales
+    * add — with the running balance from ONE grouped bucketed prefix
+    * pass over ALL sampled parts together
+    * ([[graft.operators.PrefixSum.groupedExclusiveRunningTotals]]).
+    * This is the running-balance ledger shape (inventory, account
+    * balances, odometer rollups); at 100 TB the grouped pass is the
+    * only formulation that neither loops parts nor serializes a part's
+    * history into one task. The 1-in-50 part sample bounds the DUMPED
+    * result, not the computation shape.
+    */
+  def runningInventory(s: SparkSession, d: String): DataFrame = {
+    val moves = t(s, d, "lineitem")
+      .filter(col("l_partkey") % 50 === 0)
+      .groupBy(col("l_partkey").as("partkey"),
+        col("l_shipdate").cast("date").as("day"))
+      .agg(sum(when(col("l_returnflag") === "R", -col("l_quantity"))
+          .otherwise(col("l_quantity"))).cast("bigint").as("net_qty"))
+      // numeric leading order key: the prefix pass buckets on it (a DATE
+      // would degrade to a single bucket)
+      .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01")))
+    graft.operators.PrefixSum.groupedExclusiveRunningTotals(
+        moves, Seq(col("partkey")), Seq(col("epoch_day")),
+        Seq((col("net_qty"), "balance_before")))
+      .select(col("partkey"), col("day"), col("net_qty"),
+        (col("balance_before") + col("net_qty")).cast("bigint")
+          .as("balance_after"))
+      .orderBy("partkey", "day")
+  }
+
+  val runningInventoryOracle: String =
+    """WITH m AS (
+      |  SELECT l_partkey AS partkey, CAST(l_shipdate AS DATE) AS day,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN -l_quantity
+      |                  ELSE l_quantity END) AS BIGINT) AS net_qty
+      |  FROM lineitem WHERE l_partkey % 50 = 0
+      |  GROUP BY 1, 2
+      |)
+      |SELECT partkey, day, net_qty,
+      |  CAST(sum(net_qty) OVER (PARTITION BY partkey ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS balance_after
+      |FROM m ORDER BY partkey, day""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -877,7 +974,9 @@ object ExtQueries {
     "q212_lexical_diversity" -> (lexicalDiversity(_, _)),
     "q213_dedup_mixture_shift" -> (dedupMixtureShift(_, _)),
     "q214_cohort_ltv" -> (cohortLtv(_, _)),
-    "q215_seasonal_decompose" -> (seasonalDecompose(_, _))
+    "q215_seasonal_decompose" -> (seasonalDecompose(_, _)),
+    "q216_join_cardinality" -> (joinCardinality(_, _)),
+    "q217_running_inventory" -> (runningInventory(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -895,6 +994,8 @@ object ExtQueries {
     "q212_lexical_diversity" -> lexicalDiversityOracle,
     "q213_dedup_mixture_shift" -> dedupMixtureShiftOracle,
     "q214_cohort_ltv" -> cohortLtvOracle,
-    "q215_seasonal_decompose" -> seasonalDecomposeOracle
+    "q215_seasonal_decompose" -> seasonalDecomposeOracle,
+    "q216_join_cardinality" -> joinCardinalityOracle,
+    "q217_running_inventory" -> runningInventoryOracle
   )
 }
