@@ -957,6 +957,120 @@ object ExtQueries {
       |    AS balance_after
       |FROM m ORDER BY partkey, day""".stripMargin
 
+  // ------------------------------------------------------ graph features
+
+  /** q218 — pivot-sampled harmonic centrality (the Eppstein–Wang
+    * estimator shape): per-seed BFS distances (2 hops) from 4 pivot
+    * customers over the customer–supplier bipartite graph
+    * ([[graft.operators.ShortestPaths.seededHopDistances]]), folded to
+    * Σ 1/d per node in the EXACT ×60 integer carrier (d ≤ 2 ⟹ 60/d is
+    * integral) — log-free, bit-stable ranking of how close every market
+    * participant sits to the pivot set. State is |V|·4 rows; rounds are
+    * the bounded BFS.
+    */
+  def harmonicCentrality(s: SparkSession, d: String): DataFrame = {
+    val e1 = t(s, d, "orders").join(t(s, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    val edges = e1.unionAll(e1.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = t(s, d, "customer").filter(col("c_custkey") <= 4)
+      .select(concat(lit("c"), col("c_custkey")).as("id"),
+        col("c_custkey").as("seed"))
+    graft.operators.ShortestPaths.seededHopDistances(
+        edges, "src", "dst", seeds, "id", "seed", maxHops = 2)
+      .filter(col("dist") > 0)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_seeds_reached"),
+        sum(expr("60L div dist")).cast("bigint").as("harmonic_x60"))
+      .orderBy("id")
+  }
+
+  val harmonicCentralityOracle: String = {
+    def step(k: Int): String =
+      s"""d$k AS (
+         |  SELECT id, seed, min(dist) AS dist FROM (
+         |    SELECT id, seed, dist FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, p.seed, p.dist + 1
+         |    FROM d${k - 1} p JOIN e ON e.src = p.id
+         |  ) GROUP BY id, seed
+         |)""".stripMargin
+    s"""WITH e1 AS (
+       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+       |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), e AS (
+       |  SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1
+       |), d0 AS (
+       |  SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS id,
+       |    c_custkey AS seed, CAST(0 AS BIGINT) AS dist
+       |  FROM customer WHERE c_custkey <= 4
+       |), ${step(1)}, ${step(2)}
+       |SELECT id, count(*) AS n_seeds_reached,
+       |  CAST(sum(60 // dist) AS BIGINT) AS harmonic_x60
+       |FROM d2 WHERE dist > 0 GROUP BY id ORDER BY id""".stripMargin
+  }
+
+  /** q219 — local clustering coefficient over the part co-purchase graph
+    * (the q100 edge set): per node, `2·triangles·10⁶ div (deg·(deg−1))`
+    * ppm — the "how clique-like is this node's neighborhood" feature
+    * recommenders and fraud models consume. Triangle counts ride the
+    * degree-oriented wedge join ([[graft.operators.Triangles]]); degrees
+    * are one map-combinable aggregate over the canonical edge set.
+    */
+  def clusteringCoefficient(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      .filter(col("l_partkey") % 4 === 0)
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    val canon = graft.CacheScope.persisted(edges.distinct())
+    val deg = canon.select(col("pa").as("node"))
+      .unionAll(canon.select(col("pb").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tri = graft.operators.Triangles.perNodeCounts(canon, "pa", "pb")
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node").as("part_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("coeff_ppm",
+        when(col("degree") >= 2,
+          expr("2 * n_triangles * 1000000L div (degree * (degree - 1))"))
+          .otherwise(0L).cast("bigint"))
+      .orderBy("part_id")
+  }
+
+  val clusteringCoefficientOracle: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0
+      |), e AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), deg AS (
+      |  SELECT node, count(*) AS degree FROM (
+      |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      |  GROUP BY 1
+      |), tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+      |), tn AS (
+      |  SELECT node, count(*) AS n_triangles FROM (
+      |    SELECT a AS node FROM tri
+      |    UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri)
+      |  GROUP BY 1
+      |)
+      |SELECT deg.node AS part_id, deg.degree,
+      |  coalesce(tn.n_triangles, 0) AS n_triangles,
+      |  CAST(CASE WHEN deg.degree >= 2
+      |    THEN 2 * coalesce(tn.n_triangles, 0) * 1000000
+      |         // (deg.degree * (deg.degree - 1))
+      |    ELSE 0 END AS BIGINT) AS coeff_ppm
+      |FROM deg LEFT JOIN tn USING (node) ORDER BY part_id""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -976,7 +1090,9 @@ object ExtQueries {
     "q214_cohort_ltv" -> (cohortLtv(_, _)),
     "q215_seasonal_decompose" -> (seasonalDecompose(_, _)),
     "q216_join_cardinality" -> (joinCardinality(_, _)),
-    "q217_running_inventory" -> (runningInventory(_, _))
+    "q217_running_inventory" -> (runningInventory(_, _)),
+    "q218_harmonic_centrality" -> (harmonicCentrality(_, _)),
+    "q219_clustering_coeff" -> (clusteringCoefficient(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -996,6 +1112,8 @@ object ExtQueries {
     "q214_cohort_ltv" -> cohortLtvOracle,
     "q215_seasonal_decompose" -> seasonalDecomposeOracle,
     "q216_join_cardinality" -> joinCardinalityOracle,
-    "q217_running_inventory" -> runningInventoryOracle
+    "q217_running_inventory" -> runningInventoryOracle,
+    "q218_harmonic_centrality" -> harmonicCentralityOracle,
+    "q219_clustering_coeff" -> clusteringCoefficientOracle
   )
 }

@@ -69,6 +69,43 @@ object ShortestPaths {
     dist
   }
 
+  /** Per-seed BFS distances: like [[hopDistances]] but state is keyed on
+    * (node, seed), so every node learns its hop distance to EACH seed
+    * individually instead of to the seed set — the input centrality
+    * estimators (harmonic/closeness sampled over k pivots) need. Same
+    * frontier discipline: per-(id, seed) first-touch wins, each settled
+    * row materialized once in a per-hop checkpointed frontier; state is
+    * at most |V|·k rows, so k bounds memory the way maxHops bounds
+    * rounds.
+    */
+  def seededHopDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, idCol: String, seedCol: String,
+      maxHops: Int): DataFrame = {
+    val e0 = graft.CacheScope.persisted(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    var parts = List(
+      sources.select(col(idCol).as("id"), col(seedCol).as("seed"),
+        lit(0L).as("dist")).distinct().localCheckpoint(true))
+    def dist = parts.reduce(_ unionAll _)
+    var frontier = parts.head.select("id", "seed")
+    var hop = 1
+    var expanding = true
+    while (expanding && hop <= maxHops) {
+      val candidates = e0.join(frontier, col("src") === col("id"))
+        .select(col("dst").as("id"), col("seed")).distinct()
+      val newly = candidates.join(dist, Seq("id", "seed"), "left_anti")
+        .select(col("id"), col("seed"), lit(hop.toLong).as("dist"))
+        .localCheckpoint(true)
+      if (newly.isEmpty) expanding = false
+      else {
+        parts = newly :: parts
+        frontier = newly.select("id", "seed")
+        hop += 1
+      }
+    }
+    dist
+  }
+
   /** Bounded-round Bellman–Ford over POSITIVE integer edge weights:
     * `rounds` synchronous min-plus relaxations from the source set.
     * Dijkstra's priority queue is inherently sequential — the honest
