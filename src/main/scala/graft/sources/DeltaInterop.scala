@@ -1016,6 +1016,56 @@ object DeltaInterop {
     None // unreachable
   }
 
+  /** `RESTORE TABLE … TO VERSION AS OF` over the Delta wire format: one
+    * commit of remove actions for current-only files and add actions —
+    * partition values, deletion vector, and stats carried VERBATIM from
+    * the target version's adds — for target-only files, making the head
+    * state equal `toVersion` while history rolls forward (the restore
+    * itself is time-travelable and reversible). Metadata-only: no data
+    * file is read or copied; a file whose DV changed between the
+    * versions is re-added under the target DV. Restores across a schema
+    * change are refused (that would need a metaData rewrite, which this
+    * engine only emits on writes).
+    */
+  def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
+    val root = Paths.get(path)
+    val logDir = root.resolve("_delta_log")
+    val tgt = snapshot(spark, path, Some(toVersion))
+    while (true) {
+      val cur = snapshot(spark, path)
+      if (cur.version == toVersion) return cur.version
+      require(cur.schema == tgt.schema,
+        s"restore across a schema change unsupported: v${cur.version} vs v$toVersion")
+      def key(f: DeltaFile) = (f.path, f.dv)
+      val curKeys = cur.files.map(key).toSet
+      val tgtKeys = tgt.files.map(key).toSet
+      val removes = cur.files.filterNot(f => tgtKeys.contains(key(f)))
+      val adds = tgt.files.filterNot(f => curKeys.contains(key(f)))
+      val now = System.currentTimeMillis()
+      val actions =
+        removes.map(f =>
+          s"""{"remove":{"path":${jstr(f.path)},"deletionTimestamp":$now,"dataChange":true}}""") ++
+        adds.map { f =>
+          val target = root.resolve(decodePath(f.path))
+          require(Files.exists(target),
+            s"restore target file vacuumed: ${f.path}")
+          val pvJson = f.partitionValues.toSeq.sortBy(_._1).map { case (k, v) =>
+            s"${jstr(k)}:${if (v == null) "null" else jstr(v)}" }
+            .mkString("{", ",", "}")
+          s"""{"add":{"path":${jstr(f.path)},"partitionValues":$pvJson,"size":${Files.size(target)},"modificationTime":${Files.getLastModifiedTime(target).toMillis},"dataChange":true${f.dv.map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")}${f.stats.map(sj => s""","stats":${jstr(sj)}""").getOrElse("")}}}"""
+        }
+      try {
+        Files.write(logDir.resolve(f"${cur.version + 1}%020d.json"),
+          actions.mkString("", "\n", "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        return cur.version + 1
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // race: re-derive
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Migrate a [[VersionedTable]]'s CURRENT contents (deletion vectors
     * applied) into a Delta table any Delta reader consumes — the
     * export half of the format bridge. One read + one protocol-1

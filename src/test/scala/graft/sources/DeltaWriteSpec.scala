@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions.col
 import graft.SparkSpec
 
 /** The write half of the Delta interop: commits emitted by
@@ -311,5 +312,29 @@ class DeltaWriteSpec extends SparkSpec {
     }
     DeltaInterop.write(Seq((2L, "b")).toDF("k", "v"), path, SaveMode.Ignore)
     assert(DeltaInterop.read(spark, path).count() == 1)
+  }
+
+  test("restore: head equals target version, history rolls forward, DV carried") {
+    val path = tmpTable()
+    DeltaInterop.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      path, SaveMode.Overwrite)                                       // v0
+    DeltaInterop.write(Seq((3L, "c")).toDF("k", "v"),
+      path, SaveMode.Append)                                          // v1
+    DeltaInterop.deleteWhere(spark, path, col("k") === 1L)            // v2 (DV)
+    DeltaInterop.write(Seq((9L, "z")).toDF("k", "v"),
+      path, SaveMode.Overwrite)                                       // v3
+    val rv = DeltaInterop.restore(spark, path, 2L)                    // v4
+    assert(rv == 4L)
+    assert(DeltaInterop.read(spark, path)
+      .select("k").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // the pre-restore head is still reachable by time travel
+    assert(DeltaInterop.read(spark, path, asOf = Some(3L))
+      .select("k").as[Long].collect().toSeq == Seq(9L))
+    // restoring the restore rolls forward again
+    DeltaInterop.restore(spark, path, 3L)                             // v5
+    assert(DeltaInterop.read(spark, path)
+      .select("k").as[Long].collect().toSeq == Seq(9L))
+    // restoring to the current head is a no-op, not a new commit
+    assert(DeltaInterop.restore(spark, path, 5L) == 5L)
   }
 }
