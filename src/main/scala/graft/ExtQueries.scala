@@ -1071,6 +1071,125 @@ object ExtQueries {
       |    ELSE 0 END AS BIGINT) AS coeff_ppm
       |FROM deg LEFT JOIN tn USING (node) ORDER BY part_id""".stripMargin
 
+  /** q220 — deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis shape, log-free): each document draws a
+    * 60-bit md5 key and competes on `key div weight` (smaller wins, so
+    * heavier documents win proportionally more); the global top-20 by
+    * that priority is the sample. Fully deterministic at any
+    * parallelism — the distributed analog of `ORDER BY random()^(1/w)
+    * LIMIT k` without floats or RNG state. One scan + one bounded
+    * top-k.
+    */
+  def weightedSample(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("bigint").as("weight"),
+        conv(substring(md5(concat(lit("ws-v1|"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("bigint")
+          .as("h"))
+      .withColumn("priority", expr("h div weight"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(20)
+      .select("doc_id", "source", "weight", "priority")
+
+  val weightedSampleOracle: String =
+    """SELECT doc_id, source,
+      |  CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+      |    AS weight,
+      |  CAST('0x' || substr(md5('ws-v1|' || CAST(doc_id AS VARCHAR)), 1, 15)
+      |       AS BIGINT)
+      |    // len(string_split_regex(lower(text), '\s+')) AS priority
+      |FROM documents
+      |ORDER BY priority, doc_id LIMIT 20""".stripMargin
+
+  /** q221 — range-partition balance audit: exact nearest-rank octile
+    * bounds on the fact's order key (from a by-value aggregate — the
+    * q194 prefix discipline, not a sketch), then per-bucket row counts
+    * and the max/mean imbalance in ppm. This is the check a range
+    * partitioner (sort, Z-order write, bucketed join) runs before
+    * committing to split points; imbalance ppm ≈ 1e6 means perfect.
+    */
+  def partitionBalance(s: SparkSession, d: String): DataFrame = {
+    val byVal = graft.CacheScope.persisted(
+      t(s, d, "lineitem").groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("cnt")))
+    val pre = graft.operators.PrefixSum.exclusiveRunningTotal(
+      byVal, Seq(col("k")), col("cnt"), "below")
+    val tot = byVal.agg(sum("cnt").as("n"))
+    val bounded = pre.crossJoin(broadcast(tot))
+      .withColumn("bucket", expr("least((below * 8) div n, 7L)"))
+    val perBucket = bounded.groupBy("bucket")
+      .agg(sum("cnt").as("n_rows"), min("k").as("lo_key"),
+        max("k").as("hi_key"))
+    perBucket.crossJoin(broadcast(tot))
+      .select(col("bucket").cast("bigint").as("bucket"), col("n_rows"),
+        col("lo_key"), col("hi_key"),
+        expr("n_rows * 8000000L div n").as("load_ppm"))
+      .orderBy("bucket")
+  }
+
+  val partitionBalanceOracle: String =
+    """WITH bv AS (
+      |  SELECT l_orderkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1
+      |), pre AS (
+      |  SELECT k, cnt,
+      |    coalesce(sum(cnt) OVER (ORDER BY k
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+      |    (SELECT sum(cnt) FROM bv) AS n
+      |  FROM bv
+      |), b AS (
+      |  SELECT k, cnt, least((below * 8) // n, 7) AS bucket, n FROM pre
+      |)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |  min(k) AS lo_key, max(k) AS hi_key,
+      |  CAST(sum(cnt) * 8000000 // min(n) AS BIGINT) AS load_ppm
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** q222 — encoding advisor: per candidate column, the statistics a
+    * columnar writer weighs before choosing dictionary vs plain
+    * encoding — row count, distinct values, total raw bytes, estimated
+    * dictionary bytes (distinct·avg-len + 4/row), and the advised
+    * encoding. One map-combinable aggregate per column over one scan;
+    * the per-column union is a bounded loop (4 columns).
+    */
+  def encodingAdvisor(s: SparkSession, d: String): DataFrame = {
+    val li = graft.CacheScope.persisted(t(s, d, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_shipdate", "l_partkey"))
+    val cols = Seq("l_returnflag", "l_linestatus", "l_shipdate", "l_partkey")
+    cols.map { c =>
+      li.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col(c)).as("n_distinct"),
+          sum(length(col(c).cast("string"))).cast("bigint").as("raw_bytes"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_distinct"),
+          col("raw_bytes"),
+          expr("""n_distinct * (raw_bytes div n_rows) + 4 * n_rows""")
+            .cast("bigint").as("dict_bytes"))
+        .withColumn("advice",
+          when(col("dict_bytes") < col("raw_bytes"), lit("dictionary"))
+            .otherwise(lit("plain")))
+    }.reduce(_ unionAll _).orderBy("column_name")
+  }
+
+  val encodingAdvisorOracle: String = {
+    def one(c: String): String =
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(sum(length(CAST($c AS VARCHAR))) AS BIGINT) AS raw_bytes,
+         |  CAST(count(DISTINCT $c)
+         |    * (sum(length(CAST($c AS VARCHAR))) // count(*))
+         |    + 4 * count(*) AS BIGINT) AS dict_bytes
+         |FROM lineitem""".stripMargin
+    val cols = Seq("l_returnflag", "l_linestatus", "l_shipdate", "l_partkey")
+    s"""WITH u AS (
+       |  ${cols.map(one).mkString("\n  UNION ALL\n  ")}
+       |)
+       |SELECT column_name, n_rows, n_distinct, raw_bytes, dict_bytes,
+       |  CASE WHEN dict_bytes < raw_bytes THEN 'dictionary' ELSE 'plain' END
+       |    AS advice
+       |FROM u ORDER BY column_name""".stripMargin
+  }
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1092,7 +1211,10 @@ object ExtQueries {
     "q216_join_cardinality" -> (joinCardinality(_, _)),
     "q217_running_inventory" -> (runningInventory(_, _)),
     "q218_harmonic_centrality" -> (harmonicCentrality(_, _)),
-    "q219_clustering_coeff" -> (clusteringCoefficient(_, _))
+    "q219_clustering_coeff" -> (clusteringCoefficient(_, _)),
+    "q220_weighted_sample" -> (weightedSample(_, _)),
+    "q221_partition_balance" -> (partitionBalance(_, _)),
+    "q222_encoding_advisor" -> (encodingAdvisor(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1114,6 +1236,9 @@ object ExtQueries {
     "q216_join_cardinality" -> joinCardinalityOracle,
     "q217_running_inventory" -> runningInventoryOracle,
     "q218_harmonic_centrality" -> harmonicCentralityOracle,
-    "q219_clustering_coeff" -> clusteringCoefficientOracle
+    "q219_clustering_coeff" -> clusteringCoefficientOracle,
+    "q220_weighted_sample" -> weightedSampleOracle,
+    "q221_partition_balance" -> partitionBalanceOracle,
+    "q222_encoding_advisor" -> encodingAdvisorOracle
   )
 }
