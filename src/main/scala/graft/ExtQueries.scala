@@ -1190,6 +1190,272 @@ object ExtQueries {
        |FROM u ORDER BY column_name""".stripMargin
   }
 
+  /** q223 — ROUGE-1 multiset overlap for every verified near-dup pair:
+    * precision/recall in ppm from BAG (not set) token intersections —
+    * Σ min(count_a, count_b) per shared token — the summarization-eval
+    * metric repurposed as a dup-pair similarity profile alongside
+    * Jaccard (q26) and MinHash estimates (q210). Bag intersections come
+    * from joining two (doc, token, count) aggregates on the bounded
+    * pair set, never from re-scanning text.
+    */
+  def rougeOverlap(s: SparkSession, d: String): DataFrame = {
+    val tc = graft.CacheScope.persisted(docs(s, d)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tk"))
+      .groupBy("doc_id", "tk").agg(count(lit(1)).as("cnt")))
+    val tot = tc.groupBy("doc_id").agg(sum("cnt").as("n_tokens"))
+    val pairs = functions.DedupOps.ngramJaccardPairs(docs(s, d), "text", "doc_id")
+      .select("doc_a", "doc_b")
+    val inter = pairs
+      .join(tc.select(col("doc_id").as("doc_a"), col("tk"),
+        col("cnt").as("ca")), Seq("doc_a"))
+      .join(tc.select(col("doc_id").as("doc_b"), col("tk"),
+        col("cnt").as("cb")), Seq("doc_b", "tk"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(least(col("ca"), col("cb"))).as("overlap"))
+    inter
+      .join(tot.select(col("doc_id").as("doc_a"), col("n_tokens").as("na")),
+        "doc_a")
+      .join(tot.select(col("doc_id").as("doc_b"), col("n_tokens").as("nb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        col("overlap").cast("bigint").as("overlap"),
+        expr("overlap * 1000000L div nb").as("precision_ppm"),
+        expr("overlap * 1000000L div na").as("recall_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val rougeOverlapOracle: String =
+    s"""WITH ${LlmQueries.tokShSql}, ex AS (
+       |  SELECT doc_id, unnest(sh) AS g FROM sh
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b,
+       |      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+       |        AS jaccard
+       |    FROM cand JOIN sh sa ON doc_a = sa.doc_id
+       |              JOIN sh sb ON doc_b = sb.doc_id)
+       |  WHERE jaccard >= 0.6
+       |), tc AS (
+       |  SELECT doc_id, tk, count(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(t) AS tk FROM tok)
+       |  GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens
+       |  FROM tc GROUP BY 1
+       |), ov AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS overlap
+       |  FROM pairs p
+       |  JOIN tc a ON a.doc_id = p.doc_a
+       |  JOIN tc b ON b.doc_id = p.doc_b AND b.tk = a.tk
+       |  GROUP BY 1, 2
+       |)
+       |SELECT ov.doc_a, ov.doc_b, ov.overlap,
+       |  ov.overlap * 1000000 // tb.n_tokens AS precision_ppm,
+       |  ov.overlap * 1000000 // ta.n_tokens AS recall_ppm
+       |FROM ov JOIN tot ta ON ta.doc_id = ov.doc_a
+       |        JOIN tot tb ON tb.doc_id = ov.doc_b
+       |ORDER BY ov.doc_a, ov.doc_b""".stripMargin
+
+  /** q224 — T5-style span corruption plan: deterministic mask spans
+    * (every position whose md5 draw hits 1-in-20 starts a 3-token
+    * span), per document the masked-position count (overlaps unioned),
+    * span count, and corruption rate ppm — the pretraining data-prep
+    * transform computed as a pure scan (positions explode → two
+    * codegen'd aggregates), reproducible at any parallelism and across
+    * engines.
+    */
+  def spanCorruption(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("bigint").as("n"))
+      .filter(col("n") >= 1)
+    val pos = base.select(col("doc_id"), col("n"),
+      explode(sequence(lit(1L), col("n"))).as("p"))
+      .withColumn("starts",
+        conv(substring(md5(concat(lit("span-v1|"),
+          col("doc_id").cast("string"), lit("|"), col("p").cast("string"))),
+          1, 8), 16, 10).cast("bigint") % 20 === 0)
+    // masked(p) ⟺ a span starts in [p-2, p]; recompute the start draw
+    // for the two predecessors scan-locally (no self-join, no window)
+    def startAt(off: Int) =
+      conv(substring(md5(concat(lit("span-v1|"),
+        col("doc_id").cast("string"), lit("|"),
+        (col("p") - off).cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % 20 === 0 && col("p") - off >= 1
+    pos
+      .withColumn("masked", col("starts") || startAt(1) || startAt(2))
+      .groupBy("doc_id")
+      .agg(max("n").as("n_tokens"),
+        sum(when(col("starts"), 1L).otherwise(0L)).as("n_spans"),
+        sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"))
+      .withColumn("corruption_ppm", expr("n_masked * 1000000L div n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val spanCorruptionOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n
+      |  FROM documents WHERE length(text) > 0
+      |), pos AS (
+      |  SELECT doc_id, n, unnest(range(1, n + 1)) AS p FROM base
+      |), f AS (
+      |  SELECT doc_id, n, p,
+      |    CAST('0x' || substr(md5('span-v1|' || CAST(doc_id AS VARCHAR)
+      |      || '|' || CAST(p AS VARCHAR)), 1, 8) AS BIGINT) % 20 = 0
+      |      AS starts,
+      |    (p - 1 >= 1 AND CAST('0x' || substr(md5('span-v1|'
+      |      || CAST(doc_id AS VARCHAR) || '|' || CAST(p - 1 AS VARCHAR)),
+      |      1, 8) AS BIGINT) % 20 = 0) AS s1,
+      |    (p - 2 >= 1 AND CAST('0x' || substr(md5('span-v1|'
+      |      || CAST(doc_id AS VARCHAR) || '|' || CAST(p - 2 AS VARCHAR)),
+      |      1, 8) AS BIGINT) % 20 = 0) AS s2
+      |  FROM pos
+      |)
+      |SELECT doc_id, max(n) AS n_tokens,
+      |  CAST(sum(CASE WHEN starts THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+      |  CAST(sum(CASE WHEN starts OR s1 OR s2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_masked,
+      |  CAST(sum(CASE WHEN starts OR s1 OR s2 THEN 1 ELSE 0 END) * 1000000
+      |    // max(n) AS BIGINT) AS corruption_ppm
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q225 — rare-knowledge retention audit: 5-gram phrases with corpus
+    * document frequency ≤ 2 are the "rare knowledge" a quality filter
+    * risks deleting (unigrams saturate on any real corpus — the q211
+    * lesson — so rarity lives in phrases); per q201-gate verdict, how
+    * many documents and rare-phrase occurrences each side keeps. The
+    * df table is one map-combinable aggregate; the gate recomputes
+    * q201's scan-local signals off one shared projection.
+    */
+  def rareTokenRetention(s: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val base = graft.CacheScope.persisted(docs(s, d)
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("n_tokens", size(col("t")).cast("bigint"))
+      .withColumn("mean_len_centi",
+        expr("length(array_join(t, '')) * 100L div n_tokens"))
+      .withColumn("stop_hits", size(array_intersect(array_distinct(col("t")),
+        array(Seq("the", "a", "of", "to", "in", "and", "is").map(lit): _*)))
+        .cast("bigint"))
+      .withColumn("bi", when(col("n_tokens") >= 2,
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1))))
+        .otherwise(array().cast("array<string>")))
+      .withColumn("dup_bigram_ppm",
+        when(size(col("bi")) > 0,
+          expr("(size(bi) - size(array_distinct(bi))) * 1000000L div size(bi)"))
+          .otherwise(0L).cast("bigint"))
+      .withColumn("kept",
+        col("n_tokens").between(20, 1000) &&
+          col("mean_len_centi").between(300, 700) &&
+          col("stop_hits") >= 1 && col("dup_bigram_ppm") < 250000)
+      .select(col("doc_id"), col("t"), col("kept")))
+    val docTok = base.select(col("doc_id"), col("kept"),
+      explode(TextAnalysis.shingles(col("t"), 5)).as("tk"))
+    val rare = docTok.groupBy("tk")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= 2).select("tk")
+    docTok.join(rare, "tk")
+      .groupBy("kept")
+      .agg(countDistinct(col("doc_id")).as("n_docs_with_rare"),
+        count(lit(1)).as("rare_occurrences"),
+        countDistinct(col("tk")).as("n_rare_types"))
+      .orderBy("kept")
+  }
+
+  val rareTokenRetentionOracle: String =
+    s"""WITH $tokSql, m AS (
+       |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens,
+       |    length(array_to_string(t, '')) * 100 // len(t) AS mean_len_centi,
+       |    CAST(len(list_intersect(list_distinct(t),
+       |      ['the','a','of','to','in','and','is'])) AS BIGINT) AS stop_hits,
+       |    CASE WHEN len(t) >= 2
+       |         THEN list_transform(range(1, len(t)),
+       |                             i -> t[i] || ' ' || t[i + 1])
+       |         ELSE [] END AS bi
+       |  FROM tok
+       |), g AS (
+       |  SELECT doc_id, t,
+       |    (n_tokens BETWEEN 20 AND 1000)
+       |      AND (mean_len_centi BETWEEN 300 AND 700)
+       |      AND stop_hits >= 1
+       |      AND (CASE WHEN len(bi) > 0
+       |           THEN (len(bi) - len(list_distinct(bi))) * 1000000 // len(bi)
+       |           ELSE 0 END) < 250000 AS kept
+       |  FROM m
+       |), dt AS (
+       |  SELECT doc_id, kept, unnest(
+       |    CASE WHEN len(t) >= 5
+       |         THEN list_distinct(list_transform(range(1, len(t) - 3),
+       |                            i -> array_to_string(t[i:i+4], ' ')))
+       |         ELSE [] END) AS tk
+       |  FROM g
+       |), rare AS (
+       |  SELECT tk FROM (
+       |    SELECT tk, count(DISTINCT doc_id) AS df FROM dt GROUP BY 1)
+       |  WHERE df <= 2
+       |)
+       |SELECT kept, count(DISTINCT doc_id) AS n_docs_with_rare,
+       |  count(*) AS rare_occurrences, count(DISTINCT dt.tk) AS n_rare_types
+       |FROM dt JOIN rare USING (tk)
+       |GROUP BY kept ORDER BY kept""".stripMargin
+
+  /** q226 — dedup-cluster overreach audit: connected components imply
+    * C(size,2) duplicate pairs, but only the directly-verified SimHash
+    * pairs were ever checked — the gap is transitive overreach, the
+    * classic CC-dedup failure mode (chains A~B~C where A≁C). Per
+    * cluster size: cluster count, direct pairs, implied pairs, and
+    * overreach ppm. Bounded aggregates over the near-dup pipeline's
+    * outputs.
+    */
+  def clusterOverreach(s: SparkSession, d: String): DataFrame = {
+    val pairs = graft.CacheScope.persisted(functions.DedupOps.simhashPairs(
+      functions.DedupOps.simhashSignatures(docs(s, d), "text", "doc_id"))
+      .select("doc_a", "doc_b"))
+    val cc = operators.ConnectedComponents.components(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component"))
+    val sizes = cc.groupBy("component").agg(count(lit(1)).as("size"))
+    val direct = pairs
+      .join(cc.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .groupBy("component").agg(count(lit(1)).as("n_direct"))
+    sizes.join(direct, Seq("component"), "left")
+      .select(col("size"), coalesce(col("n_direct"), lit(0L)).as("n_direct"))
+      .groupBy("size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("n_direct").cast("bigint").as("direct_pairs"))
+      .withColumn("implied_pairs",
+        expr("n_clusters * (size * (size - 1) div 2)").cast("bigint"))
+      .withColumn("overreach_ppm",
+        expr("(implied_pairs - direct_pairs) * 1000000L div implied_pairs"))
+      .orderBy("size")
+  }
+
+  val clusterOverreachOracle: String =
+    s"""WITH RECURSIVE ${LlmQueries.simhashCcSql}, sz AS (
+       |  SELECT component_id, count(*) AS size FROM cc GROUP BY 1
+       |), direct AS (
+       |  SELECT cc.component_id, count(*) AS n_direct
+       |  FROM pairs p JOIN cc ON p.doc_a = cc.doc_id
+       |  GROUP BY 1
+       |), per AS (
+       |  SELECT sz.size, coalesce(direct.n_direct, 0) AS n_direct
+       |  FROM sz LEFT JOIN direct USING (component_id)
+       |)
+       |SELECT size, count(*) AS n_clusters,
+       |  CAST(sum(n_direct) AS BIGINT) AS direct_pairs,
+       |  CAST(count(*) * (size * (size - 1) // 2) AS BIGINT) AS implied_pairs,
+       |  CAST((count(*) * (size * (size - 1) // 2) - sum(n_direct)) * 1000000
+       |    // (count(*) * (size * (size - 1) // 2)) AS BIGINT)
+       |    AS overreach_ppm
+       |FROM per GROUP BY size ORDER BY size""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1214,7 +1480,11 @@ object ExtQueries {
     "q219_clustering_coeff" -> (clusteringCoefficient(_, _)),
     "q220_weighted_sample" -> (weightedSample(_, _)),
     "q221_partition_balance" -> (partitionBalance(_, _)),
-    "q222_encoding_advisor" -> (encodingAdvisor(_, _))
+    "q222_encoding_advisor" -> (encodingAdvisor(_, _)),
+    "q223_rouge_overlap" -> (rougeOverlap(_, _)),
+    "q224_span_corruption" -> (spanCorruption(_, _)),
+    "q225_rare_token_retention" -> (rareTokenRetention(_, _)),
+    "q226_cluster_overreach" -> (clusterOverreach(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1239,6 +1509,10 @@ object ExtQueries {
     "q219_clustering_coeff" -> clusteringCoefficientOracle,
     "q220_weighted_sample" -> weightedSampleOracle,
     "q221_partition_balance" -> partitionBalanceOracle,
-    "q222_encoding_advisor" -> encodingAdvisorOracle
+    "q222_encoding_advisor" -> encodingAdvisorOracle,
+    "q223_rouge_overlap" -> rougeOverlapOracle,
+    "q224_span_corruption" -> spanCorruptionOracle,
+    "q225_rare_token_retention" -> rareTokenRetentionOracle,
+    "q226_cluster_overreach" -> clusterOverreachOracle
   )
 }
