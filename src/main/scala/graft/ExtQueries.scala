@@ -1456,6 +1456,123 @@ object ExtQueries {
        |    AS overreach_ppm
        |FROM per GROUP BY size ORDER BY size""".stripMargin
 
+  /** q227 — top-p (nucleus) vocabulary truncation per language: order
+    * each language's vocabulary by descending frequency and keep the
+    * smallest prefix covering ≥ 90% of token mass — the vocabulary-
+    * pruning step tokenizer and sampling pipelines share. The cumulative
+    * runs over the per-language VOCABULARY aggregate (bounded by the
+    * vocabulary, not the corpus — the q122 bounded-window argument);
+    * ties break by token for bit-stable prefixes.
+    */
+  def topPVocab(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = docs(s, d)
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tk"))
+      .groupBy("lang", "tk").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("tk"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy("lang")
+    vocab
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("mass", sum(col("n")).over(tot))
+      // kept ⟺ the PREVIOUS prefix had not yet reached 90%
+      .filter(expr("(cum - n) * 10 < mass * 9"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept_types"),
+        max("cum").cast("bigint").as("kept_mass"),
+        max("mass").cast("bigint").as("total_mass"))
+      .withColumn("kept_ppm", expr("kept_mass * 1000000L div total_mass"))
+      .orderBy("lang")
+  }
+
+  val topPVocabOracle: String =
+    """WITH v AS (
+      |  SELECT lang, tk, count(*) AS n FROM (
+      |    SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS tk
+      |    FROM documents)
+      |  GROUP BY 1, 2
+      |), c AS (
+      |  SELECT lang, tk, n,
+      |    sum(n) OVER (PARTITION BY lang ORDER BY n DESC, tk
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(n) OVER (PARTITION BY lang) AS mass
+      |  FROM v
+      |)
+      |SELECT lang, count(*) AS n_kept_types,
+      |  CAST(max(cum) AS BIGINT) AS kept_mass,
+      |  CAST(max(mass) AS BIGINT) AS total_mass,
+      |  CAST(max(cum) * 1000000 // max(mass) AS BIGINT) AS kept_ppm
+      |FROM c WHERE (cum - n) * 10 < mass * 9
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q228 — χ² keyword extraction per source: the 3 tokens most
+    * associated with each source by the chi-square statistic over the
+    * (in-source, out-of-source) × (token, not-token) contingency table —
+    * integer-exact through a DECIMAL(38,0) carrier for N·(ad−bc)²
+    * scaled by 10⁶ against the margin product. Contingency cells come
+    * from two map-combinable aggregates; ranking windows run over the
+    * bounded per-source vocabulary.
+    */
+  def chi2Keywords(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = graft.CacheScope.persisted(docs(s, d)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tk")))
+    val n = ex.count()
+    val bySrcTok = ex.groupBy("source", "tk").agg(count(lit(1)).as("a"))
+    val byTok = ex.groupBy("tk").agg(count(lit(1)).as("tokTot"))
+    val bySrc = ex.groupBy("source").agg(count(lit(1)).as("srcTot"))
+    val cells = bySrcTok
+      .join(broadcast(byTok), "tk")
+      .join(broadcast(bySrc), "source")
+      .withColumn("b", col("srcTot") - col("a"))
+      .withColumn("c", col("tokTot") - col("a"))
+      .withColumn("dd", lit(n) - col("a") - col("b") - col("c"))
+    val scored = cells.withColumn("chi2_x1e6",
+      expr(s"""CAST(CAST($n AS DECIMAL(38,0))
+             |  * (a * dd - b * c) * (a * dd - b * c) * 1000000
+             |  div (CAST(srcTot AS DECIMAL(38,0)) * ($n - srcTot)
+             |       * tokTot * ($n - tokTot)) AS BIGINT)""".stripMargin))
+    val w = Window.partitionBy("source")
+      .orderBy(col("chi2_x1e6").desc, col("tk"))
+    scored
+      .filter(col("a") * lit(n) > col("srcTot") * col("tokTot")) // enriched only
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("source"), col("rk").cast("bigint").as("rk"), col("tk"),
+        col("a").cast("bigint").as("in_source"), col("chi2_x1e6"))
+      .orderBy("source", "rk")
+  }
+
+  val chi2KeywordsOracle: String =
+    """WITH ex AS (
+      |  SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tk
+      |  FROM documents
+      |), n AS (SELECT count(*) AS n FROM ex),
+      |st AS (SELECT source, tk, count(*) AS a FROM ex GROUP BY 1, 2),
+      |tt AS (SELECT tk, count(*) AS tokTot FROM ex GROUP BY 1),
+      |ss AS (SELECT source, count(*) AS srcTot FROM ex GROUP BY 1),
+      |cells AS (
+      |  SELECT st.source, st.tk, st.a, ss.srcTot, tt.tokTot, n.n,
+      |    ss.srcTot - st.a AS b, tt.tokTot - st.a AS c,
+      |    n.n - ss.srcTot - tt.tokTot + st.a AS dd
+      |  FROM st JOIN tt USING (tk) JOIN ss USING (source), n
+      |), scored AS (
+      |  SELECT source, tk, a,
+      |    CAST(CAST(n AS HUGEINT)
+      |      * (a * dd - b * c) * (a * dd - b * c) * 1000000
+      |      // (CAST(srcTot AS HUGEINT) * (n - srcTot)
+      |         * tokTot * (n - tokTot)) AS BIGINT) AS chi2_x1e6,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY CAST(CAST(n AS HUGEINT)
+      |        * (a * dd - b * c) * (a * dd - b * c) * 1000000
+      |        // (CAST(srcTot AS HUGEINT) * (n - srcTot)
+      |           * tokTot * (n - tokTot)) AS BIGINT) DESC, tk) AS rk
+      |  FROM cells WHERE a * n > srcTot * tokTot
+      |)
+      |SELECT source, CAST(rk AS BIGINT) AS rk, tk,
+      |  CAST(a AS BIGINT) AS in_source, chi2_x1e6
+      |FROM scored WHERE rk <= 3 ORDER BY source, rk""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1484,7 +1601,9 @@ object ExtQueries {
     "q223_rouge_overlap" -> (rougeOverlap(_, _)),
     "q224_span_corruption" -> (spanCorruption(_, _)),
     "q225_rare_token_retention" -> (rareTokenRetention(_, _)),
-    "q226_cluster_overreach" -> (clusterOverreach(_, _))
+    "q226_cluster_overreach" -> (clusterOverreach(_, _)),
+    "q227_top_p_vocab" -> (topPVocab(_, _)),
+    "q228_chi2_keywords" -> (chi2Keywords(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1513,6 +1632,8 @@ object ExtQueries {
     "q223_rouge_overlap" -> rougeOverlapOracle,
     "q224_span_corruption" -> spanCorruptionOracle,
     "q225_rare_token_retention" -> rareTokenRetentionOracle,
-    "q226_cluster_overreach" -> clusterOverreachOracle
+    "q226_cluster_overreach" -> clusterOverreachOracle,
+    "q227_top_p_vocab" -> topPVocabOracle,
+    "q228_chi2_keywords" -> chi2KeywordsOracle
   )
 }
