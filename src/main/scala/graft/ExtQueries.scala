@@ -1573,6 +1573,94 @@ object ExtQueries {
       |  CAST(a AS BIGINT) AS in_source, chi2_x1e6
       |FROM scored WHERE rk <= 3 ORDER BY source, rk""".stripMargin
 
+  /** q229 — exponential time-decay popularity with a one-month
+    * half-life, log-free: each part's score is Σ quantity div 2^age
+    * (age in months before the corpus's last ship month) — the exact-
+    * integer analog of exp-decay popularity every recommender
+    * freshness signal uses. `pow(2, age)` stays integral (ages bounded
+    * by the corpus span), the anchor month is one broadcast scalar, and
+    * the whole query is one scan + one map-combinable aggregate.
+    * Top-25 by (score, partkey) for a bounded dump.
+    */
+  def decayPopularity(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select(col("l_partkey"),
+        col("l_quantity").cast("bigint").as("qty"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .cast("bigint").as("m"))
+    val anchor = li.agg(max("m").as("m_max"))
+    li.crossJoin(broadcast(anchor))
+      .withColumn("age", col("m_max") - col("m"))
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(expr("qty div CAST(pow(2, least(age, 62L)) AS BIGINT)"))
+        .cast("bigint").as("decayed_qty"),
+        sum("qty").cast("bigint").as("raw_qty"))
+      .orderBy(col("decayed_qty").desc, col("partkey"))
+      .limit(25)
+  }
+
+  val decayPopularityOracle: String =
+    """WITH li AS (
+      |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS m
+      |  FROM lineitem
+      |), a AS (SELECT max(m) AS m_max FROM li)
+      |SELECT l_partkey AS partkey,
+      |  CAST(sum(qty // CAST(pow(2, least(m_max - m, 62)) AS BIGINT))
+      |       AS BIGINT) AS decayed_qty,
+      |  CAST(sum(qty) AS BIGINT) AS raw_qty
+      |FROM li, a
+      |GROUP BY 1 ORDER BY decayed_qty DESC, partkey LIMIT 25""".stripMargin
+
+  /** q230 — degree distribution + CCDF of the part co-purchase graph:
+    * nodes per degree and the count of nodes with degree ≥ d — the
+    * heavy-tail profile that decides whether hub caps (q112's
+    * `maxDegree`) and skew salting are needed for a given graph. The
+    * distribution is two bounded aggregates; the CCDF window runs over
+    * the distinct-degree table (bounded by max degree, not nodes).
+    */
+  def degreeDistribution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      .filter(col("l_partkey") % 4 === 0)
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .distinct()
+    val deg = edges.select(col("pa").as("node"))
+      .unionAll(edges.select(col("pb").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val distr = deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+    val w = Window.orderBy(col("degree").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    distr
+      .withColumn("n_nodes_ge", sum(col("n_nodes")).over(w))
+      .select(col("degree").cast("bigint").as("degree"), col("n_nodes"),
+        col("n_nodes_ge").cast("bigint").as("n_nodes_ge"))
+      .orderBy("degree")
+  }
+
+  val degreeDistributionOracle: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0
+      |), e AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), deg AS (
+      |  SELECT node, count(*) AS degree FROM (
+      |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      |  GROUP BY 1
+      |), distr AS (
+      |  SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1
+      |)
+      |SELECT CAST(degree AS BIGINT) AS degree, n_nodes,
+      |  CAST(sum(n_nodes) OVER (ORDER BY degree DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS n_nodes_ge
+      |FROM distr ORDER BY degree""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1603,7 +1691,9 @@ object ExtQueries {
     "q225_rare_token_retention" -> (rareTokenRetention(_, _)),
     "q226_cluster_overreach" -> (clusterOverreach(_, _)),
     "q227_top_p_vocab" -> (topPVocab(_, _)),
-    "q228_chi2_keywords" -> (chi2Keywords(_, _))
+    "q228_chi2_keywords" -> (chi2Keywords(_, _)),
+    "q229_decay_popularity" -> (decayPopularity(_, _)),
+    "q230_degree_distribution" -> (degreeDistribution(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1634,6 +1724,8 @@ object ExtQueries {
     "q225_rare_token_retention" -> rareTokenRetentionOracle,
     "q226_cluster_overreach" -> clusterOverreachOracle,
     "q227_top_p_vocab" -> topPVocabOracle,
-    "q228_chi2_keywords" -> chi2KeywordsOracle
+    "q228_chi2_keywords" -> chi2KeywordsOracle,
+    "q229_decay_popularity" -> decayPopularityOracle,
+    "q230_degree_distribution" -> degreeDistributionOracle
   )
 }

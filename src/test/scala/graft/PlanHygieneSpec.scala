@@ -22,7 +22,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q157_decision_stump",      // 3 windows over 256-bin histograms
     "q180_poisson_bootstrap",   // 64 replicate means
     "q198_decile_lift",         // 10-row decile table
-    "q215_seasonal_decompose"   // bounded months table (years × 12)
+    "q215_seasonal_decompose",  // bounded months table (years × 12)
+    "q230_degree_distribution"  // CCDF over the distinct-degree table
   )
   private val allowedCartesian = Set(
     "q110_pmi_collocations",    // broadcast scalar total
