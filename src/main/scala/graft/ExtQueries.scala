@@ -1661,6 +1661,178 @@ object ExtQueries {
       |    AS n_nodes_ge
       |FROM distr ORDER BY degree""".stripMargin
 
+  /** q231 — order backlog aging: open (non-final-status) orders bucketed
+    * by age against the corpus's last order date — the ops dashboard
+    * table behind "how stale is our queue". Age buckets are fixed
+    * (≤30/≤90/≤365/>365 days); the anchor is one broadcast scalar; one
+    * scan + one map-combinable aggregate.
+    */
+  def backlogAging(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+      .select(col("o_orderstatus").as("status"),
+        col("o_orderdate").cast("date").as("od"))
+    val anchor = o.agg(max("od").as("d_max"))
+    o.crossJoin(broadcast(anchor))
+      .withColumn("age", datediff(col("d_max"), col("od")))
+      .withColumn("age_bucket",
+        when(col("age") <= 30, "a_0_30")
+          .when(col("age") <= 90, "b_31_90")
+          .when(col("age") <= 365, "c_91_365")
+          .otherwise("d_over_365"))
+      .groupBy("status", "age_bucket")
+      .agg(count(lit(1)).as("n_orders"), max("age").cast("bigint").as("max_age"))
+      .orderBy("status", "age_bucket")
+  }
+
+  val backlogAgingOracle: String =
+    """WITH o AS (
+      |  SELECT o_orderstatus AS status, CAST(o_orderdate AS DATE) AS od
+      |  FROM orders
+      |), a AS (SELECT max(od) AS d_max FROM o),
+      |b AS (
+      |  SELECT status, d_max - od AS age FROM o, a
+      |)
+      |SELECT status,
+      |  CASE WHEN age <= 30 THEN 'a_0_30'
+      |       WHEN age <= 90 THEN 'b_31_90'
+      |       WHEN age <= 365 THEN 'c_91_365'
+      |       ELSE 'd_over_365' END AS age_bucket,
+      |  count(*) AS n_orders, CAST(max(age) AS BIGINT) AS max_age
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q232 — near-dup threshold sensitivity curve: verified pair counts
+    * at Jaccard cuts 0.5/0.6/0.7/0.8 from ONE candidate+verify pass
+    * (the exact inverted index computes each pair's Jaccard once; the
+    * sweep is four conditional counts, not four pipelines) — the table
+    * that picks a production dedup threshold against its
+    * aggressiveness.
+    */
+  def jaccardThresholdCurve(s: SparkSession, d: String): DataFrame = {
+    val sh = functions.DedupOps.shingleSets(docs(s, d), "text", "doc_id", 5)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val cand = ex.as("a").join(ex.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val jac = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(expr("""CAST(size(array_intersect(sh_a, sh_b)) * 1000L div
+                     |  (size(sh_a) + size(sh_b)
+                     |   - size(array_intersect(sh_a, sh_b))) AS BIGINT)"""
+        .stripMargin).as("j_permille"))
+    val agg = jac.agg(
+      sum(when(col("j_permille") >= 500, 1L).otherwise(0L)).as("t500"),
+      sum(when(col("j_permille") >= 600, 1L).otherwise(0L)).as("t600"),
+      sum(when(col("j_permille") >= 700, 1L).otherwise(0L)).as("t700"),
+      sum(when(col("j_permille") >= 800, 1L).otherwise(0L)).as("t800"))
+    agg.select(explode(array(
+        struct(lit(500L).as("threshold_permille"), col("t500").as("n_pairs")),
+        struct(lit(600L).as("threshold_permille"), col("t600").as("n_pairs")),
+        struct(lit(700L).as("threshold_permille"), col("t700").as("n_pairs")),
+        struct(lit(800L).as("threshold_permille"), col("t800").as("n_pairs")))))
+      .select(col("col.threshold_permille"),
+        col("col.n_pairs").cast("bigint").as("n_pairs"))
+      .orderBy("threshold_permille")
+  }
+
+  val jaccardThresholdCurveOracle: String =
+    s"""WITH ${LlmQueries.tokShSql}, ex AS (
+       |  SELECT doc_id, unnest(sh) AS g FROM sh
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |), j AS (
+       |  SELECT CAST(len(list_intersect(sa.sh, sb.sh)) * 1000
+       |    // (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+       |    AS BIGINT) AS jp
+       |  FROM cand JOIN sh sa ON doc_a = sa.doc_id
+       |            JOIN sh sb ON doc_b = sb.doc_id
+       |), t AS (
+       |  SELECT CAST(unnest([500, 600, 700, 800]) AS BIGINT)
+       |    AS threshold_permille
+       |)
+       |SELECT t.threshold_permille,
+       |  CAST((SELECT count(*) FROM j WHERE j.jp >= t.threshold_permille)
+       |       AS BIGINT) AS n_pairs
+       |FROM t ORDER BY threshold_permille""".stripMargin
+
+  /** q233 — numeric-profile correlation matrix: pairwise Pearson r
+    * (×10⁶, IEEE-fixed-shape from exact integer moments — the
+    * q124/q185 discipline) across quantity, extended price, discount,
+    * and tax — the first table a feature-engineering pass reads to
+    * drop collinear columns. All six pairs come from ONE map-combinable
+    * moment aggregate over one scan; cent/percent integer carriers keep
+    * the moments exact.
+    */
+  def numericCorrelations(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select(
+      col("l_quantity").cast("bigint").as("q"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("p"),
+      expr("CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)").as("dd"),
+      expr("CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT)").as("tx"))
+    val cols = Seq("q", "p", "dd", "tx")
+    // products ride DECIMAL(38,0) BEFORE the sum (a BIGINT Σx² wraps at
+    // this scale); every moment converts to DOUBLE exactly once so both
+    // engines run the identical IEEE op sequence
+    val moments = li.agg(count(lit(1)).as("n"),
+      cols.flatMap(c => Seq(
+        sum(col(c).cast("decimal(38,0)")).as(s"s_$c"),
+        sum((col(c) * col(c)).cast("decimal(38,0)")).as(s"ss_$c"))) ++
+      cols.combinations(2).toSeq.map { case Seq(a, b) =>
+        sum((col(a) * col(b)).cast("decimal(38,0)")).as(s"sp_${a}_$b") }: _*)
+    def D(c: String) = s"CAST($c AS DOUBLE)"
+    val pairs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      struct(lit(s"${a}_$b").as("pair"),
+        expr(s"""CAST(round((${D("n")} * ${D(s"sp_${a}_$b")}
+               |  - ${D(s"s_$a")} * ${D(s"s_$b")})
+               |  / sqrt((${D("n")} * ${D(s"ss_$a")}
+               |          - ${D(s"s_$a")} * ${D(s"s_$a")})
+               |         * (${D("n")} * ${D(s"ss_$b")}
+               |            - ${D(s"s_$b")} * ${D(s"s_$b")}))
+               |  * 1000000) AS BIGINT)""".stripMargin).as("r_x1e6"))
+    }
+    moments.select(explode(array(pairs: _*)).as("c"))
+      .select(col("c.pair"), col("c.r_x1e6"))
+      .orderBy("pair")
+  }
+
+  val numericCorrelationsOracle: String = {
+    val cols = Seq("q", "p", "dd", "tx")
+    def D(c: String) = s"CAST($c AS DOUBLE)"
+    val prs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      s"""SELECT '${a}_$b' AS pair,
+         |  CAST(round((${D("n")} * ${D(s"sp_${a}_$b")}
+         |    - ${D(s"s_$a")} * ${D(s"s_$b")})
+         |    / sqrt((${D("n")} * ${D(s"ss_$a")}
+         |            - ${D(s"s_$a")} * ${D(s"s_$a")})
+         |           * (${D("n")} * ${D(s"ss_$b")}
+         |              - ${D(s"s_$b")} * ${D(s"s_$b")}))
+         |    * 1000000) AS BIGINT) AS r_x1e6
+         |  FROM m""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH li AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS q,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p,
+       |    CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS dd,
+       |    CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT) AS tx
+       |  FROM lineitem
+       |), m AS (
+       |  SELECT count(*) AS n,
+       |    ${cols.map(c =>
+              s"CAST(sum($c) AS HUGEINT) AS s_$c, " +
+              s"CAST(sum($c * $c) AS HUGEINT) AS ss_$c").mkString(",\n    ")},
+       |    ${cols.combinations(2).toSeq.map { case Seq(a, b) =>
+              s"CAST(sum($a * $b) AS HUGEINT) AS sp_${a}_$b" }
+              .mkString(",\n    ")}
+       |  FROM li
+       |)
+       |SELECT pair, r_x1e6 FROM (
+       |  $prs
+       |) ORDER BY pair""".stripMargin
+  }
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1693,7 +1865,10 @@ object ExtQueries {
     "q227_top_p_vocab" -> (topPVocab(_, _)),
     "q228_chi2_keywords" -> (chi2Keywords(_, _)),
     "q229_decay_popularity" -> (decayPopularity(_, _)),
-    "q230_degree_distribution" -> (degreeDistribution(_, _))
+    "q230_degree_distribution" -> (degreeDistribution(_, _)),
+    "q231_backlog_aging" -> (backlogAging(_, _)),
+    "q232_jaccard_threshold_curve" -> (jaccardThresholdCurve(_, _)),
+    "q233_numeric_correlations" -> (numericCorrelations(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1726,6 +1901,9 @@ object ExtQueries {
     "q227_top_p_vocab" -> topPVocabOracle,
     "q228_chi2_keywords" -> chi2KeywordsOracle,
     "q229_decay_popularity" -> decayPopularityOracle,
-    "q230_degree_distribution" -> degreeDistributionOracle
+    "q230_degree_distribution" -> degreeDistributionOracle,
+    "q231_backlog_aging" -> backlogAgingOracle,
+    "q232_jaccard_threshold_curve" -> jaccardThresholdCurveOracle,
+    "q233_numeric_correlations" -> numericCorrelationsOracle
   )
 }
