@@ -1833,6 +1833,155 @@ object ExtQueries {
        |) ORDER BY pair""".stripMargin
   }
 
+  /** q234 — data-contract validation: one violations table for the
+    * constraint battery a publishing pipeline enforces — NOT NULL,
+    * domain CHECKs, uniqueness of the business key, and referential
+    * integrity into orders — each constraint one map-combinable count
+    * (uniqueness via groupBy-count > 1, never a window; RI via
+    * left-anti join). The (constraint, n_violations) shape is what a
+    * contract gate asserts on before a commit goes live.
+    */
+  def dataContract(s: SparkSession, d: String): DataFrame = {
+    val li = graft.CacheScope.persisted(t(s, d, "lineitem"))
+    def row(name: String, v: Column): DataFrame =
+      li.agg(v.cast("bigint").as("n_violations"))
+        .select(lit(name).as("constraint"), col("n_violations"))
+    val notNull = row("c1_keys_not_null",
+      sum(when(col("l_orderkey").isNull || col("l_linenumber").isNull ||
+        col("l_partkey").isNull || col("l_suppkey").isNull, 1L)
+        .otherwise(0L)))
+    val domain = row("c2_domain_checks",
+      sum(when(col("l_quantity") <= 0 || col("l_extendedprice") <= 0 ||
+        col("l_discount") < 0 || col("l_discount") > 1 ||
+        !col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L)))
+    val unique = li.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(when(col("n") > 1, col("n") - 1).otherwise(0L))
+        .cast("bigint").as("n_violations"))
+      .select(lit("c3_business_key_unique").as("constraint"),
+        col("n_violations"))
+    val ri = li.join(t(s, d, "orders").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).cast("bigint").as("n_violations"))
+      .select(lit("c4_orderkey_exists").as("constraint"), col("n_violations"))
+    notNull.unionAll(domain).unionAll(unique).unionAll(ri)
+      .orderBy("constraint")
+  }
+
+  val dataContractOracle: String =
+    """WITH u AS (
+      |  SELECT 'c1_keys_not_null' AS "constraint",
+      |    CAST(sum(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL
+      |      OR l_partkey IS NULL OR l_suppkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_violations
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'c2_domain_checks',
+      |    CAST(sum(CASE WHEN l_quantity <= 0 OR l_extendedprice <= 0
+      |      OR l_discount < 0 OR l_discount > 1
+      |      OR l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END)
+      |      AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'c3_business_key_unique',
+      |    CAST(coalesce(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END), 0)
+      |         AS BIGINT) FROM (
+      |    SELECT count(*) AS n FROM lineitem
+      |    GROUP BY l_orderkey, l_linenumber)
+      |  UNION ALL
+      |  SELECT 'c4_orderkey_exists', CAST(count(*) AS BIGINT)
+      |  FROM lineitem WHERE l_orderkey NOT IN
+      |    (SELECT o_orderkey FROM orders)
+      |)
+      |SELECT "constraint", n_violations FROM u ORDER BY 1""".stripMargin
+
+  /** q235 — supplier-concentration HHI per part: the Herfindahl index of
+    * each part's supplier quantity shares (×10⁶, exact via the
+    * DECIMAL(38,0) carrier: Σ qᵢ² · 10⁶ div (Σ qᵢ)²) — the supply-risk
+    * score procurement dashboards rank by. Two map-combinable
+    * aggregates; top-20 most concentrated multi-supplier parts for a
+    * bounded dump.
+    */
+  def supplierHhi(s: SparkSession, d: String): DataFrame = {
+    val per = t(s, d, "lineitem")
+      .groupBy(col("l_partkey").as("partkey"),
+        col("l_suppkey").as("suppkey"))
+      .agg(sum(col("l_quantity").cast("bigint")).as("q"))
+    per.groupBy("partkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum("q").as("total_q"),
+        sum(expr("CAST(q * q AS DECIMAL(38,0))")).as("sq"))
+      .filter(col("n_suppliers") >= 2)
+      .select(col("partkey"), col("n_suppliers"),
+        col("total_q").cast("bigint").as("total_q"),
+        expr("""CAST(sq * 1000000 div
+               |  (CAST(total_q AS DECIMAL(38,0)) * total_q) AS BIGINT)"""
+          .stripMargin).as("hhi_ppm"))
+      .orderBy(col("hhi_ppm").desc, col("partkey"))
+      .limit(20)
+  }
+
+  val supplierHhiOracle: String =
+    """WITH per AS (
+      |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT partkey, count(*) AS n_suppliers,
+      |    CAST(sum(q) AS BIGINT) AS total_q,
+      |    sum(CAST(q AS HUGEINT) * q) AS sq
+      |  FROM per GROUP BY 1
+      |)
+      |SELECT partkey, n_suppliers, total_q,
+      |  CAST(sq * 1000000 // (CAST(total_q AS HUGEINT) * total_q) AS BIGINT)
+      |    AS hhi_ppm
+      |FROM agg WHERE n_suppliers >= 2
+      |ORDER BY hhi_ppm DESC, partkey LIMIT 20""".stripMargin
+
+  /** q236 — return rate by brand: returned share of quantity and of
+    * decimal-exact revenue per part brand (ppm) — the product-quality
+    * signal merchandising watches. One broadcast dimension join, one
+    * conditional aggregate.
+    */
+  def returnsByBrand(s: SparkSession, d: String): DataFrame = {
+    val rev = expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    |  * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    |  * 10000 AS DECIMAL(38,0))""".stripMargin)
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returned"),
+        sum(rev).as("rev_i"),
+        sum(when(col("l_returnflag") === "R", rev)
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("ret_rev_i"))
+      .select(col("brand"), col("n_lines"),
+        col("n_returned").cast("bigint").as("n_returned"),
+        expr("n_returned * 1000000L div n_lines").as("returned_lines_ppm"),
+        expr("CAST(ret_rev_i * 1000000 div rev_i AS BIGINT)")
+          .as("returned_revenue_ppm"))
+      .orderBy("brand")
+  }
+
+  val returnsByBrandOracle: String =
+    """WITH li AS (
+      |  SELECT p_brand AS brand, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS HUGEINT)
+      |      AS rev_i
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |)
+      |SELECT brand, count(*) AS n_lines,
+      |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_returned,
+      |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1000000
+      |    // count(*) AS BIGINT) AS returned_lines_ppm,
+      |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN rev_i ELSE 0 END)
+      |    * 1000000 // sum(rev_i) AS BIGINT) AS returned_revenue_ppm
+      |FROM li GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1868,7 +2017,10 @@ object ExtQueries {
     "q230_degree_distribution" -> (degreeDistribution(_, _)),
     "q231_backlog_aging" -> (backlogAging(_, _)),
     "q232_jaccard_threshold_curve" -> (jaccardThresholdCurve(_, _)),
-    "q233_numeric_correlations" -> (numericCorrelations(_, _))
+    "q233_numeric_correlations" -> (numericCorrelations(_, _)),
+    "q234_data_contract" -> (dataContract(_, _)),
+    "q235_supplier_hhi" -> (supplierHhi(_, _)),
+    "q236_returns_by_brand" -> (returnsByBrand(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1904,6 +2056,9 @@ object ExtQueries {
     "q230_degree_distribution" -> degreeDistributionOracle,
     "q231_backlog_aging" -> backlogAgingOracle,
     "q232_jaccard_threshold_curve" -> jaccardThresholdCurveOracle,
-    "q233_numeric_correlations" -> numericCorrelationsOracle
+    "q233_numeric_correlations" -> numericCorrelationsOracle,
+    "q234_data_contract" -> dataContractOracle,
+    "q235_supplier_hhi" -> supplierHhiOracle,
+    "q236_returns_by_brand" -> returnsByBrandOracle
   )
 }
