@@ -1982,6 +1982,182 @@ object ExtQueries {
       |    * 1000000 // sum(rev_i) AS BIGINT) AS returned_revenue_ppm
       |FROM li GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q237 — growth accounting (the active-user waterfall): per period,
+    * active users split into new / retained / resurrected, plus the
+    * previous period's churned — the table every growth dashboard leads
+    * with. WEEKLY grain (the fixture's events span one month; swap the
+    * period expression for months in production). Period sets come from
+    * one (user, week) distinct aggregate; the waterfall is a self-join
+    * on week−1 and a first-seen table — no windows over event rows.
+    */
+  def growthAccounting(s: SparkSession, d: String): DataFrame = {
+    val um = graft.CacheScope.persisted(Tables.events(s, d)
+      .select(col("user_id"),
+        (datediff(col("ts").cast("date"), lit("1970-01-01")) / 7)
+          .cast("bigint").as("m"))
+      .distinct())
+    val first = um.groupBy("user_id").agg(min("m").as("m_first"))
+    val prev = um.select(col("user_id").as("pu"), (col("m") + 1).as("pm"))
+    val active = um.join(first, "user_id")
+      .join(prev, col("m") === col("pm") && col("user_id") === col("pu"),
+        "left")
+    val waterfall = active
+      .groupBy("m")
+      .agg(count(lit(1)).as("active"),
+        sum(when(col("m_first") === col("m"), 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("pu").isNotNull, 1L).otherwise(0L)).as("retained"),
+        sum(when(col("pu").isNull && col("m_first") < col("m"), 1L)
+          .otherwise(0L)).as("resurrected"))
+    val nxt = um.select(col("user_id").as("cu"), col("m").as("cm"))
+    val churned = um.select(col("user_id"), (col("m") + 1).as("m"))
+      .join(nxt, col("m") === col("cm") && col("user_id") === col("cu"),
+        "left_anti")
+      .groupBy("m").agg(count(lit(1)).as("churned_from_prev"))
+    waterfall.join(churned, Seq("m"), "left")
+      .select(col("m").cast("bigint").as("week_idx"), col("active"),
+        col("new_users"), col("retained"), col("resurrected"),
+        coalesce(col("churned_from_prev"), lit(0L)).as("churned_from_prev"))
+      .orderBy("week_idx")
+  }
+
+  val growthAccountingOracle: String =
+    """WITH um AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS BIGINT) AS m
+      |  FROM events
+      |), f AS (
+      |  SELECT user_id, min(m) AS m_first FROM um GROUP BY 1
+      |), w AS (
+      |  SELECT um.m, count(*) AS active,
+      |    sum(CASE WHEN f.m_first = um.m THEN 1 ELSE 0 END) AS new_users,
+      |    sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS retained,
+      |    sum(CASE WHEN p.user_id IS NULL AND f.m_first < um.m
+      |        THEN 1 ELSE 0 END) AS resurrected
+      |  FROM um JOIN f USING (user_id)
+      |  LEFT JOIN um p ON p.user_id = um.user_id AND p.m = um.m - 1
+      |  GROUP BY um.m
+      |), ch AS (
+      |  SELECT a.m + 1 AS m, count(*) AS churned_from_prev
+      |  FROM um a LEFT JOIN um b
+      |    ON b.user_id = a.user_id AND b.m = a.m + 1
+      |  WHERE b.user_id IS NULL
+      |  GROUP BY a.m + 1
+      |)
+      |SELECT w.m AS week_idx, CAST(active AS BIGINT) AS active,
+      |  CAST(new_users AS BIGINT) AS new_users,
+      |  CAST(retained AS BIGINT) AS retained,
+      |  CAST(resurrected AS BIGINT) AS resurrected,
+      |  CAST(coalesce(ch.churned_from_prev, 0) AS BIGINT)
+      |    AS churned_from_prev
+      |FROM w LEFT JOIN ch ON ch.m = w.m
+      |ORDER BY week_idx""".stripMargin
+
+  /** q238 — shuffle-partition advisor: per table, exact byte-width
+    * statistics (rows, Σ string-rendered row bytes as a deterministic
+    * width proxy) and the partition count that lands each table at a
+    * 32 MiB target — the `spark.sql.shuffle.partitions` sizing table an
+    * operator reads before submitting at a new scale. One
+    * map-combinable aggregate per table, bounded loop over 4 tables.
+    */
+  def partitionAdvisor(s: SparkSession, d: String): DataFrame = {
+    val target = 32L * 1024 * 1024
+    Seq("lineitem", "orders", "customer", "part").map { tn =>
+      val df = t(s, d, tn)
+      val widths = df.columns
+        .map(c => coalesce(length(col(c).cast("string")), lit(0)))
+        .reduce(_ + _)
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(widths.cast("bigint")).cast("bigint").as("est_bytes"))
+        .select(lit(tn).as("table_name"), col("n_rows"), col("est_bytes"),
+          greatest(lit(1L), expr(s"(est_bytes + ${target - 1}) div $target"))
+            .cast("bigint").as("advised_partitions"))
+    }.reduce(_ unionAll _).orderBy("table_name")
+  }
+
+  val partitionAdvisorOracle: String = {
+    val target = 32L * 1024 * 1024
+    val cols = Map(
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+      "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority"),
+      "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment"),
+      "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice"))
+    val selects = cols.toSeq.sortBy(_._1).map { case (tn, cs) =>
+      val w = cs.map(c => s"coalesce(length(CAST($c AS VARCHAR)), 0)")
+        .mkString(" + ")
+      s"""SELECT '$tn' AS table_name, count(*) AS n_rows,
+         |  CAST(sum($w) AS BIGINT) AS est_bytes,
+         |  CAST(greatest(1, (sum($w) + ${target - 1}) // $target) AS BIGINT)
+         |    AS advised_partitions
+         |  FROM $tn""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH u AS (
+       |  $selects
+       |)
+       |SELECT table_name, n_rows, est_bytes, advised_partitions
+       |FROM u ORDER BY table_name""".stripMargin
+  }
+
+  /** q239 — deseasonalized month-over-month growth: q215's additive
+    * decomposition subtracted from monthly revenue, then the MoM delta
+    * of the seasonally-adjusted series in ppm — "did we actually grow,
+    * or is it just December". All integer cents over the bounded
+    * months table; MoM via a self-join on month index (no window
+    * needed at this grain).
+    */
+  def deseasonalizedGrowth(s: SparkSession, d: String): DataFrame = {
+    val dec = seasonalDecompose(s, d)
+      .filter(col("seasonal_c").isNotNull)
+      .select(col("yr"), col("mo"),
+        (col("yr") * 12 + col("mo")).cast("bigint").as("idx"),
+        (col("revenue_c") - col("seasonal_c")).as("adj_c"))
+    val prev = dec.select((col("idx") + 1).as("idx"),
+      col("adj_c").as("prev_adj_c"))
+    dec.join(prev, "idx")
+      .select(col("yr"), col("mo"),
+        col("adj_c").cast("bigint").as("adj_c"),
+        col("prev_adj_c").cast("bigint").as("prev_adj_c"),
+        expr("(adj_c - prev_adj_c) * 1000000L div prev_adj_c")
+          .as("growth_ppm"))
+      .orderBy("yr", "mo")
+  }
+
+  val deseasonalizedGrowthOracle: String =
+    """WITH m AS (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |    CAST(month(o_orderdate) AS INTEGER) AS mo,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS revenue_c,
+      |    yr * 12 + mo AS idx
+      |  FROM orders GROUP BY 1, 2
+      |), tr AS (
+      |  SELECT yr, mo, idx, revenue_c,
+      |    CASE WHEN count(*) OVER (ORDER BY idx
+      |        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) = 3
+      |      THEN CAST(sum(revenue_c) OVER (ORDER BY idx
+      |        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) // 3 AS BIGINT)
+      |    END AS trend_c
+      |  FROM m
+      |), se AS (
+      |  SELECT mo,
+      |    CAST(sum(revenue_c - trend_c) // count(*) AS BIGINT) AS seasonal_c
+      |  FROM tr WHERE trend_c IS NOT NULL GROUP BY 1
+      |), adj AS (
+      |  SELECT tr.yr, tr.mo, tr.idx,
+      |    tr.revenue_c - se.seasonal_c AS adj_c
+      |  FROM tr JOIN se ON tr.mo = se.mo
+      |)
+      |SELECT a.yr, a.mo, CAST(a.adj_c AS BIGINT) AS adj_c,
+      |  CAST(p.adj_c AS BIGINT) AS prev_adj_c,
+      |  CAST((a.adj_c - p.adj_c) * 1000000 // p.adj_c AS BIGINT)
+      |    AS growth_ppm
+      |FROM adj a JOIN adj p ON p.idx = a.idx - 1
+      |ORDER BY a.yr, a.mo""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2020,7 +2196,10 @@ object ExtQueries {
     "q233_numeric_correlations" -> (numericCorrelations(_, _)),
     "q234_data_contract" -> (dataContract(_, _)),
     "q235_supplier_hhi" -> (supplierHhi(_, _)),
-    "q236_returns_by_brand" -> (returnsByBrand(_, _))
+    "q236_returns_by_brand" -> (returnsByBrand(_, _)),
+    "q237_growth_accounting" -> (growthAccounting(_, _)),
+    "q238_partition_advisor" -> (partitionAdvisor(_, _)),
+    "q239_deseasonalized_growth" -> (deseasonalizedGrowth(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2059,6 +2238,9 @@ object ExtQueries {
     "q233_numeric_correlations" -> numericCorrelationsOracle,
     "q234_data_contract" -> dataContractOracle,
     "q235_supplier_hhi" -> supplierHhiOracle,
-    "q236_returns_by_brand" -> returnsByBrandOracle
+    "q236_returns_by_brand" -> returnsByBrandOracle,
+    "q237_growth_accounting" -> growthAccountingOracle,
+    "q238_partition_advisor" -> partitionAdvisorOracle,
+    "q239_deseasonalized_growth" -> deseasonalizedGrowthOracle
   )
 }
