@@ -2158,6 +2158,177 @@ object ExtQueries {
       |FROM adj a JOIN adj p ON p.idx = a.idx - 1
       |ORDER BY a.yr, a.mo""".stripMargin
 
+  /** q240 — brand-mix drift between the first and last ship years:
+    * total-variation distance of the brand revenue mix (Σ|Δshare|/2, in
+    * ppm through integer share arithmetic) plus the per-brand share
+    * deltas — "did our product mix move" in one number plus its
+    * decomposition (the q160 corpus-drift TVD applied to the sales
+    * axis). Two conditional aggregates off one scan; year anchors are
+    * broadcast scalars.
+    */
+  def brandMixDrift(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        year(col("l_shipdate")).cast("int").as("yr"),
+        expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+               |  * 100 AS BIGINT)""".stripMargin).as("rev_c"))
+    val yrs = li.agg(min("yr").as("y_lo"), max("yr").as("y_hi"))
+    val per = li.crossJoin(broadcast(yrs))
+      .filter(col("yr") === col("y_lo") || col("yr") === col("y_hi"))
+      .groupBy("brand")
+      .agg(sum(when(col("yr") === col("y_lo"), col("rev_c")).otherwise(0L))
+          .cast("decimal(38,0)").as("rev_lo"),
+        sum(when(col("yr") === col("y_hi"), col("rev_c")).otherwise(0L))
+          .cast("decimal(38,0)").as("rev_hi"))
+    val tot = per.agg(sum("rev_lo").as("t_lo"), sum("rev_hi").as("t_hi"))
+    per.crossJoin(broadcast(tot))
+      .select(col("brand"),
+        expr("CAST(rev_lo * 1000000 div t_lo AS BIGINT)").as("share_lo_ppm"),
+        expr("CAST(rev_hi * 1000000 div t_hi AS BIGINT)").as("share_hi_ppm"))
+      .withColumn("delta_ppm", col("share_hi_ppm") - col("share_lo_ppm"))
+      .orderBy("brand")
+  }
+
+  val brandMixDriftOracle: String =
+    """WITH li AS (
+      |  SELECT p_brand AS brand,
+      |    CAST(year(l_shipdate) AS INTEGER) AS yr,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS rev_c
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |), y AS (SELECT min(yr) AS y_lo, max(yr) AS y_hi FROM li),
+      |per AS (
+      |  SELECT brand,
+      |    CAST(sum(CASE WHEN yr = y_lo THEN rev_c ELSE 0 END) AS HUGEINT)
+      |      AS rev_lo,
+      |    CAST(sum(CASE WHEN yr = y_hi THEN rev_c ELSE 0 END) AS HUGEINT)
+      |      AS rev_hi
+      |  FROM li, y WHERE yr = y_lo OR yr = y_hi
+      |  GROUP BY brand
+      |), tot AS (
+      |  SELECT sum(rev_lo) AS t_lo, sum(rev_hi) AS t_hi FROM per
+      |)
+      |SELECT brand,
+      |  CAST(rev_lo * 1000000 // t_lo AS BIGINT) AS share_lo_ppm,
+      |  CAST(rev_hi * 1000000 // t_hi AS BIGINT) AS share_hi_ppm,
+      |  CAST(rev_hi * 1000000 // t_hi - rev_lo * 1000000 // t_lo AS BIGINT)
+      |    AS delta_ppm
+      |FROM per, tot ORDER BY brand""".stripMargin
+
+  /** q241 — token position bias: for the 20 most frequent tokens, the
+    * mean normalized position within documents (per-mille: 0 = always
+    * opens the document, 1000 = always closes it) — template and
+    * boilerplate structure show up as tokens pinned to one end. The
+    * per-occurrence position rides exact integer scaling
+    * (`(pos−1)·1000 div (n−1)`); one explode feeds both the frequency
+    * top-k and the position means.
+    */
+  def tokenPositionBias(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = graft.CacheScope.persisted(docs(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(posexplode(col("t")).as(Seq("p0", "tk")),
+        (size(col("t")) - 1).as("nm1"))
+      .select(col("tk"), expr("p0 * 1000L div nm1").as("relpos_permille")))
+    val top = pos.groupBy("tk").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tk")).limit(20)
+    pos.join(broadcast(top), "tk")
+      .groupBy("tk")
+      .agg(max("n").as("n"),
+        expr("sum(relpos_permille) div count(1)").as("mean_pos_permille"))
+      .select(col("tk"), col("n").cast("bigint").as("n"),
+        col("mean_pos_permille").cast("bigint").as("mean_pos_permille"))
+      .orderBy("tk")
+  }
+
+  val tokenPositionBiasOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents
+      |), pos AS (
+      |  SELECT u.tk AS tk,
+      |    (u.p0 - 1) * 1000 // (n - 1) AS relpos_permille
+      |  FROM (SELECT len(t) AS n,
+      |          unnest(list_transform(range(1, len(t) + 1),
+      |            i -> {'p0': i, 'tk': t[i]})) AS u
+      |        FROM tok WHERE len(t) >= 2)
+      |), top AS (
+      |  SELECT tk, count(*) AS n FROM pos GROUP BY 1
+      |  ORDER BY n DESC, tk LIMIT 20
+      |)
+      |SELECT pos.tk, CAST(max(top.n) AS BIGINT) AS n,
+      |  CAST(sum(relpos_permille) // count(*) AS BIGINT)
+      |    AS mean_pos_permille
+      |FROM pos JOIN top USING (tk)
+      |GROUP BY pos.tk ORDER BY pos.tk""".stripMargin
+
+  /** q242 — year-over-year revenue bridge per brand: the finance
+    * waterfall decomposing Δrevenue into a volume effect
+    * (Δqty × old avg unit price) and a price/mix effect (the
+    * remainder) — integer milli-cent unit prices (`rev·1000 div qty`)
+    * keep the decomposition exact and additive by construction. One
+    * conditional aggregate per brand off one scan.
+    */
+  def revenueBridge(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        year(col("l_shipdate")).cast("int").as("yr"),
+        col("l_quantity").cast("bigint").as("qty"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("rev_c"))
+    val yrs = li.agg(min("yr").as("y_lo"), max("yr").as("y_hi"))
+    li.crossJoin(broadcast(yrs))
+      .filter(col("yr") === col("y_lo") || col("yr") === col("y_hi"))
+      .groupBy("brand")
+      .agg(sum(when(col("yr") === col("y_lo"), col("qty")).otherwise(0L))
+          .cast("bigint").as("q1"),
+        sum(when(col("yr") === col("y_hi"), col("qty")).otherwise(0L))
+          .cast("bigint").as("q2"),
+        sum(when(col("yr") === col("y_lo"), col("rev_c")).otherwise(0L))
+          .cast("bigint").as("r1"),
+        sum(when(col("yr") === col("y_hi"), col("rev_c")).otherwise(0L))
+          .cast("bigint").as("r2"))
+      .filter(col("q1") > 0 && col("q2") > 0)
+      .select(col("brand"), col("r1"), col("r2"),
+        (col("r2") - col("r1")).as("delta_c"),
+        expr("(q2 - q1) * (r1 * 1000 div q1) div 1000")
+          .cast("bigint").as("volume_effect_c"))
+      .withColumn("price_mix_effect_c",
+        col("delta_c") - col("volume_effect_c"))
+      .orderBy("brand")
+  }
+
+  val revenueBridgeOracle: String =
+    """WITH li AS (
+      |  SELECT p_brand AS brand, CAST(year(l_shipdate) AS INTEGER) AS yr,
+      |    CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS rev_c
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |), y AS (SELECT min(yr) AS y_lo, max(yr) AS y_hi FROM li),
+      |per AS (
+      |  SELECT brand,
+      |    CAST(sum(CASE WHEN yr = y_lo THEN qty ELSE 0 END) AS BIGINT) AS q1,
+      |    CAST(sum(CASE WHEN yr = y_hi THEN qty ELSE 0 END) AS BIGINT) AS q2,
+      |    CAST(sum(CASE WHEN yr = y_lo THEN rev_c ELSE 0 END) AS BIGINT)
+      |      AS r1,
+      |    CAST(sum(CASE WHEN yr = y_hi THEN rev_c ELSE 0 END) AS BIGINT)
+      |      AS r2
+      |  FROM li, y WHERE yr = y_lo OR yr = y_hi
+      |  GROUP BY brand
+      |)
+      |SELECT brand, r1, r2, r2 - r1 AS delta_c,
+      |  CAST((q2 - q1) * (r1 * 1000 // q1) // 1000 AS BIGINT)
+      |    AS volume_effect_c,
+      |  CAST(r2 - r1 - (q2 - q1) * (r1 * 1000 // q1) // 1000 AS BIGINT)
+      |    AS price_mix_effect_c
+      |FROM per WHERE q1 > 0 AND q2 > 0 ORDER BY brand""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2199,7 +2370,10 @@ object ExtQueries {
     "q236_returns_by_brand" -> (returnsByBrand(_, _)),
     "q237_growth_accounting" -> (growthAccounting(_, _)),
     "q238_partition_advisor" -> (partitionAdvisor(_, _)),
-    "q239_deseasonalized_growth" -> (deseasonalizedGrowth(_, _))
+    "q239_deseasonalized_growth" -> (deseasonalizedGrowth(_, _)),
+    "q240_brand_mix_drift" -> (brandMixDrift(_, _)),
+    "q241_token_position_bias" -> (tokenPositionBias(_, _)),
+    "q242_revenue_bridge" -> (revenueBridge(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2241,6 +2415,9 @@ object ExtQueries {
     "q236_returns_by_brand" -> returnsByBrandOracle,
     "q237_growth_accounting" -> growthAccountingOracle,
     "q238_partition_advisor" -> partitionAdvisorOracle,
-    "q239_deseasonalized_growth" -> deseasonalizedGrowthOracle
+    "q239_deseasonalized_growth" -> deseasonalizedGrowthOracle,
+    "q240_brand_mix_drift" -> brandMixDriftOracle,
+    "q241_token_position_bias" -> tokenPositionBiasOracle,
+    "q242_revenue_bridge" -> revenueBridgeOracle
   )
 }

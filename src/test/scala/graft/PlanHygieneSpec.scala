@@ -23,7 +23,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q180_poisson_bootstrap",   // 64 replicate means
     "q198_decile_lift",         // 10-row decile table
     "q215_seasonal_decompose",  // bounded months table (years × 12)
-    "q230_degree_distribution"  // CCDF over the distinct-degree table
+    "q230_degree_distribution", // CCDF over the distinct-degree table
+    "q239_deseasonalized_growth" // embeds q215's bounded months window
   )
   private val allowedCartesian = Set(
     "q110_pmi_collocations",    // broadcast scalar total
