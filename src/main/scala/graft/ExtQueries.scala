@@ -2329,6 +2329,175 @@ object ExtQueries {
       |    AS price_mix_effect_c
       |FROM per WHERE q1 > 0 AND q2 > 0 ORDER BY brand""".stripMargin
 
+  /** q243 — Lorenz curve of customer revenue concentration: customers
+    * ranked ascending by spend, cumulative revenue share at each decile
+    * of the customer population — the curve behind the q165 Gini
+    * number, as the dashboard artifact. Ranks ride the bucketed prefix
+    * sum over the per-customer aggregate (never a global window over
+    * customers); shares are exact integer ppm.
+    */
+  def lorenzCurve(s: SparkSession, d: String): DataFrame = {
+    val per = graft.CacheScope.persisted(t(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .cast("bigint").as("rev_c")))
+    val pre = graft.operators.PrefixSum.groupedExclusiveRunningTotals(
+      per.withColumn("one", lit(1L)).withColumn("g", lit(1)),
+      Seq(col("g")), Seq(col("rev_c"), col("o_custkey")),
+      Seq((col("one"), "n_before"), (col("rev_c"), "rev_before")))
+    val tot = per.agg(count(lit(1)).as("n"),
+      sum("rev_c").cast("decimal(38,0)").as("t"))
+    pre.crossJoin(broadcast(tot))
+      .withColumn("decile", expr("least((n_before * 10) div n, 9L) + 1"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        max(expr("""CAST(CAST((rev_before + rev_c) AS DECIMAL(38,0))
+                   |  * 1000000 div t AS BIGINT)""".stripMargin))
+          .as("cum_share_ppm"))
+      .select(col("decile").cast("bigint").as("decile"), col("n_customers"),
+        col("cum_share_ppm"))
+      .orderBy("decile")
+  }
+
+  val lorenzCurveOracle: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1
+      |), pre AS (
+      |  SELECT o_custkey, rev_c,
+      |    coalesce(sum(1) OVER (ORDER BY rev_c, o_custkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS n_before,
+      |    coalesce(sum(rev_c) OVER (ORDER BY rev_c, o_custkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS rev_before,
+      |    (SELECT count(*) FROM per) AS n,
+      |    (SELECT CAST(sum(rev_c) AS HUGEINT) FROM per) AS t
+      |  FROM per
+      |)
+      |SELECT CAST(least((n_before * 10) // n, 9) + 1 AS BIGINT) AS decile,
+      |  count(*) AS n_customers,
+      |  CAST(max(CAST(rev_before + rev_c AS HUGEINT) * 1000000 // t)
+      |       AS BIGINT) AS cum_share_ppm
+      |FROM pre GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q244 — ABC inventory classification: parts ranked DESCENDING by
+    * revenue; class A covers the first 80% of cumulative revenue, B the
+    * next 15%, C the tail — the stock-policy segmentation warehouses
+    * run on. Class assignment uses the EXCLUSIVE running share (a
+    * part straddling a boundary belongs to the class its first cent
+    * falls in — deterministic), ranks from the bucketed prefix sum.
+    */
+  def abcClassification(s: SparkSession, d: String): DataFrame = {
+    val per = graft.CacheScope.persisted(t(s, d, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     |  * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                     |  * 10000 AS BIGINT)""".stripMargin)).as("rev_i"))
+      .withColumn("neg", -col("rev_i")))
+    val pre = graft.operators.PrefixSum.groupedExclusiveRunningTotals(
+      per.withColumn("g", lit(1)),
+      Seq(col("g")), Seq(col("neg"), col("l_partkey")),
+      Seq((col("rev_i"), "rev_before")))
+    val tot = per.agg(sum("rev_i").cast("decimal(38,0)").as("t"))
+    pre.crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when(expr("CAST(rev_before AS DECIMAL(38,0)) * 100 < t * 80"), "A")
+          .when(expr("CAST(rev_before AS DECIMAL(38,0)) * 100 < t * 95"), "B")
+          .otherwise("C"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"),
+        sum("rev_i").cast("decimal(38,0)").as("cls_rev"))
+      .crossJoin(broadcast(tot))
+      .select(col("cls"), col("n_parts"),
+        expr("CAST(cls_rev * 1000000 div t AS BIGINT)").as("rev_share_ppm"))
+      .orderBy("cls")
+  }
+
+  val abcClassificationOracle: String =
+    """WITH per AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT))
+      |      AS BIGINT) AS rev_i
+      |  FROM lineitem GROUP BY 1
+      |), pre AS (
+      |  SELECT l_partkey, rev_i,
+      |    coalesce(sum(rev_i) OVER (ORDER BY rev_i DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS rev_before,
+      |    (SELECT CAST(sum(rev_i) AS HUGEINT) FROM per) AS t
+      |  FROM per
+      |), cl AS (
+      |  SELECT rev_i, t,
+      |    CASE WHEN CAST(rev_before AS HUGEINT) * 100 < t * 80 THEN 'A'
+      |         WHEN CAST(rev_before AS HUGEINT) * 100 < t * 95 THEN 'B'
+      |         ELSE 'C' END AS cls
+      |  FROM pre
+      |)
+      |SELECT cls, count(*) AS n_parts,
+      |  CAST(CAST(sum(rev_i) AS HUGEINT) * 1000000 // min(t) AS BIGINT)
+      |    AS rev_share_ppm
+      |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q245 — order-consolidation opportunities: a customer's orders
+    * within 7 days of the previous order could have shipped together;
+    * sessions come from the islands trick (`order rank − dense day
+    * rank` is NOT needed here — a gap flag + running session count per
+    * customer, windows bounded by orders-per-customer). Reports
+    * customers with at least one multi-order session: sessions, orders,
+    * and the consolidation saving (orders − sessions).
+    */
+  def orderConsolidation(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"))
+    val w = Window.partitionBy("o_custkey").orderBy("od")
+    val sess = o
+      .withColumn("prev", lag(col("od"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull ||
+          datediff(col("od"), col("prev")) > 7, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    sess.groupBy("o_custkey", "sid")
+      .agg(count(lit(1)).as("n_orders"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_orders").as("n_orders"),
+        sum(expr("n_orders - 1")).cast("bigint").as("consolidatable"))
+      .filter(col("n_orders") > col("n_sessions"))
+      .select(col("o_custkey").as("custkey"), col("n_sessions"),
+        col("n_orders").cast("bigint").as("n_orders"),
+        col("consolidatable"))
+      .orderBy("custkey")
+  }
+
+  val orderConsolidationOracle: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od FROM orders
+      |), m AS (
+      |  SELECT o_custkey, od,
+      |    CASE WHEN lag(od) OVER w IS NULL
+      |           OR od - lag(od) OVER w > 7 THEN 1 ELSE 0 END AS new_sess
+      |  FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY od)
+      |), s AS (
+      |  SELECT o_custkey,
+      |    sum(new_sess) OVER (PARTITION BY o_custkey ORDER BY od
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m
+      |), per AS (
+      |  SELECT o_custkey, sid, count(*) AS n_orders
+      |  FROM s GROUP BY 1, 2
+      |)
+      |SELECT o_custkey AS custkey, count(*) AS n_sessions,
+      |  CAST(sum(n_orders) AS BIGINT) AS n_orders,
+      |  CAST(sum(n_orders - 1) AS BIGINT) AS consolidatable
+      |FROM per GROUP BY 1
+      |HAVING sum(n_orders) > count(*) ORDER BY custkey""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2373,7 +2542,10 @@ object ExtQueries {
     "q239_deseasonalized_growth" -> (deseasonalizedGrowth(_, _)),
     "q240_brand_mix_drift" -> (brandMixDrift(_, _)),
     "q241_token_position_bias" -> (tokenPositionBias(_, _)),
-    "q242_revenue_bridge" -> (revenueBridge(_, _))
+    "q242_revenue_bridge" -> (revenueBridge(_, _)),
+    "q243_lorenz_curve" -> (lorenzCurve(_, _)),
+    "q244_abc_classification" -> (abcClassification(_, _)),
+    "q245_order_consolidation" -> (orderConsolidation(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2418,6 +2590,9 @@ object ExtQueries {
     "q239_deseasonalized_growth" -> deseasonalizedGrowthOracle,
     "q240_brand_mix_drift" -> brandMixDriftOracle,
     "q241_token_position_bias" -> tokenPositionBiasOracle,
-    "q242_revenue_bridge" -> revenueBridgeOracle
+    "q242_revenue_bridge" -> revenueBridgeOracle,
+    "q243_lorenz_curve" -> lorenzCurveOracle,
+    "q244_abc_classification" -> abcClassificationOracle,
+    "q245_order_consolidation" -> orderConsolidationOracle
   )
 }
