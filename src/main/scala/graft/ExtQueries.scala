@@ -2498,6 +2498,55 @@ object ExtQueries {
       |FROM per GROUP BY 1
       |HAVING sum(n_orders) > count(*) ORDER BY custkey""".stripMargin
 
+  /** q246 — 1-NN label purity (label-noise detector): for a 1-in-4
+    * sample of embeddings, does the nearest neighbor (exact cosine,
+    * q29's rounded+tie-broken ranking) carry the same label? Per-label
+    * purity ppm is the first audit a classification corpus runs —
+    * labels whose neighborhoods disagree are mislabeled or the classes
+    * genuinely overlap. Queries broadcast; the corpus never shuffles.
+    */
+  def knnLabelPurity(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"), col("label").as("query_label"))
+    val nn = functions.SimilarityOps.bruteForceTopK(
+      queries.drop("query_label"), emb, 1)
+    nn.join(broadcast(queries.select("query_id", "query_label")), "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), "neighbor_id")
+      .groupBy(col("query_label").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("n_label") === col("query_label"), 1L).otherwise(0L))
+          .as("n_same"))
+      .withColumn("purity_ppm", expr("n_same * 1000000L div n_queries"))
+      .orderBy("label")
+  }
+
+  val knnLabelPurityOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+      |    label AS query_label
+      |  FROM embeddings WHERE vec_id % 4 = 0
+      |), s AS (
+      |  SELECT query_id, query_label, vec_id, e.label AS n_label,
+      |    round(list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])), 4)
+      |      AS sim
+      |  FROM q, embeddings e WHERE vec_id <> query_id
+      |), r AS (
+      |  SELECT query_id, query_label, n_label,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY sim DESC, vec_id) AS rank
+      |  FROM s
+      |)
+      |SELECT query_label AS label, count(*) AS n_queries,
+      |  CAST(sum(CASE WHEN n_label = query_label THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_same,
+      |  CAST(sum(CASE WHEN n_label = query_label THEN 1 ELSE 0 END)
+      |    * 1000000 // count(*) AS BIGINT) AS purity_ppm
+      |FROM r WHERE rank = 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2545,7 +2594,8 @@ object ExtQueries {
     "q242_revenue_bridge" -> (revenueBridge(_, _)),
     "q243_lorenz_curve" -> (lorenzCurve(_, _)),
     "q244_abc_classification" -> (abcClassification(_, _)),
-    "q245_order_consolidation" -> (orderConsolidation(_, _))
+    "q245_order_consolidation" -> (orderConsolidation(_, _)),
+    "q246_knn_label_purity" -> (knnLabelPurity(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2593,6 +2643,7 @@ object ExtQueries {
     "q242_revenue_bridge" -> revenueBridgeOracle,
     "q243_lorenz_curve" -> lorenzCurveOracle,
     "q244_abc_classification" -> abcClassificationOracle,
-    "q245_order_consolidation" -> orderConsolidationOracle
+    "q245_order_consolidation" -> orderConsolidationOracle,
+    "q246_knn_label_purity" -> knnLabelPurityOracle
   )
 }
