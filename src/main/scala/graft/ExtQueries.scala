@@ -2547,6 +2547,37 @@ object ExtQueries {
       |FROM r WHERE rank = 1
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q247 — hour-of-day activity profile per event type: counts and
+    * within-type share ppm for each (event_type, hour) cell — the
+    * capacity-planning heatmap (when to schedule compaction, when the
+    * stream peaks). One map-combinable aggregate; shares via a
+    * broadcast-joined per-type total.
+    */
+  def hourlyActivity(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("event_type"), hour(col("ts")).cast("int").as("hr"))
+    val per = e.groupBy("event_type", "hr").agg(count(lit(1)).as("n_events"))
+    val tot = per.groupBy("event_type").agg(sum("n_events").as("type_total"))
+    per.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("hr"), col("n_events"),
+        expr("n_events * 1000000L div type_total").as("share_ppm"))
+      .orderBy("event_type", "hr")
+  }
+
+  val hourlyActivityOracle: String =
+    """WITH per AS (
+      |  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT event_type, CAST(sum(n_events) AS BIGINT) AS type_total
+      |  FROM per GROUP BY 1
+      |)
+      |SELECT per.event_type, hr, n_events,
+      |  CAST(n_events * 1000000 // type_total AS BIGINT) AS share_ppm
+      |FROM per JOIN tot USING (event_type)
+      |ORDER BY per.event_type, hr""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2595,7 +2626,8 @@ object ExtQueries {
     "q243_lorenz_curve" -> (lorenzCurve(_, _)),
     "q244_abc_classification" -> (abcClassification(_, _)),
     "q245_order_consolidation" -> (orderConsolidation(_, _)),
-    "q246_knn_label_purity" -> (knnLabelPurity(_, _))
+    "q246_knn_label_purity" -> (knnLabelPurity(_, _)),
+    "q247_hourly_activity" -> (hourlyActivity(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2644,6 +2676,7 @@ object ExtQueries {
     "q243_lorenz_curve" -> lorenzCurveOracle,
     "q244_abc_classification" -> abcClassificationOracle,
     "q245_order_consolidation" -> orderConsolidationOracle,
-    "q246_knn_label_purity" -> knnLabelPurityOracle
+    "q246_knn_label_purity" -> knnLabelPurityOracle,
+    "q247_hourly_activity" -> hourlyActivityOracle
   )
 }
