@@ -4712,7 +4712,7 @@ object CoreQueries {
         .agg(count(lit(1)).as("cnt"))
         .withColumn("mass", col("cnt") * col("cents")))
     val pre = graft.operators.PrefixSum.groupedExclusiveRunningTotals(
-      byVal, Seq(col("flag")), Seq(col("cents")),
+      byVal, Seq("flag"), Seq(col("cents")),
       Seq((col("cnt"), "below_cnt"), (col("mass"), "below_sum")))
     val tot = byVal.groupBy("flag")
       .agg(sum(col("cnt")).as("n"),

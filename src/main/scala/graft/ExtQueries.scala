@@ -935,7 +935,7 @@ object ExtQueries {
       // would degrade to a single bucket)
       .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01")))
     graft.operators.PrefixSum.groupedExclusiveRunningTotals(
-        moves, Seq(col("partkey")), Seq(col("epoch_day")),
+        moves, Seq("partkey"), Seq(col("epoch_day")),
         Seq((col("net_qty"), "balance_before")))
       .select(col("partkey"), col("day"), col("net_qty"),
         (col("balance_before") + col("net_qty")).cast("bigint")
@@ -1270,10 +1270,13 @@ object ExtQueries {
     * engines.
     */
   def spanCorruption(s: SparkSession, d: String): DataFrame = {
+    // the oracle filters WHERE length(text) > 0 — match it EXACTLY:
+    // split("") yields [""] (n = 1), so a size(tokens) >= 1 gate would
+    // keep empty documents the oracle excludes
     val base = docs(s, d)
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).cast("bigint").as("n"))
-      .filter(col("n") >= 1)
     val pos = base.select(col("doc_id"), col("n"),
       explode(sequence(lit(1L), col("n"))).as("p"))
       .withColumn("starts",
@@ -2343,7 +2346,7 @@ object ExtQueries {
         .cast("bigint").as("rev_c")))
     val pre = graft.operators.PrefixSum.groupedExclusiveRunningTotals(
       per.withColumn("one", lit(1L)).withColumn("g", lit(1)),
-      Seq(col("g")), Seq(col("rev_c"), col("o_custkey")),
+      Seq("g"), Seq(col("rev_c"), col("o_custkey")),
       Seq((col("one"), "n_before"), (col("rev_c"), "rev_before")))
     val tot = per.agg(count(lit(1)).as("n"),
       sum("rev_c").cast("decimal(38,0)").as("t"))
@@ -2399,7 +2402,7 @@ object ExtQueries {
       .withColumn("neg", -col("rev_i")))
     val pre = graft.operators.PrefixSum.groupedExclusiveRunningTotals(
       per.withColumn("g", lit(1)),
-      Seq(col("g")), Seq(col("neg"), col("l_partkey")),
+      Seq("g"), Seq(col("neg"), col("l_partkey")),
       Seq((col("rev_i"), "rev_before")))
     val tot = per.agg(sum("rev_i").cast("decimal(38,0)").as("t"))
     pre.crossJoin(broadcast(tot))

@@ -2333,7 +2333,14 @@ object LlmQueries {
     * PQ encode + ADC pipeline, shared by the q102 oracle and the q105
     * recall oracle.
     */
-  private val pqPipelineSql: String = {
+  private def pqPipelineSql: String = pqPipelineSqlOn("TRUE")
+
+  /** [[pqPipelineSql]] with a corpus predicate on the SEARCHED side
+    * (`enc.vec_id`): q102 searches everything; q105's recall audit runs
+    * over a deterministic corpus subsample, so its oracle ranks over the
+    * same restricted universe.
+    */
+  private def pqPipelineSqlOn(corpusPred: String): String = {
     // exact fold-ordered squared L2 over 8 dims (mirrors the Spark fold:
     // 0 + t1 + ... with every term >= 0, so the seed add is exact)
     def d2(a: String, b: String): String =
@@ -2362,7 +2369,7 @@ object LlmQueries {
        |), scored AS (
        |  SELECT l.query_id, enc.vec_id, $dsum AS pq_dist
        |  FROM enc JOIN lut l ON enc.s = l.s AND enc.code = l.j
-       |  WHERE enc.vec_id <> l.query_id
+       |  WHERE enc.vec_id <> l.query_id AND ($corpusPred)
        |  GROUP BY 1, 2
        |), r AS (
        |  SELECT query_id, vec_id, pq_dist,
@@ -2380,18 +2387,24 @@ object LlmQueries {
 
   /** q105 — PQ recall@3 vs the exact cosine truth: the audit that
     * chooses (m, k) before trusting 32×-compressed codes for the full
-    * corpus — same offline-quality-gate shape as q67's IVF audit (at
-    * 100 TB the exhaustive truth side runs on a sample; the PQ side is
-    * what production serves).
+    * corpus — same offline-quality-gate shape as q67's IVF audit. The
+    * audit universe is a DETERMINISTIC 25% corpus subsample (vec_id ≡ 1
+    * mod 4) on BOTH the exhaustive-truth side and the PQ side, so
+    * recall stays apples-to-apples while the brute-force truth never
+    * scans the full corpus — the 100 TB shape (the codebook still
+    * trains on everything, exactly what production serves).
     */
   def pqRecall(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     val cb = SimilarityOps.pqCodebook(e, m = 8, subDim = 8, kCodes = 16)
     val q = e.filter(col("vec_id") % 200 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-    val truth = SimilarityOps.bruteForceTopK(q, e, 3)
+    // query ids are ≡ 0 (mod 4), so the sampled universe never contains
+    // a query itself — self-exclusion holds by construction
+    val u = graft.CacheScope.persisted(e.filter(col("vec_id") % 4 === 1))
+    val truth = SimilarityOps.bruteForceTopK(q, u, 3)
       .select(col("query_id"), col("neighbor_id"))
-    val approx = SimilarityOps.pqTopK(e, cb, q, k = 3, m = 8, subDim = 8)
+    val approx = SimilarityOps.pqTopK(u, cb, q, k = 3, m = 8, subDim = 8)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
     truth.join(approx, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
@@ -2402,7 +2415,7 @@ object LlmQueries {
   }
 
   val pqRecallOracle: String =
-    s"""WITH $pqPipelineSql, approx AS (
+    s"""WITH ${pqPipelineSqlOn("enc.vec_id % 4 = 1")}, approx AS (
        |  SELECT query_id, vec_id AS neighbor_id FROM r WHERE rank <= 3
        |), tq AS (
        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -2413,7 +2426,8 @@ object LlmQueries {
        |      row_number() OVER (PARTITION BY tq.query_id
        |        ORDER BY round(list_cosine_similarity(tq.qv, CAST(e2.embedding AS DOUBLE[])), 4) DESC,
        |                 e2.vec_id) AS rank
-       |    FROM tq, embeddings e2 WHERE e2.vec_id <> tq.query_id)
+       |    FROM tq, embeddings e2
+       |    WHERE e2.vec_id <> tq.query_id AND e2.vec_id % 4 = 1)
        |  WHERE rank <= 3
        |)
        |SELECT t.query_id,
@@ -3940,7 +3954,7 @@ object LlmQueries {
       .map { case (src, i) => (src, i.toLong) }.toSeq
       .toDF("source", "sidx")
     graft.operators.PrefixSum.groupedExclusiveRunningTotals(
-        base, Seq(col("source")), Seq(col("neg_len"), col("doc_id")),
+        base, Seq("source"), Seq(col("neg_len"), col("doc_id")),
         Seq((lit(1L), "before")))
       .join(broadcast(sidx), "source")
       .select(col("doc_id"), col("source"), col("n_chars"),

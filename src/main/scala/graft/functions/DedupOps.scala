@@ -238,6 +238,18 @@ object DedupOps {
       shingleN: Int = 5, threshold: Double = 0.6,
       maxBroadcastCandidates: Long = MaxBroadcastCandidates): DataFrame = {
     val sh = shingleSets(docs, textCol, idCol, shingleN)
+    verifyJaccard(ppjoinCandidates(sh, threshold), sh, threshold,
+      maxBroadcastCandidates)
+  }
+
+  /** Candidate generation for [[ppjoinPairs]] over pre-computed shingle
+    * sets (doc_id, sh) — package-private so the positional filter's
+    * pruning (invisible in the lossless final result) is directly
+    * testable; `positional = false` degrades to the plain
+    * prefix+length AllPairs scheme.
+    */
+  private[graft] def ppjoinCandidates(sh: DataFrame, threshold: Double,
+      positional: Boolean = true): DataFrame = {
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
     val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
     val prefixes = ex.join(dfreq, "g")
@@ -246,16 +258,36 @@ object DedupOps {
           x => x.getField("g")).as("sorted"),
         count(lit(1)).as("sz"))
       .select(col("doc_id"), col("sz"),
-        explode(slice(col("sorted"), lit(1),
-          (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int")))
-          .as("g"))
-    val cand = prefixes.as("a").join(prefixes.as("b"),
+        posexplode(slice(col("sorted"), lit(1),
+          (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))))
+      .select(col("doc_id"), col("sz"), (col("pos") + 1).as("p"),
+        col("col").as("g"))
+    // POSITIONAL filter (the "P" in PPJoin, Xiao et al. 2008 §3.2): a
+    // collision on token g at 1-based canonical positions (pa, pb)
+    // bounds the TRUE overlap by
+    //   B = min(pa, pb) + min(sz_a − pa, sz_b − pb)
+    // (common tokens strictly before g number ≤ min(pa,pb) − 1 — the
+    // canonical order is global, so shared tokens preceding g sit at
+    // positions < pa in a AND < pb in b; g itself adds 1; common tokens
+    // after g number ≤ min of the suffix lengths). Jaccard ≥ t forces
+    // overlap ≥ ⌈t·(sz_a+sz_b)/(1+t)⌉, so B ≥ that bound holds on EVERY
+    // collision of a qualifying pair — filtering each collision row is
+    // lossless, and it kills the candidates whose only collisions sit at
+    // the tail of both prefixes before verifyJaccard pays an
+    // array_intersect over the full shingle sets.
+    val posFilter =
+      if (positional)
+        least(col("a.p"), col("b.p")) +
+          least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")) >=
+          ceil((col("a.sz") + col("b.sz")) * lit(threshold / (1.0 + threshold)))
+      else lit(true)
+    prefixes.as("a").join(prefixes.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
           col("a.sz") >= ceil(col("b.sz") * lit(threshold)) &&
-          col("b.sz") >= ceil(col("a.sz") * lit(threshold)))
+          col("b.sz") >= ceil(col("a.sz") * lit(threshold)) &&
+          posFilter)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, sh, threshold, maxBroadcastCandidates)
   }
 
   /** Document-frequency cap (see [[MaxShingleDocFreq]]): drop shingles

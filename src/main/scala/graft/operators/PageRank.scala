@@ -25,6 +25,21 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** Out-degree per source: a partial-aggregating groupBy, the scale-safe
+    * degree computation (hub edges combine map-side; the shuffle carries
+    * one row per node, not one per edge). Shared by all three variants.
+    */
+  private def outDegrees(e: DataFrame): DataFrame =
+    e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+
+  /** (src, dst, outdeg) weight table: the degree AGGREGATE joined back
+    * onto the edges — exposed package-private so the plan-shape spec can
+    * pin that no Window over the edge table ever reappears here (the
+    * hub-key window funnel this replaced).
+    */
+  private[graft] def weighted(e: DataFrame): DataFrame =
+    e.join(outDegrees(e), "src")
+
   /** Ranks after `iters` power iterations over the symmetrized edge set
     * of `edges` (two string/long columns). Returns (id, rank) — rank is
     * a raw double; callers round for presentation.
@@ -37,20 +52,22 @@ object PageRank {
     // edge multiplicity instead of the (usually far smaller) edge set
     val e0 = graft.CacheScope.persisted(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
-    // sym has exactly one consumer (weights, itself persisted) — keep it
-    // a plan, both union branches read the e0 cache
-    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    // sym now has TWO consumers (the degree aggregate and the join side
+    // of weighted) — persist it so the union+distinct shuffle runs once
+    val sym = graft.CacheScope.persisted(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
     // (src, dst, outdeg): rank flows src→dst scaled by 1/outdeg(src).
-    // The out-degree rides a whole-partition window instead of a
-    // groupBy + self-join: ONE hash(src) exchange computes the degree
-    // AND leaves the table partitioned exactly as every iteration's
-    // rank join requires — each round then shuffles only the
-    // node-sized rank table. nodes reuses that partitioning (distinct
-    // on the partition key plans exchange-free).
-    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    // The out-degree is a map-combinable groupBy(src).count() joined
+    // back — NEVER a Window.partitionBy(src) over the edge table: a
+    // window hash-shuffles EVERY edge of a hub into one task and
+    // buffers the whole partition, the classic power-law straggler/OOM.
+    // The aggregate combines per-task before its (node-sized) shuffle,
+    // and the join back is broadcast-or-AQE-skew-splittable — on a
+    // power-law 100 TB edge list the degree table broadcasts and the
+    // edges never shuffle at all.
     val weights = graft.CacheScope.persisted(
-      sym.withColumn("outdeg", count(lit(1)).over(bySrc)))
+      weighted(sym))
     val nodes = graft.CacheScope.persisted(
       weights.select(col("src").as("id")).distinct())
     // one bounded driver scalar (like the watermark read) — N appears as
@@ -93,9 +110,8 @@ object PageRank {
       iters: Int = 3, damping: Double = 0.85): DataFrame = {
     val e0 = graft.CacheScope.persisted(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
-    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
     val weights = graft.CacheScope.persisted(
-      e0.withColumn("outdeg", count(lit(1)).over(bySrc)))
+      weighted(e0))
     val nodes = graft.CacheScope.persisted(
       e0.select(col("src").as("id"))
         .union(e0.select(col("dst").as("id"))).distinct())
@@ -107,16 +123,24 @@ object PageRank {
     val base = lit(1.0 - damping) / lit(n.toDouble)
     var rank = nodes.select(col("id"), (lit(1.0) / lit(n.toDouble)).as("rank"))
     (1 to iters).foreach { _ =>
+      // the dangling mass rides the SAME job as the rank update: a
+      // 1-row aggregate over the checkpointed rank table, broadcast
+      // into the update plan — not a blocking driver `.scalar()`, which
+      // costs an extra driver round-trip per iteration (measured: q96's
+      // r07 regression). The broadcast side is one row; the rank blocks
+      // it reads are the localCheckpoint from the previous round, so
+      // nothing recomputes.
       val danglingMass = rank.join(dangling, "id")
-        .agg(coalesce(sum(col("rank")), lit(0.0))).scalar()
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dmass"))
       val contrib = weights
         .join(rank, col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") / col("outdeg")).as("c"))
       rank = nodes.join(contrib, col("id") === col("dst"), "left")
+        .crossJoin(broadcast(danglingMass))
         .select(col("id"),
           (base + lit(damping) * (coalesce(col("c"), lit(0.0)) +
-            danglingMass / lit(n.toDouble))).as("rank"))
+            col("__dmass") / lit(n.toDouble))).as("rank"))
         .localCheckpoint(true)
     }
     rank
@@ -137,11 +161,11 @@ object PageRank {
       damping: Double = 0.85): DataFrame = {
     val e0 = graft.CacheScope.persisted(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
-    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val sym = graft.CacheScope.persisted(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
     val weights = graft.CacheScope.persisted(
-      sym.withColumn("outdeg", count(lit(1)).over(bySrc)))
+      weighted(sym))
     val nodes = weights.select(col("src").as("id")).distinct()
     val sd = seeds.select(col(seedCol).as("id")).distinct()
     val seedFlag = graft.CacheScope.persisted(

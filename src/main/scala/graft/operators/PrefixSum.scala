@@ -81,9 +81,13 @@ object PrefixSum {
     * offsets come from one bounded aggregate windowed over ≤ `buckets`
     * rows per group. Same bit-exact result, one pipeline.
     */
-  def groupedExclusiveRunningTotals(df: DataFrame, partCols: Seq[Column],
+  def groupedExclusiveRunningTotals(df: DataFrame, partCols: Seq[String],
       orderCols: Seq[Column], valueCols: Seq[(Column, String)],
       buckets: Int = 64): DataFrame = {
+    // partCols are NAMES, not expressions: they double as the join keys
+    // for the offsets table, and a derived expression (col("a") % 2)
+    // stringifies to a non-existent column name — taking Seq[String]
+    // makes that unrepresentable instead of silently wrong
     require(valueCols.nonEmpty)
     val vals = valueCols.zipWithIndex
     val tmp = graft.CacheScope.persisted(vals.foldLeft(
@@ -100,23 +104,26 @@ object PrefixSum {
     // over the BOUNDED aggregate (≤ buckets rows per group) — driver
     // never sees data, and the offsets broadcast-join back by key
     val perBucket = bucketed
-      .groupBy(partCols :+ col("__ps_bucket"): _*)
+      .groupBy(partCols.map(col) :+ col("__ps_bucket"): _*)
       .agg(sum(col("__ps_val_0")).as("__ps_sum_0"),
         vals.tail.map { case (_, i) =>
           sum(col(s"__ps_val_$i")).as(s"__ps_sum_$i")
         }: _*)
-    val offWin = Window.partitionBy(partCols: _*).orderBy(col("__ps_bucket"))
+    val offWin = Window.partitionBy(partCols.map(col): _*).orderBy(col("__ps_bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = vals.foldLeft(perBucket) { case (acc, (_, i)) =>
       acc.withColumn(s"__ps_off_$i",
         coalesce(sum(col(s"__ps_sum_$i")).over(offWin), lit(0L)))
     }.drop(vals.map { case (_, i) => s"__ps_sum_$i" }: _*)
-    val partNames = partCols.map(_.toString)
-    val win = Window.partitionBy(partCols :+ col("__ps_bucket"): _*)
+    val win = Window.partitionBy(partCols.map(col) :+ col("__ps_bucket"): _*)
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = bucketed.join(broadcast(offsets),
-      partNames :+ "__ps_bucket")
+    // NO forced broadcast: offsets has n_groups × buckets rows, and for
+    // callers whose group count scales with the data (q217 partitions by
+    // part key) a forced broadcast grows without bound. AQE broadcasts
+    // it when it is actually small; a shuffle join on (group, bucket) is
+    // safe at any scale.
+    val joined = bucketed.join(offsets, partCols :+ "__ps_bucket")
     vals.foldLeft(joined) { case (acc, ((_, name), i)) =>
       acc.withColumn(name,
         sum(col(s"__ps_val_$i")).over(win) - col(s"__ps_val_$i")

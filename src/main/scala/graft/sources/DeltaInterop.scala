@@ -173,17 +173,18 @@ object DeltaInterop {
             case _ => lit(null)
           }
         }.getOrElse(lit(null))
-      def dvSub(field: String): Column =
-        structOf("add").map(_.fieldNames.contains("deletionVector")).getOrElse(false) match {
+      def dvSubOf(action: String, field: String): Column =
+        structOf(action).map(_.fieldNames.contains("deletionVector")).getOrElse(false) match {
           case true =>
-            df.schema("add").dataType.asInstanceOf[StructType]("deletionVector")
+            df.schema(action).dataType.asInstanceOf[StructType]("deletionVector")
               .dataType match {
                 case s: StructType if s.fieldNames.contains(field) =>
-                  col(s"add.deletionVector.$field")
+                  col(s"$action.deletionVector.$field")
                 case _ => lit(null)
               }
           case false => lit(null)
         }
+      def dvSub(field: String): Column = dvSubOf("add", field)
       df.select(
           versionCol.as("v"),
           sub("add", "path").as("add_path"),
@@ -201,7 +202,12 @@ object DeltaInterop {
           dvSub("cardinality").cast("long").as("dv_card"),
           sub("txn", "appId").as("txn_app"),
           sub("txn", "version").cast("long").as("txn_ver"),
-          sub("add", "stats").as("add_stats"))
+          sub("add", "stats").as("add_stats"),
+          dvSubOf("remove", "storageType").as("rdv_st"),
+          dvSubOf("remove", "pathOrInlineDv").as("rdv_path"),
+          dvSubOf("remove", "offset").cast("long").as("rdv_off"),
+          dvSubOf("remove", "sizeInBytes").cast("long").as("rdv_size"),
+          dvSubOf("remove", "cardinality").cast("long").as("rdv_card"))
         .collect().toSeq.flatMap { r =>
           val v = r.getLong(0)
           val out = scala.collection.mutable.ArrayBuffer.empty[Act]
@@ -215,8 +221,16 @@ object DeltaInterop {
               dv, null, Nil, Map.empty, 0L, None,
               stats = if (r.isNullAt(16)) None else Some(r.getString(16)))
           }
-          if (!r.isNullAt(3)) out += Act(v, "remove", r.getString(3), Map.empty,
-            None, null, Nil, Map.empty, 0L, None)
+          if (!r.isNullAt(3)) {
+            // a remove may carry the DV descriptor of the add it
+            // tombstones — the protocol reconciles by (path, dvId)
+            val rdv = if (r.isNullAt(17)) None else Some(DvDescriptor(
+              r.getString(17), r.getString(18),
+              if (r.isNullAt(19)) None else Some(r.getLong(19)),
+              r.getLong(20), r.getLong(21)))
+            out += Act(v, "remove", r.getString(3), Map.empty,
+              rdv, null, Nil, Map.empty, 0L, None)
+          }
           if (!r.isNullAt(4)) out += Act(v, "meta", null, Map.empty, None,
             r.getString(4),
             Option(r.getSeq[String](5)).map(_.toSeq).getOrElse(Nil),
@@ -331,16 +345,31 @@ object DeltaInterop {
     require(mappingMode == "none" || mappingMode == "name",
       s"column mapping mode '$mappingMode' unsupported (only 'name')")
 
-    // live = path whose newest action is an add (same-version tie → add
-    // wins: a commit never removes a file it adds). Keys are the RAW
-    // percent-encoded path strings, matching how writers emit removes.
-    val lastAdd = all.filter(_.kind == "add").groupBy(_.filePath)
+    // live = (path, dvId) whose newest action is an add (same-version
+    // tie → add wins). The protocol reconciles file actions by
+    // (path, dvId) — a remove carrying a DV descriptor tombstones ONLY
+    // the matching add, so remove(path, dvOld) + add(path, dvNew) in
+    // one commit resolves without relying on the tie-break. A remove
+    // WITHOUT a descriptor tombstones every dv-variant of its path
+    // (writers that emit bare-path removes over DV-bearing adds exist;
+    // the conservative match keeps their tables readable). Keys are the
+    // RAW percent-encoded path strings, matching how writers emit
+    // removes.
+    def dvId(d: Option[DvDescriptor]): Option[(String, String, Option[Long])] =
+      d.map(x => (x.storageType, x.pathOrInlineDv, x.offset))
+    val lastAdd = all.filter(_.kind == "add")
+      .groupBy(a => (a.filePath, dvId(a.dv)))
       .view.mapValues(as => as.maxBy(_.v)).toMap
-    val lastRemove = all.filter(_.kind == "remove").groupBy(_.filePath)
+    val removes = all.filter(_.kind == "remove")
+    val dvRemove = removes.filter(_.dv.nonEmpty)
+      .groupBy(a => (a.filePath, dvId(a.dv)))
+      .view.mapValues(_.map(_.v).max).toMap
+    val bareRemove = removes.filter(_.dv.isEmpty).groupBy(_.filePath)
       .view.mapValues(_.map(_.v).max).toMap
     val live = lastAdd.values.toSeq
-      .filter(a => lastRemove.get(a.filePath).forall(_ <= a.v))
-      .sortBy(_.filePath)
+      .filter(a => dvRemove.get((a.filePath, dvId(a.dv))).forall(_ <= a.v) &&
+        bareRemove.get(a.filePath).forall(_ <= a.v))
+      .sortBy(a => (a.filePath, dvId(a.dv).map(_.toString).getOrElse("")))
       .map(a => DeltaFile(a.filePath, a.pv, a.dv, a.stats))
     // latest SetTransaction per appId: highest commit version wins (the
     // protocol's idempotent-writer rule); checkpoint entries carry the
@@ -785,8 +814,11 @@ object DeltaInterop {
         if (!existsNow || mode == SaveMode.Overwrite) {
           val snapNow = if (existsNow) Some(snapshot(spark, path)) else None
           val removes = snapNow.toSeq.flatMap(_.files.map { f =>
-            // raw path: an encoded add must be removed byte-for-byte
-            s"""{"remove":{"path":${jstr(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}"""
+            // raw path: an encoded add must be removed byte-for-byte —
+            // and with its DV descriptor: spec readers reconcile file
+            // actions by (path, dvId), so a bare-path remove would never
+            // tombstone a DV-bearing add
+            s"""{"remove":{"path":${jstr(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true${f.dv.map(dvJson).getOrElse("")}}}"""
           })
           val v = snapNow.map(_.version + 1).getOrElse(0L)
           (v, Seq(protocolAction, metaAction(df.schema, partitionBy)) ++ removes)
@@ -913,7 +945,7 @@ object DeltaInterop {
           s"${jstr(k)}:${if (v == null) "null" else jstr(v)}" }
           .mkString("{", ",", "}")
         Seq(
-          s"""{"remove":{"path":${jstr(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}""",
+          s"""{"remove":{"path":${jstr(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true${f.dv.map(dvJson).getOrElse("")}}}""",
           // stats stay valid over the undeleted subset (a DV only
           // removes rows), so carry them — skipping keeps working
           s"""{"add":{"path":${jstr(f.path)},"partitionValues":$pvJson,"size":0,"modificationTime":0,"dataChange":true${f.stats.map(sj => s""","stats":${jstr(sj)}""").getOrElse("")}${dvJson(dv)}}}""")
@@ -1001,7 +1033,7 @@ object DeltaInterop {
           s"${jstr(k)}:${if (v == null) "null" else jstr(v)}" }
           .mkString("{", ",", "}")
         fs.map(f =>
-          s"""{"remove":{"path":${jstr(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":false}}""") :+
+          s"""{"remove":{"path":${jstr(f.path)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":false${f.dv.map(dvJson).getOrElse("")}}}""") :+
           s"""{"add":{"path":${jstr(rel)},"partitionValues":$pvJson,"size":${Files.size(target)},"modificationTime":${Files.getLastModifiedTime(target).toMillis},"dataChange":false${stats.map(sj => s""","stats":${jstr(sj)}""").getOrElse("")}}}"""
       }
       try {
@@ -1044,7 +1076,7 @@ object DeltaInterop {
       val now = System.currentTimeMillis()
       val actions =
         removes.map(f =>
-          s"""{"remove":{"path":${jstr(f.path)},"deletionTimestamp":$now,"dataChange":true}}""") ++
+          s"""{"remove":{"path":${jstr(f.path)},"deletionTimestamp":$now,"dataChange":true${f.dv.map(dvJson).getOrElse("")}}}""") ++
         adds.map { f =>
           val target = root.resolve(decodePath(f.path))
           require(Files.exists(target),
@@ -1052,7 +1084,7 @@ object DeltaInterop {
           val pvJson = f.partitionValues.toSeq.sortBy(_._1).map { case (k, v) =>
             s"${jstr(k)}:${if (v == null) "null" else jstr(v)}" }
             .mkString("{", ",", "}")
-          s"""{"add":{"path":${jstr(f.path)},"partitionValues":$pvJson,"size":${Files.size(target)},"modificationTime":${Files.getLastModifiedTime(target).toMillis},"dataChange":true${f.dv.map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")}${f.stats.map(sj => s""","stats":${jstr(sj)}""").getOrElse("")}}}"""
+          s"""{"add":{"path":${jstr(f.path)},"partitionValues":$pvJson,"size":${Files.size(target)},"modificationTime":${Files.getLastModifiedTime(target).toMillis},"dataChange":true${f.dv.map(dvJson).getOrElse("")}${f.stats.map(sj => s""","stats":${jstr(sj)}""").getOrElse("")}}}"""
         }
       try {
         Files.write(logDir.resolve(f"${cur.version + 1}%020d.json"),

@@ -265,6 +265,42 @@ class LlmOpsSpec extends SparkSpec {
       "prefix filtering is lossless — identical verified pairs expected")
   }
 
+  test("ppjoin positional filter prunes a candidate the length filter passes, losslessly") {
+    // Constructed shingle sets at t=0.6: docs 1 and 2 both have 10
+    // shingles (length filter passes either way) and share EXACTLY one
+    // shingle h1, which the global df order puts at position 5 (the last
+    // prefix slot) of doc 1 but position 1 of doc 2. Overlap bound
+    // B = min(5,1) + min(10-5, 10-1) = 6 < ceil(0.375*20) = 8, so the
+    // positional filter kills the candidate; without it the pair
+    // collides and survives to (and is rejected by) verification.
+    // Filler docs 10-14 shape the document frequencies: h* and k* at
+    // df=3, a* at df=1, so doc 1 sorts a1..a4 before h1 and doc 2 sorts
+    // h1 before every k*.
+    val a = (1 to 4).map(i => s"a$i")
+    val h = (1 to 6).map(i => s"h$i")
+    val k = (1 to 9).map(i => s"k$i")
+    val sets = Seq(
+      1L -> (a ++ h),
+      2L -> (Seq("h1") ++ k),
+      10L -> h.drop(1), 11L -> h.drop(1), // h2..h6 -> df 3
+      12L -> Seq("h1"),                   // h1 -> df 3
+      13L -> k, 14L -> k)                 // k* -> df 3
+    val sh = sets.toDF("doc_id", "sh")
+    def cands(positional: Boolean): Set[(Long, Long)] =
+      DedupOps.ppjoinCandidates(sh, 0.6, positional)
+        .as[(Long, Long)].collect().toSet
+    val without = cands(positional = false)
+    val withPos = cands(positional = true)
+    assert(without.contains((1L, 2L)),
+      "prefix+length filters alone must emit the planted candidate")
+    assert(!withPos.contains((1L, 2L)),
+      "the positional overlap bound must prune it before verification")
+    // losslessness: every truly-qualifying pair still collides. The only
+    // J >= 0.6 pairs in the fixture are the identical filler twins.
+    assert(Set((10L, 11L), (13L, 14L)).subsetOf(withPos))
+    assert(withPos.subsetOf(without))
+  }
+
   test("kmeans centroids: deterministic, right shape, improve the assignment objective") {
     val c1 = SimilarityOps.kmeansCentroids(emb, k = 8, iters = 2)
     val c2 = SimilarityOps.kmeansCentroids(emb, k = 8, iters = 2)

@@ -40,6 +40,29 @@ class PageRankSpec extends SparkSpec {
     graft.CacheScope.drain(spark)
   }
 
+  test("degree path is a map-combinable aggregate — no Window over the edge table") {
+    // r07 finding: Window.partitionBy(src) over raw edges funnels every
+    // edge of a power-law hub into one task. The degree must stay a
+    // partial-aggregating groupBy joined back; this pins the plan so the
+    // window form cannot silently return in any variant (all three
+    // route through PageRank.weighted).
+    val edges = (1L to 500L).map(i => (i % 37, i % 23)).toDF("src", "dst")
+    val w = PageRank.weighted(edges)
+    val optimized = w.queryExecution.optimizedPlan
+    val windows = optimized.collect {
+      case n: org.apache.spark.sql.catalyst.plans.logical.Window => n
+    }
+    assert(windows.isEmpty, s"edge-keyed window funnel reintroduced:\n$optimized")
+    val aggs = optimized.collect {
+      case n: org.apache.spark.sql.catalyst.plans.logical.Aggregate => n
+    }
+    assert(aggs.nonEmpty, "degree must come from an aggregate")
+    // and the physical aggregate is partial (combines before the shuffle)
+    val phys = w.queryExecution.executedPlan.toString
+    assert(phys.contains("HashAggregate"), s"expected hash aggregate:\n$phys")
+    graft.CacheScope.drain(spark)
+  }
+
   test("result is independent of partitioning") {
     val edges = (1L to 200L).map(i => (i % 37, i % 23)).toDF("src", "dst")
     val a = PageRank.ranks(edges, "src", "dst")

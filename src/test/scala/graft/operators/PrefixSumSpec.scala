@@ -79,7 +79,7 @@ class PrefixSumSpec extends SparkSpec {
         ($"id" * 104729 % 997).cast("bigint").as("u"))
       .repartition(16)
     val got = PrefixSum.groupedExclusiveRunningTotals(df,
-        Seq($"grp"), Seq($"id"), Seq(($"v", "rv"), ($"u", "ru")))
+        Seq("grp"), Seq($"id"), Seq(($"v", "rv"), ($"u", "ru")))
       .select($"id", $"rv", $"ru").as[(Long, Long, Long)]
       .collect().map(r => r._1 -> (r._2, r._3)).toMap
     val w = Window.partitionBy($"grp").orderBy($"id")
@@ -97,7 +97,7 @@ class PrefixSumSpec extends SparkSpec {
       .select(($"id" % 3).cast("string").as("grp"), $"id", lit(1L).as("v"))
       .repartition(16)
     val out = PrefixSum.groupedExclusiveRunningTotals(df,
-      Seq($"grp"), Seq($"id"), Seq(($"v", "run")))
+      Seq("grp"), Seq($"id"), Seq(($"v", "run")))
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange SinglePartition"),
       s"grouped prefix must not funnel data through one task:\n$plan")
