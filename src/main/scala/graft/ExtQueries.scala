@@ -2581,6 +2581,53 @@ object ExtQueries {
       |FROM per JOIN tot USING (event_type)
       |ORDER BY per.event_type, hr""".stripMargin
 
+  /** q248 — multi-round BPE TRAINER to a merge budget: six
+    * count→argmax→merge rounds over the corpus vocabulary
+    * ([[graft.functions.Bpe.train]]), emitting the learned merge table
+    * (rk, l, r) in rank order — the actual tokenizer-training
+    * deliverable q153 (one round) and q161 (apply a fixed table) build
+    * toward. Each round is one job over the DISTINCT-token vocabulary
+    * (sufficient statistics for every pair count); the only driver
+    * traffic is the 1-row winning pair per round. The oracle unrolls
+    * the same six rounds as chained CTEs.
+    */
+  def bpeTrain(s: SparkSession, d: String): DataFrame =
+    graft.functions.Bpe.train(docs(s, d), "text", merges = 6)
+      .select(col("rank").cast("bigint").as("rk"), col("l"), col("r"))
+      .orderBy("rk")
+
+  val bpeTrainOracle: String = {
+    def round(k: Int): String =
+      s"""pc$k AS (
+         |  SELECT sym[i] AS l, sym[i + 1] AS r, sum(cnt) AS n
+         |  FROM v$k, UNNEST(range(1, len(sym))) AS u(i)
+         |  WHERE sym[i] <> sym[i + 1]
+         |  GROUP BY 1, 2
+         |), top$k AS (
+         |  SELECT l, r FROM pc$k ORDER BY n DESC, l, r LIMIT 1
+         |), v${k + 1} AS (
+         |  SELECT list_filter(list_transform(range(1, len(sym) + 1), i -> CASE
+         |      WHEN sym[i] = t.l AND i < len(sym) AND sym[i + 1] = t.r
+         |        THEN t.l || t.r
+         |      WHEN i > 1 AND sym[i - 1] = t.l AND sym[i] = t.r THEN NULL
+         |      ELSE sym[i] END), x -> x IS NOT NULL) AS sym, cnt
+         |  FROM v$k, top$k t
+         |)""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+       |  FROM documents
+       |), v1 AS (
+       |  SELECT regexp_extract_all(tok, '.') AS sym, count(*) AS cnt
+       |  FROM toks WHERE len(tok) >= 2 GROUP BY tok
+       |),
+       |${(1 to 6).map(round).mkString(",\n")}
+       |SELECT * FROM (
+       |${(1 to 6).map(k =>
+          s"  SELECT CAST($k AS BIGINT) AS rk, l, r FROM top$k")
+         .mkString(" UNION ALL\n")}
+       |) ORDER BY rk""".stripMargin
+  }
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2630,7 +2677,8 @@ object ExtQueries {
     "q244_abc_classification" -> (abcClassification(_, _)),
     "q245_order_consolidation" -> (orderConsolidation(_, _)),
     "q246_knn_label_purity" -> (knnLabelPurity(_, _)),
-    "q247_hourly_activity" -> (hourlyActivity(_, _))
+    "q247_hourly_activity" -> (hourlyActivity(_, _)),
+    "q248_bpe_train" -> (bpeTrain(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2680,6 +2728,7 @@ object ExtQueries {
     "q244_abc_classification" -> abcClassificationOracle,
     "q245_order_consolidation" -> orderConsolidationOracle,
     "q246_knn_label_purity" -> knnLabelPurityOracle,
-    "q247_hourly_activity" -> hourlyActivityOracle
+    "q247_hourly_activity" -> hourlyActivityOracle,
+    "q248_bpe_train" -> bpeTrainOracle
   )
 }

@@ -2624,13 +2624,15 @@ object LlmQueries {
     */
   def dsirSelection(s: SparkSession, d: String): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
-    val w = graft.functions.Sampling.importanceWeights(
-      docs(s, d), array_contains(toks, "dup"))
-    docs(s, d)
-      .select(col("doc_id"),
-        size(filter(toks, t => t === "dup")).cast("bigint").as("n_dup"))
-      .join(w, "doc_id")
+    // n_dup rides the operator's own final per-doc aggregation pass
+    // (tokenAudits) — the corpus is tokenized ONCE and the separate
+    // doc-keyed audit join disappears
+    graft.functions.Sampling.importanceWeights(
+        docs(s, d), array_contains(toks, "dup"),
+        tokenAudits = Seq(sum(when(col("tok") === "dup", 1L).otherwise(0L))
+          .cast("bigint").as("n_dup")))
       .orderBy(col("weight").desc, col("doc_id")).limit(200)
+      .select("doc_id", "n_dup", "weight")
   }
 
   val dsirSelectionOracle: String =
@@ -3339,18 +3341,15 @@ object LlmQueries {
     * the greedy-merge semantics on constructed token runs.
     */
   def bpeMergeRoundOn(corpus: DataFrame): DataFrame = {
+    // vocabulary form (see [[graft.functions.Bpe]]): (token, count) is
+    // sufficient statistics for every pair count — the merge transform
+    // runs over distinct tokens, never the token stream
     val syms = graft.CacheScope.persisted(
-      corpus
-        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
-        .filter(length(col("tok")) >= 2)
-        .select(expr("regexp_extract_all(tok, '.', 0)").as("sym")))
+      graft.functions.Bpe.vocab(corpus, "text"))
     def adjPairs(c: Column): Column = explode(zip_with(
       slice(c, lit(1), size(c) - 1), slice(c, lit(2), size(c) - 1),
       (a, b) => struct(a.as("l"), b.as("r"))))
-    val top = syms.select(adjPairs(col("sym")).as("p"))
-      .select(col("p.l").as("l"), col("p.r").as("r"))
-      .filter(col("l") =!= col("r"))
-      .groupBy("l", "r").agg(count(lit(1)).as("n"))
+    val top = graft.functions.Bpe.pairCounts(syms)
       .orderBy(col("n").desc, col("l"), col("r")).limit(1)
       .select(col("l"), col("r"))
     val merged = syms.crossJoin(broadcast(top))
@@ -3362,10 +3361,10 @@ object LlmQueries {
           |    WHEN i > 1 AND element_at(sym, i - 1) = l
           |         AND element_at(sym, i) = r THEN NULL
           |    ELSE element_at(sym, i) END),
-          |  x -> x IS NOT NULL)""".stripMargin).as("sym2"))
-    merged.select(adjPairs(col("sym2")).as("p"))
+          |  x -> x IS NOT NULL)""".stripMargin).as("sym2"), col("cnt"))
+    merged.select(adjPairs(col("sym2")).as("p"), col("cnt"))
       .groupBy(col("p.l").as("left_tok"), col("p.r").as("right_tok"))
-      .agg(count(lit(1)).as("n_pairs"))
+      .agg(sum(col("cnt")).as("n_pairs"))
       .orderBy(col("n_pairs").desc, col("left_tok"), col("right_tok"))
       .limit(20)
   }
@@ -3573,18 +3572,26 @@ object LlmQueries {
     * groupBy and the final vocabulary groupBy.
     */
   def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    // encode the VOCABULARY, not the token stream: BPE is token-local,
+    // so the distinct (token, count) table is sufficient statistics —
+    // every downstream count weights by `cnt` and lands bit-identical,
+    // while a zipfian corpus collapses orders of magnitude before the
+    // four materialized merge stages (also the 100 TB shape: the merge
+    // transform touches the vocabulary, never the corpus)
     val syms = graft.CacheScope.persisted(
       docs(s, d)
         .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
         .filter(length(col("tok")) >= 2)
-        .select(expr("regexp_extract_all(tok, '.', 0)").as("sym")))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .select(expr("regexp_extract_all(tok, '.', 0)").as("sym"),
+          col("cnt")))
     def adjPairs(c: Column): Column = explode(zip_with(
       slice(c, lit(1), size(c) - 1), slice(c, lit(2), size(c) - 1),
       (a, b) => struct(a.as("l"), b.as("r"))))
-    val ranked = syms.select(adjPairs(col("sym")).as("p"))
-      .select(col("p.l").as("l"), col("p.r").as("r"))
+    val ranked = syms.select(adjPairs(col("sym")).as("p"), col("cnt"))
+      .select(col("p.l").as("l"), col("p.r").as("r"), col("cnt"))
       .filter(col("l") =!= col("r"))
-      .groupBy("l", "r").agg(count(lit(1)).as("n"))
+      .groupBy("l", "r").agg(sum(col("cnt")).as("n"))
       .orderBy(col("n").desc, col("l"), col("r")).limit(4)
       .select(row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("n").desc, col("l"), col("r"))).as("rk"),
@@ -3609,10 +3616,11 @@ object LlmQueries {
     // Persisting each stage caps every merge at exactly one pass.
     val encoded = (1 to 4).foldLeft(syms) { (df, k) =>
       graft.CacheScope.persisted(df.crossJoin(broadcast(merges))
-        .select(expr(mergeExpr("sym", s"`${k}_l`", s"`${k}_r`")).as("sym")))
+        .select(expr(mergeExpr("sym", s"`${k}_l`", s"`${k}_r`")).as("sym"),
+          col("cnt")))
     }
-    encoded.select(explode(col("sym")).as("symbol"))
-      .groupBy("symbol").agg(count(lit(1)).as("n"))
+    encoded.select(explode(col("sym")).as("symbol"), col("cnt"))
+      .groupBy("symbol").agg(sum(col("cnt")).as("n"))
       .orderBy(col("n").desc, col("symbol"))
       .limit(20)
       .select(col("symbol"), length(col("symbol")).as("sym_len"), col("n"))

@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training and application (Sennrich et
+  * al. 2016) as distributed vocabulary passes.
+  *
+  * Everything operates on the VOCABULARY — the distinct
+  * (symbol-sequence, count) table — never the raw token stream: BPE is
+  * token-local, so (token, count) is sufficient statistics for every
+  * pair count and merge, and a zipfian corpus collapses orders of
+  * magnitude before the per-round transform (the 100 TB shape: one
+  * corpus-sized aggregation up front, then rounds that touch only the
+  * vocabulary). Mirrors the reference's tokenizer-adjacent text prep
+  * (silver/silver_rx_claims_clean.py:33-40 normalizes free-text the
+  * same scan-local way).
+  *
+  * The trainer is a bounded driver loop: each round is one
+  * count→argmax→merge job over the vocabulary, and the only driver
+  * traffic is the single winning pair (a 1-row collect per round — the
+  * watermark-read pattern, NOT data-sized). Determinism: pair counts
+  * break ties by (l, r) lexicographically; merges apply greedy
+  * left-to-right within a token (overlap eaten by the leftmost match),
+  * so the learned table and the encoding are bit-stable across engines
+  * and partitionings.
+  */
+object Bpe {
+
+  /** (sym: array<string>, cnt) vocabulary of `textCol`'s
+    * whitespace-lowercase tokens of length >= 2, symbols = characters.
+    */
+  def vocab(corpus: DataFrame, textCol: String): DataFrame =
+    corpus
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .select(expr("regexp_extract_all(tok, '.', 0)").as("sym"), col("cnt"))
+
+  /** Count-weighted adjacent-pair frequencies over a vocabulary;
+    * self-pairs (l = r) excluded — a self-pair merge interacts with its
+    * own overlap and the greedy semantics differ across tokenizers, so
+    * the trainer never learns one.
+    */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.select(explode(zip_with(
+        slice(col("sym"), lit(1), size(col("sym")) - 1),
+        slice(col("sym"), lit(2), size(col("sym")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"), col("cnt"))
+      .select(col("p.l").as("l"), col("p.r").as("r"), col("cnt"))
+      .filter(col("l") =!= col("r"))
+      .groupBy("l", "r").agg(sum(col("cnt")).as("n"))
+
+  /** Greedy left-to-right application of ONE merge (l, r) to every
+    * vocabulary row. The pair rides a 1-row broadcast (columns `l`,`r`)
+    * rather than string literals spliced into SQL — no escaping
+    * hazards for arbitrary corpus characters.
+    */
+  private def applyMerge(vocab: DataFrame, pair: DataFrame): DataFrame =
+    vocab.crossJoin(broadcast(pair))
+      .select(expr(
+        """filter(
+          |  transform(sequence(1, size(sym)), i -> CASE
+          |    WHEN element_at(sym, i) = l AND i < size(sym)
+          |         AND element_at(sym, i + 1) = r THEN concat(l, r)
+          |    WHEN i > 1 AND element_at(sym, i - 1) = l
+          |         AND element_at(sym, i) = r THEN NULL
+          |    ELSE element_at(sym, i) END),
+          |  x -> x IS NOT NULL)""".stripMargin).as("sym"), col("cnt"))
+
+  /** Train `merges` rounds to a merge table (rank, l, r), rank 1-based
+    * in learned order. Each round persists the merged vocabulary (the
+    * higher-order transform re-evaluates per reference if left lazy —
+    * the q161 lesson) and unpersists the previous round's.
+    */
+  def train(corpus: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var v = graft.CacheScope.persisted(vocab(corpus, textCol))
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    var k = 0
+    var dry = false
+    while (k < merges && !dry) {
+      // ONE bounded driver row per round: the argmax pair
+      val top = pairCounts(v)
+        .orderBy(col("n").desc, col("l"), col("r")).limit(1)
+        .select("l", "r").collect()
+      if (top.isEmpty) dry = true // vocabulary fully merged — stop early
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        k += 1
+        learned += ((k, l, r))
+        v = graft.CacheScope.persisted(
+          applyMerge(v, Seq((l, r)).toDF("l", "r")))
+      }
+    }
+    learned.toSeq.toDF("rank", "l", "r")
+  }
+
+  /** Apply a learned merge table ((rank, l, r) rows, collected — the
+    * table is vocabulary-budget-sized, never data-sized) to a corpus in
+    * rank order; returns the encoded vocabulary (sym, cnt).
+    */
+  def encode(corpus: DataFrame, textCol: String,
+      mergeTable: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val ordered = mergeTable.select("rank", "l", "r")
+      .collect().sortBy(_.getInt(0))
+      .map(row => (row.getString(1), row.getString(2)))
+    ordered.foldLeft(graft.CacheScope.persisted(vocab(corpus, textCol))) {
+      (v, lr) =>
+        graft.CacheScope.persisted(applyMerge(v, Seq(lr).toDF("l", "r")))
+    }
+  }
+}

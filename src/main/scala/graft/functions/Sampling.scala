@@ -102,7 +102,8 @@ object Sampling {
     * defined mean ratio, so it carries no row).
     */
   def importanceWeights(docs: DataFrame, isTarget: Column,
-      width: Int = 4096, scalePerMille: Long = 1000L): DataFrame = {
+      width: Int = 4096, scalePerMille: Long = 1000L,
+      tokenAudits: Seq[Column] = Nil): DataFrame = {
     // the bucketed token stream feeds the stats pass and the scoring
     // join — persist it, or the tokenize+hash scan runs twice
     val toks = graft.CacheScope.persisted(
@@ -125,12 +126,17 @@ object Sampling {
       .select(col("bucket"),
         expr(s"(CAST(tgt + 1 AS DECIMAL(38,0)) * nr * $scalePerMille)" +
           s" div (CAST(raw + 1 AS DECIMAL(38,0)) * nt)").as("score"))
+    // `tokenAudits`: optional extra aggregates over the per-document
+    // token stream (each row exposes `tok`), computed in the SAME final
+    // pass — a caller needing e.g. a per-doc term count alongside the
+    // weight (q115's n_dup audit column) would otherwise re-tokenize
+    // the whole corpus and pay a second doc-keyed join
     toks.join(broadcast(scored), "bucket")
       .groupBy("doc_id")
       .agg(sum(col("score").cast("decimal(38,0)")).as("sum_score"),
-        count(lit(1)).as("n_tokens"))
-      .select(col("doc_id"),
-        expr("(sum_score * 1000) div n_tokens").as("weight"))
+        count(lit(1)).as("n_tokens") +: tokenAudits: _*)
+      .withColumn("weight", expr("(sum_score * 1000) div n_tokens"))
+      .drop("sum_score", "n_tokens")
   }
 
   /** Weight-proportional SYSTEMATIC sampling: lay the corpus on a number

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** End-to-end BPE trainer semantics on constructed token runs (the
+  * q153/q161 greedy-merge convention: ties by (l, r), greedy
+  * left-to-right application, self-pairs never learned).
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("train learns merges in frequency order and encode(train(k)) applies them") {
+    // corpus of two "ababa" tokens: round 1 counts (a,b)=4 and (b,a)=4,
+    // tie broken lexicographically -> (a,b); greedy merge gives
+    // [ab, ab, a]. Round 2: (ab,ab) is a self-pair (excluded), so
+    // (ab,a)=2 wins and the leftmost-match rule merges position 2-3 ->
+    // [ab, aba].
+    val corpus = Seq("ababa ababa").toDF("text")
+    val table = Bpe.train(corpus, "text", merges = 2)
+      .as[(Int, String, String)].collect().sortBy(_._1).toSeq
+    assert(table == Seq((1, "a", "b"), (2, "ab", "a")))
+    val enc = Bpe.encode(corpus, "text", Bpe.train(corpus, "text", 2))
+      .as[(Seq[String], Long)].collect().toSeq
+    assert(enc == Seq((Seq("ab", "aba"), 2L)))
+    graft.CacheScope.drain(spark)
+  }
+
+  test("train stops early when the vocabulary is fully merged") {
+    val corpus = Seq("xy xy xy").toDF("text")
+    val table = Bpe.train(corpus, "text", merges = 5)
+      .as[(Int, String, String)].collect().toSeq
+    assert(table == Seq((1, "x", "y")),
+      "one merge exhausts all pairs; the loop must not spin")
+    graft.CacheScope.drain(spark)
+  }
+
+  test("vocabulary counts weight pair statistics exactly like the raw stream") {
+    // 3x "abc" and 1x "bcd": stream pair counts are (a,b)=3, (b,c)=4,
+    // (c,d)=1 -> first merge must be (b,c) on count, not tie-break
+    val corpus = Seq("abc abc abc bcd").toDF("text")
+    val table = Bpe.train(corpus, "text", merges = 1)
+      .as[(Int, String, String)].collect().toSeq
+    assert(table == Seq((1, "b", "c")))
+    graft.CacheScope.drain(spark)
+  }
+}
