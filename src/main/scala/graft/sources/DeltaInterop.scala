@@ -342,8 +342,15 @@ object DeltaInterop {
       case v =>
         throw new IllegalArgumentException(s"Delta reader protocol $v unsupported")
     }
-    require(mappingMode == "none" || mappingMode == "name",
-      s"column mapping mode '$mappingMode' unsupported (only 'name')")
+    // 'id' mode resolves like 'name' mode here: the protocol requires
+    // delta.columnMapping.physicalName on every field in BOTH modes, and
+    // spec writers (incl. delta-spark) name the parquet columns by that
+    // physical name — so physical-name resolution reads id-mode tables;
+    // the field ids additionally ride the staged parquet footers on the
+    // write side for readers that match by id.
+    require(mappingMode == "none" || mappingMode == "name" ||
+        mappingMode == "id",
+      s"column mapping mode '$mappingMode' unsupported (none/name/id)")
 
     // live = (path, dvId) whose newest action is an add (same-version
     // tie → add wins). The protocol reconciles file actions by
@@ -679,7 +686,10 @@ object DeltaInterop {
       mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.ErrorIfExists,
       partitionBy: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
-      columnMapping: Boolean = false): Long = {
+      columnMapping: Boolean = false,
+      mappingMode: String = "name"): Long = {
+    require(mappingMode == "name" || mappingMode == "id",
+      s"columnMapping mode '$mappingMode' unsupported (name/id)")
     import org.apache.spark.sql.SaveMode
     val spark = df.sparkSession
     val root = Paths.get(path)
@@ -714,7 +724,9 @@ object DeltaInterop {
     // valid on a table-creating write.
     val snap0 = if (exists0 && mode != SaveMode.Overwrite)
       Some(snapshot(spark, path)) else None
-    val appendMapped = snap0.exists(_.columnMappingMode == "name")
+    val appendMapped =
+      snap0.exists(s => s.columnMappingMode == "name" ||
+        s.columnMappingMode == "id")
     snap0.foreach { s =>
       require(partitionBy.isEmpty || partitionBy == s.partitionColumns,
         s"append partitionBy ${partitionBy.mkString(",")} does not match table " +
@@ -738,14 +750,27 @@ object DeltaInterop {
     // under column mapping the parquet files carry PHYSICAL names: the
     // staged frame is the logical frame renamed (deterministic names on
     // create; the table's declared names on append)
+    // field ids ride the parquet footers (parquet.field.id metadata +
+    // Spark's field-id write path, on by default) so id-mode readers
+    // that match by id — not physical name — resolve our files too
+    def fidMeta(id: Long): org.apache.spark.sql.types.Metadata =
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", id).build()
     val stageDf =
       if (createMapped)
-        df.select(df.schema.fields.toSeq.map(f =>
-          col(s"`${f.name}`").as(mappedPhysicalName(path, f.name))): _*)
+        df.select(df.schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+          col(s"`${f.name}`").as(mappedPhysicalName(path, f.name),
+            fidMeta(i + 1L))
+        }: _*)
       else if (appendMapped) {
         val s = snap0.get
-        df.select(s.schema.fields.toSeq.map(f =>
-          col(s"`${f.name}`").as(physicalName(f, "name"))): _*)
+        df.select(s.schema.fields.toSeq.map { f =>
+          val phys = col(s"`${f.name}`")
+          if (f.metadata.contains("delta.columnMapping.id"))
+            phys.as(physicalName(f, s.columnMappingMode),
+              fidMeta(f.metadata.getLong("delta.columnMapping.id")))
+          else phys.as(physicalName(f, s.columnMappingMode))
+        }: _*)
       } else df
 
     // stage data files with Spark's writer, then move under the root
@@ -783,7 +808,7 @@ object DeltaInterop {
 
     val configJson =
       if (createMapped)
-        s"""{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":${jstr(df.schema.length.toString)}}"""
+        s"""{"delta.columnMapping.mode":${jstr(mappingMode)},"delta.columnMapping.maxColumnId":${jstr(df.schema.length.toString)}}"""
       else "{}"
     val metaAction = (schema: StructType, pcols: Seq[String]) => {
       val declared = if (createMapped) mappedSchema(path, schema) else schema
@@ -791,8 +816,8 @@ object DeltaInterop {
     }
     val protocolAction =
       if (createMapped)
-        // name-mode column mapping is a reader-2/writer-5 feature in the
-        // pre-table-features protocol numbering (the public spec's
+        // column mapping (either mode) is a reader-2/writer-5 feature in
+        // the pre-table-features protocol numbering (the public spec's
         // compatibility table); our own reader accepts reader 2
         """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
       else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
@@ -1168,12 +1193,28 @@ object DeltaInterop {
     * deletion vectors through, so a post-checkpoint replay masks the
     * same rows.
     */
-  def checkpoint(spark: SparkSession, path: String): Long = {
-    import spark.implicits._
+  def checkpoint(spark: SparkSession, path: String): Long =
+    checkpoint(spark, path, parts = 1)
+
+  /** [[checkpoint]] with the action set split across `parts` files in
+    * the protocol's multi-part classic layout
+    * (`<version>.checkpoint.<part>.<total>.parquet`, 10-digit fields,
+    * `"parts"` declared in `_last_checkpoint`) — what production
+    * writers emit when one part would be too large. Every part is
+    * written with ONE schema inferred over the whole action set, so a
+    * reader unioning the parts sees every column in every file; the
+    * actual part count is capped at the action count (no empty parts).
+    */
+  /** Shared checkpoint action assembly: (protocol+metaData+txn lines,
+    * add lines) for `snap` — the latest metaData/protocol carried
+    * forward from the commit files (replayed in version order), the
+    * latest SetTransaction per appId (or log cleanup would reset every
+    * idempotent writer's high-water mark), and every live add with its
+    * raw path, stats, and deletion vector.
+    */
+  private def checkpointActions(spark: SparkSession, path: String,
+      snap: DeltaSnapshot): (Seq[String], Seq[String]) = {
     val logDir = Paths.get(path, "_delta_log")
-    val snap = snapshot(spark, path)
-    // carry forward the LATEST metaData and protocol actions (commit
-    // files replayed in version order; Files.list order is unspecified)
     val commitLines = withList(logDir)(_.flatMap { p =>
         p.getFileName.toString match {
           case CommitName(v) => Some(v.toLong -> p)
@@ -1186,12 +1227,9 @@ object DeltaInterop {
         throw new IllegalStateException("no metaData action to checkpoint"))
     val lastProtocol = commitLines.filter(_.contains("\"protocol\""))
       .lastOption.getOrElse("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
-    // the latest SetTransaction per appId rides along, or log cleanup
-    // would reset every idempotent writer's high-water mark
     val txnJson = snap.transactions.toSeq.sortBy(_._1).map { case (app, ver) =>
       s"""{"txn":{"appId":${jstr(app)},"version":$ver,"lastUpdated":0}}"""
     }
-    val metaSrc = Seq(lastProtocol, lastMeta) ++ txnJson
     val addJson = snap.files.map { f =>
       val pvJson = f.partitionValues.toSeq.sortBy(_._1).map { case (k, v) =>
         s"${jstr(k)}:${if (v == null) "null" else jstr(v)}" }
@@ -1199,15 +1237,97 @@ object DeltaInterop {
       val statsPart = f.stats.map(sj => s""","stats":${jstr(sj)}""").getOrElse("")
       s"""{"add":{"path":${jstr(f.path)},"partitionValues":$pvJson,"size":0,"modificationTime":0,"dataChange":false$statsPart${f.dv.map(dvJson).getOrElse("")}}}"""
     }
-    val tmp = Files.createTempDirectory("delta_cp")
-    spark.read.json((metaSrc ++ addJson).toDS).coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString)
-    val part = withList(tmp)(
-      _.find(_.getFileName.toString.endsWith(".parquet"))).get
-    Files.move(part, logDir.resolve(f"${snap.version}%020d.checkpoint.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    (Seq(lastProtocol, lastMeta) ++ txnJson, addJson)
+  }
+
+  def checkpoint(spark: SparkSession, path: String, parts: Int): Long = {
+    import spark.implicits._
+    val logDir = Paths.get(path, "_delta_log")
+    val snap = snapshot(spark, path)
+    val (metaSrc, addJson) = checkpointActions(spark, path, snap)
+    val actions = metaSrc ++ addJson
+    def writeParquet(lines: Seq[String],
+        schema: Option[StructType], target: Path): Unit = {
+      val tmp = Files.createTempDirectory("delta_cp")
+      val r0 = spark.read
+      schema.fold(r0.json(lines.toDS))(sc => r0.schema(sc).json(lines.toDS))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = withList(tmp)(
+        _.find(_.getFileName.toString.endsWith(".parquet"))).get
+      Files.move(part, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    if (parts <= 1) {
+      writeParquet(actions, None,
+        logDir.resolve(f"${snap.version}%020d.checkpoint.parquet"))
+      Files.writeString(logDir.resolve("_last_checkpoint"),
+        s"""{"version":${snap.version},"size":${actions.size}}""")
+    } else {
+      val total = math.min(parts, actions.size)
+      // ONE schema over the full set — parquet readers union the parts
+      // without mergeSchema, so every part must carry every column
+      val schema = spark.read.json(actions.toDS).schema
+      val chunks = actions.grouped(
+        math.ceil(actions.size.toDouble / total).toInt).toSeq
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        writeParquet(c, Some(schema), logDir.resolve(
+          f"${snap.version}%020d.checkpoint.${i + 1}%010d.${chunks.size}%010d.parquet"))
+      }
+      Files.writeString(logDir.resolve("_last_checkpoint"),
+        s"""{"version":${snap.version},"size":${actions.size},"parts":${chunks.size}}""")
+    }
+    snap.version
+  }
+
+  /** Write a V2 (UUID-named) checkpoint: a JSON manifest
+    * `<version>.checkpoint.<uuid>.json` carrying protocol/metaData/txn/
+    * checkpointMetadata plus `sidecar` pointers, with the add actions
+    * sharded into `_delta_log/_sidecars/<uuid>.parquet` — the
+    * `v2Checkpoint` table-feature layout the reader already bootstraps
+    * from. The manifest's protocol action is upgraded to reader 3 /
+    * writer 7 declaring `v2Checkpoint` (plus `columnMapping` /
+    * `deletionVectors` when the table uses them), per the feature's
+    * protocol requirement. UUIDs derive deterministically from
+    * (path, version) so re-checkpoints are byte-reproducible.
+    */
+  def checkpointV2(spark: SparkSession, path: String): Long = {
+    import spark.implicits._
+    val logDir = Paths.get(path, "_delta_log")
+    val snap = snapshot(spark, path)
+    val (metaSrc0, addJson) = checkpointActions(spark, path, snap)
+    // metaSrc0 head is the carried-forward protocol; replace it with the
+    // v2Checkpoint feature protocol the layout requires
+    val features = (Seq("v2Checkpoint") ++
+      (if (snap.columnMappingMode != "none") Seq("columnMapping") else Nil) ++
+      (if (snap.files.exists(_.dv.isDefined)) Seq("deletionVectors") else Nil))
+      .map(jstr).mkString("[", ",", "]")
+    val protocol =
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":$features,"writerFeatures":$features}}"""
+    val uuid = java.util.UUID.nameUUIDFromBytes(
+      s"cpv2|$path|${snap.version}".getBytes("UTF-8")).toString
+    val sidecarAct =
+      if (addJson.isEmpty) Nil
+      else {
+        val sideDir = logDir.resolve("_sidecars")
+        Files.createDirectories(sideDir)
+        val tmp = Files.createTempDirectory("delta_cp_side")
+        spark.read.json(addJson.toDS).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = withList(tmp)(
+          _.find(_.getFileName.toString.endsWith(".parquet"))).get
+        val target = sideDir.resolve(s"$uuid.parquet")
+        Files.move(part, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Seq(s"""{"sidecar":{"path":${jstr(s"$uuid.parquet")},"sizeInBytes":${Files.size(target)},"modificationTime":0}}""")
+      }
+    val manifest = (protocol +: metaSrc0.tail) ++
+      Seq(s"""{"checkpointMetadata":{"version":${snap.version}}}""") ++
+      sidecarAct
+    Files.write(
+      logDir.resolve(f"${snap.version}%020d.checkpoint.$uuid%s.json"),
+      manifest.mkString("", "\n", "\n").getBytes("UTF-8"))
     Files.writeString(logDir.resolve("_last_checkpoint"),
-      s"""{"version":${snap.version},"size":${metaSrc.size + addJson.size}}""")
+      s"""{"version":${snap.version},"size":${manifest.size + addJson.size}}""")
     snap.version
   }
 

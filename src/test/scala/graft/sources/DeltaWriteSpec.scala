@@ -145,6 +145,66 @@ class DeltaWriteSpec extends SparkSpec {
     assert(v == 1L)
   }
 
+  test("multi-part checkpoint write: parts bootstrap after cleanup, torn set refused") {
+    val path = tmpTable()
+    DeltaInterop.write((0L until 40L).map(i => (i, s"r$i")).toDF("k", "v")
+      .repartition(4), path, SaveMode.Overwrite)
+    DeltaInterop.write(Seq((100L, "x")).toDF("k", "v"), path,
+      SaveMode.Append, txn = Some(("app-m", 9L)))
+    DeltaInterop.checkpoint(spark, path, parts = 3)
+    val logDir = Paths.get(path, "_delta_log")
+    // the classic multi-part layout, 10-digit part/total, parts declared
+    val partFiles = Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("""\d{20}\.checkpoint\.\d{10}\.\d{10}\.parquet"""))
+      .toSeq.sorted
+    assert(partFiles.size == 3, s"expected 3 parts, got $partFiles")
+    assert(Files.readString(logDir.resolve("_last_checkpoint"))
+      .contains("\"parts\":3"))
+    // delete every JSON commit: the snapshot must bootstrap from parts
+    Seq(0L, 1L).foreach(v => Files.delete(logDir.resolve(f"$v%020d.json")))
+    assert(DeltaInterop.read(spark, path).count() == 41)
+    assert(DeltaInterop.snapshot(spark, path).transactions == Map("app-m" -> 9L))
+    // torn part set: removing one part must refuse, not shrink
+    Files.delete(logDir.resolve(partFiles(1)))
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.read(spark, path).collect()
+    }
+    assert(e.getMessage.contains("torn"))
+  }
+
+  test("v2 checkpoint write: self-written manifest + sidecar bootstrap the reader") {
+    val path = tmpTable()
+    DeltaInterop.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .repartition(2), path, SaveMode.Overwrite)
+    DeltaInterop.write(Seq((4L, "d")).toDF("k", "v"), path,
+      SaveMode.Append, txn = Some(("app-v2", 5L)))
+    // a DV so the feature set and the sidecar adds carry one through
+    DeltaInterop.deleteWhere(spark, path, col("k") === 2L)
+    DeltaInterop.checkpointV2(spark, path)
+    val logDir = Paths.get(path, "_delta_log")
+    val manifest = Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("""\d{20}\.checkpoint\.[0-9a-f-]{36}\.json"""))
+      .toSeq
+    assert(manifest.size == 1, s"expected one v2 manifest, got $manifest")
+    val mText = Files.readString(logDir.resolve(manifest.head))
+    assert(mText.contains("\"v2Checkpoint\"") &&
+      mText.contains("\"deletionVectors\"") &&
+      mText.contains("\"sidecar\""))
+    assert(Files.list(logDir.resolve("_sidecars")).iterator().asScala
+      .exists(_.getFileName.toString.endsWith(".parquet")))
+    // delete every JSON commit: bootstrap is manifest + sidecar only
+    (0L to 2L).foreach(v => Files.delete(logDir.resolve(f"$v%020d.json")))
+    assert(DeltaInterop.read(spark, path).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 4L),
+      "sidecar adds + DV mask must survive the bootstrap")
+    assert(DeltaInterop.snapshot(spark, path).transactions == Map("app-v2" -> 5L))
+    // and the table stays writable on top of the v2 checkpoint
+    DeltaInterop.write(Seq((9L, "z")).toDF("k", "v"), path, SaveMode.Append)
+    assert(DeltaInterop.read(spark, path).count() == 4)
+  }
+
   test("CDF read: inserts and deletes derived from dataChange adds/removes") {
     val path = tmpTable()
     DeltaInterop.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path,
