@@ -314,6 +314,18 @@ object SimilarityOps {
       .withColumn("rn", row_number().over(pw)).filter(col("rn") <= probes)
       .select(col("query_id"), col("cj").as("bucket"),
         zip_with(col("qv"), col("cvec"), (a, b) => a - b).as("qrv"))
+    ivfPqRank(enc, codebook, probed, k, m, subDim)
+  }
+
+  /** The shared ADC ranking tail of IVF-PQ: per-(query, probed-bucket)
+    * residual LUT joined to the bucket-restricted codes on
+    * (bucket, subspace, code) equality, distances summed in fixed
+    * subspace order — bit-identical whether `enc` comes from the
+    * in-query composite ([[ivfPqTopK]]) or the persisted index
+    * ([[queryIvfPqIndex]]).
+    */
+  private def ivfPqRank(enc: DataFrame, codebook: DataFrame,
+      probed: DataFrame, k: Int, m: Int, subDim: Int): DataFrame = {
     val lut = probed
       .select(col("query_id"), col("bucket"),
         posexplode(subvectors(col("qrv"), m, subDim)))
@@ -334,6 +346,87 @@ object SimilarityOps {
     rankTopK(scored, "query_id", "vec_id", k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         (-col("sim")).as("ivfpq_dist"))
+  }
+
+  /** Persist an IVF-PQ index: coarse centroids and residual codebook as
+    * broadcast-sized sidecars, and the corpus CODES (vec_id, s, code)
+    * written `partitionBy(bucket)` — 8-byte codes per vector on disk,
+    * one directory per coarse cell. At 100 TB this is the layout the
+    * scaladoc of [[ivfPqTopK]] promises: the assignment + encode scan
+    * is paid ONCE at build; every query batch reads only its probed
+    * cells' code directories (partition pruning) and never touches a
+    * raw embedding.
+    */
+  def buildIvfPqIndex(emb: DataFrame, indexDir: String, kCoarse: Int,
+      m: Int, subDim: Int, kCodes: Int): Unit = {
+    val cd = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val coarse = cd.filter(col("vec_id") < kCoarse)
+      .select(col("vec_id").as("cj"), col("v").as("cvec"))
+    val assigned = graft.CacheScope.persisted(
+      cd.crossJoin(broadcast(coarse))
+        .withColumn("cd2", l2sq(col("v"), col("cvec")))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("cj"), col("cvec")),
+            struct(col("cd2"), col("cj"))).as("cc"),
+          first(col("v")).as("v"))
+        .select(col("vec_id"), col("cc").getField("cj").as("bucket"),
+          zip_with(col("v"), col("cc").getField("cvec"),
+            (a, b) => a - b).as("rv")))
+    val codebook = assigned
+      .filter(col("vec_id") >= kCoarse && col("vec_id") < kCoarse + kCodes)
+      .select((col("vec_id") - kCoarse).as("j"),
+        posexplode(subvectors(col("rv"), m, subDim)))
+      .select(col("pos").as("s"), col("j"), col("col").as("cent"))
+    coarse.write.mode("overwrite").parquet(s"$indexDir/coarse")
+    codebook.write.mode("overwrite").parquet(s"$indexDir/codebook")
+    assigned
+      .select(col("vec_id"), col("bucket"),
+        posexplode(subvectors(col("rv"), m, subDim)))
+      .select(col("vec_id"), col("bucket"), col("pos").as("s"),
+        col("col").as("sub"))
+      .join(broadcast(codebook), "s")
+      .withColumn("d2", l2sq(col("sub"), col("cent")))
+      .groupBy(col("vec_id"), col("bucket"), col("s"))
+      .agg(min_by(col("j"), struct(col("d2"), col("j"))).as("code"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/codes")
+  }
+
+  /** Query a persisted IVF-PQ index, bit-identical to the in-query
+    * [[ivfPqTopK]] composite. The probed coarse-cell set is collected
+    * to the driver — bounded by kCoarse, never by data — and applied as
+    * a literal `isin` filter so the codes scan statically prunes to the
+    * probed partition directories; m and subDim are derived from the
+    * persisted codebook (one broadcast-sized read), so the caller needs
+    * no build-time parameters.
+    */
+  def queryIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, k: Int,
+      probes: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coarse = spark.read.parquet(s"$indexDir/coarse")
+    val codebook = spark.read.parquet(s"$indexDir/codebook")
+    val shape = codebook
+      .select(max(col("s")).as("ms"), max(size(col("cent"))).as("sd"))
+      .collect()(0)
+    val (m, subDim) = (shape.getInt(0) + 1, shape.getInt(1))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cd2"), col("cj"))
+    val probed = graft.CacheScope.persisted(queries
+      .select(col("query_id"), col("query_vec").cast("array<double>").as("qv"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("cd2", l2sq(col("qv"), col("cvec")))
+      .withColumn("rn", row_number().over(pw)).filter(col("rn") <= probes)
+      .select(col("query_id"), col("cj").as("bucket"),
+        zip_with(col("qv"), col("cvec"), (a, b) => a - b).as("qrv")))
+    // partition-column type inference may narrow bucket to int on read —
+    // normalize to long for the literal filter
+    val buckets = probed.select(col("bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val enc = spark.read.parquet(s"$indexDir/codes")
+      .filter(col("bucket").isin(buckets: _*))
+    ivfPqRank(enc, codebook, probed, k, m, subDim)
   }
 
   /** Exact distributed Lloyd's k-means over INTEGER-quantized embeddings

@@ -446,6 +446,28 @@ class LlmOpsSpec extends SparkSpec {
       s"probe filter should prune assignment partitions:\n$plan")
   }
 
+  test("persisted IVF-PQ index: bit-exact vs in-memory composite, pruned codes scan") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    val e = emb.select($"vec_id", $"embedding")
+    SimilarityOps.buildIvfPqIndex(e, dir, kCoarse = 4, m = 8, subDim = 8,
+      kCodes = 16)
+    val q = emb.filter($"vec_id" % 200 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val viaIndex = SimilarityOps.queryIvfPqIndex(spark, dir, q, k = 3,
+      probes = 2)
+    val inMem = SimilarityOps.ivfPqTopK(e, q, k = 3, kCoarse = 4,
+      probes = 2, m = 8, subDim = 8, kCodes = 16)
+    val got = viaIndex.as[(Long, Long, Long, Double)].collect().toSet
+    assert(got.nonEmpty)
+    // BIT-exact: same neighbors, same ranks, same fold-ordered distances
+    assert(got == inMem.as[(Long, Long, Long, Double)].collect().toSet)
+    // the probed-cell literal filter must reach the partitioned codes scan
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"probe filter should prune code partitions:\n$plan")
+    graft.CacheScope.drain(spark)
+  }
+
   test("multimodal fingerprint features are deterministic, schema typed") {
     val feats = Multimodal.extractFeatures(
       Multimodal.assetsFromDocuments(spark, docs))
