@@ -38,10 +38,13 @@ object PlanAudit {
               if j.condition.isEmpty && j.hint.leftHint.isEmpty &&
                 j.hint.rightHint.isEmpty => j
         }
-        if (globalWindows.nonEmpty || cartesian.nonEmpty) {
+        val joinKeyWindows = PlanAudit.joinKeyedWindows(plan)
+        if (globalWindows.nonEmpty || cartesian.nonEmpty ||
+            joinKeyWindows.nonEmpty) {
           flagged += 1
           println(s"FLAG $name globalWindows=${globalWindows.size} " +
-            s"cartesian=${cartesian.size}")
+            s"cartesian=${cartesian.size} " +
+            s"joinKeyWindows=${joinKeyWindows.size}")
         }
       } catch {
         case e: Throwable => println(s"ERR $name ${e.getClass.getSimpleName}")
@@ -49,5 +52,29 @@ object PlanAudit {
     }
     println(s"AUDIT done: ${qs.size} queries, $flagged flagged")
     spark.stop()
+  }
+
+  /** Windows whose partition key sizes scale with the DATA, not a
+    * bounded domain: partitioned windows whose input subtree reaches a
+    * Join or Union without passing through an Aggregate. That is the
+    * r07 PageRank shape — `Window.partitionBy(src)` over a joined/
+    * symmetrized edge table hash-funnels every edge of a power-law hub
+    * into one task — generalized: an un-aggregated join/union output
+    * has per-key multiplicities bounded only by the data. An Aggregate
+    * below the window caps the partition at one row per (agg-key ∩
+    * partition-key) group, which the enumerated exceptions then justify
+    * as domain-bounded. Used by PlanHygieneSpec; exceptions must be
+    * allowlisted there with a bounded-input justification.
+    */
+  def joinKeyedWindows(plan: logical.LogicalPlan): Seq[logical.Window] = {
+    def rawJoinBelow(p: logical.LogicalPlan): Boolean = p match {
+      case _: logical.Aggregate => false
+      case _: logical.Join | _: logical.Union => true
+      case other => other.children.exists(rawJoinBelow)
+    }
+    plan.collect {
+      case w: logical.Window
+          if w.partitionSpec.nonEmpty && rawJoinBelow(w.child) => w
+    }
   }
 }

@@ -31,6 +31,47 @@ class PlanHygieneSpec extends SparkSpec {
     "q89_join_matrix"           // declared bounded dimension matrix
   )
 
+  /** Queries with a PARTITIONED window whose input subtree reaches a
+    * Join/Union without an Aggregate in between (the r07 PageRank
+    * hub-funnel class, PlanAudit.joinKeyedWindows). Every entry must
+    * justify why the partition sizes are bounded anyway — typically a
+    * broadcast-side join contributing one row per key, or a partition
+    * key whose group size is domain-bounded.
+    */
+  private val allowedJoinKeyWindow = Set(
+    // PrefixSum.groupedExclusiveRunningTotals: window over its own
+    // (group, bucket) offsets JOIN — offsets contribute 1 row per key
+    // and partitions are quantile-bucketed to ~rows/buckets
+    "q194_expected_shortfall",
+    "q217_running_inventory",
+    "q243_lorenz_curve",
+    "q244_abc_classification",
+    // per-query probe windows over a crossJoin with a BROADCAST
+    // kCoarse-row centroid table — partition size = kCoarse
+    "q147_ivfpq_ann",
+    "q149_ivfpq_recall",
+    // per-source rank interleave/negative draws over bucketed tables
+    // whose per-partition sizes are capped by construction
+    "q175_curriculum_interleave",
+    "q176_negative_sampling",
+    // per-source chi2 ranking over the bounded per-source vocabulary
+    // join of two aggregate tables (1 row per (source, term))
+    "q228_chi2_keywords",
+    // as-of union + running-last window per entity: partition sizes =
+    // per-key event counts (the single-shuffle as-of formulation; the
+    // scale variant would range-bucket time like PrefixSum)
+    "q40_asof_join",
+    // per-document windows after joins contributing <=1 row per span/
+    // term — partition sizes bounded by document length
+    "q70_span_dedup",
+    "q71_tfidf_terms",
+    // per-member window over the month-domain fill join (bounded months)
+    "q80_gap_fill",
+    // per-cluster exemplar ranking over the CC label join (1 label row
+    // per doc); cluster sizes are near-dup groups, small by nature
+    "q91_canonical_docs"
+  )
+
   test("no unapproved global windows or cartesian joins in any query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
@@ -44,11 +85,14 @@ class PlanHygieneSpec extends SparkSpec {
                 if j.condition.isEmpty && j.hint.leftHint.isEmpty &&
                   j.hint.rightHint.isEmpty => j
           }.nonEmpty
+          val jkw = tools.PlanAudit.joinKeyedWindows(plan).nonEmpty
           val bad =
             (if (gw && !allowedGlobalWindow(name)) Seq(s"$name:globalWindow")
              else Nil) ++
             (if (cj && !allowedCartesian(name)) Seq(s"$name:cartesian")
-             else Nil)
+             else Nil) ++
+            (if (jkw && !allowedJoinKeyWindow(name))
+               Seq(s"$name:joinKeyWindow") else Nil)
           bad
         } catch {
           case e: Throwable => Seq(s"$name:ERR:${e.getClass.getSimpleName}")
