@@ -792,21 +792,33 @@ object VersionedTable {
     val roots = Seq("_graft_stats", "_graft_bloom")
       .map(Paths.get(path, _)).filter(Files.exists(_))
     if (roots.isEmpty) return 0L
+    // live-file keys come from the metadata plane (manifest lists —
+    // driver-sized by definition); the sidecar ROWS stay distributed:
+    // a left-semi join against the broadcast key table replaces the
+    // old collect-and-filter, which at millions of indexed files would
+    // pull whole stats sidecars into the driver
     val live: Set[String] =
       versions(path).flatMap(v => files(path, v)).toSet
+    import spark.implicits._
+    val liveDf = live.toSeq.sorted.toDF("file")
     var dropped = 0L
     roots.flatMap(r => listDir(r)(_.toSeq)).filter(Files.isDirectory(_))
       .foreach { colDir =>
       val df = spark.read.parquet(colDir.toString)
-      val schema = df.schema
-      val rows = df.collect()
-      val kept = rows.filter(r => live.contains(r.getAs[String]("file")))
-      if (kept.length < rows.length) {
-        spark.createDataFrame(
-            java.util.Arrays.asList(kept: _*), schema)
-          .coalesce(1)
-          .write.mode(SaveMode.Overwrite).parquet(colDir.toString)
-        dropped += rows.length - kept.length
+      val total = df.count()
+      val kept = df.join(broadcast(liveDf), Seq("file"), "left_semi")
+      val keptN = kept.count()
+      if (keptN < total) {
+        // rewrite via a temp dir + directory swap (Spark refuses a
+        // self-overwrite of its own input path)
+        val tmp = Files.createTempDirectory("graft_vacuum")
+        kept.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        listDir(colDir)(_.toSeq).foreach(Files.deleteIfExists(_))
+        listDir(tmp)(_.toSeq).foreach { p =>
+          Files.move(p, colDir.resolve(p.getFileName.toString))
+        }
+        Files.deleteIfExists(tmp)
+        dropped += total - keptN
       }
     }
     dropped
