@@ -2628,6 +2628,56 @@ object ExtQueries {
        |) ORDER BY rk""".stripMargin
   }
 
+  /** q249 — sliding-window document chunking (window 32 tokens, stride
+    * 24 — 8-token overlap): the context-window splitter every
+    * pretraining / RAG ingestion pipeline runs before packing. Chunk
+    * boundaries are pure integer arithmetic over the token vector —
+    * chunk k of an n-token document starts at 1 + 24k, and the chunk
+    * count is ((n − 32 + 23) div 24) + 1 capped below at 1 — so the
+    * whole operator is one scan-local explode: no shuffle, no window, a
+    * map-only job at 100 TB. Emitted for a deterministic 1-in-25
+    * document sample (the oracle hashes per-chunk rows; the arithmetic
+    * is identical for every document), with first/last token of each
+    * chunk as the content check.
+    */
+  def docChunking(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .filter(col("doc_id") % 25 === 0 && length(col("text")) > 0)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")).cast("bigint"))
+      .withColumn("n_chunks",
+        greatest(expr("(n - 9) div 24"), lit(0L)).cast("bigint") + 1L)
+    base
+      .select(col("doc_id"), col("n"), col("t"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("k"))
+      .withColumn("start_tok", lit(1L) + col("k") * 24)
+      .withColumn("chunk_len", least(lit(32L), col("n") - col("start_tok") + 1))
+      .select(col("doc_id"), col("k").as("chunk_idx"), col("start_tok"),
+        col("chunk_len"),
+        element_at(col("t"), col("start_tok").cast("int")).as("first_tok"),
+        element_at(col("t"),
+          (col("start_tok") + col("chunk_len") - 1).cast("int")).as("last_tok"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val docChunkingOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks,
+      |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n
+      |  FROM documents WHERE doc_id % 25 = 0 AND length(text) > 0
+      |), c AS (
+      |  SELECT doc_id, toks, n,
+      |    unnest(range(0, greatest((n - 32 + 23) // 24, 0) + 1)) AS k
+      |  FROM t
+      |)
+      |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+      |  CAST(1 + k * 24 AS BIGINT) AS start_tok,
+      |  CAST(least(32, n - (1 + k * 24) + 1) AS BIGINT) AS chunk_len,
+      |  toks[CAST(1 + k * 24 AS INTEGER)] AS first_tok,
+      |  toks[CAST(1 + k * 24 + least(32, n - (1 + k * 24) + 1) - 1 AS INTEGER)]
+      |    AS last_tok
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2678,7 +2728,8 @@ object ExtQueries {
     "q245_order_consolidation" -> (orderConsolidation(_, _)),
     "q246_knn_label_purity" -> (knnLabelPurity(_, _)),
     "q247_hourly_activity" -> (hourlyActivity(_, _)),
-    "q248_bpe_train" -> (bpeTrain(_, _))
+    "q248_bpe_train" -> (bpeTrain(_, _)),
+    "q249_doc_chunking" -> (docChunking(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2729,6 +2780,7 @@ object ExtQueries {
     "q245_order_consolidation" -> orderConsolidationOracle,
     "q246_knn_label_purity" -> knnLabelPurityOracle,
     "q247_hourly_activity" -> hourlyActivityOracle,
-    "q248_bpe_train" -> bpeTrainOracle
+    "q248_bpe_train" -> bpeTrainOracle,
+    "q249_doc_chunking" -> docChunkingOracle
   )
 }
