@@ -40,6 +40,25 @@ object PageRank {
   private[graft] def weighted(e: DataFrame): DataFrame =
     e.join(outDegrees(e), "src")
 
+  /** Persisted (degree, weights) pair shared by every variant's
+    * iteration loop. The edge side is hash-partitioned AND sorted by
+    * `src` BEFORE the persist, so the per-iteration `src === id` join
+    * reuses the cached layout: across `iters` rounds the edge table
+    * never exchanges or sorts again — only the node-sized rank table
+    * shuffles each round. (A hot hub key does concentrate its edges in
+    * one cached partition, but unlike the window funnel this replaced
+    * nothing buffers per key — the merge join streams the edge side and
+    * the rank side carries one row per key — so the cost is task-length
+    * imbalance bounded by max-degree, which amortizes over the
+    * partition count at scale, not memory.)
+    */
+  private def degreeWeighted(e: DataFrame): (DataFrame, DataFrame) = {
+    val deg = graft.CacheScope.persisted(outDegrees(e))
+    val weights = graft.CacheScope.persisted(
+      e.repartition(col("src")).sortWithinPartitions("src").join(deg, "src"))
+    (deg, weights)
+  }
+
   /** Ranks after `iters` power iterations over the symmetrized edge set
     * of `edges` (two string/long columns). Returns (id, rank) — rank is
     * a raw double; callers round for presentation.
@@ -62,14 +81,12 @@ object PageRank {
     // back — NEVER a Window.partitionBy(src) over the edge table: a
     // window hash-shuffles EVERY edge of a hub into one task and
     // buffers the whole partition, the classic power-law straggler/OOM.
-    // The aggregate combines per-task before its (node-sized) shuffle,
-    // and the join back is broadcast-or-AQE-skew-splittable — on a
-    // power-law 100 TB edge list the degree table broadcasts and the
-    // edges never shuffle at all.
-    val weights = graft.CacheScope.persisted(
-      weighted(sym))
-    val nodes = graft.CacheScope.persisted(
-      weights.select(col("src").as("id")).distinct())
+    // The aggregate combines per-task before its (node-sized) shuffle.
+    val (deg, weights) = degreeWeighted(sym)
+    // symmetrized graph ⇒ every node is a source, so the degree table's
+    // keys ARE the node set — already distinct, already cached; no
+    // edge-sized distinct job
+    val nodes = deg.select(col("src").as("id"))
     // one bounded driver scalar (like the watermark read) — N appears as
     // a literal in every iteration's plan
     val n = nodes.count()
@@ -110,12 +127,13 @@ object PageRank {
       iters: Int = 3, damping: Double = 0.85): DataFrame = {
     val e0 = graft.CacheScope.persisted(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
-    val weights = graft.CacheScope.persisted(
-      weighted(e0))
+    val (deg, weights) = degreeWeighted(e0)
     val nodes = graft.CacheScope.persisted(
       e0.select(col("src").as("id"))
         .union(e0.select(col("dst").as("id"))).distinct())
-    val outNodes = weights.select(col("src").as("id")).distinct()
+    // the degree table's keys are the distinct sources — no second
+    // edge-sized distinct job just to learn who has out-edges
+    val outNodes = deg.select(col("src").as("id"))
     // dangling = appears in the graph, never as a source
     val dangling = graft.CacheScope.persisted(
       nodes.join(outNodes, Seq("id"), "left_anti"))
@@ -164,9 +182,8 @@ object PageRank {
     val sym = graft.CacheScope.persisted(
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
-    val weights = graft.CacheScope.persisted(
-      weighted(sym))
-    val nodes = weights.select(col("src").as("id")).distinct()
+    val (deg, weights) = degreeWeighted(sym)
+    val nodes = deg.select(col("src").as("id"))
     val sd = seeds.select(col(seedCol).as("id")).distinct()
     val seedFlag = graft.CacheScope.persisted(
       nodes.join(sd.withColumn("is_seed", lit(true)), Seq("id"), "left")

@@ -81,9 +81,17 @@ object PrefixSum {
     * offsets come from one bounded aggregate windowed over ≤ `buckets`
     * rows per group. Same bit-exact result, one pipeline.
     */
+  /** With `includeGrandTotals = true`, each output additionally carries
+    * `<name>_grand` = the INCLUSIVE total of that measure over the row's
+    * whole group. It rides the same bounded offsets pipeline (one more
+    * windowed sum over the ≤ `buckets`-row per-group aggregate and the
+    * SAME join back) — callers that would otherwise run a second
+    * group-by over the input (a second scan + shuffle + persist just for
+    * per-group totals) get it for free.
+    */
   def groupedExclusiveRunningTotals(df: DataFrame, partCols: Seq[String],
       orderCols: Seq[Column], valueCols: Seq[(Column, String)],
-      buckets: Int = 64): DataFrame = {
+      buckets: Int = 64, includeGrandTotals: Boolean = false): DataFrame = {
     // partCols are NAMES, not expressions: they double as the join keys
     // for the offsets table, and a derived expression (col("a") % 2)
     // stringifies to a non-existent column name — taking Seq[String]
@@ -111,10 +119,18 @@ object PrefixSum {
         }: _*)
     val offWin = Window.partitionBy(partCols.map(col): _*).orderBy(col("__ps_bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = vals.foldLeft(perBucket) { case (acc, (_, i)) =>
+    // grand totals window the SAME bounded aggregate, unframed — still
+    // ≤ buckets rows per group, still no data-sized window partition
+    val grandWin = Window.partitionBy(partCols.map(col): _*)
+    val withOffs = vals.foldLeft(perBucket) { case (acc, (_, i)) =>
       acc.withColumn(s"__ps_off_$i",
         coalesce(sum(col(s"__ps_sum_$i")).over(offWin), lit(0L)))
-    }.drop(vals.map { case (_, i) => s"__ps_sum_$i" }: _*)
+    }
+    val withGrand = if (!includeGrandTotals) withOffs
+      else vals.foldLeft(withOffs) { case (acc, ((_, name), i)) =>
+        acc.withColumn(s"${name}_grand", sum(col(s"__ps_sum_$i")).over(grandWin))
+      }
+    val offsets = withGrand.drop(vals.map { case (_, i) => s"__ps_sum_$i" }: _*)
     val win = Window.partitionBy(partCols.map(col) :+ col("__ps_bucket"): _*)
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
