@@ -4635,6 +4635,192 @@ object LlmQueries {
        |ORDER BY metric""".stripMargin
   }
 
+  /** q250 — BM25 ranked retrieval (Robertson & Spärck Jones; the
+    * Okapi formula with k1 = 1.2, b = 0.75): every 97th document poses
+    * its 3 most frequent terms as a query, and the engine returns the
+    * top-5 documents by summed per-term BM25 contributions. This is the
+    * RETRIEVAL step q71's TF-IDF term extraction feeds — the scorer a
+    * corpus-curation pipeline uses for nearest-query mining and
+    * retrieval-based decontamination.
+    *
+    * Scale + determinism shape: the candidate join touches only the
+    * query terms' posting lists (an inverted-index equality join — the
+    * corpus tokenizes once, never cross-joins), and the whole score is
+    * LOG-FREE INTEGER arithmetic: with k1 = 6/5 and b = 3/4, the
+    * per-term contribution
+    *   idf · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    * multiplies out to the exact rational
+    *   [(2N−2df+1) · 22·tf·T · 10⁶] / [(2df+1) · (10·tf·T + 3·T + 9·dl·N)]
+    * (T = total tokens, so avgdl = T/N arrives as dl·N/T without a
+    * float), floored at ppm scale through a DECIMAL(38,0) carrier.
+    * Summing integer ppm contributions is order-independent, so the
+    * ranking is bit-stable on any engine at any parallelism — no log,
+    * no double accumulation. Top-5 via the bounded-buffer [[TopK]]
+    * aggregate (map-side truncation, no query-corpus-sized window
+    * partitions); score_ppm ≤ ~10⁷·|qterms| is exact in the Double the
+    * buffer carries.
+    */
+  def bm25Retrieval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(s, d).select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    // (doc, term, tf): three consumers (doc lengths, df, posting lists)
+    val tf = graft.CacheScope.persisted(
+      toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // N and T as a broadcast 1-row aggregate — every doc tokenizes to
+    // ≥ 1 token (split("") = [""]), so counting dl rows counts docs
+    val stats = dl.agg(count(lit(1)).as("nd"), sum("dl").as("tt"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // query = each sampled doc's 3 most frequent terms (ties by term):
+    // the window partitions by the sampled doc over its OWN vocabulary
+    val w = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("term"))
+    val qt = tf.filter(col("doc_id") % 97 === 0)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val cand = qt
+      .join(tf, "term").filter(col("doc_id") =!= col("query_id"))
+      .join(dfreq, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        expr("""CAST(CAST(2 * nd - 2 * df + 1 AS DECIMAL(38,0))
+               |  * 22 * tf * tt * 1000000
+               |  div (CAST(2 * df + 1 AS DECIMAL(38,0))
+               |       * (CAST(10 AS DECIMAL(38,0)) * tf * tt
+               |          + CAST(3 AS DECIMAL(38,0)) * tt
+               |          + CAST(9 AS DECIMAL(38,0)) * dl * nd))
+               |  AS BIGINT)""".stripMargin))
+    cand.groupBy("query_id", "doc_id")
+      .agg(sum("contrib").as("score_ppm"))
+      .groupBy(col("query_id"))
+      .agg(functions.TopK.top_k(
+        col("score_ppm").cast("double"), col("doc_id"), 5).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rank"),
+        col("col").getField("id").as("neighbor_id"),
+        col("col").getField("sim").cast("bigint").as("score_ppm"))
+      .orderBy("query_id", "rank")
+  }
+
+  val bm25RetrievalOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+      |), stats AS (
+      |  SELECT count(*) AS nd, sum(dl) AS tt FROM dl
+      |), df AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+      |), qt AS (
+      |  SELECT doc_id AS query_id, term FROM (
+      |    SELECT doc_id, term,
+      |      row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY tf DESC, term) AS rk
+      |    FROM tf WHERE doc_id % 97 = 0)
+      |  WHERE rk <= 3
+      |), cand AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |    CAST(2 * nd - 2 * df + 1 AS HUGEINT)
+      |      * 22 * tf.tf * tt * 1000000
+      |      // (CAST(2 * df + 1 AS HUGEINT)
+      |         * (CAST(10 AS HUGEINT) * tf.tf * tt
+      |            + CAST(3 AS HUGEINT) * tt
+      |            + CAST(9 AS HUGEINT) * dl.dl * nd)) AS contrib
+      |  FROM qt
+      |  JOIN tf USING (term)
+      |  JOIN df USING (term)
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN stats
+      |  WHERE tf.doc_id <> qt.query_id
+      |), sc AS (
+      |  SELECT query_id, doc_id, sum(contrib) AS score_ppm
+      |  FROM cand GROUP BY 1, 2
+      |), r AS (
+      |  SELECT query_id, doc_id, score_ppm,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_ppm DESC, doc_id) AS rank
+      |  FROM sc
+      |)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id AS neighbor_id,
+      |  CAST(score_ppm AS BIGINT) AS score_ppm
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** q251 — Matryoshka truncation recall curve
+    * ([[SimilarityOps.truncatedTopK]]): recall@5 of prefix-truncated
+    * cosine ranking (8/16/32 of 64 dims) against the full-width exact
+    * top-5 — the measurement that decides how narrow a serving index
+    * can run before re-ranking is mandatory (Kusupati et al. 2022).
+    * Complements q152 (JL random projection): truncation is the
+    * projection MRL-trained models are optimized for, and the audit
+    * shape is q67's recall-vs-exact-truth with the truth table built
+    * ONCE and shared by all three widths. Counts are exact integers;
+    * recall reported in ppm (hits·10⁶ div possible).
+    */
+  def matryoshkaRecall(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val truth = graft.CacheScope.persisted(
+      SimilarityOps.bruteForceTopK(q, e, k = 5)
+        .select("query_id", "neighbor_id"))
+    val possible = truth.agg(count(lit(1)).as("possible"))
+    Seq(8, 16, 32).map { dims =>
+      SimilarityOps.truncatedTopK(q, e, k = 5, dims = dims)
+        .select("query_id", "neighbor_id")
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(possible))
+        .select(lit(dims).cast("bigint").as("dims"), col("hits"),
+          col("possible"),
+          expr("hits * 1000000 div possible").as("recall_ppm"))
+    }.reduce(_.unionByName(_)).orderBy("dims")
+  }
+
+  val matryoshkaRecallOracle: String = {
+    val perDim = Seq(8, 16, 32).map { dims =>
+      s"""s$dims AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round(list_cosine_similarity(
+         |          qv[1:$dims], v[1:$dims]), 4) DESC, vec_id) AS rk
+         |    FROM q, c WHERE vec_id <> query_id)
+         |  WHERE rk <= 5
+         |), h$dims AS (
+         |  SELECT count(*) AS hits
+         |  FROM s$dims JOIN truth USING (query_id, vec_id)
+         |)""".stripMargin
+    }.mkString(", ")
+    val rows = Seq(8, 16, 32).map { dims =>
+      s"""SELECT CAST($dims AS BIGINT) AS dims, CAST(hits AS BIGINT) AS hits,
+         |  CAST(possible AS BIGINT) AS possible,
+         |  CAST(hits * 1000000 // possible AS BIGINT) AS recall_ppm
+         |FROM h$dims, poss""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id % 100 = 0
+       |), c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), truth AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY round(list_cosine_similarity(qv, v), 4) DESC,
+       |          vec_id) AS rk
+       |    FROM q, c WHERE vec_id <> query_id)
+       |  WHERE rk <= 5
+       |), poss AS (
+       |  SELECT count(*) AS possible FROM truth
+       |), $perDim
+       |$rows
+       |ORDER BY dims""".stripMargin
+  }
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4729,6 +4915,8 @@ object LlmQueries {
     "q193_ivf_probe_sweep" -> (ivfProbeSweep(_, _)),
     "q199_neardup_eval" -> (nearDupEval(_, _)),
     "q200_corpus_health" -> (corpusHealth(_, _)),
+    "q250_bm25_retrieval" -> (bm25Retrieval(_, _)),
+    "q251_matryoshka_recall" -> (matryoshkaRecall(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4823,5 +5011,7 @@ object LlmQueries {
     "q193_ivf_probe_sweep" -> ivfProbeSweepOracle,
     "q199_neardup_eval" -> nearDupEvalOracle,
     "q200_corpus_health" -> corpusHealthOracle,
+    "q250_bm25_retrieval" -> bm25RetrievalOracle,
+    "q251_matryoshka_recall" -> matryoshkaRecallOracle,
   )
 }

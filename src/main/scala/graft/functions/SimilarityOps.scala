@@ -69,6 +69,24 @@ object SimilarityOps {
     rankTopK(scored, "query_id", "vec_id", k)
   }
 
+  /** [[bruteForceTopK]] over the first `dims` coordinates only —
+    * Matryoshka-style prefix truncation (Kusupati et al. 2022): MRL-
+    * trained embeddings keep most ranking signal in their leading
+    * coordinates, so serving can score at a fraction of the dimension
+    * (and memory bandwidth) and re-rank survivors at full width. Same
+    * broadcast/no-corpus-shuffle shape as the full-width scorer; the
+    * slice happens inside the scoring expression, so the corpus column
+    * is never materialized twice.
+    */
+  def truncatedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      dims: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("sim", round(cosine(
+        slice(col("query_vec"), 1, dims), slice(col("embedding"), 1, dims)), 4))
+    rankTopK(scored, "query_id", "vec_id", k)
+  }
+
   /** Rank of the FIRST relevant result per query (relevant = corpus
     * `label` equals the query's `query_label`) and its reciprocal —
     * the ingredients of MRR, retrieval's standard first-hit metric.

@@ -235,6 +235,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(ranks == 3)
   }
 
+  test("truncated topK at full width equals brute-force; narrow widths stay ranked") {
+    val q = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    // dims = 64 is the whole vector: the slice is the identity, so the
+    // Matryoshka scorer must reproduce bruteForceTopK bit-for-bit
+    val full = SimilarityOps.bruteForceTopK(q, emb, 5)
+      .orderBy("query_id", "rank").collect().map(_.toString)
+    val trunc = SimilarityOps.truncatedTopK(q, emb, 5, dims = 64)
+      .orderBy("query_id", "rank").collect().map(_.toString)
+    assert(trunc.sameElements(full))
+    val narrow = SimilarityOps.truncatedTopK(q, emb, 5, dims = 8)
+    assert(narrow.count() == 15)
+    assert(narrow.filter($"query_id" === $"neighbor_id").count() == 0)
+    // ranks are contiguous 1..5 per query
+    val perQ = narrow.groupBy("query_id")
+      .agg(sort_array(collect_list("rank")).as("rs"))
+      .collect().map(_.getSeq[Long](1))
+    assert(perQ.forall(_ == Seq(1L, 2L, 3L, 4L, 5L)))
+  }
+
   test("PQ: codes in range, encode deterministic under repartition, ADC self-consistent") {
     val cb = SimilarityOps.pqCodebook(emb, m = 8, subDim = 8, kCodes = 16)
     assert(cb.count() == 8 * 16)
