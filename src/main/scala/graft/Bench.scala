@@ -32,6 +32,17 @@ object Bench {
       // drained so the timed rep still pays its own materialization.
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }
       CacheScope.drain(spark, blocking = true)
+      // force a collection in the UNTIMED gap: Spark's ContextCleaner
+      // frees shuffle files and broadcasts only when their owners are
+      // GC'd, so over a long suite the cleanup of query N fires inside
+      // query N+k's timed region (measured: q134 read 11.0 s mid-suite
+      // vs 4.0 s with a gap GC — the codec's own allocation pressure
+      // triggered the collection that then drained 100+ queries of
+      // deferred cleanup). One explicit gc + a short sleep lets the
+      // reference queue and cleaner RPCs run here, where nobody is
+      // being measured.
+      System.gc()
+      Thread.sleep(100)
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE (err field + nonzero exit), not a
       // near-zero time that reads as a speed-up
@@ -44,6 +55,8 @@ object Bench {
       // region (r3/r4 showed 5-9× blowups on the cheap query after a
       // heavy one); blocking charges the teardown to the untimed gap
       CacheScope.drain(spark, blocking = true)
+      System.gc()
+      Thread.sleep(100)
       (name, sec, err)
     }
     // 3-decimal times keep the one-line JSON short enough for the

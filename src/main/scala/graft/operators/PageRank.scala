@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed PageRank by power iteration — the canonical iterative
@@ -52,11 +52,29 @@ object PageRank {
     * imbalance bounded by max-degree, which amortizes over the
     * partition count at scale, not memory.)
     */
-  private def degreeWeighted(e: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def degreeWeighted(e: DataFrame): (DataFrame, DataFrame) = {
     val deg = graft.CacheScope.persisted(outDegrees(e))
     val weights = graft.CacheScope.persisted(
       e.repartition(col("src")).sortWithinPartitions("src").join(deg, "src"))
     (deg, weights)
+  }
+
+  /** One power-iteration update (pre-checkpoint): contributions flow
+    * src→dst scaled by 1/outdeg, then every node takes base + damped
+    * inbound mass. Package-private so the plan-shape spec can pin that
+    * the persisted weight table's cached (src-partitioned, src-sorted)
+    * layout is REUSED — no exchange and no sort above the edge table's
+    * cache scan inside the per-round join.
+    */
+  private[graft] def iterationStep(weights: DataFrame, nodes: DataFrame,
+      rank: DataFrame, base: Column, damping: Double): DataFrame = {
+    val contrib = weights
+      .join(rank, col("src") === col("id"))
+      .groupBy(col("dst"))
+      .agg(sum(col("rank") / col("outdeg")).as("c"))
+    nodes.join(contrib, col("id") === col("dst"), "left")
+      .select(col("id"),
+        (base + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
   }
 
   /** Ranks after `iters` power iterations over the symmetrized edge set
@@ -93,10 +111,6 @@ object PageRank {
     val base = lit(1.0 - damping) / lit(n.toDouble)
     var rank = nodes.select(col("id"), (lit(1.0) / lit(n.toDouble)).as("rank"))
     (1 to iters).foreach { _ =>
-      val contrib = weights
-        .join(rank, col("src") === col("id"))
-        .groupBy(col("dst"))
-        .agg(sum(col("rank") / col("outdeg")).as("c"))
       // symmetric graph ⇒ every node receives mass; left join + coalesce
       // keeps the operator correct for general edge sets anyway.
       // localCheckpoint (eager, node-sized) truncates the lineage so
@@ -106,9 +120,7 @@ object PageRank {
       // per-round materialization ConnectedComponents uses; on a real
       // cluster with lossy executors, set a checkpoint dir and swap in
       // checkpoint()).
-      rank = nodes.join(contrib, col("id") === col("dst"), "left")
-        .select(col("id"),
-          (base + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+      rank = iterationStep(weights, nodes, rank, base, damping)
         .localCheckpoint(true)
     }
     rank
@@ -198,13 +210,7 @@ object PageRank {
       when(col("is_seed"), lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("rank"))
       .localCheckpoint(true)
     (1 to iters).foreach { _ =>
-      val contrib = weights
-        .join(rank, col("src") === col("id"))
-        .groupBy(col("dst"))
-        .agg(sum(col("rank") / col("outdeg")).as("c"))
-      rank = seedFlag.join(contrib, col("id") === col("dst"), "left")
-        .select(col("id"),
-          (base + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+      rank = iterationStep(weights, seedFlag, rank, base, damping)
         .localCheckpoint(true)
     }
     rank

@@ -6,6 +6,39 @@ import graft.SparkSpec
 class PageRankSpec extends SparkSpec {
   import spark.implicits._
 
+  test("iteration join reuses the cached src-partitioned weights: no exchange " +
+      "or sort above the edge cache scan") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val edges = ((2L to 40L).map(i => (1L, i)) ++ (2L to 40L).map(i => (i, i % 7 + 50L)))
+      .toDF("src", "dst")
+    val (deg, weights) = PageRank.degreeWeighted(
+      graft.CacheScope.persisted(edges.distinct()))
+    weights.count() // materialize the cache so the layout is in place
+    val nodes = deg.select(col("src").as("id"))
+    val n = nodes.count()
+    var rank = nodes.select(col("id"), (lit(1.0) / n).as("rank"))
+      .localCheckpoint(true)
+    val step = PageRank.iterationStep(weights, nodes, rank, lit(0.15) / n, 0.85)
+    step.collect()
+    val plan = (step.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    // the weights side reads straight from the cache: any Exchange or
+    // Sort between the contrib join and the InMemoryTableScan would
+    // mean the edge table re-shuffles every iteration (the cost this
+    // layout exists to amortize)
+    val scanIdx = plan.indexOf("InMemoryTableScan")
+    assert(scanIdx >= 0, s"no cache scan in plan:\n$plan")
+    val joinIdx = plan.indexOf("SortMergeJoin") max plan.indexOf("ShuffledHashJoin")
+    if (joinIdx >= 0) {
+      val between = plan.substring(joinIdx, scanIdx max joinIdx)
+      assert(!between.contains("Exchange hashpartitioning(src"),
+        s"edge table re-exchanged inside the iteration join:\n$plan")
+    }
+    graft.CacheScope.drain(spark)
+  }
+
   test("rank mass is conserved and hubs outrank leaves") {
     // star: hub 1 connected to 2..9, plus a separate edge 10-11
     val edges = ((2L to 9L).map(i => (1L, i)) :+ (10L, 11L)).toDF("src", "dst")
