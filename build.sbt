@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: local[32] runs 32 executor threads in ONE JVM, so the
+  // driver heap is the whole cluster's memory — at 8g the suite spent
+  // measurable time in GC and Spark's reference-queue-driven cleanup
+  // (ContextCleaner) fired mid-query; the machine has 128 GiB
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // the bench's gap System.gc() should start a concurrent G1 cycle,
+  // not a stop-the-world full collection
+  "-XX:+ExplicitGCInvokesConcurrent",
 )

@@ -4683,14 +4683,7 @@ object LlmQueries {
       .join(dfreq, "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
-      .withColumn("contrib",
-        expr("""CAST(CAST(2 * nd - 2 * df + 1 AS DECIMAL(38,0))
-               |  * 22 * tf * tt * 1000000
-               |  div (CAST(2 * df + 1 AS DECIMAL(38,0))
-               |       * (CAST(10 AS DECIMAL(38,0)) * tf * tt
-               |          + CAST(3 AS DECIMAL(38,0)) * tt
-               |          + CAST(9 AS DECIMAL(38,0)) * dl * nd))
-               |  AS BIGINT)""".stripMargin))
+      .withColumn("contrib", expr(functions.Bm25.contribPpmSql))
     cand.groupBy("query_id", "doc_id")
       .agg(sum("contrib").as("score_ppm"))
       .groupBy(col("query_id"))

@@ -1,0 +1,47 @@
+package graft.functions
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class Bm25IndexSpec extends SparkSpec {
+
+  private def qt = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("term"))
+    tf.filter(col("doc_id") % 97 === 0)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("doc_id").as("query_id"), col("term"))
+  }
+
+  test("persisted index reproduces the in-query q250 ranking bit-for-bit") {
+    val dir = Files.createTempDirectory("bm25idx").toString
+    Bm25.buildBm25Index(graft.Tables.documents(spark, sf), "text", "doc_id", dir)
+    val inQuery = graft.LlmQueries.bm25Retrieval(spark, sf)
+      .collect().map(_.toString).sorted
+    val persisted = Bm25.queryBm25Index(spark, dir, qt, k = 5,
+        excludeSelf = true)
+      .orderBy("query_id", "rank")
+      .collect().map(_.toString).sorted
+    assert(persisted.nonEmpty, "persisted query returned no rows")
+    assert(persisted.sameElements(inQuery),
+      s"persisted != in-query\npersisted: ${persisted.take(3).mkString(";")}\n" +
+        s"in-query: ${inQuery.take(3).mkString(";")}")
+    graft.CacheScope.drain(spark)
+  }
+
+  test("postings scan prunes to the probed term buckets (PartitionFilters)") {
+    val dir = Files.createTempDirectory("bm25idx2").toString
+    Bm25.buildBm25Index(graft.Tables.documents(spark, sf), "text", "doc_id", dir)
+    val out = Bm25.queryBm25Index(spark, dir, qt.limit(3), k = 5)
+    out.collect()
+    val scans = out.queryExecution.executedPlan.toString
+    assert(scans.contains("PartitionFilters: [bucket"),
+      s"no partition pruning on the postings scan:\n$scans")
+    graft.CacheScope.drain(spark)
+  }
+}
