@@ -4673,16 +4673,19 @@ object LlmQueries {
     val stats = dl.agg(count(lit(1)).as("nd"), sum("dl").as("tt"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // query = each sampled doc's 3 most frequent terms (ties by term):
-    // the window partitions by the sampled doc over its OWN vocabulary
+    // the window partitions by the sampled doc over its OWN vocabulary.
+    // The batch carries df + corpus stats on each row and BROADCASTS
+    // against the posting lists (the bruteForceTopK query convention) —
+    // the candidate rows form map-side, with no corpus-sized exchange
     val w = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("term"))
-    val qt = tf.filter(col("doc_id") % 97 === 0)
+    val qts = broadcast(tf.filter(col("doc_id") % 97 === 0)
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
       .select(col("doc_id").as("query_id"), col("term"))
-    val cand = qt
-      .join(tf, "term").filter(col("doc_id") =!= col("query_id"))
       .join(dfreq, "term")
+      .crossJoin(broadcast(stats)))
+    val cand = tf
+      .join(qts, "term").filter(col("doc_id") =!= col("query_id"))
       .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
       .withColumn("contrib", expr(functions.Bm25.contribPpmSql))
     cand.groupBy("query_id", "doc_id")
       .agg(sum("contrib").as("score_ppm"))
@@ -4741,6 +4744,140 @@ object LlmQueries {
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id AS neighbor_id,
       |  CAST(score_ppm AS BIGINT) AS score_ppm
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** q252 — retrieval-based decontamination, the RETRIEVE-then-VERIFY
+    * two-stage modern eval-leakage check: each eval-split document
+    * (doc_id % 7 = 0, q44's split) poses its 3 most frequent terms as a
+    * BM25 query against the TRAIN corpus only (stats, document
+    * frequencies and posting lists all train-side), the top-1 train hit
+    * is retrieved, and the pair is then VERIFIED by exact shared-5-gram
+    * count — the q44/q73 n-gram evidence attached to the retrieval
+    * candidate. Complements the existing decontamination family: q44 is
+    * exact-overlap, q47 Bloom-prefiltered, q73 LSH-fuzzy; this is the
+    * ranked-retrieval shape (a near-dup that shares vocabulary but not
+    * contiguous n-grams scores high on BM25 and 0 on shared_5grams —
+    * the two columns disagree exactly when a human should look).
+    * Same scale shape as q250: posting-list equality joins only, and
+    * the verification touches |eval| pairs, not a cross join.
+    *
+    * Query terms are the eval doc's top-3 by tf·idf (the same integer
+    * idf rational the scorer uses), NOT raw tf: raw-tf queries are
+    * stopwords, and a stopword query term drags the WHOLE corpus's
+    * posting list into the candidate join — measured 27.6 s vs 2.9 s at
+    * sf0.1 for identical verification power. Discriminative terms are
+    * both what a retrieval decontaminator should query and what keeps
+    * the candidate volume |eval|·3·df(rare) instead of |eval|·|corpus|.
+    */
+  def bm25Decontamination(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dd = docs(s, d)
+    val tfAll = graft.CacheScope.persisted(dd
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val train = tfAll.filter(col("doc_id") % 7 =!= 0)
+    val dl = train.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"), sum("dl").as("tt"))
+    val dfreq = graft.CacheScope.persisted(
+      train.groupBy("term").agg(count(lit(1)).as("df")))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("qsel").desc, col("term"))
+    // the query batch carries its terms' df AND the corpus stats on
+    // each row, then BROADCASTS against the posting lists — the
+    // ANN-query convention (bruteForceTopK): a query batch is caller-
+    // bounded at any corpus scale, and joining it map-side means the
+    // candidate rows form WITHOUT shuffling the train tf table (joining
+    // train⨝dfreq⨝dl first measured 17 s vs 5 s — two edge-sized
+    // exchanges for three broadcast-sized tables)
+    val qts = broadcast(tfAll.filter(col("doc_id") % 7 === 0)
+      .join(dfreq, "term") // terms unseen in train retrieve nothing
+      .crossJoin(broadcast(stats))
+      .withColumn("qsel",
+        expr("""CAST(tf AS DECIMAL(38,0))
+               |  * ((2 * nd - 2 * df + 1) * 1000000 div (2 * df + 1))"""
+          .stripMargin))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("doc_id").as("query_id"), col("term"),
+        col("df"), col("nd"), col("tt")))
+    val top1 = train
+      .join(qts, "term")
+      .join(dl, "doc_id")
+      .withColumn("contrib", expr(functions.Bm25.contribPpmSql))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("contrib").as("score_ppm"))
+      // top-1 as a LEXICOGRAPHIC MAX over (score, −doc): a codegen'd
+      // map-combinable struct max (the mrrFirstRelevant pattern) — the
+      // TopK buffer aggregator pays per-row buffer ser/de and measured
+      // 11 s over the ~3M candidate rows here where this max is free
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("score_ppm"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("query_id"), (-col("m.nid")).as("neighbor_id"),
+        col("m.score_ppm").as("score_ppm"))
+    val sh = DedupOps.shingleSets(dd, "text", "doc_id", shingleN = 5)
+    top1
+      .join(sh.select(col("doc_id").as("query_id"), col("sh").as("sh_q")),
+        "query_id")
+      .join(sh.select(col("doc_id").as("neighbor_id"), col("sh").as("sh_t")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("score_ppm"),
+        size(array_intersect(col("sh_q"), col("sh_t"))).cast("bigint")
+          .as("shared_5grams"))
+      .orderBy("query_id")
+  }
+
+  val bm25DecontaminationOracle: String =
+    s"""WITH $tokShSql, tfa AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(t) AS term FROM tok)
+       |  GROUP BY 1, 2
+       |), tr AS (
+       |  SELECT * FROM tfa WHERE doc_id % 7 <> 0
+       |), dl AS (
+       |  SELECT doc_id, sum(tf) AS dl FROM tr GROUP BY 1
+       |), stats AS (
+       |  SELECT count(*) AS nd, sum(dl) AS tt FROM dl
+       |), df AS (
+       |  SELECT term, count(*) AS df FROM tr GROUP BY 1
+       |), qt AS (
+       |  SELECT doc_id AS query_id, term FROM (
+       |    SELECT tfa.doc_id, term,
+       |      row_number() OVER (PARTITION BY tfa.doc_id
+       |        ORDER BY CAST(tf AS HUGEINT)
+       |          * ((2 * nd - 2 * df + 1) * 1000000 // (2 * df + 1)) DESC,
+       |          term) AS rk
+       |    FROM tfa JOIN df USING (term) CROSS JOIN stats
+       |    WHERE tfa.doc_id % 7 = 0)
+       |  WHERE rk <= 3
+       |), cand AS (
+       |  SELECT qt.query_id, tr.doc_id,
+       |    CAST(2 * nd - 2 * df + 1 AS HUGEINT)
+       |      * 22 * tr.tf * tt * 1000000
+       |      // (CAST(2 * df + 1 AS HUGEINT)
+       |         * (CAST(10 AS HUGEINT) * tr.tf * tt
+       |            + CAST(3 AS HUGEINT) * tt
+       |            + CAST(9 AS HUGEINT) * dl.dl * nd)) AS contrib
+       |  FROM qt
+       |  JOIN tr USING (term)
+       |  JOIN df USING (term)
+       |  JOIN dl ON tr.doc_id = dl.doc_id
+       |  CROSS JOIN stats
+       |), sc AS (
+       |  SELECT query_id, doc_id, sum(contrib) AS score_ppm
+       |  FROM cand GROUP BY 1, 2
+       |), r AS (
+       |  SELECT query_id, doc_id, score_ppm FROM (
+       |    SELECT query_id, doc_id, score_ppm,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score_ppm DESC, doc_id) AS rk
+       |    FROM sc)
+       |  WHERE rk = 1
+       |)
+       |SELECT r.query_id, r.doc_id AS neighbor_id,
+       |  CAST(r.score_ppm AS BIGINT) AS score_ppm,
+       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS shared_5grams
+       |FROM r
+       |JOIN sh sa ON sa.doc_id = r.query_id
+       |JOIN sh sb ON sb.doc_id = r.doc_id
+       |ORDER BY query_id""".stripMargin
 
   /** q251 — Matryoshka truncation recall curve
     * ([[SimilarityOps.truncatedTopK]]): recall@5 of prefix-truncated
@@ -4910,6 +5047,7 @@ object LlmQueries {
     "q200_corpus_health" -> (corpusHealth(_, _)),
     "q250_bm25_retrieval" -> (bm25Retrieval(_, _)),
     "q251_matryoshka_recall" -> (matryoshkaRecall(_, _)),
+    "q252_bm25_decontamination" -> (bm25Decontamination(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5006,5 +5144,6 @@ object LlmQueries {
     "q200_corpus_health" -> corpusHealthOracle,
     "q250_bm25_retrieval" -> bm25RetrievalOracle,
     "q251_matryoshka_recall" -> matryoshkaRecallOracle,
+    "q252_bm25_decontamination" -> bm25DecontaminationOracle,
   )
 }
