@@ -65,6 +65,10 @@ class PlanHygieneSpec extends SparkSpec {
     // term — partition sizes bounded by document length
     "q70_span_dedup",
     "q71_tfidf_terms",
+    // query-term selection window per eval doc over its own vocabulary
+    // joined 1:1 with the term-df table and a 1-row stats broadcast —
+    // partition sizes bounded by per-document vocabulary
+    "q252_bm25_decontamination",
     // per-member window over the month-domain fill join (bounded months)
     "q80_gap_fill",
     // per-cluster exemplar ranking over the CC label join (1 label row
