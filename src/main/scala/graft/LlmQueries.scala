@@ -4879,6 +4879,55 @@ object LlmQueries {
        |JOIN sh sb ON sb.doc_id = r.doc_id
        |ORDER BY query_id""".stripMargin
 
+  /** q253 — near-duplicate graph closure rate: the GLOBAL clustering
+    * coefficient (3·triangles / wedges) of the q28 SimHash pair graph
+    * ([[graft.operators.Triangles.globalCounts]], degree-oriented).
+    * A near-dup relation that were perfectly transitive would close
+    * every wedge (ppm = 10⁶); the gap measures how often "A dups B dups
+    * C" fails to imply "A dups C" — the pair-level companion to q226's
+    * cluster-overreach count, and the number that decides whether
+    * connected-component clustering (q55) over-merges. Wedge counts
+    * come from the degree AGGREGATE (never enumerated); the closure
+    * test runs on the √m-bounded oriented wedge join.
+    */
+  def dupClosureRate(s: SparkSession, d: String): DataFrame =
+    graft.operators.Triangles.globalCounts(
+      DedupOps.simhashPairs(
+        DedupOps.simhashSignatures(docs(s, d), "text", "doc_id"))
+        .select("doc_a", "doc_b"),
+      "doc_a", "doc_b")
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("""CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
+               |ELSE 3 * n_triangles * 1000000L div n_wedges END"""
+          .stripMargin).as("closure_ppm"))
+
+  val dupClosureRateOracle: String =
+    s"""WITH $simhashCandSql, pairs AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  WHERE bit_count(xor(sig_a, sig_b)) <= 3
+       |), deg AS (
+       |  SELECT n, count(*) AS d FROM (
+       |    SELECT doc_a AS n FROM pairs
+       |    UNION ALL SELECT doc_b FROM pairs)
+       |  GROUP BY n
+       |), w AS (
+       |  SELECT coalesce(sum(d * (d - 1) // 2), 0) AS n_wedges FROM deg
+       |), ne AS (
+       |  SELECT count(*) AS n_edges FROM pairs
+       |), tri AS (
+       |  SELECT count(*) AS n_triangles
+       |  FROM pairs p1
+       |  JOIN pairs p2 ON p2.doc_a = p1.doc_a AND p2.doc_b > p1.doc_b
+       |  JOIN pairs p3 ON p3.doc_a = p1.doc_b AND p3.doc_b = p2.doc_b
+       |)
+       |SELECT CAST(n_edges AS BIGINT) AS n_edges,
+       |  CAST(n_wedges AS BIGINT) AS n_wedges,
+       |  CAST(n_triangles AS BIGINT) AS n_triangles,
+       |  CAST(CASE WHEN n_wedges = 0 THEN 0
+       |    ELSE 3 * n_triangles * 1000000 // n_wedges END AS BIGINT)
+       |    AS closure_ppm
+       |FROM ne, w, tri""".stripMargin
+
   /** q251 — Matryoshka truncation recall curve
     * ([[SimilarityOps.truncatedTopK]]): recall@5 of prefix-truncated
     * cosine ranking (8/16/32 of 64 dims) against the full-width exact
@@ -5048,6 +5097,7 @@ object LlmQueries {
     "q250_bm25_retrieval" -> (bm25Retrieval(_, _)),
     "q251_matryoshka_recall" -> (matryoshkaRecall(_, _)),
     "q252_bm25_decontamination" -> (bm25Decontamination(_, _)),
+    "q253_dup_closure_rate" -> (dupClosureRate(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5145,5 +5195,6 @@ object LlmQueries {
     "q250_bm25_retrieval" -> bm25RetrievalOracle,
     "q251_matryoshka_recall" -> matryoshkaRecallOracle,
     "q252_bm25_decontamination" -> bm25DecontaminationOracle,
+    "q253_dup_closure_rate" -> dupClosureRateOracle,
   )
 }

@@ -53,6 +53,45 @@ object Triangles {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Whole-graph edge / wedge / triangle counts in one pass — the
+    * ingredients of the GLOBAL clustering coefficient (3·triangles /
+    * wedges). Same degree-oriented machinery as [[perNodeCounts]], but
+    * the wedge count comes from the DEGREE TABLE (Σ d·(d−1)/2 — a
+    * node-sized aggregate, wedges are never enumerated for counting)
+    * and only the oriented O(√m)-bounded wedge join runs row-wise for
+    * the triangle closure test. Returns one row
+    * (n_edges, n_wedges, n_triangles).
+    */
+  def globalCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = graft.CacheScope.persisted(
+      edges.select(least(col(aCol), col(bCol)).as("u"),
+          greatest(col(aCol), col(bCol)).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
+    val deg = graft.CacheScope.persisted(
+      e.select(col("u").as("n"))
+        .unionAll(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg")))
+    val fromU = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = graft.CacheScope.persisted(
+      e.join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+        .select(when(fromU, col("u")).otherwise(col("v")).as("s"),
+          when(fromU, col("v")).otherwise(col("u")).as("t")))
+    val tris = oriented.as("x").join(oriented.as("y"),
+        col("x.s") === col("y.s") && col("x.t") < col("y.t"))
+      .select(col("x.t").as("b"), col("y.t").as("c"))
+      .join(e, least(col("b"), col("c")) === col("u") &&
+        greatest(col("b"), col("c")) === col("v"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val we = deg.agg(
+      coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)).as("n_wedges"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(we))
+      .crossJoin(broadcast(tris))
+  }
+
   /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003):
     * for every NON-adjacent pair two hops apart, the count of shared
     * neighbors — the classic "customers also bought" / collaborative

@@ -31,6 +31,30 @@ class TrianglesSpec extends SparkSpec {
     assert(got.size == 5 && got.forall(_._2 == 6L))
   }
 
+  test("globalCounts: edges/wedges/triangles agree with perNodeCounts and closed forms") {
+    // two triangles sharing node 3 plus a pendant edge (same fixture as
+    // the per-node test): 7 edges, wedges Σd(d-1)/2 with degrees
+    // (2,2,4,2,3,1) = 1+1+6+1+3+0 = 12, triangles 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 3L), (5L, 6L), (2L, 1L), (1L, 2L), (4L, 4L)).toDF("a", "b")
+    val g = Triangles.globalCounts(edges, "a", "b")
+      .as[(Long, Long, Long)].head()
+    assert(g == ((7L, 12L, 2L)))
+    // K5: C(5,2)=10 edges, 5·C(4,2)=30 wedges, C(5,3)=10 triangles —
+    // and 3·tri == wedges (every wedge closes)
+    val k5 = (for (i <- 1 to 5; j <- 1 to 5 if i < j) yield
+      (i.toLong, j.toLong)).toDF("a", "b")
+    val gk = Triangles.globalCounts(k5, "a", "b")
+      .as[(Long, Long, Long)].head()
+    assert(gk == ((10L, 30L, 10L)))
+    // per-node sum = 3 × global triangle count on the shared fixture
+    val perNodeSum = Triangles.perNodeCounts(edges, "a", "b")
+      .agg(org.apache.spark.sql.functions.sum("n_triangles"))
+      .head().getLong(0)
+    assert(perNodeSum == 3 * g._3)
+    graft.CacheScope.drain(spark)
+  }
+
   test("commonNeighbors scores only non-adjacent pairs and counts wedges") {
     // square 1-2-3-4-1: diagonals (1,3) and (2,4) each share 2 neighbors;
     // adjacent pairs must not appear even though they share neighbors
