@@ -10,18 +10,30 @@ import org.apache.spark.sql.functions._
   * from partition-pruned posting lists.
   *
   * Layout under `indexDir`:
-  *   - `postings/` — (term, doc_id, tf, df) partitioned by
+  *   - `postings/` — (term, doc_id, tf) partitioned by
   *     `bucket = pmod(xxhash64(term), buckets)`: a query batch touches
   *     only its terms' hash buckets (static partition pruning), never
-  *     the full posting set. df is DENORMALIZED onto each posting row
-  *     so scoring needs no second term-keyed read.
+  *     the full posting set.
+  *   - `terms/` — (term, df), same bucket partitioning. df lives HERE,
+  *     not on the posting rows: a posting row never changes once
+  *     written, so [[appendToBm25Index]] can add a document batch by
+  *     APPENDING postings/doclens and rewriting only the term-level df
+  *     table — denormalizing df onto postings would invalidate every
+  *     existing posting of every term the new batch mentions.
   *   - `doclens/` — (doc_id, dl): one row per document.
   *   - `stats/` — one row (nd = document count, tt = total tokens).
+  *
+  * Writes are NOT transactional (plain parquet overwrite/append): a
+  * reader racing an append can see new postings with the old df table.
+  * The engine's versioned formats are the fix when that matters — route
+  * the four tables through `VersionedTable` commits and readers pin a
+  * snapshot; this module keeps the layout/pruning mechanics separable.
   *
   * Scoring is q250's log-free integer-rational Okapi form (k1 = 6/5,
   * b = 3/4), floored at ppm scale through a DECIMAL(38,0) carrier —
   * bit-stable at any parallelism, identical between the in-query and
-  * persisted paths (the spec proves equality).
+  * persisted paths (the spec proves equality, and that build+append
+  * equals a from-scratch build of the union corpus bit-for-bit).
   */
 object Bm25 {
 
@@ -39,55 +51,99 @@ object Bm25 {
       |          + CAST(9 AS DECIMAL(38,0)) * dl * nd))
       |  AS BIGINT)""".stripMargin
 
-  /** Tokenize `docs` and write the three index tables. One corpus scan
-    * feeds postings, document lengths and corpus stats; the posting
-    * write shuffles by bucket only (≤ `buckets` output groups).
+  private def bucketOf(term: org.apache.spark.sql.Column, buckets: Int) =
+    pmod(xxhash64(term), lit(buckets))
+
+  /** (doc_id, term, tf) for a document batch — the shared tokenize step. */
+  private def termFreqs(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Tokenize `docs` and write the four index tables. One corpus scan
+    * feeds postings, terms, document lengths and corpus stats; the
+    * posting write shuffles by bucket only (≤ `buckets` output groups).
     */
   def buildBm25Index(docs: DataFrame, textCol: String, idCol: String,
       indexDir: String, buckets: Int = 64): Unit = {
-    val tf = graft.CacheScope.persisted(docs
-      .select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val tf = graft.CacheScope.persisted(termFreqs(docs, textCol, idCol))
     try {
       val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
       dl.write.mode("overwrite").parquet(s"$indexDir/doclens")
-      // stats re-read from the WRITTEN doclens: one row, and the write
-      // above already materialized the aggregate's input
       dl.agg(count(lit(1)).as("nd"), sum("dl").as("tt"))
         .write.mode("overwrite").parquet(s"$indexDir/stats")
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      tf.join(dfreq, "term")
-        .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)))
+      tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("bucket", bucketOf(col("term"), buckets))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$indexDir/terms")
+      tf.withColumn("bucket", bucketOf(col("term"), buckets))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$indexDir/postings")
-    } finally {
-      // build is a standalone lifecycle: free the tokenization cache
-      // without waiting for a harness drain
-      tf.unpersist()
-    }
+    } finally tf.unpersist()
+  }
+
+  /** Add a document batch to an existing index: postings and doclens
+    * APPEND (immutable rows — the incremental-ingest shape), while the
+    * term-df and stats tables are re-aggregated and overwritten — both
+    * are vocabulary-/constant-sized, a fraction of the posting volume
+    * at any corpus scale. Query results after append are bit-identical
+    * to a from-scratch build over the union corpus.
+    */
+  def appendToBm25Index(docs: DataFrame, textCol: String, idCol: String,
+      indexDir: String, buckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    val tf = graft.CacheScope.persisted(termFreqs(docs, textCol, idCol))
+    try {
+      val dl = graft.CacheScope.persisted(
+        tf.groupBy("doc_id").agg(sum("tf").as("dl")))
+      dl.write.mode("append").parquet(s"$indexDir/doclens")
+      tf.withColumn("bucket", bucketOf(col("term"), buckets))
+        .write.mode("append").partitionBy("bucket")
+        .parquet(s"$indexDir/postings")
+      // term-level rewrite: old df + batch df. Read the OLD table fully
+      // into the new aggregate before the overwrite truncates it —
+      // parquet overwrite is not snapshot-isolated, so materialize first
+      val merged = spark.read.parquet(s"$indexDir/terms")
+        .select(col("term"), col("df"))
+        .unionByName(tf.groupBy("term").agg(count(lit(1)).as("df")))
+        .groupBy("term").agg(sum("df").as("df"))
+        .withColumn("bucket", bucketOf(col("term"), buckets))
+        .localCheckpoint(true)
+      merged.write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$indexDir/terms")
+      val newStats = spark.read.parquet(s"$indexDir/stats")
+        .unionByName(dl.agg(count(lit(1)).as("nd"), sum("dl").as("tt")))
+        .agg(sum("nd").as("nd"), sum("tt").as("tt"))
+        .localCheckpoint(true)
+      newStats.write.mode("overwrite").parquet(s"$indexDir/stats")
+    } finally tf.unpersist()
   }
 
   /** Score `queryTerms` (query_id, term) against a persisted index and
     * return the top-`k` (query_id, rank, neighbor_id, score_ppm) per
     * query. The probed bucket set is collected to the driver — bounded
     * by the bucket count, never by data — and applied as a literal
-    * filter so the postings scan statically prunes to the touched
-    * partition directories. `excludeSelf` drops doc_id == query_id
-    * matches (the q250 convention where queries are corpus documents).
+    * filter so BOTH the postings and terms scans statically prune to
+    * the touched partition directories. `excludeSelf` drops
+    * doc_id == query_id matches (the q250 convention where queries are
+    * corpus documents).
     */
   def queryBm25Index(spark: SparkSession, indexDir: String,
       queryTerms: DataFrame, k: Int = 5, buckets: Int = 64,
       excludeSelf: Boolean = false): DataFrame = {
-    val postings = spark.read.parquet(s"$indexDir/postings")
     val doclens = spark.read.parquet(s"$indexDir/doclens")
     val stats = spark.read.parquet(s"$indexDir/stats")
     val qt = queryTerms.select(col("query_id"), col("term"))
     val probed = qt
-      .select(pmod(xxhash64(col("term")), lit(buckets)).as("bucket"))
+      .select(bucketOf(col("term"), buckets).as("bucket"))
       .distinct().collect().map(_.getLong(0))
-    val cand0 = qt
-      .join(postings.filter(col("bucket").isin(probed: _*)), "term")
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("bucket").isin(probed: _*))
+    val terms = spark.read.parquet(s"$indexDir/terms")
+      .filter(col("bucket").isin(probed: _*))
+      .select("term", "df")
+    val cand0 = qt.join(postings, "term").join(terms, "term")
     val cand = if (excludeSelf) cand0.filter(col("doc_id") =!= col("query_id"))
       else cand0
     cand

@@ -44,4 +44,22 @@ class Bm25IndexSpec extends SparkSpec {
       s"no partition pruning on the postings scan:\n$scans")
     graft.CacheScope.drain(spark)
   }
+
+  test("build + append equals a from-scratch build of the union corpus") {
+    val dd = graft.Tables.documents(spark, sf)
+    val first = dd.filter(col("doc_id") % 3 =!= 0)
+    val batch = dd.filter(col("doc_id") % 3 === 0)
+    val dirInc = Files.createTempDirectory("bm25inc").toString
+    Bm25.buildBm25Index(first, "text", "doc_id", dirInc)
+    Bm25.appendToBm25Index(batch, "text", "doc_id", dirInc)
+    val dirFull = Files.createTempDirectory("bm25full").toString
+    Bm25.buildBm25Index(dd, "text", "doc_id", dirFull)
+    val inc = Bm25.queryBm25Index(spark, dirInc, qt, k = 5, excludeSelf = true)
+      .collect().map(_.toString).sorted
+    val full = Bm25.queryBm25Index(spark, dirFull, qt, k = 5, excludeSelf = true)
+      .collect().map(_.toString).sorted
+    assert(inc.nonEmpty && inc.sameElements(full),
+      s"incremental != full (${inc.length} vs ${full.length} rows)")
+    graft.CacheScope.drain(spark)
+  }
 }
