@@ -45,6 +45,20 @@ class Bm25IndexSpec extends SparkSpec {
     graft.CacheScope.drain(spark)
   }
 
+  test("query terms absent from the index score nothing and do not fail") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bm25abs").toString
+    Bm25.buildBm25Index(graft.Tables.documents(spark, sf), "text", "doc_id", dir)
+    // one real query whose terms are all unindexed nonsense, one mixed
+    val ghost = Seq((900001L, "zzqx9"), (900001L, "vvqk7")).toDF("query_id", "term")
+    assert(Bm25.queryBm25Index(spark, dir, ghost, k = 5).count() == 0)
+    val mixed = qt.limit(3).unionByName(ghost)
+    val out = Bm25.queryBm25Index(spark, dir, mixed, k = 5)
+    assert(out.filter(col("query_id") === 900001L).count() == 0)
+    assert(out.filter(col("query_id") =!= 900001L).count() > 0)
+    graft.CacheScope.drain(spark)
+  }
+
   test("build + append equals a from-scratch build of the union corpus") {
     val dd = graft.Tables.documents(spark, sf)
     val first = dd.filter(col("doc_id") % 3 =!= 0)
