@@ -395,44 +395,61 @@ object ExtQueries {
         min((col("h1") + col("h2") * lit(i.toLong)) % p).as(s"sig_$i")): _*))
   }
 
-  /** Exact-Jaccard verification count of a candidate pair set against the
-    * shingle table (integer sizes, ≥ 0.6).
-    */
-  private def verifiedCount(cand: DataFrame, sh: DataFrame): Long =
-    cand
+  def lshBandSweep(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val sh = graft.CacheScope.persisted(
+      functions.DedupOps.shingleSets(dd, "text", "doc_id", 5))
+    val truth = functions.DedupOps.ngramJaccardPairs(dd, "text", "doc_id")
+      .select("doc_a", "doc_b")
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    // ONE signature table, and ONE TAGGED band table across all three
+    // shapes (8+4+2 = 14 band structs per doc — exactly the rows the
+    // three per-shape tables held, now in one relation). The tag rides
+    // the self-join key, so the whole sweep is ONE candidate shuffle +
+    // ONE shingle-verification pass + ONE aggregation action, where the
+    // per-shape loop paid three self-joins, three verification counts
+    // and a separate truth count (7 blocking jobs — measured 6.5 s, the
+    // slowest non-inherent query in the r08 tail). Values are identical:
+    // candidates per tag don't change, only how many jobs carry them.
+    val sigs = kmSigs(sh)
+    val bands = sigs.select(col("doc_id"),
+      explode(array(Seq(2, 4, 8).flatMap { r =>
+        (0 until 16 / r).map { b =>
+          struct(lit(r).as("band_rows"), lit(b).as("band_idx"),
+            md5(concat_ws("|",
+              (b * r until (b + 1) * r).map(i => col(s"sig_$i")): _*))
+              .as("band_hash"))
+        }
+      }: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band_rows").as("band_rows"),
+        col("bd.band_idx").as("band_idx"), col("bd.band_hash").as("band_hash"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_rows") === col("b.band_rows") &&
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.band_rows").as("band_rows"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val verified = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .filter(expr("CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / " +
         "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))) " +
         ">= 0.6"))
-      .count()
-
-  def lshBandSweep(s: SparkSession, d: String): DataFrame = {
-    val dd = docs(s, d)
-    val sh = functions.DedupOps.shingleSets(dd, "text", "doc_id", 5)
-    val truth = functions.DedupOps.ngramJaccardPairs(dd, "text", "doc_id")
-      .select("doc_a", "doc_b")
-    val nTruth = truth.count()
-    // ONE signature table; each band shape is a projection + self-join
-    val sigs = kmSigs(sh)
-    val rows = Seq(2, 4, 8).map { r =>
-      val nb = 16 / r
-      val bands = graft.CacheScope.persisted(sigs.select(col("doc_id"),
-        posexplode(array((0 until nb).map { b =>
-          md5(concat_ws("|",
-            (b * r until (b + 1) * r).map(i => col(s"sig_$i")): _*))
-        }: _*))).toDF("doc_id", "band_idx", "band_hash"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_hash") === col("b.band_hash") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      (r.toLong, nb.toLong, verifiedCount(cand, sh), nTruth)
-    }
+      .groupBy(col("band_rows"))
+      .agg(count(lit(1)).as("n_pairs"))
     val s2 = s
     import s2.implicits._
-    rows.toDF("band_rows", "n_bands", "n_pairs", "n_truth")
+    // left join from the literal shape list so a shape with zero
+    // verified pairs still emits its row (as the per-shape loop did)
+    Seq(2L, 4L, 8L).toDF("band_rows")
+      .join(verified.withColumn("band_rows", col("band_rows").cast("bigint")),
+        Seq("band_rows"), "left")
+      .na.fill(0L, Seq("n_pairs"))
+      .crossJoin(broadcast(nTruth))
+      .select(col("band_rows"), (lit(16L) / col("band_rows")).cast("bigint")
+          .as("n_bands"), col("n_pairs"), col("n_truth"))
       .withColumn("recall_ppm",
         expr("n_pairs * 1000000L div n_truth"))
       .orderBy("band_rows")
@@ -2678,6 +2695,93 @@ object ExtQueries {
       |    AS last_tok
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** q256 — neighborhood function N(r) of the co-purchase graph
+    * ([[graft.operators.NeighborhoodFunction.multiSourceReachCounts]]):
+    * exact ball sizes within r = 1..3 hops from a deterministic bounded
+    * customer root sample, computed as a multi-source bitmask BFS — one
+    * BIGINT of root bits per node, rounds are edge-join + map-combinable
+    * bit_or, and NO (root, node) pair table ever materializes (the
+    * first-cut frontier/anti-join formulation paid an 8M-row distinct
+    * at hop 3 on this hub-heavy graph; the bitmask rounds carry |E|
+    * longs). The unbounded-source generalization — per-node HLL
+    * sketches, Boldi & Vigna 2011's HyperBall — is
+    * [[graft.operators.NeighborhoodFunction.hyperBall]], audited against
+    * these exact counts in NeighborhoodFunctionSpec rather than here
+    * (two full-graph sketch-union rounds are real money in the bench;
+    * the estimator's correctness doesn't need re-proving per scale
+    * factor). Connectivity audits of THIS kind decide whether a
+    * near-dup graph is safe to close transitively (q253's closure rate
+    * is the pair-level companion).
+    */
+  def neighborhoodFunction(s: SparkSession, d: String): DataFrame = {
+    val e0 = t(s, d, "orders").join(t(s, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val sym = graft.CacheScope.persisted(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    // roots: graph customers with custkey % 100 = 0 AND custkey ≤ 2000
+    // (src = custkey·2: src % 200 = 0, src ≤ 4000) — drawn FROM the
+    // edge set so every root has degree ≥ 1 at any scale factor, and
+    // CAPPED at 20 roots so the exact pair table stays sample-bounded
+    // as the fixtures scale (the hop-3 frontier multiplies every
+    // reached node's degree; an uncapped root sample would grow the
+    // intermediate linearly with corpus size on top of that)
+    val roots = graft.CacheScope.persisted(
+      sym.select(col("src")).distinct()
+        .filter(col("src") % 200 === 0 && col("src") <= 4000)
+        .select(col("src").as("root")))
+    val nSources = roots.agg(count(lit(1)).as("n_sources"))
+    // exact counts via MS-BFS bitmasks: root bit = custkey/100 − 1 ∈
+    // [0, 19] straight from arithmetic (no window, no driver round-trip
+    // for the assignment); each round is an edge join + map-combinable
+    // bit_or — no (root, node) pair table at any hop
+    val rootBits = roots.select(col("root").as("id"),
+      expr("shiftleft(1L, cast(root div 200 AS INT) - 1)").as("mask"))
+    val exact = graft.operators.NeighborhoodFunction
+      .multiSourceReachCounts(sym, rootBits, rounds = 3)
+    exact.crossJoin(broadcast(nSources))
+      .select(col("hop").cast("bigint").as("hop"), col("n_sources"),
+        col("reached_pairs"),
+        expr("reached_pairs div n_sources").as("avg_reached"))
+      .orderBy("hop")
+  }
+
+  val neighborhoodFunctionOracle: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |), sym AS (
+      |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+      |), roots AS (
+      |  SELECT DISTINCT src AS root FROM sym
+      |  WHERE src % 200 = 0 AND src <= 4000
+      |), ns AS (
+      |  SELECT count(*) AS n_sources FROM roots
+      |), s0 AS (
+      |  SELECT root, root AS node FROM roots
+      |), s1 AS (
+      |  SELECT root, node FROM s0
+      |  UNION SELECT s0.root, sym.dst FROM s0 JOIN sym ON s0.node = sym.src
+      |), s2 AS (
+      |  SELECT root, node FROM s1
+      |  UNION SELECT s1.root, sym.dst FROM s1 JOIN sym ON s1.node = sym.src
+      |), s3 AS (
+      |  SELECT root, node FROM s2
+      |  UNION SELECT s2.root, sym.dst FROM s2 JOIN sym ON s2.node = sym.src
+      |), c AS (
+      |  SELECT 1 AS hop, count(*) AS reached_pairs FROM s1
+      |  UNION ALL SELECT 2, count(*) FROM s2
+      |  UNION ALL SELECT 3, count(*) FROM s3
+      |)
+      |SELECT CAST(hop AS BIGINT) AS hop,
+      |  CAST(n_sources AS BIGINT) AS n_sources,
+      |  CAST(reached_pairs AS BIGINT) AS reached_pairs,
+      |  CAST(reached_pairs // n_sources AS BIGINT) AS avg_reached
+      |FROM c, ns ORDER BY hop""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2729,7 +2833,8 @@ object ExtQueries {
     "q246_knn_label_purity" -> (knnLabelPurity(_, _)),
     "q247_hourly_activity" -> (hourlyActivity(_, _)),
     "q248_bpe_train" -> (bpeTrain(_, _)),
-    "q249_doc_chunking" -> (docChunking(_, _))
+    "q249_doc_chunking" -> (docChunking(_, _)),
+    "q256_neighborhood_function" -> (neighborhoodFunction(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2781,6 +2886,7 @@ object ExtQueries {
     "q246_knn_label_purity" -> knnLabelPurityOracle,
     "q247_hourly_activity" -> hourlyActivityOracle,
     "q248_bpe_train" -> bpeTrainOracle,
-    "q249_doc_chunking" -> docChunkingOracle
+    "q249_doc_chunking" -> docChunkingOracle,
+    "q256_neighborhood_function" -> neighborhoodFunctionOracle
   )
 }

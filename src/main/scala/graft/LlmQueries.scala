@@ -5000,6 +5000,165 @@ object LlmQueries {
        |ORDER BY dims""".stripMargin
   }
 
+  /** q254 — sign-bit (1-bit) quantization recall
+    * ([[SimilarityOps.withSignCode]] / [[SimilarityOps.hammingTopK]]):
+    * recall@5 of Hamming-distance ranking over 64-bit sign codes against
+    * the full-precision exact top-5 — the bottom rung of the
+    * quantization ladder the corpus already climbs (int8 q72, PQ q102,
+    * Matryoshka q251). 8 bytes/vector means the first-pass index for a
+    * billion embeddings is 8 GB — RAM on one node, broadcast-able at
+    * serving time; this query measures what that 32× compression costs
+    * in recall. Codes live in two BIGINT halves (no sign-bit
+    * arithmetic), distance is two XOR+popcounts, and `sum_hamming`
+    * carries the exact integer distance mass so the hash check pins the
+    * distances themselves, not just the id sets.
+    */
+  def hammingRecall(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val packed = SimilarityOps.withSignCode(e, "embedding", "h1", "h2")
+      .select("vec_id", "h1", "h2")
+    val qf = e.filter(col("vec_id") % 100 === 0)
+    val q = qf.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_vec"))
+    val qp = SimilarityOps.withSignCode(qf, "embedding", "qh1", "qh2")
+      .select(col("vec_id").as("query_id"), col("qh1"), col("qh2"))
+    val truth = graft.CacheScope.persisted(
+      SimilarityOps.bruteForceTopK(q, e, k = 5)
+        .select("query_id", "neighbor_id"))
+    val possible = truth.agg(count(lit(1)).as("possible"))
+    val ham = graft.CacheScope.persisted(
+      SimilarityOps.hammingTopK(qp, packed, k = 5))
+    val hits = ham.join(truth, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("hits"))
+    val hd = ham.agg(sum(col("hamming")).as("sum_hamming"))
+    hits.crossJoin(broadcast(possible)).crossJoin(broadcast(hd))
+      .select(lit(5L).as("k"), col("hits"), col("possible"),
+        expr("hits * 1000000 div possible").as("recall_ppm"),
+        col("sum_hamming"))
+  }
+
+  val hammingRecallOracle: String =
+    """WITH pk AS (
+      |  SELECT vec_id,
+      |    sum(CASE WHEN v > 0 AND i <= 32
+      |      THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END) AS h1,
+      |    sum(CASE WHEN v > 0 AND i >= 33
+      |      THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END) AS h2
+      |  FROM (SELECT vec_id, unnest(embedding) AS v,
+      |          generate_subscripts(embedding, 1) AS i FROM embeddings)
+      |  GROUP BY vec_id
+      |), q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id % 100 = 0
+      |), c AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), truth AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY round(list_cosine_similarity(qv, v), 4) DESC,
+      |          vec_id) AS rk
+      |    FROM q, c WHERE vec_id <> query_id)
+      |  WHERE rk <= 5
+      |), qp AS (
+      |  SELECT vec_id AS query_id, h1 AS qh1, h2 AS qh2 FROM pk
+      |  WHERE vec_id % 100 = 0
+      |), ham AS (
+      |  SELECT query_id, vec_id, hd FROM (
+      |    SELECT qp.query_id, pk.vec_id,
+      |      CAST(bit_count(xor(pk.h1, qp.qh1))
+      |        + bit_count(xor(pk.h2, qp.qh2)) AS BIGINT) AS hd,
+      |      row_number() OVER (PARTITION BY qp.query_id
+      |        ORDER BY bit_count(xor(pk.h1, qp.qh1))
+      |          + bit_count(xor(pk.h2, qp.qh2)), pk.vec_id) AS rk
+      |    FROM qp, pk WHERE pk.vec_id <> qp.query_id)
+      |  WHERE rk <= 5
+      |), hits AS (
+      |  SELECT count(*) AS hits FROM ham
+      |  JOIN truth ON ham.query_id = truth.query_id
+      |            AND ham.vec_id = truth.vec_id
+      |), poss AS (
+      |  SELECT count(*) AS possible FROM truth
+      |), hsum AS (
+      |  SELECT sum(hd) AS sum_hamming FROM ham
+      |)
+      |SELECT CAST(5 AS BIGINT) AS k, CAST(hits AS BIGINT) AS hits,
+      |  CAST(possible AS BIGINT) AS possible,
+      |  CAST(hits * 1000000 // possible AS BIGINT) AS recall_ppm,
+      |  CAST(sum_hamming AS BIGINT) AS sum_hamming
+      |FROM hits, poss, hsum""".stripMargin
+
+  /** q255 — nearest-centroid domain classifier over the labeled
+    * embedding corpus: per-label integer centroids from the 80% train
+    * split (the q146 convention — floor(x·1000) quantization,
+    * negative-safe floor-division means — so every distance is an exact
+    * integer on any engine), held-out 20% assigned to the argmin-L2
+    * centroid, output the full confusion matrix. This is the
+    * domain-assignment step of a mixture pipeline (label = source
+    * domain; route unlabeled docs to the nearest domain centroid before
+    * q57/q115 mixing), and the cheapest possible classifier audit: the
+    * centroid table is labels × dims rows — broadcast-sized at ANY
+    * corpus scale — so assignment is a map-only pass over the corpus.
+    */
+  def nearestCentroid(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val qrows = graft.CacheScope.persisted(e
+      .select(col("vec_id"), col("label").cast("bigint").as("label"),
+        posexplode(expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(floor(x * 1000) AS BIGINT))")))
+      .select(col("vec_id"), col("label"),
+        (col("pos") + 1).cast("bigint").as("pos"), col("col").as("x")))
+    val train = qrows.filter(col("vec_id") % 5 =!= 0)
+    val cent = train.groupBy(col("label").as("cl"), col("pos"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .select(col("cl"), col("pos"),
+        expr("(sx - (((sx % n) + n) % n)) div n").as("c"))
+    val test = qrows.filter(col("vec_id") % 5 === 0)
+    val dist = test.join(broadcast(cent), "pos")
+      .groupBy(col("vec_id"), col("label"), col("cl"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dist"))
+    dist.groupBy(col("vec_id"), col("label"))
+      .agg(min(struct(col("dist"), col("cl"))).as("m"))
+      .select(col("label"), col("m.cl").as("pred"))
+      .groupBy(col("label").as("true_label"), col("pred").as("pred_label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("true_label", "pred_label")
+  }
+
+  val nearestCentroidOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id, label, CAST(u.i AS BIGINT) AS pos, qv[u.i] AS x
+      |  FROM e, UNNEST(generate_series(1, 64)) AS u(i)
+      |), tr AS (
+      |  SELECT * FROM q WHERE vec_id % 5 <> 0
+      |), cent AS (
+      |  SELECT label AS cl, pos,
+      |    ((sum(x) - (((sum(x) % count(*)) + count(*)) % count(*)))
+      |      // count(*)) AS c
+      |  FROM tr GROUP BY 1, 2
+      |), te AS (
+      |  SELECT * FROM q WHERE vec_id % 5 = 0
+      |), dist AS (
+      |  SELECT te.vec_id, te.label, cent.cl,
+      |    sum((te.x - cent.c) * (te.x - cent.c)) AS dist
+      |  FROM te JOIN cent USING (pos)
+      |  GROUP BY 1, 2, 3
+      |), pred AS (
+      |  SELECT vec_id, label, cl AS pred FROM (
+      |    SELECT vec_id, label, cl,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+      |    FROM dist)
+      |  WHERE rn = 1
+      |)
+      |SELECT label AS true_label, pred AS pred_label,
+      |  CAST(count(*) AS BIGINT) AS n_vecs
+      |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5098,6 +5257,8 @@ object LlmQueries {
     "q251_matryoshka_recall" -> (matryoshkaRecall(_, _)),
     "q252_bm25_decontamination" -> (bm25Decontamination(_, _)),
     "q253_dup_closure_rate" -> (dupClosureRate(_, _)),
+    "q254_hamming_recall" -> (hammingRecall(_, _)),
+    "q255_nearest_centroid" -> (nearestCentroid(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5196,5 +5357,7 @@ object LlmQueries {
     "q251_matryoshka_recall" -> matryoshkaRecallOracle,
     "q252_bm25_decontamination" -> bm25DecontaminationOracle,
     "q253_dup_closure_rate" -> dupClosureRateOracle,
+    "q254_hamming_recall" -> hammingRecallOracle,
+    "q255_nearest_centroid" -> nearestCentroidOracle,
   )
 }

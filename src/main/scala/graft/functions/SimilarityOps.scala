@@ -87,6 +87,41 @@ object SimilarityOps {
     rankTopK(scored, "query_id", "vec_id", k)
   }
 
+  /** Sign-bit binary quantization of a 64-dim float vector: bit i set
+    * iff v[i] > 0, stored as TWO 32-bit halves in BIGINT columns so no
+    * engine ever touches a sign bit (64 dims → 8 bytes, a 32×
+    * compression over float32 — the 1-bit regime of the quantization
+    * ladder q72/q102 start). Scan-local: an `aggregate` fold over a
+    * bounded literal sequence — no explode, no shuffle; at 100 TB this
+    * is a map-only re-encode of the corpus.
+    */
+  def withSignCode(df: DataFrame, vecCol: String, h1: String,
+      h2: String): DataFrame =
+    df.withColumn(h1, expr(
+        s"aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
+          s"IF(element_at($vecCol, i + 1) > 0.0, shiftleft(1L, i), 0L))"))
+      .withColumn(h2, expr(
+        s"aggregate(sequence(32, 63), 0L, (acc, i) -> acc + " +
+          s"IF(element_at($vecCol, i + 1) > 0.0, shiftleft(1L, i - 32), 0L))"))
+
+  /** Hamming-distance top-k over sign codes: queries (query_id, qh1,
+    * qh2) against packed corpus (vec_id, h1, h2). Distance is two XORs
+    * and two popcounts per candidate — the cheapest possible first-pass
+    * ranking, which is the point: at serving scale the float corpus
+    * never loads, only 8 bytes/vector. Deterministic ties (distance
+    * asc, id asc). Returns (query_id, rank, neighbor_id, hamming).
+    */
+  def hammingTopK(queries: DataFrame, packed: DataFrame,
+      k: Int): DataFrame = {
+    val scored = packed.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("sim",
+        -(expr("bit_count(h1 ^ qh1) + bit_count(h2 ^ qh2)").cast("double")))
+    rankTopK(scored, "query_id", "vec_id", k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (-col("sim")).cast("bigint").as("hamming"))
+  }
+
   /** Rank of the FIRST relevant result per query (relevant = corpus
     * `label` equals the query's `query_label`) and its reciprocal —
     * the ingredients of MRR, retrieval's standard first-hit metric.

@@ -642,4 +642,39 @@ class LlmOpsSpec extends SparkSpec {
     val q = graft.LlmQueries.textQuality(spark, sf)
     assert(q.filter($"quality_score" < 0 || $"quality_score" > 1).count() == 0)
   }
+
+  test("sign codes pack strictly-positive dims into the right halves") {
+    // dim 0 (+) → h1 bit 0; dim 31 (+) → h1 bit 31; dim 33 (+) → h2
+    // bit 1; dim 63 (+) → h2 bit 31; zero and negative dims stay unset
+    val v = Array.fill(64)(0.0f)
+    v(0) = 0.5f; v(31) = 0.1f; v(33) = 2.0f; v(63) = 0.001f
+    v(1) = -0.5f; v(2) = 0.0f
+    val got = SimilarityOps
+      .withSignCode(Seq(Tuple1(v)).toDF("embedding"), "embedding", "h1", "h2")
+      .select("h1", "h2").as[(Long, Long)].head()
+    assert(got == ((1L | (1L << 31), 2L | (1L << 31))), s"got $got")
+  }
+
+  test("hamming top-k ranks by popcount distance with id tie-break") {
+    // query code (0, 0); corpus: id 1 at distance 1, ids 2 and 3 tied
+    // at distance 2 (id order breaks the tie), id 4 at distance 64
+    val packed = Seq(
+      (1L, 1L, 0L), (2L, 3L, 0L), (3L, 0L, 3L), (4L, -1L, -1L))
+      .toDF("vec_id", "h1", "h2")
+    val q = Seq((99L, 0L, 0L)).toDF("query_id", "qh1", "qh2")
+    val got = SimilarityOps.hammingTopK(q, packed, k = 3)
+      .orderBy("rank")
+      .select("neighbor_id", "hamming").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L), (3L, 2L)), s"got $got")
+  }
+
+  test("nearest-centroid confusion matrix covers the test split exactly") {
+    val cm = graft.LlmQueries.nearestCentroid(spark, sf)
+    val total = cm.agg(sum("n_vecs")).as[Long].head()
+    val nTest = emb.filter($"vec_id" % 5 === 0).count()
+    assert(total == nTest, s"confusion mass $total != test rows $nTest")
+    // deterministic: a second run is row-identical
+    assert(cm.collect().toSeq ==
+      graft.LlmQueries.nearestCentroid(spark, sf).collect().toSeq)
+  }
 }
