@@ -2613,7 +2613,12 @@ object ExtQueries {
       .select(col("rank").cast("bigint").as("rk"), col("l"), col("r"))
       .orderBy("rk")
 
-  val bpeTrainOracle: String = {
+  /** Six chained training-round CTEs (pair counts → argmax top$k →
+    * merged vocabulary v${k+1}) over the whole-corpus character
+    * vocabulary — shared by the q248 trainer oracle and the q257
+    * fertility oracle (which re-applies the SAME top$k tables).
+    */
+  private val bpeTrainChainSql: String = {
     def round(k: Int): String =
       s"""pc$k AS (
          |  SELECT sym[i] AS l, sym[i + 1] AS r, sum(cnt) AS n
@@ -2630,20 +2635,23 @@ object ExtQueries {
          |      ELSE sym[i] END), x -> x IS NOT NULL) AS sym, cnt
          |  FROM v$k, top$k t
          |)""".stripMargin
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
        |  FROM documents
        |), v1 AS (
        |  SELECT regexp_extract_all(tok, '.') AS sym, count(*) AS cnt
        |  FROM toks WHERE len(tok) >= 2 GROUP BY tok
        |),
-       |${(1 to 6).map(round).mkString(",\n")}
+       |${(1 to 6).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  val bpeTrainOracle: String =
+    s"""WITH $bpeTrainChainSql
        |SELECT * FROM (
        |${(1 to 6).map(k =>
           s"  SELECT CAST($k AS BIGINT) AS rk, l, r FROM top$k")
          .mkString(" UNION ALL\n")}
        |) ORDER BY rk""".stripMargin
-  }
 
   /** q249 — sliding-window document chunking (window 32 tokens, stride
     * 24 — 8-token overlap): the context-window splitter every
@@ -2694,6 +2702,71 @@ object ExtQueries {
       |  toks[CAST(1 + k * 24 + least(32, n - (1 + k * 24) + 1) - 1 AS INTEGER)]
       |    AS last_tok
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** q257 — tokenizer fertility by source: train the q248 merge table,
+    * apply it over the per-source vocabulary
+    * ([[graft.functions.Bpe.applyMerges]] — carrier columns survive the
+    * rounds), and report tokens-per-word (fertility, ppm) and
+    * chars-per-token (centi) for every source — the standard tokenizer
+    * evaluation that decides whether a vocabulary serves all corpus
+    * slices equally (a domain with fertility 2× the rest pays 2× the
+    * sequence length for the same text). Completes the tokenizer story:
+    * q153 one round, q248 the trainer, q161 encode, q257 the eval.
+    * Scale shape unchanged from q248: everything runs on the DISTINCT
+    * (source, token) vocabulary — sufficient statistics for every
+    * count here — so the corpus collapses zipfian-fold before any
+    * per-round transform; all ratios are exact integer div.
+    */
+  def tokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val merges = graft.functions.Bpe.train(dd, "text", merges = 6)
+    val v0 = dd
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      .select(col("source"), expr("regexp_extract_all(tok, '.', 0)").as("sym"),
+        col("cnt"))
+    graft.functions.Bpe.applyMerges(v0, merges)
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(size(col("sym")).cast("bigint") * col("cnt")).as("n_tokens"),
+        sum(expr("aggregate(sym, 0L, (a, x) -> a + length(x))") * col("cnt"))
+          .as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_tokens"),
+        expr("n_tokens * 1000000 div n_words").as("fertility_ppm"),
+        expr("n_chars * 100 div n_tokens").as("cpt_centi"))
+      .orderBy("source")
+  }
+
+  val tokenizerFertilityOracle: String = {
+    def evRound(k: Int): String =
+      s"""ev$k AS (
+         |  SELECT source,
+         |    list_filter(list_transform(range(1, len(sym) + 1), i -> CASE
+         |      WHEN sym[i] = t.l AND i < len(sym) AND sym[i + 1] = t.r
+         |        THEN t.l || t.r
+         |      WHEN i > 1 AND sym[i - 1] = t.l AND sym[i] = t.r THEN NULL
+         |      ELSE sym[i] END), x -> x IS NOT NULL) AS sym, cnt
+         |  FROM ev${k - 1}, top$k t
+         |)""".stripMargin
+    s"""WITH $bpeTrainChainSql, ev0 AS (
+       |  SELECT source, regexp_extract_all(tok, '.') AS sym,
+       |    count(*) AS cnt
+       |  FROM (
+       |    SELECT source,
+       |      unnest(string_split_regex(lower(text), '\\s+')) AS tok
+       |    FROM documents)
+       |  WHERE len(tok) >= 2 GROUP BY source, tok
+       |),
+       |${(1 to 6).map(evRound).mkString(",\n")}
+       |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_words,
+       |  CAST(sum(len(sym) * cnt) AS BIGINT) AS n_tokens,
+       |  CAST(sum(len(sym) * cnt) * 1000000 // sum(cnt) AS BIGINT)
+       |    AS fertility_ppm,
+       |  CAST(sum(list_sum(list_transform(sym, x -> len(x))) * cnt) * 100
+       |    // sum(len(sym) * cnt) AS BIGINT) AS cpt_centi
+       |FROM ev6 GROUP BY source ORDER BY source""".stripMargin
+  }
 
   /** q256 — neighborhood function N(r) of the co-purchase graph
     * ([[graft.operators.NeighborhoodFunction.multiSourceReachCounts]]):
@@ -2834,7 +2907,8 @@ object ExtQueries {
     "q247_hourly_activity" -> (hourlyActivity(_, _)),
     "q248_bpe_train" -> (bpeTrain(_, _)),
     "q249_doc_chunking" -> (docChunking(_, _)),
-    "q256_neighborhood_function" -> (neighborhoodFunction(_, _))
+    "q256_neighborhood_function" -> (neighborhoodFunction(_, _)),
+    "q257_tokenizer_fertility" -> (tokenizerFertility(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2887,6 +2961,7 @@ object ExtQueries {
     "q247_hourly_activity" -> hourlyActivityOracle,
     "q248_bpe_train" -> bpeTrainOracle,
     "q249_doc_chunking" -> docChunkingOracle,
-    "q256_neighborhood_function" -> neighborhoodFunctionOracle
+    "q256_neighborhood_function" -> neighborhoodFunctionOracle,
+    "q257_tokenizer_fertility" -> tokenizerFertilityOracle
   )
 }

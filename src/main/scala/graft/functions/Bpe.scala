@@ -54,11 +54,13 @@ object Bpe {
   /** Greedy left-to-right application of ONE merge (l, r) to every
     * vocabulary row. The pair rides a 1-row broadcast (columns `l`,`r`)
     * rather than string literals spliced into SQL — no escaping
-    * hazards for arbitrary corpus characters.
+    * hazards for arbitrary corpus characters. Every column except `sym`
+    * passes through untouched, so carrier columns (a source tag, a
+    * split flag) survive the rounds.
     */
   private def applyMerge(vocab: DataFrame, pair: DataFrame): DataFrame =
     vocab.crossJoin(broadcast(pair))
-      .select(expr(
+      .withColumn("sym", expr(
         """filter(
           |  transform(sequence(1, size(sym)), i -> CASE
           |    WHEN element_at(sym, i) = l AND i < size(sym)
@@ -66,7 +68,25 @@ object Bpe {
           |    WHEN i > 1 AND element_at(sym, i - 1) = l
           |         AND element_at(sym, i) = r THEN NULL
           |    ELSE element_at(sym, i) END),
-          |  x -> x IS NOT NULL)""".stripMargin).as("sym"), col("cnt"))
+          |  x -> x IS NOT NULL)""".stripMargin))
+      .drop("l", "r")
+
+  /** Apply a learned merge table to ANY (sym, …) vocabulary-shaped
+    * DataFrame in rank order, preserving extra columns — the serving-
+    * time path [[encode]] wraps, exposed for per-slice evaluation
+    * (e.g. fertility by source). The table is collected driver-side
+    * (vocabulary-budget-sized, never data-sized).
+    */
+  def applyMerges(vocab: DataFrame, mergeTable: DataFrame): DataFrame = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val ordered = mergeTable.select("rank", "l", "r")
+      .collect().sortBy(_.getInt(0))
+      .map(row => (row.getString(1), row.getString(2)))
+    ordered.foldLeft(graft.CacheScope.persisted(vocab)) { (v, lr) =>
+      graft.CacheScope.persisted(applyMerge(v, Seq(lr).toDF("l", "r")))
+    }
+  }
 
   /** Train `merges` rounds to a merge table (rank, l, r), rank 1-based
     * in learned order. Each round persists the merged vocabulary (the
@@ -102,15 +122,6 @@ object Bpe {
     * rank order; returns the encoded vocabulary (sym, cnt).
     */
   def encode(corpus: DataFrame, textCol: String,
-      mergeTable: DataFrame): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val ordered = mergeTable.select("rank", "l", "r")
-      .collect().sortBy(_.getInt(0))
-      .map(row => (row.getString(1), row.getString(2)))
-    ordered.foldLeft(graft.CacheScope.persisted(vocab(corpus, textCol))) {
-      (v, lr) =>
-        graft.CacheScope.persisted(applyMerge(v, Seq(lr).toDF("l", "r")))
-    }
-  }
+      mergeTable: DataFrame): DataFrame =
+    applyMerges(vocab(corpus, textCol), mergeTable)
 }

@@ -359,4 +359,24 @@ class PlanShapeSpec extends SparkSpec {
       s"every join side is bins- or quantile-bounded, plan:\n$plan")
     graft.CacheScope.drain(spark, blocking = true)
   }
+
+  test("neighborhood function: bitmask rounds never window, never cartesian") {
+    val plan = executed(SparkEntry.queries("q256_neighborhood_function")(spark, sf))
+    // the MS-BFS formulation's whole point: no per-root pair table, so
+    // no Window over anything edge-derived and no cartesian expansion —
+    // each round is an equality join + a partial-aggregating bit_or
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      s"MS-BFS must stay join+aggregate shaped, plan:\n$plan")
+    graft.CacheScope.drain(spark, blocking = true)
+  }
+
+  test("lsh band sweep: one tagged self-join feeds all three band shapes") {
+    val plan = executed(SparkEntry.queries("q209_lsh_band_sweep")(spark, sf))
+    // the tagged-union rewrite: exactly one candidate self-join on
+    // (band_rows, band_idx, band_hash) instead of one per shape
+    val selfJoins = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).length
+    assert(selfJoins <= 4, // candidate join + 2 verification joins + truth path
+      s"band sweep re-grew per-shape self-joins ($selfJoins shuffled joins):\n$plan")
+    graft.CacheScope.drain(spark, blocking = true)
+  }
 }

@@ -44,4 +44,24 @@ class BpeSpec extends SparkSpec {
     assert(table == Seq((1, "b", "c")))
     graft.CacheScope.drain(spark)
   }
+
+  test("applyMerges carries extra columns and shortens, never lengthens") {
+    import org.apache.spark.sql.functions._
+    val corpus = Seq("abab abab cd", "abab xy").toDF("text")
+    val table = Bpe.train(corpus, "text", merges = 2)
+    // a per-slice vocabulary with a carrier column the merges must keep
+    val v0 = Seq(("s1", Seq("a", "b", "a", "b"), 3L),
+        ("s2", Seq("c", "d"), 1L))
+      .toDF("source", "sym", "cnt")
+    val out = Bpe.applyMerges(v0, table)
+      .select("source", "sym", "cnt")
+      .as[(String, Seq[String], Long)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq("s1", "s2"), "carrier column lost")
+    assert(out.map(_._3) == Seq(3L, 1L), "counts must pass through")
+    // "abab" merges strictly (ab learned first on count); total chars
+    // conserved, symbol count never grows
+    val s1 = out.head._2
+    assert(s1.mkString.length == 4 && s1.length < 4, s"got $s1")
+    graft.CacheScope.drain(spark)
+  }
 }
