@@ -2855,6 +2855,55 @@ object ExtQueries {
       |  CAST(reached_pairs // n_sources AS BIGINT) AS avg_reached
       |FROM c, ns ORDER BY hop""".stripMargin
 
+  /** q258 — l-diversity audit: the companion gate to q167's
+    * k-anonymity. A quasi-identifier class can be large (k-anonymous)
+    * yet still leak — if every member shares one sensitive value, the
+    * attacker learns it without identifying anyone (Machanavajjhala et
+    * al. 2007's homogeneity attack). Per QI class (nation ×
+    * account-balance band) count the DISTINCT sensitive values (market
+    * segment); per threshold l ∈ {2,3,5} report how many classes fall
+    * below and how many rows they expose. One map-combinable aggregate
+    * over the raw table (bounded by the QI domain), a 3-row broadcast
+    * cross join, one re-aggregate — the q167 scale shape exactly.
+    */
+  def lDiversity(s: SparkSession, d: String): DataFrame = {
+    val classes = t(s, d, "customer")
+      .groupBy(col("c_nationkey"),
+        (floor(col("c_acctbal")).cast("bigint")
+          - (floor(col("c_acctbal")).cast("bigint") % 1000)).as("bal_band"))
+      .agg(countDistinct(col("c_mktsegment")).as("l_div"),
+        count(lit(1)).as("cls_size"))
+    val ls = s.createDataFrame(Seq(Tuple1(2L), Tuple1(3L), Tuple1(5L)))
+      .toDF("l")
+    classes.crossJoin(broadcast(ls))
+      .groupBy("l")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("l_div") < col("l"), 1L).otherwise(0L))
+          .as("classes_below"),
+        sum(when(col("l_div") < col("l"), col("cls_size")).otherwise(0L))
+          .as("rows_at_risk"))
+      .orderBy("l")
+  }
+
+  val lDiversityOracle: String =
+    """WITH cls AS (
+      |  SELECT c_nationkey,
+      |    CAST(floor(c_acctbal) AS BIGINT)
+      |      - (CAST(floor(c_acctbal) AS BIGINT) % 1000) AS bal_band,
+      |    count(DISTINCT c_mktsegment) AS l_div,
+      |    count(*) AS cls_size
+      |  FROM customer GROUP BY 1, 2
+      |), ls AS (
+      |  SELECT unnest([2, 3, 5]) AS l
+      |)
+      |SELECT CAST(l AS BIGINT) AS l,
+      |  CAST(count(*) AS BIGINT) AS n_classes,
+      |  CAST(sum(CASE WHEN l_div < l THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS classes_below,
+      |  CAST(sum(CASE WHEN l_div < l THEN cls_size ELSE 0 END) AS BIGINT)
+      |    AS rows_at_risk
+      |FROM cls, ls GROUP BY l ORDER BY l""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2908,7 +2957,8 @@ object ExtQueries {
     "q248_bpe_train" -> (bpeTrain(_, _)),
     "q249_doc_chunking" -> (docChunking(_, _)),
     "q256_neighborhood_function" -> (neighborhoodFunction(_, _)),
-    "q257_tokenizer_fertility" -> (tokenizerFertility(_, _))
+    "q257_tokenizer_fertility" -> (tokenizerFertility(_, _)),
+    "q258_l_diversity" -> (lDiversity(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2962,6 +3012,7 @@ object ExtQueries {
     "q248_bpe_train" -> bpeTrainOracle,
     "q249_doc_chunking" -> docChunkingOracle,
     "q256_neighborhood_function" -> neighborhoodFunctionOracle,
-    "q257_tokenizer_fertility" -> tokenizerFertilityOracle
+    "q257_tokenizer_fertility" -> tokenizerFertilityOracle,
+    "q258_l_diversity" -> lDiversityOracle
   )
 }
