@@ -2904,6 +2904,100 @@ object ExtQueries {
       |    AS rows_at_risk
       |FROM cls, ls GROUP BY l ORDER BY l""".stripMargin
 
+  /** q259 — Theil–Sen robust trend of monthly revenue: slope = the
+    * weighted lower median of all pairwise month-to-month slopes,
+    * intercept = the median residual at that slope (Sen 1968) — the
+    * outlier-proof counterpart to q124's OLS (one wild month moves OLS
+    * by its magnitude, Theil–Sen not at all; ~29% breakdown point).
+    * All arithmetic integer-exact: revenue in cents via decimal-first
+    * sums, slopes centi-scaled with truncating division (Spark `div`
+    * and DuckDB `//` agree toward zero, negatives included), medians
+    * via the q140 value-domain discipline. The cumulative windows here
+    * are GLOBAL but run over the pairwise-slope VALUE DOMAIN, bounded
+    * by the calendar-month count squared — a domain constant, never row
+    * count (PlanHygieneSpec allowlist) — so at 100 TB the only
+    * data-sized job is the monthly pre-aggregate. (A first cut routed
+    * these through the bucketed PrefixSum: bit-identical, but two
+    * sketch+collect pipelines cost 5 s on a 3k-row domain where the
+    * window costs nothing — the bucketed machinery is for cumulative
+    * sums over DATA-scaled rows.)
+    */
+  def theilSen(s: SparkSession, d: String): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val monthly = graft.CacheScope.persisted(
+      t(s, d, "orders")
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("bigint").as("mi"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+          .cast("bigint").as("cents")))
+    val nPoints = monthly.agg(count(lit(1)).as("n_points"))
+    val slopes = monthly.as("a").join(monthly.as("b"), col("b.mi") > col("a.mi"))
+      .select(expr("((b.cents - a.cents) * 100) div (b.mi - a.mi)").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("w"))
+    val slopeTot = slopes.agg(sum(col("w")).as("tw"))
+    // persisted: TWO consumers (the intercept residuals and the final
+    // select) would otherwise each replay the slope-median pipeline
+    val slopeMed = graft.CacheScope.persisted(
+      slopes.withColumn("cw", sum(col("w")).over(win))
+        .crossJoin(broadcast(slopeTot))
+        .filter(col("cw") * 2 >= col("tw"))
+        .agg(min(col("v")).as("slope_centi"), max(col("tw")).as("n_pairs")))
+    val icepts = monthly.crossJoin(broadcast(slopeMed))
+      .select((col("cents") * 100 - col("slope_centi") * col("mi")).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("w"))
+    val iTot = icepts.agg(sum(col("w")).as("tw2"))
+    val iceptMed = icepts.withColumn("cw", sum(col("w")).over(win))
+      .crossJoin(broadcast(iTot))
+      .filter(col("cw") * 2 >= col("tw2"))
+      .agg(min(col("v")).as("intercept_centi"))
+    nPoints.crossJoin(broadcast(slopeMed)).crossJoin(broadcast(iceptMed))
+      .select(col("n_points"), col("n_pairs"), col("slope_centi"),
+        col("intercept_centi"))
+  }
+
+  val theilSenOracle: String =
+    """WITH m AS (
+      |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+      |      AS mi,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1
+      |), np AS (
+      |  SELECT count(*) AS n_points FROM m
+      |), p AS (
+      |  SELECT ((b.cents - a.cents) * 100) // (b.mi - a.mi) AS v
+      |  FROM m a JOIN m b ON b.mi > a.mi
+      |), sv AS (
+      |  SELECT v, count(*) AS w FROM p GROUP BY v
+      |), sc AS (
+      |  SELECT v, w,
+      |    sum(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw,
+      |    sum(w) OVER () AS tw
+      |  FROM sv
+      |), sm AS (
+      |  SELECT min(v) AS slope_centi, max(tw) AS n_pairs
+      |  FROM sc WHERE cw * 2 >= tw
+      |), iv AS (
+      |  SELECT (cents * 100 - (SELECT slope_centi FROM sm) * mi) AS v
+      |  FROM m
+      |), ivv AS (
+      |  SELECT v, count(*) AS w FROM iv GROUP BY v
+      |), ic AS (
+      |  SELECT v, w,
+      |    sum(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw,
+      |    sum(w) OVER () AS tw
+      |  FROM ivv
+      |), im AS (
+      |  SELECT min(v) AS intercept_centi FROM ic WHERE cw * 2 >= tw
+      |)
+      |SELECT CAST(n_points AS BIGINT) AS n_points,
+      |  CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  CAST(slope_centi AS BIGINT) AS slope_centi,
+      |  CAST(intercept_centi AS BIGINT) AS intercept_centi
+      |FROM np, sm, im""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2958,7 +3052,8 @@ object ExtQueries {
     "q249_doc_chunking" -> (docChunking(_, _)),
     "q256_neighborhood_function" -> (neighborhoodFunction(_, _)),
     "q257_tokenizer_fertility" -> (tokenizerFertility(_, _)),
-    "q258_l_diversity" -> (lDiversity(_, _))
+    "q258_l_diversity" -> (lDiversity(_, _)),
+    "q259_theil_sen" -> (theilSen(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3013,6 +3108,7 @@ object ExtQueries {
     "q249_doc_chunking" -> docChunkingOracle,
     "q256_neighborhood_function" -> neighborhoodFunctionOracle,
     "q257_tokenizer_fertility" -> tokenizerFertilityOracle,
-    "q258_l_diversity" -> lDiversityOracle
+    "q258_l_diversity" -> lDiversityOracle,
+    "q259_theil_sen" -> theilSenOracle
   )
 }

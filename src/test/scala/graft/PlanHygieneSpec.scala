@@ -24,7 +24,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q198_decile_lift",         // 10-row decile table
     "q215_seasonal_decompose",  // bounded months table (years × 12)
     "q230_degree_distribution", // CCDF over the distinct-degree table
-    "q239_deseasonalized_growth" // embeds q215's bounded months window
+    "q239_deseasonalized_growth", // embeds q215's bounded months window
+    "q259_theil_sen"            // pairwise-slope value domain: months²
   )
   private val allowedCartesian = Set(
     "q110_pmi_collocations",    // broadcast scalar total
