@@ -2998,6 +2998,75 @@ object ExtQueries {
       |  CAST(intercept_centi AS BIGINT) AS intercept_centi
       |FROM np, sm, im""".stripMargin
 
+  /** q260 — CUPED variance reduction (Deng et al. 2013): using each
+    * customer's PRE-period revenue as the control covariate for their
+    * post-period metric, report θ = Cov(pre, post)/Var(pre) and the
+    * variance fraction CUPED removes (ρ², ppm) — the number that says
+    * how much smaller an A/B test gets for free. All moments are one
+    * map-combinable aggregate over the per-customer totals; the ratios
+    * are exact integer arithmetic in DECIMAL(38,0) carriers
+    * (hecto-dollar units keep every intermediate under 10³⁸; Spark
+    * integral `div` and DuckDB HUGEINT `//` truncate identically, and
+    * ρ²·10⁶ is computed as ((cov·10⁶ div varx) · cov) div vary so the
+    * truncation order is pinned cross-engine). Scale shape: one
+    * customer-keyed aggregate + one 1-row moment aggregate — nothing
+    * else, at any corpus size.
+    */
+  def cuped(s: SparkSession, d: String): DataFrame = {
+    val per = t(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(year(col("o_orderdate")) < 1996,
+          col("o_totalprice").cast(DecimalType(18, 2))).otherwise(lit(0)))
+          .as("pre_d"),
+        sum(when(year(col("o_orderdate")) >= 1996,
+          col("o_totalprice").cast(DecimalType(18, 2))).otherwise(lit(0)))
+          .as("post_d"))
+      .select(
+        expr("CAST(pre_d * 100 AS BIGINT) div 10000").as("x"),
+        expr("CAST(post_d * 100 AS BIGINT) div 10000").as("y"))
+    per.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast(DecimalType(38, 0)).as("sx"),
+        sum(col("y")).cast(DecimalType(38, 0)).as("sy"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"))
+      .select(col("n").as("n_units"),
+        expr("(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)")
+          .as("theta_ppm"),
+        expr("""((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx))
+               |  * (n * sxy - sx * sy) div (n * syy - sy * sy)"""
+          .stripMargin).as("var_reduction_ppm"))
+  }
+
+  val cupedOracle: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    CAST(CAST(sum(CASE WHEN year(o_orderdate) < 1996
+      |        THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) * 100
+      |      AS BIGINT) // 10000 AS BIGINT) AS x,
+      |    CAST(CAST(sum(CASE WHEN year(o_orderdate) >= 1996
+      |        THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) * 100
+      |      AS BIGINT) // 10000 AS BIGINT) AS y
+      |  FROM orders GROUP BY 1
+      |), st AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS sx,
+      |    CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      |  FROM per
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_units,
+      |  CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+      |    AS BIGINT) AS theta_ppm,
+      |  CAST(((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx))
+      |    * (n * sxy - sx * sy) // (n * syy - sy * sy)
+      |    AS BIGINT) AS var_reduction_ppm
+      |FROM st""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3053,7 +3122,8 @@ object ExtQueries {
     "q256_neighborhood_function" -> (neighborhoodFunction(_, _)),
     "q257_tokenizer_fertility" -> (tokenizerFertility(_, _)),
     "q258_l_diversity" -> (lDiversity(_, _)),
-    "q259_theil_sen" -> (theilSen(_, _))
+    "q259_theil_sen" -> (theilSen(_, _)),
+    "q260_cuped" -> (cuped(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3109,6 +3179,7 @@ object ExtQueries {
     "q256_neighborhood_function" -> neighborhoodFunctionOracle,
     "q257_tokenizer_fertility" -> tokenizerFertilityOracle,
     "q258_l_diversity" -> lDiversityOracle,
-    "q259_theil_sen" -> theilSenOracle
+    "q259_theil_sen" -> theilSenOracle,
+    "q260_cuped" -> cupedOracle
   )
 }
