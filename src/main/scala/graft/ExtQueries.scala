@@ -3067,6 +3067,117 @@ object ExtQueries {
       |    AS BIGINT) AS var_reduction_ppm
       |FROM st""".stripMargin
 
+  /** q261 — min-cost Viterbi segmentation: the OTHER tokenizer family.
+    * BPE (q153/q248/q161/q257) applies learned merges greedily; a
+    * unigram-LM tokenizer (Kudo 2018, SentencePiece) instead segments
+    * each word to MINIMIZE total piece cost by dynamic programming.
+    * Here the piece inventory is the top-16 character 2/3-grams by
+    * corpus frequency, cost 101+rank against 100 per single char, and
+    * each word's optimal segmentation comes from a scan-local Viterbi
+    * fold (three rolling DP states — max piece length 3 — in one
+    * `aggregate` over the character positions; no explode, no shuffle,
+    * no per-position rows). Piece counts ride the cost in one integer
+    * (C = cost·1024 + pieces), so the minimum is unique and the
+    * decomposition exact. Per source: words, pieces, cost, and
+    * pieces-per-word — directly comparable to q257's BPE fertility.
+    *
+    * Scale shape: everything runs on the DISTINCT-token vocabulary
+    * (sufficient statistics, zipf-collapsed), the inventory is a
+    * 16-row broadcast map, and its rank is a bounded 16×16 self-join —
+    * no window anywhere. The oracle replays the identical DP as a
+    * recursive CTE (DuckDB 1.0's `list_reduce` returns inconsistent
+    * folds on longer inputs — measured, avoided).
+    */
+  def viterbiSegmentation(s: SparkSession, d: String): DataFrame = {
+    val tokc = graft.CacheScope.persisted(docs(s, d)
+      .select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt")))
+    val vcb = tokc.groupBy("tok").agg(sum(col("cnt")).as("cnt"))
+    val grams = Seq(2, 3).map { n =>
+      vcb.select(explode(expr(
+        s"transform(sequence(1, length(tok) - ${n - 1}), " +
+          s"i -> substring(tok, i, $n))")).as("g"), col("cnt"))
+    }.reduce(_.unionByName(_))
+      .groupBy("g").agg(sum(col("cnt")).as("n"))
+    val cand = grams.orderBy(col("n").desc, col("g")).limit(16)
+    // rank via a bounded 16×16 self-join (count of strictly-better
+    // candidates) — deterministic, window-free
+    val inv = cand.as("a").join(cand.as("b"),
+        col("b.n") > col("a.n") ||
+          (col("b.n") === col("a.n") && col("b.g") < col("a.g")), "left")
+      .groupBy(col("a.g").as("gram"))
+      .agg((count(col("b.g")) + 101L).as("cost"))
+    val invMap = inv.agg(map_from_entries(
+      collect_list(struct(col("gram"), col("cost")))).as("m"))
+    val dp = tokc.crossJoin(broadcast(invMap))
+      .withColumn("cval", TextAnalysis.minCostSegmentation("tok", "m"))
+    dp.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum((col("cval") % 1024L) * col("cnt")).as("n_pieces"),
+        sum(expr("(cval div 1024) * cnt")).as("cost_units"))
+      .withColumn("pieces_per_word_ppm",
+        expr("n_pieces * 1000000 div n_words"))
+      .orderBy("source")
+  }
+
+  val viterbiSegmentationOracle: String =
+    """WITH RECURSIVE tokc AS (
+      |  SELECT source, tok, count(*) AS cnt FROM (
+      |    SELECT source,
+      |      unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |    FROM documents)
+      |  WHERE length(tok) >= 2 GROUP BY 1, 2
+      |), vcb AS (
+      |  SELECT tok, sum(cnt) AS cnt FROM tokc GROUP BY tok
+      |), gc AS (
+      |  SELECT g, sum(cnt) AS n FROM (
+      |    SELECT substring(tok, CAST(u.i AS INT), 2) AS g, cnt
+      |    FROM vcb, UNNEST(range(1, length(tok))) AS u(i)
+      |    UNION ALL
+      |    SELECT substring(tok, CAST(u.i AS INT), 3) AS g, cnt
+      |    FROM vcb, UNNEST(range(1, length(tok) - 1)) AS u(i))
+      |  GROUP BY g
+      |), cand AS (
+      |  SELECT g, n FROM gc ORDER BY n DESC, g LIMIT 16
+      |), inv AS (
+      |  SELECT a.g, 101 + (
+      |    SELECT count(*) FROM cand b
+      |    WHERE b.n > a.n OR (b.n = a.n AND b.g < a.g)) AS cost
+      |  FROM cand a
+      |), toks AS (
+      |  SELECT DISTINCT tok FROM tokc
+      |), seg AS (
+      |  SELECT tok, 0 AS i, 0::BIGINT AS a,
+      |    (1::BIGINT << 40) AS b, (1::BIGINT << 40) AS c
+      |  FROM toks
+      |  UNION ALL
+      |  SELECT s.tok, s.i + 1,
+      |    least(
+      |      s.a + 102401,
+      |      CASE WHEN s.i + 1 >= 2
+      |        THEN coalesce(s.b + i2.cost * 1024 + 1, 1::BIGINT << 40)
+      |        ELSE 1::BIGINT << 40 END,
+      |      CASE WHEN s.i + 1 >= 3
+      |        THEN coalesce(s.c + i3.cost * 1024 + 1, 1::BIGINT << 40)
+      |        ELSE 1::BIGINT << 40 END),
+      |    s.a, s.b
+      |  FROM seg s
+      |  LEFT JOIN inv i2 ON i2.g = substring(s.tok, s.i, 2)
+      |  LEFT JOIN inv i3 ON i3.g = substring(s.tok, s.i - 1, 3)
+      |  WHERE s.i < length(s.tok)
+      |), dp AS (
+      |  SELECT tok, a AS cval FROM seg WHERE i = length(tok)
+      |)
+      |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_words,
+      |  CAST(sum((cval % 1024) * cnt) AS BIGINT) AS n_pieces,
+      |  CAST(sum((cval // 1024) * cnt) AS BIGINT) AS cost_units,
+      |  CAST(sum((cval % 1024) * cnt) * 1000000 // sum(cnt) AS BIGINT)
+      |    AS pieces_per_word_ppm
+      |FROM tokc JOIN dp USING (tok)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3123,7 +3234,8 @@ object ExtQueries {
     "q257_tokenizer_fertility" -> (tokenizerFertility(_, _)),
     "q258_l_diversity" -> (lDiversity(_, _)),
     "q259_theil_sen" -> (theilSen(_, _)),
-    "q260_cuped" -> (cuped(_, _))
+    "q260_cuped" -> (cuped(_, _)),
+    "q261_viterbi_segmentation" -> (viterbiSegmentation(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3180,6 +3292,7 @@ object ExtQueries {
     "q257_tokenizer_fertility" -> tokenizerFertilityOracle,
     "q258_l_diversity" -> lDiversityOracle,
     "q259_theil_sen" -> theilSenOracle,
-    "q260_cuped" -> cupedOracle
+    "q260_cuped" -> cupedOracle,
+    "q261_viterbi_segmentation" -> viterbiSegmentationOracle
   )
 }

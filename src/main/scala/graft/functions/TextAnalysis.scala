@@ -87,4 +87,35 @@ object TextAnalysis {
     piiRules.foldLeft(text) { case (c, (pat, repl)) =>
       regexp_replace(c, pat, repl)
     }
+
+  /** Min-cost Viterbi segmentation value of the token in column
+    * `tokCol` against the piece-cost map in column `mapCol`
+    * (gram → cost for pieces of length 2 or 3; single characters always
+    * cost 100). Returns C = total_cost·1024 + piece_count — cost and
+    * count ride one integer so the DP minimum is unique and the caller
+    * decomposes exactly (`C div 1024`, `C % 1024`; words must be
+    * < 1024 pieces). A scan-local `aggregate` fold carrying three
+    * rolling DP states — the unigram-LM tokenizer's inner loop (Kudo
+    * 2018) with max piece length 3; no explode, no shuffle, no
+    * per-position rows. Used by q261; pinned on constructed inputs in
+    * LlmOpsSpec.
+    */
+  def minCostSegmentation(tokCol: String, mapCol: String): Column = {
+    val INF = 1099511627776L // 2^40
+    expr(
+      s"""aggregate(sequence(1, length($tokCol)),
+         |  named_struct('a', 0L, 'b', ${INF}L, 'c', ${INF}L),
+         |  (st, i) -> named_struct(
+         |    'a', least(
+         |      st.a + 102401L,
+         |      IF(i >= 2, coalesce(st.b
+         |        + element_at($mapCol, substring($tokCol, i - 1, 2)) * 1024L
+         |        + 1L, ${INF}L), ${INF}L),
+         |      IF(i >= 3, coalesce(st.c
+         |        + element_at($mapCol, substring($tokCol, i - 2, 3)) * 1024L
+         |        + 1L, ${INF}L), ${INF}L)),
+         |    'b', st.a,
+         |    'c', st.b),
+         |  st -> st.a)""".stripMargin)
+  }
 }

@@ -668,6 +668,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 2L), (3L, 2L)), s"got $got")
   }
 
+  test("min-cost Viterbi segmentation matches hand-computed DP values") {
+    // inventory: ab=103, abc=102; single char = 100; C = cost·1024 + n
+    val m = map(lit("ab"), lit(103L), lit("abc"), lit(102L))
+    val got = Seq("abcd", "xy", "ababab", "q").toDF("tok")
+      .withColumn("m", m)
+      .withColumn("c", TextAnalysis.minCostSegmentation("tok", "m"))
+      .select("tok", "c").as[(String, Long)].collect().toMap
+    // abcd → abc+d (202, 2); xy → x+y (200, 2);
+    // ababab → ab·3 (309, 3) — the DP must find it through the
+    // overlapping decoys; q → one char (100, 1)
+    assert(got == Map(
+      "abcd" -> (202L * 1024 + 2), "xy" -> (200L * 1024 + 2),
+      "ababab" -> (309L * 1024 + 3), "q" -> (100L * 1024 + 1)), s"got $got")
+  }
+
   test("nearest-centroid confusion matrix covers the test split exactly") {
     val cm = graft.LlmQueries.nearestCentroid(spark, sf)
     val total = cm.agg(sum("n_vecs")).as[Long].head()
