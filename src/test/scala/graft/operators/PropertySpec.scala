@@ -222,4 +222,67 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("viterbi segmentation: bounds, empty-inventory exactness, monotone in inventory") {
+    import org.apache.spark.sql.functions.{map => sqlMap}
+    val tokGen = for {
+      len <- Gen.choose(1, 12)
+      cs <- Gen.listOfN(len, Gen.choose('a', 'd'))
+    } yield cs.mkString
+    forAll(Gen.listOfN(12, tokGen), n = 5) { toks =>
+      val df = toks.distinct.toDF("tok")
+      // inventory never matching lowercase tokens = effectively empty
+      val none = df.withColumn("m", sqlMap(lit(" "), lit(101L)))
+        .withColumn("c", graft.functions.TextAnalysis
+          .minCostSegmentation("tok", "m"))
+        .select("tok", "c").as[(String, Long)].collect().toMap
+      none.foreach { case (tok, c) =>
+        assert(c == tok.length.toLong * 102401L,
+          s"empty inventory must segment '$tok' to singles, got $c")
+      }
+      // a small inventory: cost/pieces bounded, never worse than singles
+      val some = df.withColumn("m",
+          sqlMap(lit("ab"), lit(103L), lit("bcd"), lit(102L)))
+        .withColumn("c", graft.functions.TextAnalysis
+          .minCostSegmentation("tok", "m"))
+        .select("tok", "c").as[(String, Long)].collect().toMap
+      some.foreach { case (tok, c) =>
+        val (cost, pieces) = (c / 1024, c % 1024)
+        assert(pieces >= 1 && pieces <= tok.length, s"'$tok' pieces $pieces")
+        assert(cost <= 100L * tok.length,
+          s"'$tok' cost $cost must never beat... exceed all-singles")
+        assert(c <= none(tok), s"'$tok': adding pieces must not cost more")
+      }
+    }
+  }
+
+  test("ms-bfs reach counts: monotone in hop, bounded, equal to pair-level BFS") {
+    val edgeGen = for {
+      a <- Gen.choose(1L, 8L)
+      b <- Gen.choose(1L, 8L)
+    } yield (a, b)
+    forAll(Gen.listOfN(10, edgeGen), n = 5) { raw =>
+      val es = raw.filter(e => e._1 != e._2)
+      whenever(es.nonEmpty) {
+        val sym = (es ++ es.map(_.swap)).distinct.toDF("src", "dst")
+        val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+        val roots = nodes.take(2)
+        val bits = roots.zipWithIndex
+          .map { case (id, i) => (id, 1L << i) }.toDF("id", "mask")
+        val got = NeighborhoodFunction.multiSourceReachCounts(sym, bits, 3)
+          .as[(Int, Long)].collect().toMap
+        // monotone, bounded by |roots| · |V|, at least the roots themselves
+        assert(got(1) <= got(2) && got(2) <= got(3), s"not monotone: $got")
+        assert(got(3) <= roots.size.toLong * nodes.size, s"overcount: $got")
+        assert(got(1) >= roots.size.toLong, s"roots must reach selves: $got")
+        // equals the pair-level frontier BFS, cumulated
+        val pairs = NeighborhoodFunction
+          .exactFromRoots(sym, roots.toDF("root"), 3)
+        (1 to 3).foreach { r =>
+          val expect = pairs.filter(col("hop") <= r).count()
+          assert(got(r) == expect, s"hop $r: bitmask ${got(r)} != BFS $expect")
+        }
+      }
+    }
+  }
 }
