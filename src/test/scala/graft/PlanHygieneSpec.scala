@@ -81,7 +81,8 @@ class PlanHygieneSpec extends SparkSpec {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
-          val plan = fn(spark, sf).queryExecution.optimizedPlan
+          val df = fn(spark, sf)
+          val plan = df.queryExecution.optimizedPlan
           val gw = plan.collect {
             case w: logical.Window if w.partitionSpec.isEmpty => w
           }.nonEmpty
@@ -91,13 +92,20 @@ class PlanHygieneSpec extends SparkSpec {
                   j.hint.rightHint.isEmpty => j
           }.nonEmpty
           val jkw = tools.PlanAudit.joinKeyedWindows(plan).nonEmpty
+          // lineage must resolve on EVERY registry plan (same
+          // queryExecution — free): each output column accounted for,
+          // extractor total over the full plan-shape diversity
+          val lin = tools.ColumnLineage.lineage(df)
+          val linBad = df.columns.filterNot(lin.contains)
           val bad =
             (if (gw && !allowedGlobalWindow(name)) Seq(s"$name:globalWindow")
              else Nil) ++
             (if (cj && !allowedCartesian(name)) Seq(s"$name:cartesian")
              else Nil) ++
             (if (jkw && !allowedJoinKeyWindow(name))
-               Seq(s"$name:joinKeyWindow") else Nil)
+               Seq(s"$name:joinKeyWindow") else Nil) ++
+            (if (linBad.nonEmpty)
+               Seq(s"$name:lineageMissing:${linBad.mkString("|")}") else Nil)
           bad
         } catch {
           case e: Throwable => Seq(s"$name:ERR:${e.getClass.getSimpleName}")
