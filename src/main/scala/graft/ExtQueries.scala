@@ -3178,6 +3178,69 @@ object ExtQueries {
       |FROM tokc JOIN dp USING (tok)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** q262 — Neyman sample allocation (Neyman 1934): split a 1000-unit
+    * sampling budget across market-segment strata proportionally to
+    * nₕ·σₕ — the allocation minimizing the stratified estimator's
+    * variance, the design step BEFORE q48's stratified draw executes.
+    * Since nₕ·σₕ = √(nₕ·Σx² − (Σx)²), the weight is one exact integer
+    * square root ([[graft.functions.Sampling.isqrt]] — floor-double-
+    * sqrt with ±1 integer correction, engine-exact below 2⁵³) of the
+    * scaled variance numerator; spend rides kilodollar units with
+    * floor-before-cast so every carrier stays far below the exactness
+    * bound. One customer-keyed aggregate, one stratum aggregate
+    * (bounded by the segment domain), one broadcast total — nothing
+    * data-sized past the first aggregate at any scale.
+    */
+  def neymanAllocation(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_mktsegment").as("seg"))
+      .agg(expr(
+        """CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2)))) AS BIGINT)
+          |  div 1000""".stripMargin).as("x"))
+    val strata = cust.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_h"),
+        (count(lit(1)) * sum(col("x") * col("x"))
+          - sum(col("x")) * sum(col("x"))).as("vh"))
+      .withColumn("sigma_weight", functions.Sampling.isqrt(col("vh")))
+    val tot = strata.agg(sum(col("sigma_weight")).as("tw"))
+    strata.crossJoin(broadcast(tot))
+      .select(col("seg"), col("n_h"), col("sigma_weight"),
+        expr("sigma_weight * 1000 div tw").as("alloc_per_mille"))
+      .orderBy("seg")
+  }
+
+  val neymanAllocationOracle: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_mktsegment AS seg,
+      |    CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2)))) AS BIGINT)
+      |      // 1000 AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2
+      |), st AS (
+      |  SELECT seg, count(*) AS n_h,
+      |    count(*) * sum(x * x) - sum(x) * sum(x) AS vh
+      |  FROM cust GROUP BY seg
+      |), s0 AS (
+      |  SELECT seg, n_h, vh,
+      |    CAST(floor(sqrt(CAST(vh AS DOUBLE))) AS BIGINT) AS r0
+      |  FROM st
+      |), s1 AS (
+      |  SELECT seg, n_h, vh,
+      |    CASE WHEN r0 * r0 > vh THEN r0 - 1 ELSE r0 END AS r1
+      |  FROM s0
+      |), sq AS (
+      |  SELECT seg, n_h,
+      |    CASE WHEN (r1 + 1) * (r1 + 1) <= vh THEN r1 + 1 ELSE r1 END AS w
+      |  FROM s1
+      |), tot AS (
+      |  SELECT sum(w) AS tw FROM sq
+      |)
+      |SELECT seg, CAST(n_h AS BIGINT) AS n_h,
+      |  CAST(w AS BIGINT) AS sigma_weight,
+      |  CAST(w * 1000 // tw AS BIGINT) AS alloc_per_mille
+      |FROM sq, tot ORDER BY seg""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3235,7 +3298,8 @@ object ExtQueries {
     "q258_l_diversity" -> (lDiversity(_, _)),
     "q259_theil_sen" -> (theilSen(_, _)),
     "q260_cuped" -> (cuped(_, _)),
-    "q261_viterbi_segmentation" -> (viterbiSegmentation(_, _))
+    "q261_viterbi_segmentation" -> (viterbiSegmentation(_, _)),
+    "q262_neyman_allocation" -> (neymanAllocation(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3293,6 +3357,7 @@ object ExtQueries {
     "q258_l_diversity" -> lDiversityOracle,
     "q259_theil_sen" -> theilSenOracle,
     "q260_cuped" -> cupedOracle,
-    "q261_viterbi_segmentation" -> viterbiSegmentationOracle
+    "q261_viterbi_segmentation" -> viterbiSegmentationOracle,
+    "q262_neyman_allocation" -> neymanAllocationOracle
   )
 }

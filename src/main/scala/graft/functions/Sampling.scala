@@ -181,4 +181,22 @@ object Sampling {
       .filter(col("n_picks") >= 1)
       .drop("tw", "step", "off")
   }
+
+  /** EXACT integer square root (⌊√v⌋) of a non-negative BIGINT column
+    * with v < 2⁵³: floor of the double sqrt, then a ±1 integer
+    * correction. Doubles represent every integer below 2⁵³ exactly and
+    * IEEE sqrt is correctly rounded there, so the float result is
+    * within one integer of truth and the correction — pure integer
+    * comparisons — re-anchors it exactly. Engine-independent: any
+    * correctly-rounded sqrt yields the same corrected value, so DuckDB
+    * and Spark agree bit-for-bit (the floor-before-cast discipline of
+    * q167 applied to square roots). Needed wherever a σ (not σ²) rides
+    * an exact integer pipeline: Neyman allocation (q262), integer
+    * stddev bounds.
+    */
+  def isqrt(v: Column): Column = {
+    val s0 = floor(sqrt(v.cast("double"))).cast("bigint")
+    val s1 = when(s0 * s0 > v, s0 - 1).otherwise(s0)
+    when((s1 + 1) * (s1 + 1) <= v, s1 + 1).otherwise(s1)
+  }
 }

@@ -256,6 +256,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("isqrt: exact floor square root across magnitudes and boundaries") {
+    val vGen = Gen.oneOf(
+      Gen.choose(0L, 100L),
+      Gen.choose(0L, 1L << 50),
+      // exact squares and their neighbors — the correction's edge cases
+      Gen.choose(0L, 1L << 25).map(r => r * r),
+      Gen.choose(1L, 1L << 25).map(r => r * r - 1),
+      Gen.choose(0L, 1L << 25).map(r => r * r + 1))
+    forAll(Gen.listOfN(40, vGen), n = 5) { vs =>
+      val got = vs.toDF("v")
+        .select($"v", graft.functions.Sampling.isqrt($"v").as("s"))
+        .as[(Long, Long)].collect()
+      got.foreach { case (v, s) =>
+        assert(s >= 0 && s * s <= v && (s + 1) * (s + 1) > v,
+          s"isqrt($v) = $s is not the floor square root")
+      }
+    }
+  }
+
   test("ms-bfs reach counts: monotone in hop, bounded, equal to pair-level BFS") {
     val edgeGen = for {
       a <- Gen.choose(1L, 8L)
