@@ -1,18 +1,51 @@
 package graft
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Reducer count is sized to the DATA, not the thread count: at the
+    // bench scale factor every exchange in the suite moves single-digit
+    // MB, so 8 reducers keep partitions in the efficient MB range while
+    // a 32-way stage pays 4x the per-task fixed cost for the same bytes
+    // (measured: the PageRank family halves, the mixed suite drops ~7%;
+    // this VM also executes 32 concurrent tasks at ~0.67 CPU efficiency,
+    // so narrower stages double-win). Scans keep full local[cpus]
+    // parallelism — split count is governed by maxPartitionBytes, not
+    // this knob. On a real cluster this is the same sizing rule at the
+    // other end: partitions scaled so each holds ~100-200MB.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      math.min(8, cpus.toInt).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-query task-time accounting (run vs cpu separates real work
+    // from scheduling/CPU-steal; gc attributes collector pressure): a
+    // driver-vs-solo delta on identical code was argued blind for two
+    // rounds — r8/r9 same-binary readings moved 8-10x with no way to
+    // tell contention from plan defects. Reset per query, reported for
+    // the slowest queries in the JSON line.
+    val runMs = new AtomicLong; val cpuMs = new AtomicLong
+    val gcMs = new AtomicLong; val spillB = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          runMs.addAndGet(m.executorRunTime)
+          cpuMs.addAndGet(m.executorCpuTime / 1000000L)
+          gcMs.addAndGet(m.jvmGCTime)
+          spillB.addAndGet(m.memoryBytesSpilled)
+        }
+      }
+    })
     // warm the JVM/codegen/FS paths once (flagship at the smoke scale
     // factor) so the first measured query is not charged for session
     // bring-up and code generation
@@ -43,6 +76,7 @@ object Bench {
       // being measured.
       System.gc()
       Thread.sleep(100)
+      runMs.set(0); cpuMs.set(0); gcMs.set(0); spillB.set(0)
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE (err field + nonzero exit), not a
       // near-zero time that reads as a speed-up
@@ -50,6 +84,10 @@ object Bench {
         catch { case e: Throwable =>
           Option(e.getMessage).orElse(Some(e.getClass.getName)) }
       val sec = (System.nanoTime() - t0) / 1e9
+      // end-of-query storage footprint (cached blocks in memory), read
+      // BEFORE the drain: eviction-pressure anomalies show up here
+      val storMb = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum >> 20
+      val diag = (runMs.get, cpuMs.get, gcMs.get, spillB.get >> 20, storMb)
       // drain OUTSIDE the timed region, and BLOCKING: an async drain
       // lets block-removal RPCs run during the next query's timed
       // region (r3/r4 showed 5-9× blowups on the cheap query after a
@@ -57,7 +95,7 @@ object Bench {
       CacheScope.drain(spark, blocking = true)
       System.gc()
       Thread.sleep(100)
-      (name, sec, err)
+      (name, sec, err, diag)
     }
     // 3-decimal times keep the one-line JSON short enough for the
     // driver's bounded output-tail capture to parse it whole;
@@ -72,26 +110,36 @@ object Bench {
     // time worth analyzing in the region that survives; whatever gets
     // clipped is the sub-noise-fast prefix.
     val byTime = results.sortBy(_._2)
-    val qs = byTime.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
+    val qs = byTime.map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // and a compact top-15 duplicate right before the trailing total, so
     // even a far tighter capture still carries the queries worth watching
     val slowest = byTime.takeRight(15).reverse
-      .map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
+      .map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // per-query diagnostics for the slowest 15: task run/cpu seconds
+    // (run >> cpu = the tasks were descheduled — contention/steal, not
+    // plan cost), task-attributed GC ms, spill MiB, cached MiB at query
+    // end. This is the line that turns the next 8-10x driver anomaly
+    // from an argument into a diagnosis.
+    val diags = byTime.takeRight(15).reverse
+      .map { case (k, _, _, (r, c, g, sp, st)) =>
+        "\"" + k + "\":{\"run_s\":" + f3(r / 1e3) + ",\"cpu_s\":" + f3(c / 1e3) +
+          ",\"gc_ms\":" + g + ",\"spill_mb\":" + sp + ",\"cached_mb\":" + st + "}"
+      }.mkString("{", ",", "}")
     // keep printable ASCII only (exception messages can carry any
     // control char, all illegal in JSON), THEN truncate — so take()
     // cannot split a multi-byte char either
     def safe(e: String): String =
       e.filter(c => c >= ' ' && c < 0x7f).take(120)
-    val errs = results.collect { case (k, _, Some(e)) =>
+    val errs = results.collect { case (k, _, Some(e), _) =>
       "\"" + k + "\":\"" + safe(e.replaceAll("[\"\\\\]", " ")) + "\"" }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).sum
     // total appears at BOTH ends of the line: the driver's bounded
     // output capture can clip either side (r05 lost the head — and with
     // it the headline number), so whichever half survives carries it
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir","slowest":$slowest,"total_sec":${f3(total)}}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir","shuffle":$shuffle,"diag":$diags,"slowest":$slowest,"total_sec":${f3(total)}}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

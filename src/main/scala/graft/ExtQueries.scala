@@ -1349,13 +1349,23 @@ object ExtQueries {
     * document frequency ≤ 2 are the "rare knowledge" a quality filter
     * risks deleting (unigrams saturate on any real corpus — the q211
     * lesson — so rarity lives in phrases); per q201-gate verdict, how
-    * many documents and rare-phrase occurrences each side keeps. The
-    * df table is one map-combinable aggregate; the gate recomputes
-    * q201's scan-local signals off one shared projection.
+    * many documents and rare-phrase occurrences each side keeps.
+    *
+    * ONE pass over the exploded shingles: the shingle arrays are
+    * distinct per document ([[TextAnalysis.shingles]] wraps
+    * `array_distinct`), so `count(1)` per shingle IS the document
+    * frequency — no `countDistinct` expand — and for the df ≤ 2
+    * survivors the min/max `(doc_id, kept)` structs recover the entire
+    * posting list exactly. That removes the r9-flagged docTok ⋈ rare
+    * rejoin, which re-shuffled every shingle occurrence against a
+    * rare-type set that at 5-gram granularity is MOST types (the
+    * largest join in the suite for a 2-row answer); the surviving
+    * shuffles are the single map-combinable shingle aggregate plus a
+    * final 2-group rollup of the rare posting rows.
     */
   def rareTokenRetention(s: SparkSession, d: String): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
-    val base = graft.CacheScope.persisted(docs(s, d)
+    val base = (docs(s, d)
       .select(col("doc_id"), toks.as("t"))
       .withColumn("n_tokens", size(col("t")).cast("bigint"))
       .withColumn("mean_len_centi",
@@ -1380,10 +1390,14 @@ object ExtQueries {
     val docTok = base.select(col("doc_id"), col("kept"),
       explode(TextAnalysis.shingles(col("t"), 5)).as("tk"))
     val rare = docTok.groupBy("tk")
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") <= 2).select("tk")
-    docTok.join(rare, "tk")
-      .groupBy("kept")
+      .agg(count(lit(1)).as("df"),
+        min(struct(col("doc_id"), col("kept"))).as("lo"),
+        max(struct(col("doc_id"), col("kept"))).as("hi"))
+      .filter(col("df") <= 2)
+      .select(col("tk"), explode(when(col("df") === 1, array(col("lo")))
+        .otherwise(array(col("lo"), col("hi")))).as("e"))
+      .select(col("tk"), col("e.doc_id").as("doc_id"), col("e.kept").as("kept"))
+    rare.groupBy("kept")
       .agg(countDistinct(col("doc_id")).as("n_docs_with_rare"),
         count(lit(1)).as("rare_occurrences"),
         countDistinct(col("tk")).as("n_rare_types"))

@@ -108,6 +108,13 @@ object PageRank {
     // one bounded driver scalar (like the watermark read) — N appears as
     // a literal in every iteration's plan
     val n = nodes.count()
+    // e0 and sym are dead once weights materializes (deg already
+    // materialized under the count above): force the weight cache now
+    // and return both edge-sized caches before the iterations, instead
+    // of holding three edge-scale datasets through every round
+    weights.count()
+    e0.unpersist(blocking = false)
+    sym.unpersist(blocking = false)
     val base = lit(1.0 - damping) / lit(n.toDouble)
     var rank = nodes.select(col("id"), (lit(1.0) / lit(n.toDouble)).as("rank"))
     (1 to iters).foreach { _ =>
@@ -140,40 +147,52 @@ object PageRank {
     val e0 = graft.CacheScope.persisted(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
     val (deg, weights) = degreeWeighted(e0)
+    // the node table CARRIES the dangling flag (has_out = ever a
+    // source), so the per-iteration dangling mass is a filtered scan of
+    // the checkpointed rank table — never a rank ⋈ dangling shuffle
+    // join per round (the r9-flagged shape). The degree table's keys
+    // are the distinct sources, so the flag costs a node-sized left
+    // join once, not a second edge-sized distinct job.
     val nodes = graft.CacheScope.persisted(
       e0.select(col("src").as("id"))
-        .union(e0.select(col("dst").as("id"))).distinct())
-    // the degree table's keys are the distinct sources — no second
-    // edge-sized distinct job just to learn who has out-edges
-    val outNodes = deg.select(col("src").as("id"))
-    // dangling = appears in the graph, never as a source
-    val dangling = graft.CacheScope.persisted(
-      nodes.join(outNodes, Seq("id"), "left_anti"))
+        .union(e0.select(col("dst").as("id"))).distinct()
+        .join(deg.select(col("src").as("id"), lit(true).as("has_out")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("has_out"), lit(false)).as("has_out")))
     val n = nodes.count()
+    // e0 feeds nothing past this point once weights materializes —
+    // force it now (one cached-layout pass the first iteration would
+    // have paid anyway) and return the edge-sized distinct cache, so
+    // the iterations run against the minimal storage footprint (the
+    // r9 spike-mode suspect was storage pressure on exactly these
+    // blocks mid-suite)
+    weights.count()
+    e0.unpersist(blocking = false)
     val base = lit(1.0 - damping) / lit(n.toDouble)
-    var rank = nodes.select(col("id"), (lit(1.0) / lit(n.toDouble)).as("rank"))
+    var rank = nodes.select(col("id"), col("has_out"),
+      (lit(1.0) / lit(n.toDouble)).as("rank"))
     (1 to iters).foreach { _ =>
       // the dangling mass rides the SAME job as the rank update: a
-      // 1-row aggregate over the checkpointed rank table, broadcast
-      // into the update plan — not a blocking driver `.scalar()`, which
-      // costs an extra driver round-trip per iteration (measured: q96's
-      // r07 regression). The broadcast side is one row; the rank blocks
-      // it reads are the localCheckpoint from the previous round, so
-      // nothing recomputes.
-      val danglingMass = rank.join(dangling, "id")
+      // 1-row aggregate over the checkpointed rank table's dangling
+      // rows, broadcast into the update plan — not a blocking driver
+      // `.scalar()`, which costs an extra driver round-trip per
+      // iteration (measured: q96's r07 regression). The broadcast side
+      // is one row; the rank blocks it reads are the localCheckpoint
+      // from the previous round, so nothing recomputes.
+      val danglingMass = rank.filter(!col("has_out"))
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dmass"))
       val contrib = weights
-        .join(rank, col("src") === col("id"))
+        .join(rank.select(col("id"), col("rank")), col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") / col("outdeg")).as("c"))
       rank = nodes.join(contrib, col("id") === col("dst"), "left")
         .crossJoin(broadcast(danglingMass))
-        .select(col("id"),
+        .select(col("id"), col("has_out"),
           (base + lit(damping) * (coalesce(col("c"), lit(0.0)) +
             col("__dmass") / lit(n.toDouble))).as("rank"))
         .localCheckpoint(true)
     }
-    rank
+    rank.select(col("id"), col("rank"))
   }
 
   /** Personalized PageRank: teleport restarts land on the SEED set
@@ -204,6 +223,11 @@ object PageRank {
     // must sum to 1 over reachable restarts)
     val nSeeds = seedFlag.filter(col("is_seed")).count()
     require(nSeeds > 0, "no seed appears in the graph")
+    // same eager release as [[ranks]]: the edge-sized e0/sym caches are
+    // dead once the weight table materializes
+    weights.count()
+    e0.unpersist(blocking = false)
+    sym.unpersist(blocking = false)
     val base = when(col("is_seed"), lit((1.0 - damping) / nSeeds))
       .otherwise(lit(0.0))
     var rank = seedFlag.select(col("id"),

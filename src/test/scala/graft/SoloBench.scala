@@ -5,7 +5,10 @@ object SoloBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = sys.env("SPARK_GRAFT_SOLO").split(",")
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      // mirror graft.Bench's data-sized reducer count so solo numbers
+      // are comparable to driver numbers
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -17,6 +20,7 @@ object SoloBench {
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       run(fn(spark, sfDir)); CacheScope.drain(spark, blocking = true)
+      System.gc(); Thread.sleep(100) // graft.Bench's gap protocol
       val t0 = System.nanoTime(); run(fn(spark, sfDir))
       val sec = (System.nanoTime() - t0) / 1e9
       CacheScope.drain(spark, blocking = true)
