@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
   *     table — denormalizing df onto postings would invalidate every
   *     existing posting of every term the new batch mentions.
   *   - `doclens/` — (doc_id, dl): one row per document.
-  *   - `stats/` — one row (nd = document count, tt = total tokens).
+  *   - `stats/` — one row (nd = document count, tt = total tokens,
+  *     buckets = the build-time bucket count). `buckets` is part of the
+  *     INDEX, not a query-time choice: readers and appenders recover it
+  *     from here, because hashing terms into any other bucket count
+  *     silently prunes valid postings and returns wrong rankings.
   *
   * Writes are NOT transactional (plain parquet overwrite/append): a
   * reader racing an append can see new postings with the old df table.
@@ -54,6 +58,19 @@ object Bm25 {
   private def bucketOf(term: org.apache.spark.sql.Column, buckets: Int) =
     pmod(xxhash64(term), lit(buckets))
 
+  /** The build-time bucket count from `stats/` — one bounded driver
+    * scalar per open, like a format version read. Fails loudly on a
+    * pre-buckets-column index rather than guessing a count that could
+    * silently mis-prune.
+    */
+  private def readBuckets(spark: SparkSession, indexDir: String): Int = {
+    val st = spark.read.parquet(s"$indexDir/stats")
+    require(st.columns.contains("buckets"),
+      s"$indexDir/stats has no 'buckets' column — rebuild the index " +
+        "(bucket count is part of the on-disk layout)")
+    st.select(col("buckets").cast("int")).head().getInt(0)
+  }
+
   /** (doc_id, term, tf) for a document batch — the shared tokenize step. */
   private def termFreqs(docs: DataFrame, textCol: String,
       idCol: String): DataFrame =
@@ -72,6 +89,7 @@ object Bm25 {
       val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
       dl.write.mode("overwrite").parquet(s"$indexDir/doclens")
       dl.agg(count(lit(1)).as("nd"), sum("dl").as("tt"))
+        .withColumn("buckets", lit(buckets))
         .write.mode("overwrite").parquet(s"$indexDir/stats")
       tf.groupBy("term").agg(count(lit(1)).as("df"))
         .withColumn("bucket", bucketOf(col("term"), buckets))
@@ -91,8 +109,12 @@ object Bm25 {
     * to a from-scratch build over the union corpus.
     */
   def appendToBm25Index(docs: DataFrame, textCol: String, idCol: String,
-      indexDir: String, buckets: Int = 64): Unit = {
+      indexDir: String): Unit = {
     val spark = docs.sparkSession
+    // the bucket count is the INDEX's, never a caller choice: a batch
+    // hashed into a different count would land postings in partitions
+    // the pruned reader never probes (silent recall loss, no error)
+    val buckets = readBuckets(spark, indexDir)
     val tf = graft.CacheScope.persisted(termFreqs(docs, textCol, idCol))
     try {
       val dl = graft.CacheScope.persisted(
@@ -113,8 +135,10 @@ object Bm25 {
       merged.write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$indexDir/terms")
       val newStats = spark.read.parquet(s"$indexDir/stats")
+        .select("nd", "tt")
         .unionByName(dl.agg(count(lit(1)).as("nd"), sum("dl").as("tt")))
         .agg(sum("nd").as("nd"), sum("tt").as("tt"))
+        .withColumn("buckets", lit(buckets))
         .localCheckpoint(true)
       newStats.write.mode("overwrite").parquet(s"$indexDir/stats")
     } finally tf.unpersist()
@@ -130,10 +154,14 @@ object Bm25 {
     * corpus documents).
     */
   def queryBm25Index(spark: SparkSession, indexDir: String,
-      queryTerms: DataFrame, k: Int = 5, buckets: Int = 64,
+      queryTerms: DataFrame, k: Int = 5,
       excludeSelf: Boolean = false): DataFrame = {
     val doclens = spark.read.parquet(s"$indexDir/doclens")
-    val stats = spark.read.parquet(s"$indexDir/stats")
+    // bucket count from the index's own stats (see readBuckets): a
+    // caller-supplied count that disagreed with the build pruned valid
+    // postings and returned wrong rankings with no error
+    val buckets = readBuckets(spark, indexDir)
+    val stats = spark.read.parquet(s"$indexDir/stats").select("nd", "tt")
     val qt = queryTerms.select(col("query_id"), col("term"))
     val probed = qt
       .select(bucketOf(col("term"), buckets).as("bucket"))

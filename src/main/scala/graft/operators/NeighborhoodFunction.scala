@@ -20,10 +20,15 @@ import org.apache.spark.sql.functions._
   *    estimator you can afford exactly, and the oracle-checkable one
   *    (the sampled-source N(r) estimator of the ANF paper §3).
   *  - [[hyperBall]]: per-node mergeable HLL sketches over the WHOLE
-  *    graph — sketch(v, r) = ⋃ of sketch(u, r−1) over in-neighbors u
-  *    plus v's own — one equality join and one `hll_union_agg` per
-  *    round, state O(|V| · 2^lgConfigK) bytes. This is the 100 TB
-  *    shape: every node's N(r) in r rounds, no pair table at all.
+  *    graph — sketch(v, r) = ⋃ of sketch(w, r−1) over v's
+  *    OUT-neighbors w, plus v's own — one equality join and one
+  *    `hll_union_agg` per round, state O(|V| · 2^lgConfigK) bytes.
+  *    This is the 100 TB shape: every node's N(r) in r rounds, no pair
+  *    table at all.
+  *
+  * All three compute FORWARD reachability (the ball of nodes reachable
+  * from v along edge direction), so their counts agree with each other
+  * on any input; on a symmetrized graph forward = backward.
   *
   * Both settle via per-round `localCheckpoint` (the PageRank/
   * ConnectedComponents convention) so round k's plan doesn't nest
@@ -96,7 +101,11 @@ object NeighborhoodFunction {
     val sym = graft.CacheScope.persisted(
       edges.select(col("src"), col("dst"))
         .repartition(col("src")).sortWithinPartitions("src"))
-    val nodes = sym.select(col("src").as("id")).distinct()
+    // BOTH endpoints: on a directed edge set a sink-only node still
+    // counts toward every root's ball (src-only dropped it silently;
+    // on symmetrized input the union branch is a no-op)
+    val nodes = sym.select(col("src").as("id"))
+      .union(sym.select(col("dst").as("id"))).distinct()
     var mask = nodes
       .join(rootBits.select(col("id"), col("mask").as("__rb")), Seq("id"),
         "left")
@@ -134,7 +143,11 @@ object NeighborhoodFunction {
     val sym = graft.CacheScope.persisted(
       edges.select(col("src"), col("dst"))
         .repartition(col("dst")).sortWithinPartitions("dst"))
-    val nodes = sym.select(col("src").as("id")).distinct()
+    // both endpoints, as in [[multiSourceReachCounts]]: a sink-only
+    // node's ball is {self} and must appear in the output on directed
+    // input rather than vanish
+    val nodes = sym.select(col("src").as("id"))
+      .union(sym.select(col("dst").as("id"))).distinct()
     var sk = nodes
       .groupBy("id").agg(hll_sketch_agg(col("id"), lit(lgConfigK)).as("sketch"))
       .localCheckpoint(true)

@@ -98,9 +98,17 @@ object PrefixSum {
     // makes that unrepresentable instead of silently wrong
     require(valueCols.nonEmpty)
     val vals = valueCols.zipWithIndex
+    // DECIMAL(38,0) carrier, not BIGINT: the grouped form is the one
+    // that sums cents-scale masses (q194 shortfall, Lorenz/ABC revenue
+    // prefixes), and a corpus-scale grand total of cents can exceed
+    // Long range — where BIGINT accumulation wraps silently with ANSI
+    // off, the decimal carrier stays exact to 38 digits. Callers cast
+    // the outputs they expose; counts-only prefixes keep using
+    // [[exclusiveRunningTotal]]'s long carrier.
     val tmp = graft.CacheScope.persisted(vals.foldLeft(
       df.withColumn("__ps_ord", orderCols.head.try_cast("double"))) {
-      case (acc, ((v, _), i)) => acc.withColumn(s"__ps_val_$i", v.cast("bigint"))
+      case (acc, ((v, _), i)) =>
+        acc.withColumn(s"__ps_val_$i", v.cast("decimal(38,0)"))
     })
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val bounds = tmp.stat.approxQuantile("__ps_ord", probs, 0.01).distinct.sorted

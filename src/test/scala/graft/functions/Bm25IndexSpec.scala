@@ -59,6 +59,28 @@ class Bm25IndexSpec extends SparkSpec {
     graft.CacheScope.drain(spark)
   }
 
+  test("reader/appender recover the build-time bucket count from stats") {
+    // build with a deliberately non-default bucket count: queries and
+    // appends must land in the SAME buckets (the count is stored in
+    // stats/, never caller-supplied — a mismatched count silently
+    // pruned valid postings before r10)
+    val dd = graft.Tables.documents(spark, sf)
+    val dirOdd = Files.createTempDirectory("bm25odd").toString
+    Bm25.buildBm25Index(dd.filter(col("doc_id") % 3 =!= 0), "text",
+      "doc_id", dirOdd, buckets = 7)
+    Bm25.appendToBm25Index(dd.filter(col("doc_id") % 3 === 0), "text",
+      "doc_id", dirOdd)
+    val dirDef = Files.createTempDirectory("bm25def").toString
+    Bm25.buildBm25Index(dd, "text", "doc_id", dirDef)
+    val odd = Bm25.queryBm25Index(spark, dirOdd, qt, k = 5, excludeSelf = true)
+      .collect().map(_.toString).sorted
+    val dft = Bm25.queryBm25Index(spark, dirDef, qt, k = 5, excludeSelf = true)
+      .collect().map(_.toString).sorted
+    assert(odd.nonEmpty && odd.sameElements(dft),
+      s"7-bucket index ranking != 64-bucket (${odd.length} vs ${dft.length})")
+    graft.CacheScope.drain(spark)
+  }
+
   test("build + append equals a from-scratch build of the union corpus") {
     val dd = graft.Tables.documents(spark, sf)
     val first = dd.filter(col("doc_id") % 3 =!= 0)

@@ -42,6 +42,23 @@ class NeighborhoodFunctionSpec extends SparkSpec {
     assert(got(1) == 2 + 4 && got(2) == 3 + 4 && got(3) == 4 + 4)
   }
 
+  test("directed input keeps sink-only nodes in the node set") {
+    // 1→2→3 with NO symmetrization: 3 is a pure sink. Before r10 the
+    // node set came from `src` only, so 3 silently vanished from both
+    // the bitmask state and the hyperBall output.
+    val directed = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val counts = NeighborhoodFunction.multiSourceReachCounts(
+        directed, Seq((1L, 1L)).toDF("id", "mask"), 2)
+      .as[(Int, Long)].collect().toMap
+    // forward from 1: {1,2} at hop 1, {1,2,3} at hop 2 — the sink counts
+    assert(counts == Map(1 -> 2L, 2 -> 3L))
+    val est = NeighborhoodFunction.hyperBall(directed, 1)
+      .select(col("id"), round(col("est")).cast("long").as("e"))
+      .as[(Long, Long)].collect().toMap
+    // the sink's ball is {self}; it must appear, not vanish
+    assert(est(3L) == 1L && est(2L) == 2L && est(1L) == 2L)
+  }
+
   test("hyperBall estimates are exact on small balls (sparse HLL regime)") {
     val est = NeighborhoodFunction.hyperBall(symEdges, 3)
       .select(col("id"), col("hop"), round(col("est")).cast("long").as("e"))
