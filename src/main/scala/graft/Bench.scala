@@ -18,11 +18,19 @@ object Bench {
     // other end: partitions scaled so each holds ~100-200MB.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
       math.min(8, cpus.toInt).toString)
+    // AQE OFF for the bench by default: adaptive execution materializes
+    // every exchange as its own job and re-plans between them — ~40 ms
+    // of driver latency per exchange that DOMINATES sub-second queries
+    // (profiled: 1.2 s of driver gaps in a 2.7 s query). At this scale
+    // nothing needs runtime re-planning (stats are exact, skew absent);
+    // on a real cluster at real scale AQE goes back on — it's a session
+    // conf, not a library property.
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

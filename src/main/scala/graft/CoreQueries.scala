@@ -4719,7 +4719,7 @@ object CoreQueries {
     val pre = graft.operators.PrefixSum.groupedExclusiveRunningTotals(
       byVal, Seq("flag"), Seq(col("cents")),
       Seq((col("cnt"), "below_cnt"), (col("mass"), "below_sum")),
-      includeGrandTotals = true)
+      includeGrandTotals = true, broadcastOffsets = true)
     pre
       .withColumn("n", col("below_cnt_grand"))
       .withColumn("k", expr("CAST((95 * n + 99) div 100 AS BIGINT)"))

@@ -2378,7 +2378,8 @@ object ExtQueries {
     val pre = graft.operators.PrefixSum.groupedExclusiveRunningTotals(
       per.withColumn("one", lit(1L)).withColumn("g", lit(1)),
       Seq("g"), Seq(col("rev_c"), col("o_custkey")),
-      Seq((col("one"), "n_before"), (col("rev_c"), "rev_before")))
+      Seq((col("one"), "n_before"), (col("rev_c"), "rev_before")),
+      broadcastOffsets = true)
     val tot = per.agg(count(lit(1)).as("n"),
       sum("rev_c").cast("decimal(38,0)").as("t"))
     pre.crossJoin(broadcast(tot))
@@ -2434,7 +2435,8 @@ object ExtQueries {
     val pre = graft.operators.PrefixSum.groupedExclusiveRunningTotals(
       per.withColumn("g", lit(1)),
       Seq("g"), Seq(col("neg"), col("l_partkey")),
-      Seq((col("rev_i"), "rev_before")))
+      Seq((col("rev_i"), "rev_before")),
+      broadcastOffsets = true)
     val tot = per.agg(sum("rev_i").cast("decimal(38,0)").as("t"))
     pre.crossJoin(broadcast(tot))
       .withColumn("cls",

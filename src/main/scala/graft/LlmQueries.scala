@@ -3963,7 +3963,7 @@ object LlmQueries {
       .toDF("source", "sidx")
     graft.operators.PrefixSum.groupedExclusiveRunningTotals(
         base, Seq("source"), Seq(col("neg_len"), col("doc_id")),
-        Seq((lit(1L), "before")))
+        Seq((lit(1L), "before")), broadcastOffsets = true)
       .join(broadcast(sidx), "source")
       .select(col("doc_id"), col("source"), col("n_chars"),
         (col("before") * k + col("sidx")).cast("bigint").as("position"))

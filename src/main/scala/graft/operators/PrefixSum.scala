@@ -31,7 +31,7 @@ object PrefixSum {
     * parallel).
     */
   def exclusiveRunningTotal(df: DataFrame, orderCols: Seq[Column],
-      valueCol: Column, outName: String, buckets: Int = 64): DataFrame = {
+      valueCol: Column, outName: String, buckets: Int = 16): DataFrame = {
     // persisted: three consumers (quantile sketch, bucket counts, the
     // output plan itself) would otherwise each recompute the input. The
     // cache holds the caller's input plus two derived columns — callers
@@ -89,26 +89,36 @@ object PrefixSum {
     * group-by over the input (a second scan + shuffle + persist just for
     * per-group totals) get it for free.
     */
+  /** `broadcastOffsets`: pass true when the GROUP COUNT is bounded by a
+    * literal domain (return flags, sources, a single global group) — the
+    * offsets table is then provably ≤ groups × buckets rows and the
+    * explicit hint saves a full sort of the row-scale input under a
+    * non-adaptive plan (measured: q194 +2 s without it). Leave false
+    * when groups scale with the data (per-part-key prefixes): there the
+    * offsets table grows with the input and must shuffle-join.
+    */
   def groupedExclusiveRunningTotals(df: DataFrame, partCols: Seq[String],
       orderCols: Seq[Column], valueCols: Seq[(Column, String)],
-      buckets: Int = 64, includeGrandTotals: Boolean = false): DataFrame = {
+      buckets: Int = 16, includeGrandTotals: Boolean = false,
+      broadcastOffsets: Boolean = false): DataFrame = {
     // partCols are NAMES, not expressions: they double as the join keys
     // for the offsets table, and a derived expression (col("a") % 2)
     // stringifies to a non-existent column name — taking Seq[String]
     // makes that unrepresentable instead of silently wrong
     require(valueCols.nonEmpty)
     val vals = valueCols.zipWithIndex
-    // DECIMAL(38,0) carrier, not BIGINT: the grouped form is the one
-    // that sums cents-scale masses (q194 shortfall, Lorenz/ABC revenue
-    // prefixes), and a corpus-scale grand total of cents can exceed
-    // Long range — where BIGINT accumulation wraps silently with ANSI
-    // off, the decimal carrier stays exact to 38 digits. Callers cast
-    // the outputs they expose; counts-only prefixes keep using
-    // [[exclusiveRunningTotal]]'s long carrier.
+    // Per-ROW carriers stay BIGINT — decimal arithmetic in the row-scale
+    // window/aggregate path measured 2-3x slower (q194 2.3→5.7 s when
+    // r10 briefly ran the whole pipeline in DECIMAL(38,0)). The
+    // running-total OUTPUT is long-ranged by contract (a caller whose
+    // totals exceed Long could not read the output column either), and
+    // ANSI mode fails loudly on a partial-sum overflow rather than
+    // wrapping. The GRAND totals — the one column read as a whole-group
+    // mass — accumulate in DECIMAL(38,0) below, over the BOUNDED
+    // per-bucket aggregate where decimal cost is nil.
     val tmp = graft.CacheScope.persisted(vals.foldLeft(
       df.withColumn("__ps_ord", orderCols.head.try_cast("double"))) {
-      case (acc, ((v, _), i)) =>
-        acc.withColumn(s"__ps_val_$i", v.cast("decimal(38,0)"))
+      case (acc, ((v, _), i)) => acc.withColumn(s"__ps_val_$i", v.cast("bigint"))
     })
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val bounds = tmp.stat.approxQuantile("__ps_ord", probs, 0.01).distinct.sorted
@@ -136,9 +146,18 @@ object PrefixSum {
     }
     val withGrand = if (!includeGrandTotals) withOffs
       else vals.foldLeft(withOffs) { case (acc, ((_, name), i)) =>
-        acc.withColumn(s"${name}_grand", sum(col(s"__ps_sum_$i")).over(grandWin))
+        // DECIMAL(38,0) over the ≤ buckets-row aggregate: the grand
+        // total is the cents-mass number callers report, and it is the
+        // first to outgrow Long at corpus scale — exact to 38 digits
+        // here at zero row-scale cost (the window input is bounded)
+        acc.withColumn(s"${name}_grand",
+          sum(col(s"__ps_sum_$i").cast("decimal(38,0)")).over(grandWin))
       }
-    val offsets = withGrand.drop(vals.map { case (_, i) => s"__ps_sum_$i" }: _*)
+    // no UNCONDITIONAL broadcast: for callers whose group count scales
+    // with the data the offsets table grows without bound; callers with
+    // literal-bounded groups opt in via `broadcastOffsets` (see above)
+    val offsets0 = withGrand.drop(vals.map { case (_, i) => s"__ps_sum_$i" }: _*)
+    val offsets = if (broadcastOffsets) broadcast(offsets0) else offsets0
     val win = Window.partitionBy(partCols.map(col) :+ col("__ps_bucket"): _*)
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

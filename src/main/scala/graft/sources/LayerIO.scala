@@ -30,6 +30,27 @@ object LayerIO {
       .schema(schema.add("_corrupt_record", "string"))
       .csv(path)
 
+  /** S1b: schema-on-read CSV — the reference Bronze's literal ingest
+    * mode (`inferSchema=true`,
+    * /root/reference/bronze/bronze_rx_claims_load.py:37-42): Spark scans
+    * the file once to infer column types, then reads with the inferred
+    * schema. [[readCsv]]'s declared-schema form stays the engineering
+    * default (inference costs a full extra pass at any scale and can
+    * silently widen a column's type between daily loads — the
+    * schema-evolution append then forks the table); this entry point
+    * exists for the explore-unknown-files workflow, where no schema
+    * exists yet to declare. Corrupt-capture note: PERMISSIVE mode is
+    * still set, but Spark only materializes `_corrupt_record` when a
+    * schema declares it — inference drops unparseable rows' fields to
+    * null instead, which is exactly the reference's behavior.
+    */
+  def readCsvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
   /** S2: layer table read by path. */
   def readLayer(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

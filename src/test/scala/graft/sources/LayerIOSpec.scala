@@ -25,6 +25,28 @@ class LayerIOSpec extends SparkSpec {
     assert(df.filter($"_corrupt_record".isNull).count() == 2)
   }
 
+  test("inferSchema csv read types clean columns and nulls bad cells") {
+    val dir = Files.createTempDirectory("csv_inf")
+    Files.writeString(dir.resolve("claims.csv"),
+      "claim_id,amount,service_date\nC1,10.5,2024-01-02\nC2,notanumber,2024-01-03\nC3,7.25,2024-01-04\n")
+    val df = LayerIO.readCsvInferred(spark, dir.toString).cache()
+    // a non-numeric cell forces `amount` to string under inference —
+    // exactly the silent-widening failure mode readCsv's declared
+    // schema exists to prevent; the reference's inferSchema ingest
+    // accepts it, so this entry point must too
+    assert(df.count() == 3)
+    assert(df.schema("claim_id").dataType == StringType)
+    assert(df.schema("amount").dataType == StringType)
+    // a clean numeric column infers to a numeric type on its own file
+    val dir2 = Files.createTempDirectory("csv_inf2")
+    Files.writeString(dir2.resolve("claims.csv"),
+      "claim_id,amount\nC1,10.5\nC3,7.25\n")
+    val df2 = LayerIO.readCsvInferred(spark, dir2.toString)
+    assert(df2.schema("amount").dataType == DoubleType)
+    assert(df2.as[(String, Double)].collect().toSet ==
+      Set(("C1", 10.5), ("C3", 7.25)))
+  }
+
   test("PERMISSIVE jsonl read captures corrupt lines; writeJsonl round-trips") {
     val dir = Files.createTempDirectory("jsonl_in")
     Files.writeString(dir.resolve("claims.json"),
