@@ -4686,7 +4686,7 @@ object LlmQueries {
     val cand = tf
       .join(qts, "term").filter(col("doc_id") =!= col("query_id"))
       .join(dl, "doc_id")
-      .withColumn("contrib", expr(functions.Bm25.contribPpmSql))
+      .withColumn("contrib", functions.Bm25.contribPpm)
     cand.groupBy("query_id", "doc_id")
       .agg(sum("contrib").as("score_ppm"))
       .groupBy(col("query_id"))
@@ -4801,7 +4801,7 @@ object LlmQueries {
     val top1 = train
       .join(qts, "term")
       .join(dl, "doc_id")
-      .withColumn("contrib", expr(functions.Bm25.contribPpmSql))
+      .withColumn("contrib", functions.Bm25.contribPpm)
       .groupBy("query_id", "doc_id")
       .agg(sum("contrib").as("score_ppm"))
       // top-1 as a LEXICOGRAPHIC MAX over (score, −doc): a codegen'd

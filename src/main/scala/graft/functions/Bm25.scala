@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted BM25 inverted index — the operational form of q250's
@@ -34,26 +34,42 @@ import org.apache.spark.sql.functions._
   * snapshot; this module keeps the layout/pruning mechanics separable.
   *
   * Scoring is q250's log-free integer-rational Okapi form (k1 = 6/5,
-  * b = 3/4), floored at ppm scale through a DECIMAL(38,0) carrier —
-  * bit-stable at any parallelism, identical between the in-query and
-  * persisted paths (the spec proves equality, and that build+append
-  * equals a from-scratch build of the union corpus bit-for-bit).
+  * b = 3/4), floored at ppm scale through an exact 128-bit integer
+  * muldiv ([[contribPpm]]) — bit-stable at any parallelism, identical
+  * between the in-query and persisted paths (the spec proves equality,
+  * and that build+append equals a from-scratch build of the union
+  * corpus bit-for-bit).
   */
 object Bm25 {
 
-  /** Per-(term, doc) BM25 contribution in ppm, as a SQL expression over
-    * columns `tf`, `df`, `dl`, `nd`, `tt` — see q250's scaladoc for the
+  /** Per-(term, doc) BM25 contribution in ppm, as a Column over columns
+    * `tf`, `df`, `dl`, `nd`, `tt` — see q250's scaladoc for the
     * rational-arithmetic derivation. Shared by the in-query scorer and
     * the persisted-index scorer so the two paths cannot drift.
+    *
+    * Value: floor((2nd−2df+1) · 22 · tf · tt · 10⁶ ÷
+    * ((2df+1) · (10·tf·tt + 3·tt + 9·dl·nd))) — exactly the DECIMAL(38,0)
+    * spelling's result, but computed through [[graft.expressions.MulDiv128]]
+    * so the per-candidate-row hot path stays in flat longs (the decimal
+    * form allocated a BigDecimal per operation: 22.4 of 23.6 CPU-seconds
+    * of the q252 scoring stage was GC). The divisor whose product can
+    * outgrow a long at corpus scale is applied in two floor steps —
+    * `floor(floor(x/D)/B) == floor(x/(D·B))` for positive integers — and
+    * the first quotient is structurally bounded by `22/10 · a + 1`
+    * because b = 22·tf·tt against D ≥ 10·tf·tt, so nothing here wraps
+    * while nd, tt, and their products with tf stay under 2⁶³.
     */
-  val contribPpmSql: String =
-    """CAST(CAST(2 * nd - 2 * df + 1 AS DECIMAL(38,0))
-      |  * 22 * tf * tt * 1000000
-      |  div (CAST(2 * df + 1 AS DECIMAL(38,0))
-      |       * (CAST(10 AS DECIMAL(38,0)) * tf * tt
-      |          + CAST(3 AS DECIMAL(38,0)) * tt
-      |          + CAST(9 AS DECIMAL(38,0)) * dl * nd))
-      |  AS BIGINT)""".stripMargin
+  def contribPpm: Column = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    def e(c: Column) = toExpression(c.cast("bigint"))
+    val a = (lit(2L) * col("nd") - lit(2L) * col("df") + lit(1L)) * lit(1000000L)
+    val b = lit(22L) * col("tf") * col("tt")
+    val d = lit(10L) * col("tf") * col("tt") + lit(3L) * col("tt") +
+      lit(9L) * col("dl") * col("nd")
+    val q = toColumn(graft.expressions.MulDiv128(e(a), e(b), e(d)))
+    toColumn(graft.expressions.MulDiv128(toExpression(q), e(lit(1L)),
+      e(lit(2L) * col("df") + lit(1L))))
+  }
 
   private def bucketOf(term: org.apache.spark.sql.Column, buckets: Int) =
     pmod(xxhash64(term), lit(buckets))
@@ -177,7 +193,7 @@ object Bm25 {
     cand
       .join(doclens, "doc_id")
       .crossJoin(broadcast(stats))
-      .withColumn("contrib", expr(contribPpmSql))
+      .withColumn("contrib", contribPpm)
       .groupBy("query_id", "doc_id")
       .agg(sum("contrib").as("score_ppm"))
       .groupBy(col("query_id"))

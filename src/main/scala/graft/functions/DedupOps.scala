@@ -596,15 +596,21 @@ object DedupOps {
       array((0 until 4).map(j =>
         (col("simhash") / math.pow(2, 8 * j).toLong).cast("bigint") % 256): _*)))
       .toDF("doc_id", "simhash", "chunk_idx", "chunk_val")
+    // hamming gate BEFORE the distinct: the chunk join's candidate set
+    // is inherently ~n²/(4·256) rows (8-bit buckets), and hamming is a
+    // pure function of the pair — distinct-then-filter and
+    // filter-then-distinct return the same set, but the former shuffles
+    // the full quadratic candidate mass into the dedup hash aggregate
+    // (measured 18 CPU-s at sf0.1; unbounded at corpus scale) while the
+    // latter distincts only the true near-dups, map-side-filtered
+    // inside the join's own stage
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk_val") === col("b.chunk_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
-      .distinct()
-      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 }
