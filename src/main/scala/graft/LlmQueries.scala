@@ -636,7 +636,11 @@ object LlmQueries {
     * decode is now as real as image and audio.
     */
   def videoFeatures(s: SparkSession, d: String): DataFrame =
-    Multimodal.videoFeatures(s, docs(s, d)).orderBy("asset_id")
+    // persisted: the global sort's range-partitioning SAMPLING pass
+    // otherwise executes the whole codec pipeline a second time just to
+    // pick split points (measured: the decode ran twice, 2.2 s + 2.8 s)
+    graft.CacheScope.persisted(Multimodal.videoFeatures(s, docs(s, d)))
+      .orderBy("asset_id")
 
   val videoFeaturesOracle: String =
     """SELECT doc_id AS asset_id, CAST(3 AS BIGINT) AS n_frames,

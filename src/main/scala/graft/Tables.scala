@@ -13,8 +13,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the driver fixtures.
   */
 object Tables {
+  // Memoized per (session, path): a fresh `spark.read.parquet` re-lists
+  // the directory and re-reads footers EVERY call — a driver-side
+  // listing job plus scheduling gap that costs ~0.1 s per table
+  // reference, which across a few-hundred-query session is tens of
+  // seconds of pure catalog overhead. Reusing the resolved DataFrame
+  // reuses its file index, exactly what a catalog-registered table
+  // would do (the reference reads through the metastore for the same
+  // reason). Keyed by session because a plan is bound to the session
+  // that resolved it. The fixture dirs are immutable within a session
+  // (regenerated only between driver rounds); a deployment reading
+  // mutable paths should register tables in the catalog and REFRESH
+  // instead — this cache is for stable-path analytical reads.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"), { case (s, p) =>
+      // events may carry TIMESTAMP(NANOS) (see events() below); the conf
+      // must be in place when the relation is RESOLVED, and with this
+      // cache that is the first load from any call site — not
+      // necessarily events()
+      if (name == "events") s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(p)
+    })
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")

@@ -574,7 +574,15 @@ object Multimodal {
   def videoFeatures(spark: SparkSession, docs: DataFrame,
       tol: Int = 12): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    // repartition BEFORE the decode: the per-row cost here is codec CPU
+    // (3 JPEG encodes + an AVI round trip + 3 ImageIO decodes per id),
+    // so parallelism must come from the cluster's cores, not from
+    // however few splits the 8-byte-per-row id scan happens to produce
+    // (one parquet file = one task = serial decode, measured 2.2 s of a
+    // 5.3 s query on a 32-core box). Shuffling the bare ids costs KBs.
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { id =>
         val colors = Array.tabulate(3) { f =>
