@@ -34,4 +34,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the bench's gap System.gc() should start a concurrent G1 cycle,
   // not a stop-the-world full collection
   "-XX:+ExplicitGCInvokesConcurrent",
+  // a 262-query session generates thousands of Janino classes; at the
+  // 240 MB default the JIT code cache fills mid-suite and HotSpot
+  // starts flushing/declining compilations — whichever query is
+  // running then executes its hot loops interpreted (observed as
+  // random single-query spikes with run≈cpu at ~3x steady-state CPU
+  // and flat GC: q194 read 11.4 s / 37 CPU-s in one full-suite run vs
+  // 3.0 s / 13 CPU-s solo on identical plans)
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -144,10 +144,18 @@ object Bench {
       "\"" + k + "\":\"" + safe(e.replaceAll("[\"\\\\]", " ")) + "\"" }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).sum
+    // JIT code-cache occupancy at suite end (MiB used / committed across
+    // the CodeHeap pools): if used approaches the reserve, HotSpot was
+    // flushing compiled code mid-suite — the mechanism behind random
+    // single-query spikes at ~3x steady-state CPU with flat GC
+    import scala.jdk.CollectionConverters._
+    val cc = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.startsWith("CodeHeap") || p.getName == "Code Cache")
+      .map(_.getUsage.getUsed).sum >> 20
     // total appears at BOTH ends of the line: the driver's bounded
     // output capture can clip either side (r05 lost the head — and with
     // it the headline number), so whichever half survives carries it
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir","shuffle":$shuffle,"diag":$diags,"slowest":$slowest,"total_sec":${f3(total)}}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir","shuffle":$shuffle,"code_cache_mb":$cc,"diag":$diags,"slowest":$slowest,"total_sec":${f3(total)}}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }
