@@ -19,6 +19,16 @@ import TextAnalysis.shingles
   * into an equality join on a bucket key — a plain hash shuffle that
   * scales out, with per-bucket sizes bounded by band width. Only
   * candidates (a vanishing fraction) pay the exact verification cost.
+  *
+  * SimHash ships in two tiers: the 32-bit md5 form
+  * ([[simhashSignatures]]/[[simhashPairs]], 8-bit chunk blocking) whose
+  * every step the DuckDB oracle replays bit-for-bit, and the 64-bit
+  * xxhash64 form ([[simhash64Signatures]]/[[simhashBlockPairs]], Manku
+  * block-permutation blocking with ~32-bit join keys) for corpus scale,
+  * where 8-bit chunk buckets collide at n²/256 and stop being
+  * join-sized. Both are pigeonhole-lossless at their hamming bound;
+  * the 64-bit tier is spec-verified against brute force instead of the
+  * SQL oracle (xxhash64 is not portable to DuckDB).
   */
 object DedupOps {
 
@@ -610,6 +620,82 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** 64-bit SimHash signature over shingles — the corpus-scale variant
+    * of [[simhashSignatures]] (which stays 32-bit/md5 for oracle
+    * portability). Per-shingle hashing is native `xxhash64` (codegen'd,
+    * no digest allocation); signature bit i is the sign of the ±1 vote
+    * sum over shingle-hash bit i. Returns (doc_id, simhash64).
+    *
+    * Why 64 bits at scale: collision blocking over a b-bit signature
+    * keys candidates on signature SUBSTRINGS, and expected random
+    * collisions scale as n²/2^|key|. 32-bit signatures cap |key| at
+    * 8 bits for hamming ≤ 3 (4-way pigeonhole) — n²/256 per chunk
+    * table, quadratic blowup long before 100 TB. 64 bits support the
+    * Manku block scheme below with ~32-bit keys.
+    */
+  def simhash64Signatures(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 5): DataFrame = {
+    val ex = shingleSets(docs, textCol, idCol, shingleN)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .withColumn("v", xxhash64(col("g")))
+    val votes = (0 until 64).map { i =>
+      // ±1 vote from bit i; logical shift so bit 63 is sign-free
+      sum(shiftrightunsigned(col("v"), i) % 2 * 2 - 1).as(s"s_$i")
+    }
+    ex.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .withColumn("simhash64",
+        (0 until 64).map(i =>
+          when(col(s"s_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _))
+      .select(col("doc_id"), col("simhash64"))
+  }
+
+  /** Near-dup pairs over 64-bit signatures via block-permutation
+    * blocking (Manku, Jain & Das Sarma, "Detecting Near-Duplicates for
+    * Web Crawling", WWW'07): split the signature into `blocks`
+    * contiguous blocks; any pair at hamming ≤ maxHamming differs in at
+    * most maxHamming blocks, so it AGREES EXACTLY on some combination of
+    * (blocks − maxHamming) blocks — pigeonhole, no recall loss. Each doc
+    * emits one row per C(blocks, blocks−maxHamming) combination keyed by
+    * the concatenated block values; candidates form by equality join on
+    * (combo, key) and are exactly verified (bit_count ≤ maxHamming,
+    * filtered BEFORE the distinct — see [[simhashPairs]]).
+    *
+    * The 100 TB shape: with blocks = 6, maxHamming = 3, keys carry
+    * ~32 signature bits, so random collisions are n²/2³² per combo ×
+    * 20 combos — candidate volume stays join-sized where the 8-bit
+    * chunk scheme's n²/2⁸ explodes. Trade: 20 rows per doc in the
+    * blocking table vs 4 — linear cost for a quadratic saving.
+    *
+    * Returns (doc_a, doc_b, hamming), doc_a < doc_b, one row per pair.
+    */
+  def simhashBlockPairs(sigs: DataFrame, maxHamming: Int = 3,
+      blocks: Int = 6): DataFrame = {
+    require(blocks > maxHamming,
+      s"need more blocks ($blocks) than allowed differing bits ($maxHamming)")
+    require(blocks <= 64, s"at most one block per bit, got $blocks")
+    val keep = blocks - maxHamming
+    // block boundaries: first (64 % blocks) blocks get the extra bit
+    val sizes = Array.tabulate(blocks)(j => 64 / blocks + (if (j < 64 % blocks) 1 else 0))
+    val offsets = sizes.scanLeft(0)(_ + _)
+    def blockVal(j: Int): Column =
+      shiftrightunsigned(col("simhash64"), offsets(j))
+        .bitwiseAND(lit((1L << sizes(j)) - 1L))
+    // every keep-sized combination of block indices, in a fixed order so
+    // combo i means the same block set on both join sides
+    val combos = (0 until blocks).combinations(keep).toSeq
+    val keyed = sigs.select(col("doc_id"), col("simhash64"), posexplode(
+        array(combos.map(c => concat_ws("|", c.map(blockVal): _*)): _*)))
+      .toDF("doc_id", "simhash64", "combo", "key")
+    keyed.as("a").join(keyed.as("b"),
+        col("a.combo") === col("b.combo") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash64 ^ b.simhash64)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
