@@ -530,6 +530,29 @@ object DedupOps {
   def simhashSignatures(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 5, bits: Int = 32): DataFrame = {
     require(bits <= 32, s"simhash bits must be <= 32, got $bits")
+    // scan-stage signature: [[graft.expressions.SimhashSignature]] folds
+    // the md5 votes per document inside the scan — the previous
+    // explode → 32-sum groupBy spelled the same value but shuffled every
+    // (doc, shingle) row into a partial aggregate, the most expensive
+    // job of each SimHash query (13.9 CPU-s at sf0.1; spec pins the two
+    // forms equal row-for-row). The null filter reproduces explode's
+    // drop of shingle-less documents.
+    graft.CacheScope.persisted( // consumed by both chunk sides
+      shingleSets(docs, textCol, idCol, shingleN)
+        .select(col("doc_id"), graft.expressions.SimhashSignature
+          .simhashSignature(col("sh"), bits).as("simhash"))
+        .filter(col("simhash").isNotNull))
+  }
+
+  /** The explode → 32-sum-aggregate spelling of [[simhashSignatures]],
+    * kept as the reference implementation the native expression is
+    * spec-tested against (exactly the [[TextAnalysis.shingles]] /
+    * textShingles pairing).
+    */
+  private[graft] def simhashSignaturesComposed(docs: DataFrame,
+      textCol: String, idCol: String,
+      shingleN: Int = 5, bits: Int = 32): DataFrame = {
+    require(bits <= 32, s"simhash bits must be <= 32, got $bits")
     val ex = shingleSets(docs, textCol, idCol, shingleN)
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .withColumn("v",
@@ -538,12 +561,11 @@ object DedupOps {
       val bit = shiftright(col("v"), 4 * (7 - i / 4) + i % 4) % 2
       sum(bit * 2 - 1).as(s"s_$i")
     }
-    graft.CacheScope.persisted( // consumed by both chunk sides
-      ex.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-        .withColumn("simhash",
-          (0 until bits).map(i =>
-            when(col(s"s_$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _))
-        .select(col("doc_id"), col("simhash")))
+    ex.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .withColumn("simhash",
+        (0 until bits).map(i =>
+          when(col(s"s_$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _))
+      .select(col("doc_id"), col("simhash"))
   }
 
   /** Duplicated-span coverage — the per-document analysis behind exact
