@@ -95,7 +95,6 @@ object Bench {
       // end-of-query storage footprint (cached blocks in memory), read
       // BEFORE the drain: eviction-pressure anomalies show up here
       val storMb = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum >> 20
-      val diag = (runMs.get, cpuMs.get, gcMs.get, spillB.get >> 20, storMb)
       // drain OUTSIDE the timed region, and BLOCKING: an async drain
       // lets block-removal RPCs run during the next query's timed
       // region (r3/r4 showed 5-9× blowups on the cheap query after a
@@ -103,6 +102,13 @@ object Bench {
       CacheScope.drain(spark, blocking = true)
       System.gc()
       Thread.sleep(100)
+      // task counters are read AFTER the gap, not right at the timed
+      // end: task-end events for the final stage ride the async
+      // listener bus and may not have been processed yet — reading
+      // early undercounts run/cpu/gc for exactly the slow queries the
+      // diag exists to explain (the drain/gc above produce no tasks,
+      // so nothing here inflates the numbers)
+      val diag = (runMs.get, cpuMs.get, gcMs.get, spillB.get >> 20, storMb)
       (name, sec, err, diag)
     }
     // 3-decimal times keep the one-line JSON short enough for the

@@ -28,7 +28,14 @@ object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // entries for STOPPED sessions can never be used again but would pin
+    // the session (DataFrame → QueryExecution → session state) for the
+    // JVM's life — purge lazily so session churn (test suites spinning
+    // up extension sessions, embedding apps) cannot grow the map
+    // monotonically; a weak map cannot express this (the value strongly
+    // references the key's session)
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"), { case (s, p) =>
       // events may carry TIMESTAMP(NANOS) (see events() below); the conf
       // must be in place when the relation is RESOLVED, and with this
@@ -37,6 +44,7 @@ object Tables {
       if (name == "events") s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(p)
     })
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")

@@ -103,5 +103,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity(args, 3, "hilbert_index", "x, y, bits")
         HilbertIndex(args.head, args(1), intLit(args(2), "hilbert_index"))
       }))
+    e.injectFunction((FunctionIdentifier("muldiv128"),
+      info("muldiv128", "muldiv128(a, b, m) - exact floor(a*b/m) through a 128-bit intermediate; NULL on sign/overflow contract violation"),
+      (args: Seq[Expression]) => {
+        arity(args, 3, "muldiv128", "a, b, m")
+        MulDiv128(args.head, args(1), args(2))
+      }))
+    e.injectFunction((FunctionIdentifier("simhash_signature"),
+      info("simhash_signature", "simhash_signature(shingles, bits) - md5-vote SimHash of a string array; NULL for an empty array"),
+      (args: Seq[Expression]) => {
+        arity(args, 2, "simhash_signature", "shingles, bits")
+        SimhashSignature(args.head, intLit(args(1), "simhash_signature"))
+      }))
   }
 }

@@ -32,7 +32,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   *
   * NULL for a null or EMPTY array: the composed form's explode drops
   * shingle-less documents, so callers filter nulls to keep the same row
-  * set. Implements real `doGenCode` (a static-helper call), NOT
+  * set. Null ELEMENTS are skipped (md5(null) votes null in the composed
+  * form — sum ignores it); an all-null array yields signature 0, again
+  * matching `when(null > 0) → 0` per bit. Implements real `doGenCode` (a static-helper call), NOT
   * CodegenFallback: a fallback expression forces its whole stage out of
   * whole-stage codegen, and here that stage also carries the shingle
   * generation and the downstream chunk explode — measured +50% stage
@@ -76,24 +78,30 @@ object SimhashSignature {
     * Called from generated code; keep it allocation-lean.
     */
   def compute(arr: ArrayData, bits: Int): Long = {
-    val m = arr.numElements()
-    if (m == 0) return -1L
+    val n = arr.numElements()
+    if (n == 0) return -1L
     val md = MessageDigest.getInstance("MD5")
     val cnt = new Array[Int](bits)
+    var m = 0 // non-null shingles: the composed form's md5(null) votes null
     var g = 0
-    while (g < m) {
-      val d = md.digest(arr.getUTF8String(g).getBytes) // digest() resets
-      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      var i = 0
-      while (i < bits) {
-        // vote-bit position for signature bit i: hex char p (1-based)
-        // of the md5 prefix is nibble 8−p of v (see class doc)
-        cnt(i) += ((v >>> (4 * (7 - i / 4) + i % 4)) & 1L).toInt
-        i += 1
+    while (g < n) {
+      if (!arr.isNullAt(g)) {
+        m += 1
+        val d = md.digest(arr.getUTF8String(g).getBytes) // digest() resets
+        val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        var i = 0
+        while (i < bits) {
+          // vote-bit position for signature bit i: hex char p (1-based)
+          // of the md5 prefix is nibble 8−p of v (see class doc)
+          cnt(i) += ((v >>> (4 * (7 - i / 4) + i % 4)) & 1L).toInt
+          i += 1
+        }
       }
       g += 1
     }
+    // all-null array: the composed form's votes are all-null sums, and
+    // `when(s_i > 0)` clears every bit — signature 0, row kept
     var sig = 0L
     var i = 0
     while (i < bits) {

@@ -56,8 +56,18 @@ object Bm25 {
     * outgrow a long at corpus scale is applied in two floor steps —
     * `floor(floor(x/D)/B) == floor(x/(D·B))` for positive integers — and
     * the first quotient is structurally bounded by `22/10 · a + 1`
-    * because b = 22·tf·tt against D ≥ 10·tf·tt, so nothing here wraps
-    * while nd, tt, and their products with tf stay under 2⁶³.
+    * because b = 22·tf·tt against D ≥ 10·tf·tt.
+    *
+    * Domain guard: the fast path's own FACTORS must fit a long BEFORE
+    * MulDiv128's 128-bit product protects them — `22·tf·tt` and
+    * `10·tf·tt + …` wrap (silently, ANSI off) once tf·tt nears 2⁶³/22.
+    * Rows beyond `tf·tt ≤ 10¹⁷` (a per-term-occurrence × corpus-tokens
+    * product no real corpus-and-document pair approaches without both
+    * being extreme) take the exact DECIMAL(38,0) branch instead — same
+    * value, bounded cost, because the branch predicate keeps the decimal
+    * arithmetic off the overwhelmingly common path. Both branches are
+    * codegen'd; neither can return NULL in-domain, so the downstream
+    * `sum("contrib")` never silently drops a term.
     */
   def contribPpm: Column = {
     import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
@@ -67,20 +77,38 @@ object Bm25 {
     val d = lit(10L) * col("tf") * col("tt") + lit(3L) * col("tt") +
       lit(9L) * col("dl") * col("nd")
     val q = toColumn(graft.expressions.MulDiv128(e(a), e(b), e(d)))
-    toColumn(graft.expressions.MulDiv128(toExpression(q), e(lit(1L)),
+    val fast = toColumn(graft.expressions.MulDiv128(toExpression(q), e(lit(1L)),
       e(lit(2L) * col("df") + lit(1L))))
+    val exactWide = expr(
+      """CAST(CAST(2 * nd - 2 * df + 1 AS DECIMAL(38,0))
+        |  * 22 * tf * tt * 1000000
+        |  div (CAST(2 * df + 1 AS DECIMAL(38,0))
+        |       * (CAST(10 AS DECIMAL(38,0)) * tf * tt
+        |          + CAST(3 AS DECIMAL(38,0)) * tt
+        |          + CAST(9 AS DECIMAL(38,0)) * dl * nd))
+        |  AS BIGINT)""".stripMargin)
+    // overflow-free guard: a divided bound (tt ≤ 10¹⁷ div tf) never
+    // forms the product it is guarding, stays in long arithmetic, and
+    // errs only toward the exact branch on boundary rows. tf, dl ≥ 1 by
+    // construction (term/document counts).
+    when(expr("""tt <= 100000000000000000 div tf
+                |  AND nd <= 100000000000000000 div dl
+                |  AND nd <= 1000000000000""".stripMargin),
+      fast).otherwise(exactWide)
   }
 
   private def bucketOf(term: org.apache.spark.sql.Column, buckets: Int) =
     pmod(xxhash64(term), lit(buckets))
 
-  /** The build-time bucket count from `stats/` — one bounded driver
-    * scalar per open, like a format version read. Fails loudly on a
-    * pre-buckets-column index rather than guessing a count that could
-    * silently mis-prune.
+  /** The build-time bucket count from an already-resolved `stats/`
+    * DataFrame — one bounded driver scalar per open, like a format
+    * version read. Takes the DataFrame (not a path) so callers resolve
+    * stats/ ONCE for this and the nd/tt read; a second resolution costs
+    * a directory listing + footer read + driver job per query. Fails
+    * loudly on a pre-buckets-column index rather than guessing a count
+    * that could silently mis-prune.
     */
-  private def readBuckets(spark: SparkSession, indexDir: String): Int = {
-    val st = spark.read.parquet(s"$indexDir/stats")
+  private def bucketsOf(st: DataFrame, indexDir: String): Int = {
     require(st.columns.contains("buckets"),
       s"$indexDir/stats has no 'buckets' column — rebuild the index " +
         "(bucket count is part of the on-disk layout)")
@@ -129,8 +157,10 @@ object Bm25 {
     val spark = docs.sparkSession
     // the bucket count is the INDEX's, never a caller choice: a batch
     // hashed into a different count would land postings in partitions
-    // the pruned reader never probes (silent recall loss, no error)
-    val buckets = readBuckets(spark, indexDir)
+    // the pruned reader never probes (silent recall loss, no error).
+    // One stats resolution serves this AND the nd/tt rollup below.
+    val st = spark.read.parquet(s"$indexDir/stats")
+    val buckets = bucketsOf(st, indexDir)
     val tf = graft.CacheScope.persisted(termFreqs(docs, textCol, idCol))
     try {
       val dl = graft.CacheScope.persisted(
@@ -150,8 +180,7 @@ object Bm25 {
         .localCheckpoint(true)
       merged.write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$indexDir/terms")
-      val newStats = spark.read.parquet(s"$indexDir/stats")
-        .select("nd", "tt")
+      val newStats = st.select("nd", "tt")
         .unionByName(dl.agg(count(lit(1)).as("nd"), sum("dl").as("tt")))
         .agg(sum("nd").as("nd"), sum("tt").as("tt"))
         .withColumn("buckets", lit(buckets))
@@ -173,11 +202,14 @@ object Bm25 {
       queryTerms: DataFrame, k: Int = 5,
       excludeSelf: Boolean = false): DataFrame = {
     val doclens = spark.read.parquet(s"$indexDir/doclens")
-    // bucket count from the index's own stats (see readBuckets): a
-    // caller-supplied count that disagreed with the build pruned valid
-    // postings and returned wrong rankings with no error
-    val buckets = readBuckets(spark, indexDir)
-    val stats = spark.read.parquet(s"$indexDir/stats").select("nd", "tt")
+    // ONE stats resolution serves both reads: the bucket count (see
+    // readBuckets — a caller-supplied count that disagreed with the
+    // build pruned valid postings and returned wrong rankings with no
+    // error) and the nd/tt scalars; resolving the same one-row table
+    // twice paid a second listing + footer read + driver job per query
+    val st = spark.read.parquet(s"$indexDir/stats")
+    val buckets = bucketsOf(st, indexDir)
+    val stats = st.select("nd", "tt")
     val qt = queryTerms.select(col("query_id"), col("term"))
     val probed = qt
       .select(bucketOf(col("term"), buckets).as("bucket"))

@@ -704,9 +704,13 @@ object DedupOps {
     // block boundaries: first (64 % blocks) blocks get the extra bit
     val sizes = Array.tabulate(blocks)(j => 64 / blocks + (if (j < 64 % blocks) 1 else 0))
     val offsets = sizes.scanLeft(0)(_ + _)
-    def blockVal(j: Int): Column =
-      shiftrightunsigned(col("simhash64"), offsets(j))
-        .bitwiseAND(lit((1L << sizes(j)) - 1L))
+    def blockVal(j: Int): Column = {
+      // blocks = 1 makes the single block 64 bits wide, where
+      // (1L << 64) - 1 wraps to 0 (JVM shift mod 64) and would key
+      // every doc to 0 — a full cross product; -1L is the full mask
+      val mask = if (sizes(j) == 64) -1L else (1L << sizes(j)) - 1L
+      shiftrightunsigned(col("simhash64"), offsets(j)).bitwiseAND(lit(mask))
+    }
     // every keep-sized combination of block indices, in a fixed order so
     // combo i means the same block set on both join sides
     val combos = (0 until blocks).combinations(keep).toSeq

@@ -71,9 +71,13 @@ object JobProfile {
     val t0 = System.nanoTime()
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     val sec = (System.nanoTime() - t0) / 1e9
+    // let the async listener bus drain BEFORE turning recording off —
+    // the final stage's task/job-end events are still queued when the
+    // action returns, and dropping them corrupts exactly the numbers
+    // this tool exists to report (negative walls, undercounted cpu)
+    Thread.sleep(300)
     record = false
     graft.CacheScope.drain(spark, blocking = true)
-    Thread.sleep(300) // let listener events drain
     import scala.jdk.CollectionConverters._
     val js = jobs.asScala.toSeq.sortBy(_._1)
     println(f"PROFILE $name total ${sec}%.3f s, ${js.size} jobs")

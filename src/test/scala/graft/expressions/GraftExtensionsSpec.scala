@@ -78,6 +78,18 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT hilbert_index(CAST(1 AS BIGINT), CAST(0 AS BIGINT), 1) AS h")
       .head().getLong(0)
     assert(hv == 3L, "SQL-callable hilbert_index must follow the curve")
+    val md = s2.sql(
+      "SELECT muldiv128(CAST(9223372036854775807 AS BIGINT), 2L, 3L) AS q")
+      .head().getLong(0)
+    assert(md == (BigInt(Long.MaxValue) * 2 / 3).toLong,
+      "SQL-callable muldiv128 must be exact through the 128-bit product")
+    val ss = s2.sql(
+      "SELECT simhash_signature(word_shingles('a b c d e f', 5), 32) AS s")
+      .head().getLong(0)
+    val ssScala = graft.functions.DedupOps.simhashSignatures(
+      { import s2.implicits._; Seq((1L, "a b c d e f")).toDF("doc_id", "text") },
+      "text", "doc_id").select("simhash").head().getLong(0)
+    assert(ss == ssScala, "SQL and Scala simhash paths must agree")
     } finally {
       org.apache.spark.sql.SparkSession.setActiveSession(spark)
       org.apache.spark.sql.SparkSession.setDefaultSession(spark)

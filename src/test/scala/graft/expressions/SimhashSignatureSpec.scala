@@ -45,6 +45,23 @@ class SimhashSignatureSpec extends SparkSpec {
     assert(out2.select("doc_id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("null elements are skipped like the composed form's null md5 votes") {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    def sig(arr: org.apache.spark.sql.Column) =
+      toColumn(SimhashSignature(toExpression(arr), 32))
+    val df = Seq(1).toDF("x").select(
+      sig(array(lit("a b"), lit(null).cast("string"))).as("with_null"),
+      sig(array(lit("a b"))).as("without"),
+      sig(array(lit(null).cast("string"))).as("all_null"),
+      sig(array().cast("array<string>")).as("empty"))
+    val r = df.head()
+    assert(r.getLong(0) == r.getLong(1),
+      "a null shingle must not change the signature")
+    // all-null: every vote is null in the composed form → all bits clear
+    assert(r.getLong(2) == 0L)
+    assert(r.isNullAt(3), "empty array must be NULL (explode drops the doc)")
+  }
+
   test("tied vote clears the bit (strictly-positive convention)") {
     // construct a doc with exactly 2 distinct shingles: every bit where
     // the two shingle hashes DISAGREE has vote sum 0 → must be cleared;

@@ -58,6 +58,26 @@ class Simhash64Spec extends SparkSpec {
     }
   }
 
+  test("blocks = 1 (exact-match blocking) keys on the full 64-bit signature") {
+    // (1L << 64) wraps to 1 on the JVM — a 0 mask here would key every
+    // doc to 0 and degenerate the join to a full cross product
+    val brute = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        col("a.simhash64") === col("b.simhash64"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = DedupOps.simhashBlockPairs(sigs, maxHamming = 0, blocks = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute)
+    // and the blocking table must actually discriminate: candidate rows
+    // before verification are bounded by equal-signature groups, not n²
+    val n = sigs.count()
+    val keyGroups = sigs.groupBy(col("simhash64")).count()
+      .agg(sum(col("count") * (col("count") - 1))).head().getLong(0)
+    assert(keyGroups < n * (n - 1),
+      "exact blocking must not degenerate to all-pairs")
+  }
+
   test("parameter contract: blocks must exceed maxHamming") {
     intercept[IllegalArgumentException] {
       DedupOps.simhashBlockPairs(sigs, maxHamming = 3, blocks = 3)
