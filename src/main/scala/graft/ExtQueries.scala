@@ -3105,11 +3105,20 @@ object ExtQueries {
     * folds on longer inputs — measured, avoided).
     */
   def viterbiSegmentation(s: SparkSession, d: String): DataFrame = {
+    // repartition BEFORE the tokenize explode (q134's codec rule): the
+    // corpus-scale tokenize runs inside the scan projection, and the
+    // one-file fixture gives it one split (measured 8.9 task-CPU-s at
+    // ~1.6-way concurrency). The groupBy partial-aggregates map-side, so
+    // the shuffle still carries (source, tok) partials, not raw tokens.
+    // The cached counts are then spread to core-count partitions so the
+    // Viterbi DP below (per-distinct-token, CPU-bound) runs wide too.
     val tokc = graft.CacheScope.persisted(docs(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("source"),
         explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) >= 2)
-      .groupBy("source", "tok").agg(count(lit(1)).as("cnt")))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      .repartition(s.sparkContext.defaultParallelism))
     val vcb = tokc.groupBy("tok").agg(sum(col("cnt")).as("cnt"))
     val grams = Seq(2, 3).map { n =>
       vcb.select(explode(expr(

@@ -2791,9 +2791,15 @@ object LlmQueries {
     * Ratios are exact integer ppm.
     */
   def noveltyScore(s: SparkSession, d: String): DataFrame = {
+    // repartition BEFORE the shingle explode (q134's codec rule): the
+    // 5-gram tokenize+explode is per-row CPU inside the scan, and the
+    // one-file fixture gives it one split (measured 10.4 task-CPU-s at
+    // ~1-way). Partitioning BY doc_id also pre-clusters the cache for
+    // the two per-doc aggregates below.
     val all = CacheScope.persisted(
-      docs(s, d).select(col("doc_id"),
-        explode(TextAnalysis.textShingles(col("text"), 5)).as("g")))
+      docs(s, d).repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          explode(TextAnalysis.textShingles(col("text"), 5)).as("g")))
     val ref = all.filter(col("doc_id") % 3 === 0).select("g").distinct()
     val cand = all.filter(col("doc_id") % 3 =!= 0)
     val novel = cand.join(ref, Seq("g"), "left_anti")
@@ -4161,7 +4167,15 @@ object LlmQueries {
   def winnowing(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val W = 8
+    // repartition BEFORE the gram explode (q134's codec rule): the cost
+    // here is md5-per-4-gram CPU computed inside the scan projection, so
+    // parallelism must come from the cores, not from however few splits
+    // the one-file fixture scan produces (measured: 20.5 task-CPU-s at
+    // ~1.2-way concurrency = 16.9 s wall on a 32-core box). Partitioning
+    // BY doc_id keeps the rows clustered for the per-doc window below,
+    // so no second exchange appears; the shuffle moves the raw docs once.
     val grams = docs(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 4)
       .select(col("doc_id"), col("t"),
@@ -4172,12 +4186,14 @@ object LlmQueries {
           + (lit(100000) - col("p"))).as("hp"))
     val win = Window.partitionBy("doc_id").orderBy("p")
       .rowsBetween(-(W - 1), Window.currentRow)
+    // positions are generated DENSELY (sequence(1, n-3)), so the
+    // cumulative row count ordered by p is identically p — filtering on
+    // p >= W replaces a whole unbounded-frame window pass over every
+    // gram of the corpus (one frame processor and one carried column
+    // less; hash-identical output)
     val fps = grams
-      .withColumn("m", count(lit(1)).over(
-        Window.partitionBy("doc_id").orderBy("p")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("sel", min(col("hp")).over(win))
-      .filter(col("m") >= W)
+      .filter(col("p") >= W)
       // decode BEFORE distinct: the fingerprint set is the distinct
       // HASHES — the same gram selected at two positions is one print
       .select(col("doc_id"), expr("sel div 100000").as("fp")).distinct()
@@ -4947,12 +4963,19 @@ object LlmQueries {
     val e = emb(s, d)
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    // the four brute-force scans (truth + 3 truncations) are scan-local
+    // cosine CPU over the corpus side; the one-file fixture gives that
+    // scan one split (measured 5.7 task-CPU-s serial). Repartition to
+    // cores and persist ONCE so each scan reads the spread cache instead
+    // of re-shuffling (q134's codec rule applied to the vector family).
+    val corpus = graft.CacheScope.persisted(
+      e.repartition(s.sparkContext.defaultParallelism))
     val truth = graft.CacheScope.persisted(
-      SimilarityOps.bruteForceTopK(q, e, k = 5)
+      SimilarityOps.bruteForceTopK(q, corpus, k = 5)
         .select("query_id", "neighbor_id"))
     val possible = truth.agg(count(lit(1)).as("possible"))
     Seq(8, 16, 32).map { dims =>
-      SimilarityOps.truncatedTopK(q, e, k = 5, dims = dims)
+      SimilarityOps.truncatedTopK(q, corpus, k = 5, dims = dims)
         .select("query_id", "neighbor_id")
         .join(truth, Seq("query_id", "neighbor_id"))
         .agg(count(lit(1)).as("hits"))
