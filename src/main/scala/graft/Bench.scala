@@ -1,6 +1,6 @@
 package graft
 import java.util.concurrent.atomic.AtomicLong
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkListenerTaskStart}
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -16,8 +16,12 @@ object Bench {
     // parallelism — split count is governed by maxPartitionBytes, not
     // this knob. On a real cluster this is the same sizing rule at the
     // other end: partitions scaled so each holds ~100-200MB.
+    // parsed eagerly (.trim.toInt): the value is interpolated into the
+    // JSON line below, and a whitespace-padded env value Spark happens
+    // to tolerate would otherwise emit an unparseable metrics line —
+    // fail fast at startup instead
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
-      math.min(8, cpus.toInt).toString)
+      math.min(8, cpus.toInt).toString).trim.toInt
     // AQE OFF for the bench by default: adaptive execution materializes
     // every exchange as its own job and re-plans between them — ~40 ms
     // of driver latency per exchange that DOMINATES sub-second queries
@@ -28,7 +32,7 @@ object Bench {
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.shuffle.partitions", shuffle.toString)
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
@@ -43,8 +47,22 @@ object Bench {
     // the slowest queries in the JSON line.
     val runMs = new AtomicLong; val cpuMs = new AtomicLong
     val gcMs = new AtomicLong; val spillB = new AtomicLong
+    // stage-width and concurrency accounting (r10's q96 anomaly — 90.8
+    // task-CPU-s at flat GC with no code-cache flush — was undiagnosable
+    // because the diag could not say how wide the stages actually ran):
+    // tasks-per-stage exposes 8-reducer stages starving a CPU-bound
+    // query; peak concurrent tasks exposes scheduler/CPU starvation
+    val running = new AtomicLong; val peakRun = new AtomicLong
+    val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, AtomicLong]()
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskStart(e: SparkListenerTaskStart): Unit = {
+        val r = running.incrementAndGet()
+        peakRun.accumulateAndGet(r, (a: Long, b: Long) => math.max(a, b))
+      }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        running.decrementAndGet()
+        stageTasks.computeIfAbsent(e.stageId, _ => new AtomicLong)
+          .incrementAndGet()
         val m = e.taskMetrics
         if (m != null) {
           runMs.addAndGet(m.executorRunTime)
@@ -54,6 +72,11 @@ object Bench {
         }
       }
     })
+    // JIT compilation time is cumulative process-wide; per-query deltas
+    // distinguish "the JIT was (re)compiling this query's codegen all
+    // run long" (deopt storms, interpreted hot loops) from genuinely
+    // different work — the distinction r10's q96 reading needed
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
     // warm the JVM/codegen/FS paths once (flagship at the smoke scale
     // factor) so the first measured query is not charged for session
     // bring-up and code generation
@@ -84,7 +107,14 @@ object Bench {
       // being measured.
       System.gc()
       Thread.sleep(100)
+      // flush the async listener bus DETERMINISTICALLY before resetting:
+      // straggler task-end events from the warmup would otherwise leak
+      // into this query's counters (and under load a fixed sleep is not
+      // a flush — the graftspark bridge waits on the queues themselves)
+      org.apache.spark.graftspark.drainListenerBus(spark.sparkContext)
       runMs.set(0); cpuMs.set(0); gcMs.set(0); spillB.set(0)
+      peakRun.set(0); stageTasks.clear()
+      val jit0 = jitBean.getTotalCompilationTime
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE (err field + nonzero exit), not a
       // near-zero time that reads as a speed-up
@@ -102,13 +132,24 @@ object Bench {
       CacheScope.drain(spark, blocking = true)
       System.gc()
       Thread.sleep(100)
-      // task counters are read AFTER the gap, not right at the timed
-      // end: task-end events for the final stage ride the async
+      // task counters are read AFTER the gap AND after a deterministic
+      // bus flush: task-end events for the final stage ride the async
       // listener bus and may not have been processed yet — reading
       // early undercounts run/cpu/gc for exactly the slow queries the
       // diag exists to explain (the drain/gc above produce no tasks,
       // so nothing here inflates the numbers)
-      val diag = (runMs.get, cpuMs.get, gcMs.get, spillB.get >> 20, storMb)
+      org.apache.spark.graftspark.drainListenerBus(spark.sparkContext)
+      // stage widths as a width→count histogram ("12 stages ran 8
+      // tasks, 3 ran 32") — compact enough for the one-line JSON, wide
+      // enough to show a CPU-bound query starved by narrow reducers
+      val widths = {
+        import scala.jdk.CollectionConverters._
+        stageTasks.values.asScala.toSeq.map(_.get)
+          .groupBy(identity).view.mapValues(_.size).toSeq.sortBy(-_._1)
+      }
+      val diag = (runMs.get, cpuMs.get, gcMs.get, spillB.get >> 20, storMb,
+        jitBean.getTotalCompilationTime - jit0, peakRun.get,
+        stageTasks.size, widths)
       (name, sec, err, diag)
     }
     // 3-decimal times keep the one-line JSON short enough for the
@@ -137,10 +178,23 @@ object Bench {
     // end. This is the line that turns the next 8-10x driver anomaly
     // from an argument into a diagnosis.
     val diags = byTime.takeRight(15).reverse
-      .map { case (k, _, _, (r, c, g, sp, st)) =>
+      .map { case (k, _, _, (r, c, g, sp, st, jit, pk, nst, widths)) =>
+        val w = widths.map { case (tasks, n) => "\"" + tasks + "\":" + n }
+          .mkString("{", ",", "}")
         "\"" + k + "\":{\"run_s\":" + f3(r / 1e3) + ",\"cpu_s\":" + f3(c / 1e3) +
-          ",\"gc_ms\":" + g + ",\"spill_mb\":" + sp + ",\"cached_mb\":" + st + "}"
+          ",\"gc_ms\":" + g + ",\"spill_mb\":" + sp + ",\"cached_mb\":" + st +
+          ",\"jit_ms\":" + jit + ",\"peak_tasks\":" + pk +
+          ",\"stages\":" + nst + ",\"widths\":" + w + "}"
       }.mkString("{", ",", "}")
+    // floor/tail split (BASELINE.md's manual gate-math table, emitted so
+    // the next driver anomaly is attributable at a glance): tail = the
+    // slowest 51 queries, floor = everything else. A floor-avg drift
+    // means machine-level contention; a tail spike names its query above.
+    val tailN = math.min(51, byTime.size)
+    val floorSeq = byTime.dropRight(tailN)
+    val floorSum = floorSeq.map(_._2).sum
+    val tailSum = byTime.takeRight(tailN).map(_._2).sum
+    val floorAvg = if (floorSeq.isEmpty) 0.0 else floorSum / floorSeq.size
     // keep printable ASCII only (exception messages can carry any
     // control char, all illegal in JSON), THEN truncate — so take()
     // cannot split a multi-byte char either
@@ -161,7 +215,7 @@ object Bench {
     // total appears at BOTH ends of the line: the driver's bounded
     // output capture can clip either side (r05 lost the head — and with
     // it the headline number), so whichever half survives carries it
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir","shuffle":$shuffle,"code_cache_mb":$cc,"diag":$diags,"slowest":$slowest,"total_sec":${f3(total)}}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir","shuffle":$shuffle,"code_cache_mb":$cc,"floor_sum":${f3(floorSum)},"floor_avg":${f3(floorAvg)},"tail_sum":${f3(tailSum)},"tail_n":$tailN,"diag":$diags,"slowest":$slowest,"total_sec":${f3(total)}}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

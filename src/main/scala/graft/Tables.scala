@@ -46,6 +46,14 @@ object Tables {
     })
   }
 
+  /** Drop every memoized relation. The cache assumes stable fixture
+    * paths (regenerated only between driver rounds); an embedding app
+    * that rewrites a path mid-session calls this — the explicit escape
+    * hatch alongside the documented catalog-REFRESH route — and the
+    * next load re-lists files and re-reads footers.
+    */
+  def invalidate(): Unit = cache.clear()
+
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

@@ -60,7 +60,15 @@ object Bm25 {
     *
     * Domain guard: the fast path's own FACTORS must fit a long BEFORE
     * MulDiv128's 128-bit product protects them — `22·tf·tt` and
-    * `10·tf·tt + …` wrap (silently, ANSI off) once tf·tt nears 2⁶³/22.
+    * `10·tf·tt + …` are out of long domain once tf·tt nears 2⁶³/22
+    * (they would wrap silently with ANSI off, or throw with ANSI on —
+    * either way wrong/failed; contrast PrefixSum, whose grand-total
+    * safety argument leans on ANSI failing loudly). The guard is safe
+    * ONLY because CaseWhen evaluates branches lazily: out-of-domain
+    * rows never evaluate the fast branch's factor columns. A refactor
+    * that hoists those factors out of the conditional (e.g. into a
+    * preceding select) re-exposes every row to them and would wrap or
+    * throw — keep them inside the `when`.
     * Rows beyond `tf·tt ≤ 10¹⁷` (a per-term-occurrence × corpus-tokens
     * product no real corpus-and-document pair approaches without both
     * being extreme) take the exact DECIMAL(38,0) branch instead — same

@@ -74,8 +74,10 @@ object JobProfile {
     // let the async listener bus drain BEFORE turning recording off —
     // the final stage's task/job-end events are still queued when the
     // action returns, and dropping them corrupts exactly the numbers
-    // this tool exists to report (negative walls, undercounted cpu)
-    Thread.sleep(300)
+    // this tool exists to report (negative walls, undercounted cpu).
+    // Deterministic (waits on the queues themselves, via the graftspark
+    // bridge) — a fixed sleep is not a flush under load.
+    org.apache.spark.graftspark.drainListenerBus(spark.sparkContext)
     record = false
     graft.CacheScope.drain(spark, blocking = true)
     import scala.jdk.CollectionConverters._
