@@ -54,8 +54,27 @@ object PageRank {
     */
   private[graft] def degreeWeighted(e: DataFrame): (DataFrame, DataFrame) = {
     val deg = graft.CacheScope.persisted(outDegrees(e))
+    // the cached layout is sized to CORES, not to the session reducer
+    // count: every iteration's rank⋈weights merge join and its map-side
+    // contribution combine inherit this width (the rank side exchanges
+    // to match), and those are the CPU-bound stages of the whole
+    // operator — at a narrow session default (the bench runs 8 data-
+    // sized reducers) the iterations would run 8-wide on a 32-core box,
+    // so any per-cycle slowdown of the environment multiplies straight
+    // into wall time (r10 driver: 90.8 task-CPU-s at 8-wide = 41 s
+    // wall). Node-sized final aggregates stay at the session default.
+    // deg is node-sized — broadcast it into the weights build, or the
+    // planner co-partitions BOTH sides of the degree join to the
+    // session reducer count and the explicit core-count layout above
+    // collapses back to 8 (measured: weights.rdd.getNumPartitions was 8
+    // with a plain join; the broadcast preserves the streamed side's
+    // partitioning and sort)
+    val width = math.max(
+      e.sparkSession.sparkContext.defaultParallelism / 2,
+      e.sparkSession.sessionState.conf.numShufflePartitions)
     val weights = graft.CacheScope.persisted(
-      e.repartition(col("src")).sortWithinPartitions("src").join(deg, "src"))
+      e.repartition(width, col("src"))
+        .sortWithinPartitions("src").join(broadcast(deg), "src"))
     (deg, weights)
   }
 
