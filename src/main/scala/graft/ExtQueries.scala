@@ -3266,6 +3266,154 @@ object ExtQueries {
       |  CAST(w * 1000 // tw AS BIGINT) AS alloc_per_mille
       |FROM sq, tot ORDER BY seg""".stripMargin
 
+  /** q263 — fill-in-the-middle transform accounting (Bavarian et al.
+    * 2022, "Efficient Training of Language Models to Fill in the
+    * Middle"): every document is deterministically routed to PSM
+    * (prefix-suffix-middle), SPM, or plain autoregressive form by a
+    * hash gate on its id (50/30/20), and its two FIM cut points come
+    * from two more hash digits — the standard pretraining-corpus
+    * transform, made reproducible (no RNG: the md5-prefix device q186's
+    * winnowing already uses, identical in both engines). Per
+    * (source, mode): document/token counts, the prefix/middle/suffix
+    * token mass the cuts produce, and the output length including the
+    * three sentinel tokens a FIM document gains — the number a token-
+    * budget plan needs before turning FIM on.
+    *
+    * Scale shape: pure per-row integer math inside the document scan
+    * (tokenize + two md5 words), one bounded aggregate by
+    * (source, mode) — map-combined, nothing data-sized shuffles. The
+    * scan is repartitioned to cores first (one-row-group fixture).
+    */
+  def fimSplit(s: SparkSession, d: String): DataFrame = {
+    val h = md5(col("doc_id").cast("string"))
+    val base = docs(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("bigint").as("n"),
+        conv(substring(h, 1, 8), 16, 10).cast("bigint").as("h1"),
+        conv(substring(h, 9, 8), 16, 10).cast("bigint").as("h2"))
+      .withColumn("mode",
+        when(col("n") < 4, lit("plain"))
+          .when(col("h1") % 10 < 5, lit("psm"))
+          .when(col("h1") % 10 < 8, lit("spm"))
+          .otherwise(lit("plain")))
+      // cut points in [1, n-1]; the greatest() guard keeps the modulus
+      // positive for the short docs the gate already routed to plain
+      .withColumn("c1", col("h1") % greatest(col("n") - 1, lit(1L)) + 1)
+      .withColumn("c2", col("h2") % greatest(col("n") - 1, lit(1L)) + 1)
+    val split = base.select(col("source"), col("mode"), col("n"),
+      when(col("mode") === "plain", col("n"))
+        .otherwise(least(col("c1"), col("c2"))).as("p_len"),
+      when(col("mode") === "plain", lit(0L))
+        .otherwise(greatest(col("c1"), col("c2")) -
+          least(col("c1"), col("c2"))).as("m_len"),
+      when(col("mode") === "plain", lit(0L))
+        .otherwise(col("n") - greatest(col("c1"), col("c2"))).as("s_len"))
+    split.groupBy(col("source"), col("mode"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        sum(col("p_len")).as("prefix_tokens"),
+        sum(col("m_len")).as("middle_tokens"),
+        sum(col("s_len")).as("suffix_tokens"))
+      .withColumn("out_tokens",
+        col("n_tokens") + when(col("mode") === "plain", lit(0L))
+          .otherwise(lit(3L) * col("n_docs")))
+      .orderBy("source", "mode")
+  }
+
+  val fimSplitOracle: String =
+    """WITH base AS (
+      |  SELECT source,
+      |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |      AS BIGINT) AS h1,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)
+      |      AS BIGINT) AS h2
+      |  FROM documents
+      |), m AS (
+      |  SELECT source, n,
+      |    CASE WHEN n < 4 THEN 'plain'
+      |         WHEN h1 % 10 < 5 THEN 'psm'
+      |         WHEN h1 % 10 < 8 THEN 'spm'
+      |         ELSE 'plain' END AS mode,
+      |    h1 % greatest(n - 1, 1) + 1 AS c1,
+      |    h2 % greatest(n - 1, 1) + 1 AS c2
+      |  FROM base
+      |), sp AS (
+      |  SELECT source, mode, n,
+      |    CASE WHEN mode = 'plain' THEN n ELSE least(c1, c2) END AS p_len,
+      |    CASE WHEN mode = 'plain' THEN 0
+      |         ELSE greatest(c1, c2) - least(c1, c2) END AS m_len,
+      |    CASE WHEN mode = 'plain' THEN 0
+      |         ELSE n - greatest(c1, c2) END AS s_len
+      |  FROM m
+      |)
+      |SELECT source, mode,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n) AS BIGINT) AS n_tokens,
+      |  CAST(sum(p_len) AS BIGINT) AS prefix_tokens,
+      |  CAST(sum(m_len) AS BIGINT) AS middle_tokens,
+      |  CAST(sum(s_len) AS BIGINT) AS suffix_tokens,
+      |  CAST(sum(n) + CASE WHEN mode = 'plain' THEN 0
+      |    ELSE 3 * count(*) END AS BIGINT) AS out_tokens
+      |FROM sp GROUP BY source, mode ORDER BY source, mode""".stripMargin
+
+  /** q264 — cross-source shingle containment matrix: for every ordered
+    * source pair (a, b), the share of a's distinct 5-gram shingles that
+    * also occur in b — the directional containment (Broder 1997) that
+    * answers "which crawl feeds duplicate each other", the source-level
+    * triage BEFORE document-level dedup spends compute (a feed 90%-
+    * contained in another can be dropped wholesale). Exact integer ppm.
+    *
+    * Scale shape: one distinct over (source, shingle) — the zipf-
+    * collapsed sufficient statistic — then a self-equality-join on the
+    * shingle whose per-key multiplicity is bounded by the SOURCE COUNT
+    * (≤ 20 here), never by document frequency: a shingle appearing in a
+    * million documents is still one row per source. The matrix
+    * aggregate is bounded by |sources|².
+    */
+  def sourceContainment(s: SparkSession, d: String): DataFrame = {
+    val sg = graft.CacheScope.persisted(
+      docs(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("source"),
+          explode(TextAnalysis.textShingles(col("text"), 5)).as("g"))
+        .distinct())
+    val sizes = sg.groupBy("source").agg(count(lit(1)).as("n_a"))
+    sg.join(sg.select(col("source").as("source_b"), col("g")), Seq("g"))
+      .filter(col("source") =!= col("source_b"))
+      .groupBy(col("source"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes), Seq("source"))
+      .select(col("source").as("source_a"), col("source_b"),
+        col("n_common"), col("n_a"),
+        expr("n_common * 1000000 div n_a").as("containment_ppm"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceContainmentOracle: String =
+    """WITH tok AS (
+      |  SELECT source, string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents
+      |), sg AS (
+      |  SELECT DISTINCT source, array_to_string(t[i:i+4], ' ') AS g
+      |  FROM tok, UNNEST(range(1, len(t) - 3)) AS u(i)
+      |  WHERE len(t) >= 5
+      |), sizes AS (
+      |  SELECT source, count(*) AS n_a FROM sg GROUP BY source
+      |), pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    count(*) AS n_common
+      |  FROM sg a JOIN sg b ON a.g = b.g AND a.source <> b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT source_a, source_b,
+      |  CAST(n_common AS BIGINT) AS n_common,
+      |  CAST(n_a AS BIGINT) AS n_a,
+      |  CAST(n_common * 1000000 // n_a AS BIGINT) AS containment_ppm
+      |FROM pairs JOIN sizes ON pairs.source_a = sizes.source
+      |ORDER BY source_a, source_b""".stripMargin
+
   // ------------------------------------------------------- registries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3324,7 +3472,9 @@ object ExtQueries {
     "q259_theil_sen" -> (theilSen(_, _)),
     "q260_cuped" -> (cuped(_, _)),
     "q261_viterbi_segmentation" -> (viterbiSegmentation(_, _)),
-    "q262_neyman_allocation" -> (neymanAllocation(_, _))
+    "q262_neyman_allocation" -> (neymanAllocation(_, _)),
+    "q263_fim_split" -> (fimSplit(_, _)),
+    "q264_source_containment" -> (sourceContainment(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3383,6 +3533,8 @@ object ExtQueries {
     "q259_theil_sen" -> theilSenOracle,
     "q260_cuped" -> cupedOracle,
     "q261_viterbi_segmentation" -> viterbiSegmentationOracle,
-    "q262_neyman_allocation" -> neymanAllocationOracle
+    "q262_neyman_allocation" -> neymanAllocationOracle,
+    "q263_fim_split" -> fimSplitOracle,
+    "q264_source_containment" -> sourceContainmentOracle
   )
 }

@@ -61,4 +61,42 @@ class ExtQueriesSpec extends SparkSpec {
     val cum = rows.map(_.getAs[Long]("vocab_size"))
     assert(cum.sameElements(cum.sorted), "vocab_size must be nondecreasing")
   }
+
+  test("q263 FIM cuts partition every document exactly; sentinel overhead " +
+      "is 3 tokens per FIM doc and zero for plain") {
+    val rows = ExtQueries.fimSplit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mode = r.getAs[String]("mode")
+      assert(Set("plain", "psm", "spm")(mode), s"unknown mode $mode")
+      val n = r.getAs[Long]("n_tokens")
+      val parts = r.getAs[Long]("prefix_tokens") +
+        r.getAs[Long]("middle_tokens") + r.getAs[Long]("suffix_tokens")
+      assert(parts == n, s"$mode: cuts must partition the tokens: $parts != $n")
+      val overhead = r.getAs[Long]("out_tokens") - n
+      val expected = if (mode == "plain") 0L else 3L * r.getAs[Long]("n_docs")
+      assert(overhead == expected, s"$mode: sentinel overhead $overhead")
+    }
+    // the 50/30/20 hash gate must route a nontrivial share to each mode
+    val byMode = rows.groupBy(_.getAs[String]("mode"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(byMode.keySet == Set("plain", "psm", "spm"), byMode.toString)
+    assert(byMode("psm") > byMode("spm"), s"gate shares inverted: $byMode")
+  }
+
+  test("q264 containment is a proper directional overlap: symmetric " +
+      "intersections, ppm bounded, no self-pairs") {
+    val rows = ExtQueries.sourceContainment(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val common = rows.map(r => (r.getAs[String]("source_a"),
+      r.getAs[String]("source_b")) -> r.getAs[Long]("n_common")).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      assert(a != b, "self-pairs must not appear")
+      assert(r.getAs[Long]("containment_ppm") <= 1000000L)
+      assert(r.getAs[Long]("n_common") <= r.getAs[Long]("n_a"))
+      // |A ∩ B| is symmetric even though containment is directional
+      assert(common((b, a)) == common((a, b)), s"asymmetric intersection $a/$b")
+    }
+  }
 }
