@@ -105,9 +105,16 @@ object Sampling {
       width: Int = 4096, scalePerMille: Long = 1000L,
       tokenAudits: Seq[Column] = Nil): DataFrame = {
     // the bucketed token stream feeds the stats pass and the scoring
-    // join — persist it, or the tokenize+hash scan runs twice
+    // join — persist it, or the tokenize+hash scan runs twice. The scan
+    // is repartitioned to cores FIRST (q134's rule): the md5-per-token
+    // hashing is per-row CPU inside the scan projection, serial on a
+    // one-split input (measured 3.0 task-CPU-s at 1-way on the
+    // one-row-group fixture); doc_id clustering also pre-shapes the
+    // cache for the final per-document aggregate.
     val toks = graft.CacheScope.persisted(
-      docs.select(col("doc_id"), isTarget.as("is_target"),
+      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism,
+          col("doc_id"))
+        .select(col("doc_id"), isTarget.as("is_target"),
           explode(TextAnalysis.tokens(col("text"))).as("tok"))
         .withColumn("bucket",
           conv(substring(md5(col("tok")), 1, 15), 16, 10)
