@@ -113,7 +113,11 @@ object Bench {
       // a flush — the graftspark bridge waits on the queues themselves)
       org.apache.spark.graftspark.drainListenerBus(spark.sparkContext)
       runMs.set(0); cpuMs.set(0); gcMs.set(0); spillB.set(0)
-      peakRun.set(0); stageTasks.clear()
+      // running is reset too: a cancelled warmup can leave an in-flight
+      // task whose end event never pairs with a counted start (or
+      // arrives after this reset) — without the reset every later
+      // query's peak_tasks would carry that drift
+      running.set(0); peakRun.set(0); stageTasks.clear()
       val jit0 = jitBean.getTotalCompilationTime
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE (err field + nonzero exit), not a

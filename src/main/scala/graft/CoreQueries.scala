@@ -237,16 +237,14 @@ object CoreQueries {
   // 1999 tail — lineitem ships up to ~4 months after the last order) so
   // the date-dim join always resolves; q08 keeps the reference's 2020–2030
   private def fact(s: SparkSession, d: String): DataFrame =
-    // repartition the fact input to cores (q134's codec rule): with
-    // orders and every dim auto-broadcast, the whole build — five hash
-    // joins plus the decimal charge arithmetic — executes inside the
-    // lineitem scan stage, and the one-row-group fixture gives that
-    // stage ONE task (q53's cache materialization measured ~3 s
-    // single-threaded). The shuffle moves skinny pre-join rows once;
-    // every consumer (q11 sort, q12/q41 rollups, q53's persisted split)
-    // then builds the fact core-wide.
+    // widen the fact input ([[graft.Par.toCores]]): with orders and
+    // every dim auto-broadcast, the whole build — five hash joins plus
+    // the decimal charge arithmetic — executes inside the lineitem scan
+    // stage, and the one-row-group fixture gives that stage ONE task
+    // (q53's cache materialization measured ~3 s single-threaded). At
+    // real scale lineitem arrives in many splits and this is a no-op.
     Gold.factLines(
-      t(s, d, "lineitem").repartition(s.sparkContext.defaultParallelism),
+      graft.Par.toCores(t(s, d, "lineitem")),
       t(s, d, "orders"),
       Gold.dimMember(t(s, d, "customer")),
       Gold.dimProvider(t(s, d, "supplier")),
@@ -1354,11 +1352,11 @@ object CoreQueries {
     * naive per-column formulation, affordable at verification scale).
     */
   def tableProfile(s: SparkSession, d: String): DataFrame =
-    // repartition before profiling: the all-column stats pass is pure
-    // per-row CPU inside the scan, and the one-row-group fixture gives
-    // it one task (measured 3.3 task-CPU-s at ~1.4-way) — the partial
-    // aggregates then combine core-wide before the single final reduce
-    profile(t(s, d, "orders").repartition(s.sparkContext.defaultParallelism))
+    // widen before profiling ([[graft.Par.toCores]]): the all-column
+    // stats pass is pure per-row CPU inside the scan (measured 3.3
+    // task-CPU-s at ~1.4-way on the one-row-group fixture) — the
+    // partial aggregates then combine core-wide before the final reduce
+    profile(graft.Par.toCores(t(s, d, "orders")))
 
   val tableProfileOracle: String = {
     val cols = Seq("o_orderkey" -> "num", "o_custkey" -> "num",

@@ -3105,20 +3105,19 @@ object ExtQueries {
     * folds on longer inputs — measured, avoided).
     */
   def viterbiSegmentation(s: SparkSession, d: String): DataFrame = {
-    // repartition BEFORE the tokenize explode (q134's codec rule): the
-    // corpus-scale tokenize runs inside the scan projection, and the
-    // one-file fixture gives it one split (measured 8.9 task-CPU-s at
-    // ~1.6-way concurrency). The groupBy partial-aggregates map-side, so
-    // the shuffle still carries (source, tok) partials, not raw tokens.
-    // The cached counts are then spread to core-count partitions so the
-    // Viterbi DP below (per-distinct-token, CPU-bound) runs wide too.
-    val tokc = graft.CacheScope.persisted(docs(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("source"),
-        explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      .filter(length(col("tok")) >= 2)
-      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
-      .repartition(s.sparkContext.defaultParallelism))
+    // widen BEFORE the tokenize explode ([[graft.Par.toCores]]): the
+    // corpus-scale tokenize runs inside the scan projection (measured
+    // 8.9 task-CPU-s at ~1.6-way on the one-row-group fixture). The
+    // groupBy partial-aggregates map-side, so the shuffle still carries
+    // (source, tok) partials, not raw tokens. The cached counts are
+    // then spread to core-count partitions too, so the Viterbi DP below
+    // (per-distinct-token, CPU-bound) runs wide.
+    val tokc = graft.CacheScope.persisted(graft.Par.toCores(
+      graft.Par.toCores(docs(s, d))
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) >= 2)
+        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))))
     val vcb = tokc.groupBy("tok").agg(sum(col("cnt")).as("cnt"))
     val grams = Seq(2, 3).map { n =>
       vcb.select(explode(expr(
@@ -3286,8 +3285,7 @@ object ExtQueries {
     */
   def fimSplit(s: SparkSession, d: String): DataFrame = {
     val h = md5(col("doc_id").cast("string"))
-    val base = docs(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val base = graft.Par.toCores(docs(s, d), col("doc_id"))
       .select(col("source"),
         size(TextAnalysis.tokens(col("text"))).cast("bigint").as("n"),
         conv(substring(h, 1, 8), 16, 10).cast("bigint").as("h1"),
@@ -3374,8 +3372,7 @@ object ExtQueries {
     */
   def sourceContainment(s: SparkSession, d: String): DataFrame = {
     val sg = graft.CacheScope.persisted(
-      docs(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      graft.Par.toCores(docs(s, d), col("doc_id"))
         .select(col("source"),
           explode(TextAnalysis.textShingles(col("text"), 5)).as("g"))
         .distinct())

@@ -2791,13 +2791,13 @@ object LlmQueries {
     * Ratios are exact integer ppm.
     */
   def noveltyScore(s: SparkSession, d: String): DataFrame = {
-    // repartition BEFORE the shingle explode (q134's codec rule): the
-    // 5-gram tokenize+explode is per-row CPU inside the scan, and the
-    // one-file fixture gives it one split (measured 10.4 task-CPU-s at
-    // ~1-way). Partitioning BY doc_id also pre-clusters the cache for
-    // the two per-doc aggregates below.
+    // widen BEFORE the shingle explode ([[graft.Par.toCores]]): the
+    // 5-gram tokenize+explode is per-row CPU inside the scan (measured
+    // 10.4 task-CPU-s at ~1-way on the one-row-group fixture);
+    // clustering BY doc_id pre-shapes the cache for the two per-doc
+    // aggregates below.
     val all = CacheScope.persisted(
-      docs(s, d).repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      graft.Par.toCores(docs(s, d), col("doc_id"))
         .select(col("doc_id"),
           explode(TextAnalysis.textShingles(col("text"), 5)).as("g")))
     val ref = all.filter(col("doc_id") % 3 === 0).select("g").distinct()
@@ -4167,15 +4167,12 @@ object LlmQueries {
   def winnowing(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val W = 8
-    // repartition BEFORE the gram explode (q134's codec rule): the cost
-    // here is md5-per-4-gram CPU computed inside the scan projection, so
-    // parallelism must come from the cores, not from however few splits
-    // the one-file fixture scan produces (measured: 20.5 task-CPU-s at
-    // ~1.2-way concurrency = 16.9 s wall on a 32-core box). Partitioning
-    // BY doc_id keeps the rows clustered for the per-doc window below,
-    // so no second exchange appears; the shuffle moves the raw docs once.
-    val grams = docs(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    // widen BEFORE the gram explode ([[graft.Par.toCores]]): the cost
+    // here is md5-per-4-gram CPU computed inside the scan projection
+    // (measured: 20.5 task-CPU-s at ~1.2-way = 16.9 s wall on a 32-core
+    // box against the one-row-group fixture). Clustering BY doc_id
+    // keeps the rows in place for the per-doc window below.
+    val grams = graft.Par.toCores(docs(s, d), col("doc_id"))
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 4)
       .select(col("doc_id"), col("t"),
@@ -4961,15 +4958,17 @@ object LlmQueries {
     */
   def matryoshkaRecall(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
+    // the four brute-force scans (truth + 3 truncations) are scan-local
+    // cosine CPU over the corpus side (measured 5.7 task-CPU-s serial
+    // on the one-row-group fixture). Widen ([[graft.Par.toCores]]) and
+    // persist ONCE so each scan reads the spread cache. The 1% QUERY
+    // side deliberately reads the raw table, not the cache: its
+    // vec_id filter pushes down to the scan, while a cache-derived
+    // spelling would pay `width` cached-partition tasks per broadcast
+    // build, four times (measured +0.8 s at sf0.1).
+    val corpus = graft.CacheScope.persisted(graft.Par.toCores(e))
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-    // the four brute-force scans (truth + 3 truncations) are scan-local
-    // cosine CPU over the corpus side; the one-file fixture gives that
-    // scan one split (measured 5.7 task-CPU-s serial). Repartition to
-    // cores and persist ONCE so each scan reads the spread cache instead
-    // of re-shuffling (q134's codec rule applied to the vector family).
-    val corpus = graft.CacheScope.persisted(
-      e.repartition(s.sparkContext.defaultParallelism))
     val truth = graft.CacheScope.persisted(
       SimilarityOps.bruteForceTopK(q, corpus, k = 5)
         .select("query_id", "neighbor_id"))

@@ -106,14 +106,13 @@ object Sampling {
       tokenAudits: Seq[Column] = Nil): DataFrame = {
     // the bucketed token stream feeds the stats pass and the scoring
     // join — persist it, or the tokenize+hash scan runs twice. The scan
-    // is repartitioned to cores FIRST (q134's rule): the md5-per-token
+    // is widened FIRST ([[graft.Par.toCores]]): the md5-per-token
     // hashing is per-row CPU inside the scan projection, serial on a
     // one-split input (measured 3.0 task-CPU-s at 1-way on the
     // one-row-group fixture); doc_id clustering also pre-shapes the
     // cache for the final per-document aggregate.
     val toks = graft.CacheScope.persisted(
-      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism,
-          col("doc_id"))
+      graft.Par.toCores(docs, col("doc_id"))
         .select(col("doc_id"), isTarget.as("is_target"),
           explode(TextAnalysis.tokens(col("text"))).as("tok"))
         .withColumn("bucket",

@@ -63,18 +63,23 @@ object PageRank {
     // so any per-cycle slowdown of the environment multiplies straight
     // into wall time (r10 driver: 90.8 task-CPU-s at 8-wide = 41 s
     // wall). Node-sized final aggregates stay at the session default.
-    // deg is node-sized — broadcast it into the weights build, or the
-    // planner co-partitions BOTH sides of the degree join to the
-    // session reducer count and the explicit core-count layout above
-    // collapses back to 8 (measured: weights.rdd.getNumPartitions was 8
-    // with a plain join; the broadcast preserves the streamed side's
-    // partitioning and sort)
+    // the degree side is repartitioned to the SAME explicit width, or
+    // the planner co-partitions both sides of the degree join at the
+    // session reducer count and the core-count layout above silently
+    // collapses (measured: weights.rdd.getNumPartitions was 8 despite
+    // repartition(32, src) with an unhinted join). With both sides at
+    // `width` the explicit layout survives either plan the stats pick:
+    // a size-based broadcast of deg at small scale preserves the
+    // streamed side's layout, and at real scale — where the node-sized
+    // degree table can exceed any broadcast limit — the co-partitioned
+    // merge join needs no broadcast at all (no broadcast() hint here on
+    // purpose: deg is unbounded).
     val width = math.max(
       e.sparkSession.sparkContext.defaultParallelism / 2,
       e.sparkSession.sessionState.conf.numShufflePartitions)
     val weights = graft.CacheScope.persisted(
-      e.repartition(width, col("src"))
-        .sortWithinPartitions("src").join(broadcast(deg), "src"))
+      e.repartition(width, col("src")).sortWithinPartitions("src")
+        .join(deg.repartition(width, col("src")), "src"))
     (deg, weights)
   }
 
