@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Scan-parallelism repair for CPU-heavy map stages.
   *
@@ -35,4 +35,19 @@ object Par {
     else if (keys.isEmpty) df.repartition(dp)
     else df.repartition(dp, keys: _*)
   }
+
+  /** Partition width for a CACHED layout that an iterative operator's
+    * join-aggregate rounds will reuse (PageRank weights, BFS edge
+    * tables, label-propagation adjacency): at least half the cores —
+    * so an environment-level per-cycle slowdown divides across real
+    * cores instead of multiplying into wall time — but never below the
+    * session reducer count, which is the data-sized knob at real scale
+    * (where it normally exceeds core count and this returns it
+    * unchanged). Half, not all: iteration stages are short and
+    * repeated, and full-width tiny tasks oversubscribe SMT siblings
+    * (measured ~1.6× summed-CPU inflation at 32-wide on a 32-vcpu box).
+    */
+  def iterationWidth(s: SparkSession): Int =
+    math.max(s.sparkContext.defaultParallelism / 2,
+      s.sessionState.conf.numShufflePartitions)
 }

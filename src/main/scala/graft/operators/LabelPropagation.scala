@@ -42,9 +42,14 @@ object LabelPropagation {
           col(bCol).cast("bigint").as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct())
+    // the adjacency cache carries the iteration width
+    // ([[graft.Par.iterationWidth]]): every round's vote join runs on
+    // these cached partitions
     val adj = graft.CacheScope.persisted(
       e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct())
+        .distinct()
+        .repartition(graft.Par.iterationWidth(e0.sparkSession),
+          col("src")))
     var lbl = adj.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)

@@ -51,7 +51,12 @@ object NeighborhoodFunction {
     // (sample-bounded) frontier shuffles each round
     val sym = graft.CacheScope.persisted(
       edges.select(col("src"), col("dst"))
-        .repartition(col("src")).sortWithinPartitions("src"))
+        // width sized for the iteration rounds
+        // ([[graft.Par.iterationWidth]]): every round's expansion join
+        // runs exactly as wide as this cached layout
+        .repartition(graft.Par.iterationWidth(edges.sparkSession),
+          col("src"))
+        .sortWithinPartitions("src"))
     var settled = graft.CacheScope.persisted(
       roots.select(col("root"), col("root").as("node"),
         lit(0).as("hop")))
@@ -100,7 +105,12 @@ object NeighborhoodFunction {
       rounds: Int): DataFrame = {
     val sym = graft.CacheScope.persisted(
       edges.select(col("src"), col("dst"))
-        .repartition(col("src")).sortWithinPartitions("src"))
+        // width sized for the iteration rounds
+        // ([[graft.Par.iterationWidth]]): every round's expansion join
+        // runs exactly as wide as this cached layout
+        .repartition(graft.Par.iterationWidth(edges.sparkSession),
+          col("src"))
+        .sortWithinPartitions("src"))
     // BOTH endpoints: on a directed edge set a sink-only node still
     // counts toward every root's ball (src-only dropped it silently;
     // on symmetrized input the union branch is a no-op)

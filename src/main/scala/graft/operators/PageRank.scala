@@ -74,9 +74,7 @@ object PageRank {
     // degree table can exceed any broadcast limit — the co-partitioned
     // merge join needs no broadcast at all (no broadcast() hint here on
     // purpose: deg is unbounded).
-    val width = math.max(
-      e.sparkSession.sparkContext.defaultParallelism / 2,
-      e.sparkSession.sessionState.conf.numShufflePartitions)
+    val width = graft.Par.iterationWidth(e.sparkSession)
     val weights = graft.CacheScope.persisted(
       e.repartition(width, col("src")).sortWithinPartitions("src")
         .join(deg.repartition(width, col("src")), "src"))

@@ -36,8 +36,15 @@ object ShortestPaths {
     */
   def hopDistances(edges: DataFrame, srcCol: String, dstCol: String,
       sources: DataFrame, idCol: String, maxHops: Int): DataFrame = {
+    // the deduped edge cache carries the iteration width
+    // ([[graft.Par.iterationWidth]]): the per-hop expansion join runs
+    // on these cached partitions (the node-sized frontier broadcasts),
+    // so a session reducer count narrower than the cores must not cap
+    // the rounds' parallelism
     val e0 = graft.CacheScope.persisted(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+        .repartition(graft.Par.iterationWidth(edges.sparkSession),
+          col("src")))
     // settled distances accumulate as a LIST of per-hop checkpointed
     // frontiers, unioned lazily — each node's row is materialized exactly
     // once, when its hop settles. (Re-checkpointing `dist ∪ newly` every
@@ -81,8 +88,11 @@ object ShortestPaths {
   def seededHopDistances(edges: DataFrame, srcCol: String, dstCol: String,
       sources: DataFrame, idCol: String, seedCol: String,
       maxHops: Int): DataFrame = {
+    // same iteration-width edge layout as [[hopDistances]]
     val e0 = graft.CacheScope.persisted(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+        .repartition(graft.Par.iterationWidth(edges.sparkSession),
+          col("src")))
     var parts = List(
       sources.select(col(idCol).as("id"), col(seedCol).as("seed"),
         lit(0L).as("dist")).distinct().localCheckpoint(true))
@@ -125,9 +135,12 @@ object ShortestPaths {
       rounds: Int): DataFrame = {
     // parallel edges collapse to their lightest weight up front — one
     // bounded groupBy that shrinks every later round's join
+    // same iteration-width edge layout as [[hopDistances]]
     val e0 = graft.CacheScope.persisted(
       edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .agg(min(col(weightCol)).as("w")))
+        .agg(min(col(weightCol)).as("w"))
+        .repartition(graft.Par.iterationWidth(edges.sparkSession),
+          col("src")))
     var dist = sources.select(col(idCol).as("id"), lit(0L).as("dist"))
       .distinct().localCheckpoint(true)
     (1 to rounds).foreach { _ =>
