@@ -125,7 +125,19 @@ object PrefixSum {
     val bucketExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col("__ps_ord") > lit(b), 1).otherwise(0)
     }
+    // the row-scale work below — the per-(group, bucket) partial sums
+    // and the running-total window — runs exactly as wide as this
+    // table, which otherwise inherits the (often narrow) width of the
+    // caller's upstream aggregate. Spread to the iteration width
+    // ([[graft.Par.iterationWidth]]; full core count measured ~2× the
+    // summed CPU from SMT co-scheduling of the sort-heavy window
+    // tasks), clustered on the window keys so neither the offsets join
+    // nor the window adds an exchange. Width is the bound on how much
+    // wall one ambient-slowed query can cost (q194 measured 57.7
+    // task-CPU-s at 8-wide = 11.6 s under a 5× CPU-inflation episode).
     val bucketed = tmp.withColumn("__ps_bucket", bucketExpr)
+      .repartition(graft.Par.iterationWidth(df.sparkSession),
+        partCols.map(col) :+ col("__ps_bucket"): _*)
     // per-(group, bucket) totals → exclusive base offsets via a window
     // over the BOUNDED aggregate (≤ buckets rows per group) — driver
     // never sees data, and the offsets broadcast-join back by key
