@@ -53,15 +53,22 @@ object Bench {
     // tasks-per-stage exposes 8-reducer stages starving a CPU-bound
     // query; peak concurrent tasks exposes scheduler/CPU starvation
     val running = new AtomicLong; val peakRun = new AtomicLong
-    val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, AtomicLong]()
+    // keyed by (stageId, attemptId): a retried stage attempt re-runs its
+    // tasks, and merging attempts under one key would report a stage
+    // wider than it ever ran (stage COUNT below still dedups by stageId)
+    val stageTasks =
+      new java.util.concurrent.ConcurrentHashMap[(Int, Int), AtomicLong]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskStart(e: SparkListenerTaskStart): Unit = {
         val r = running.incrementAndGet()
         peakRun.accumulateAndGet(r, (a: Long, b: Long) => math.max(a, b))
       }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-        running.decrementAndGet()
-        stageTasks.computeIfAbsent(e.stageId, _ => new AtomicLong)
+        // clamped at zero: a task that started before the per-query
+        // reset but ends after it would otherwise drive the counter to
+        // -1 and deflate every later peak_tasks reading
+        running.accumulateAndGet(0L, (cur: Long, _: Long) => math.max(0L, cur - 1))
+        stageTasks.computeIfAbsent((e.stageId, e.stageAttemptId), _ => new AtomicLong)
           .incrementAndGet()
         val m = e.taskMetrics
         if (m != null) {
@@ -151,9 +158,13 @@ object Bench {
         stageTasks.values.asScala.toSeq.map(_.get)
           .groupBy(identity).view.mapValues(_.size).toSeq.sortBy(-_._1)
       }
+      val nStages = {
+        import scala.jdk.CollectionConverters._
+        stageTasks.keySet.asScala.map(_._1).size
+      }
       val diag = (runMs.get, cpuMs.get, gcMs.get, spillB.get >> 20, storMb,
         jitBean.getTotalCompilationTime - jit0, peakRun.get,
-        stageTasks.size, widths)
+        nStages, widths)
       (name, sec, err, diag)
     }
     // 3-decimal times keep the one-line JSON short enough for the
@@ -176,20 +187,31 @@ object Bench {
     val slowest = byTime.takeRight(15).reverse
       .map { case (k, v, _, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    // per-query diagnostics for the slowest 15: task run/cpu seconds
-    // (run >> cpu = the tasks were descheduled — contention/steal, not
-    // plan cost), task-attributed GC ms, spill MiB, cached MiB at query
-    // end. This is the line that turns the next 8-10x driver anomaly
-    // from an argument into a diagnosis.
-    val diags = byTime.takeRight(15).reverse
-      .map { case (k, _, _, (r, c, g, sp, st, jit, pk, nst, widths)) =>
-        val w = widths.map { case (tasks, n) => "\"" + tasks + "\":" + n }
-          .mkString("{", ",", "}")
-        "\"" + k + "\":{\"run_s\":" + f3(r / 1e3) + ",\"cpu_s\":" + f3(c / 1e3) +
-          ",\"gc_ms\":" + g + ",\"spill_mb\":" + sp + ",\"cached_mb\":" + st +
-          ",\"jit_ms\":" + jit + ",\"peak_tasks\":" + pk +
-          ",\"stages\":" + nst + ",\"widths\":" + w + "}"
-      }.mkString("{", ",", "}")
+    // per-query diagnostics: task run/cpu seconds (run >> cpu = the
+    // tasks were descheduled — contention/steal, not plan cost),
+    // task-attributed GC ms, spill MiB, cached MiB at query end. This
+    // is the line that turns the next 8-10x driver anomaly from an
+    // argument into a diagnosis.
+    def diagJson(k: String, sec: Double,
+        d: (Long, Long, Long, Long, Long, Long, Long, Int, Seq[(Long, Int)]),
+        withSec: Boolean): String = {
+      val (r, c, g, sp, st, jit, pk, nst, widths) = d
+      val w = widths.map { case (tasks, n) => "\"" + tasks + "\":" + n }
+        .mkString("{", ",", "}")
+      val secField = if (withSec) "\"sec\":" + f3(sec) + "," else ""
+      "\"" + k + "\":{" + secField +
+        "\"run_s\":" + f3(r / 1e3) + ",\"cpu_s\":" + f3(c / 1e3) +
+        ",\"gc_ms\":" + g + ",\"spill_mb\":" + sp + ",\"cached_mb\":" + st +
+        ",\"jit_ms\":" + jit + ",\"peak_tasks\":" + pk +
+        ",\"stages\":" + nst + ",\"widths\":" + w + "}"
+    }
+    // inline line carries only the slowest 6 (15 entries was ~2700 chars
+    // — it overflowed the driver's 2000-char tail capture and clipped
+    // the floor/tail fields behind it, twice); the FULL per-query diag
+    // for every query goes to the committed file below
+    val diags = byTime.takeRight(6).reverse
+      .map { case (k, sec, _, d) => diagJson(k, sec, d, withSec = false) }
+      .mkString("{", ",", "}")
     // floor/tail split (BASELINE.md's manual gate-math table, emitted so
     // the next driver anomaly is attributable at a glance): tail = the
     // slowest 51 queries, floor = everything else. A floor-avg drift
@@ -216,10 +238,35 @@ object Bench {
     val cc = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
       .filter(p => p.getName.startsWith("CodeHeap") || p.getName == "Code Cache")
       .map(_.getUsage.getUsed).sum >> 20
+    // the COMPLETE metrics — every query's time and task diag, the
+    // floor/tail split, and the suite counters — written to a file in
+    // the repo (committed with the round): the driver's stdout capture
+    // keeps only the last 2000 chars of the line below, and r11's
+    // diagnosis of its own worst spike was built, emitted, and lost to
+    // exactly that truncation. The file is the durable channel; the
+    // stdout line is the driver-parsed headline.
+    val fullJson = {
+      val perQ = byTime.map { case (k, sec, _, d) =>
+        diagJson(k, sec, d, withSec = true)
+      }.mkString("{", ",", "}")
+      s"""{"sf":"$sfDir","shuffle":$shuffle,"aqe":$aqe,"code_cache_mb":$cc,
+         |"floor_sum":${f3(floorSum)},"floor_avg":${f3(floorAvg)},
+         |"tail_sum":${f3(tailSum)},"tail_n":$tailN,
+         |"total_sec":${f3(total)},"n_queries":${results.size}$errJson,
+         |"queries":$perQ}""".stripMargin.replace("\n", "")
+    }
+    try {
+      val dir = java.nio.file.Paths.get("bench_out")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("BENCH_SELF.json"),
+        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // a read-only cwd must not fail the bench
     // total appears at BOTH ends of the line: the driver's bounded
     // output capture can clip either side (r05 lost the head — and with
-    // it the headline number), so whichever half survives carries it
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir","shuffle":$shuffle,"code_cache_mb":$cc,"floor_sum":${f3(floorSum)},"floor_avg":${f3(floorAvg)},"tail_sum":${f3(tailSum)},"tail_n":$tailN,"diag":$diags,"slowest":$slowest,"total_sec":${f3(total)}}""")
+    // it the headline number), so whichever half survives carries it.
+    // Field order within the tail 2000 chars is by diagnostic value:
+    // diag (top-6), then the floor/tail split, then slowest, then total.
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir","shuffle":$shuffle,"code_cache_mb":$cc,"diag":$diags,"floor_sum":${f3(floorSum)},"floor_avg":${f3(floorAvg)},"tail_sum":${f3(tailSum)},"tail_n":$tailN,"self_file":"bench_out/BENCH_SELF.json","slowest":$slowest,"total_sec":${f3(total)}}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

@@ -25,12 +25,24 @@ object Par {
 
   /** `df`, at least `defaultParallelism`-wide — unchanged if the plan
     * already is, else repartitioned (by `keys` when given, round-robin
-    * otherwise). Deciding needs the physical partition count, which
+    * otherwise).
+    *
+    * With AQE OFF, deciding needs the physical partition count, which
     * forces plan translation on the driver but launches no job and
-    * reads no data.
+    * reads no data. With AQE ON that probe is NOT free: `Dataset.rdd`
+    * materializes a separate `AdaptiveSparkPlanExec` whose final-plan
+    * computation executes every upstream shuffle stage as a real job
+    * and then discards the result (no exchange reuse across
+    * QueryExecutions) — a call site wrapping a join/aggregate would run
+    * its heavy upstream TWICE. So under AQE this is a no-op: adaptive
+    * coalescing/skew handling already re-sizes stages at runtime, and
+    * the narrow-scan case this repairs (one row group ⇒ one task) is a
+    * bench-layout artifact, and the bench runs AQE off.
     */
   def toCores(df: DataFrame, keys: Column*): DataFrame = {
-    val dp = df.sparkSession.sparkContext.defaultParallelism
+    val spark = df.sparkSession
+    if (spark.sessionState.conf.adaptiveExecutionEnabled) return df
+    val dp = spark.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= dp) df
     else if (keys.isEmpty) df.repartition(dp)
     else df.repartition(dp, keys: _*)
