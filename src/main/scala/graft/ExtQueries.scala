@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.expressions.Fnv64
 import graft.functions.TextAnalysis
 
 /** Extension query registry (q201+): round-7 additions beyond the
@@ -377,18 +378,22 @@ object ExtQueries {
     * pipeline is the bounded equality-join LSH; the sweep is 3× that
     * cost, never all-pairs.
     */
-  /** One md5 per shingle expanded into 16 Kirsch–Mitzenmacher minhash
-    * signature columns (the [[functions.DedupOps]] formula), persisted —
-    * shared by the q209 sweep (3 band shapes off ONE signature table)
-    * and the q210 estimate audit.
+  /** Two fnv64 calls per shingle expanded into 16 Kirsch–Mitzenmacher
+    * minhash signature columns (the [[functions.DedupOps]] formula),
+    * persisted — shared by the q209 sweep (3 band shapes off ONE
+    * signature table) and the q210 estimate audit. The bases were one
+    * md5 split into two 60-bit halves; the digest (plus its hex
+    * rendering and the conv re-parse) was the single largest CPU item
+    * in the whole bench tail, and minhash only needs dispersal — two
+    * salted [[graft.expressions.Fnv64]] values are ~20× cheaper and
+    * equally portable (the oracles replay them via [[Fnv64.sql]]).
     */
   private def kmSigs(sh: DataFrame): DataFrame = {
     val p = functions.DedupOps.KmPrime
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-      .withColumn("h", md5(col("g")))
       .select(col("doc_id"),
-        (conv(substring(col("h"), 1, 15), 16, 10).cast("bigint") % p).as("h1"),
-        (conv(substring(col("h"), 17, 15), 16, 10).cast("bigint") % p).as("h2"))
+        (Fnv64.fnv64(col("g")) % p).as("h1"),
+        (Fnv64.fnv64(concat(lit("h2|"), col("g"))) % p).as("h2"))
     graft.CacheScope.persisted(ex.groupBy(col("doc_id")).agg(
       min((col("h1") + col("h2") * lit(0L)) % p).as("sig_0"),
       (1 until 16).map(i =>
@@ -399,16 +404,26 @@ object ExtQueries {
     val dd = docs(s, d)
     val sh = graft.CacheScope.persisted(
       functions.DedupOps.shingleSets(dd, "text", "doc_id", 5))
-    val truth = functions.DedupOps.ngramJaccardPairs(dd, "text", "doc_id")
-      .select("doc_a", "doc_b")
-    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    // ONE exact-verification pass for the WHOLE sweep: a band candidate
+    // only counts if its full-set Jaccard reaches the threshold, and any
+    // pair with Jaccard > 0 shares a shingle — so every pair a band
+    // shape can verify is already IN the inverted-index truth set. The
+    // per-shape counts are therefore plain intersections of the band
+    // candidate tags with this one verified table; the previous form
+    // re-ran array_intersect over every band candidate (a second
+    // corpus-scale verification pass) to compute a subset of what the
+    // truth pass had already decided.
+    val verified = graft.CacheScope.persisted(
+      functions.DedupOps.ngramJaccardPairs(dd, "text", "doc_id")
+        .select("doc_a", "doc_b"))
+    val nTruth = verified.agg(count(lit(1)).as("n_truth"))
     // ONE signature table, and ONE TAGGED band table across all three
     // shapes (8+4+2 = 14 band structs per doc — exactly the rows the
     // three per-shape tables held, now in one relation). The tag rides
     // the self-join key, so the whole sweep is ONE candidate shuffle +
-    // ONE shingle-verification pass + ONE aggregation action, where the
-    // per-shape loop paid three self-joins, three verification counts
-    // and a separate truth count (7 blocking jobs — measured 6.5 s, the
+    // ONE membership join + ONE aggregation action, where the per-shape
+    // loop paid three self-joins, three verification counts and a
+    // separate truth count (7 blocking jobs — measured 6.5 s, the
     // slowest non-inherent query in the r08 tail). Values are identical:
     // candidates per tag don't change, only how many jobs carry them.
     val sigs = kmSigs(sh)
@@ -416,7 +431,7 @@ object ExtQueries {
       explode(array(Seq(2, 4, 8).flatMap { r =>
         (0 until 16 / r).map { b =>
           struct(lit(r).as("band_rows"), lit(b).as("band_idx"),
-            md5(concat_ws("|",
+            Fnv64.fnv64(concat_ws("|",
               (b * r until (b + 1) * r).map(i => col(s"sig_$i")): _*))
               .as("band_hash"))
         }
@@ -431,12 +446,10 @@ object ExtQueries {
       .select(col("a.band_rows").as("band_rows"),
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val verified = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .filter(expr("CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / " +
-        "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))) " +
-        ">= 0.6"))
+    // verified is pair-scale (near-dups only) — broadcast it so the
+    // candidate table never shuffles for the membership check
+    val perShape = cand
+      .join(broadcast(verified), Seq("doc_a", "doc_b"))
       .groupBy(col("band_rows"))
       .agg(count(lit(1)).as("n_pairs"))
     val s2 = s
@@ -444,7 +457,7 @@ object ExtQueries {
     // left join from the literal shape list so a shape with zero
     // verified pairs still emits its row (as the per-shape loop did)
     Seq(2L, 4L, 8L).toDF("band_rows")
-      .join(verified.withColumn("band_rows", col("band_rows").cast("bigint")),
+      .join(perShape.withColumn("band_rows", col("band_rows").cast("bigint")),
         Seq("band_rows"), "left")
       .na.fill(0L, Seq("n_pairs"))
       .crossJoin(broadcast(nTruth))
@@ -462,7 +475,7 @@ object ExtQueries {
     def bandCte(r: Int): String = {
       val bands = (0 until 16 / r).map { b =>
         val cols = (b * r until (b + 1) * r).map(i => s"sig_$i").mkString(", ")
-        s"SELECT doc_id, $b AS band_idx, md5(concat_ws('|', $cols)) AS band_hash FROM sig"
+        s"SELECT doc_id, $b AS band_idx, ${Fnv64.sql(s"concat_ws('|', $cols)")} AS band_hash FROM sig"
       }.mkString("\n  UNION ALL\n  ")
       s"""band$r AS (
          |  $bands
@@ -487,8 +500,8 @@ object ExtQueries {
        |  SELECT doc_id, unnest(sh) AS g FROM sh
        |), hh AS (
        |  SELECT doc_id,
-       |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % $p AS h1,
-       |    CAST('0x' || substr(md5(g), 17, 15) AS BIGINT) % $p AS h2
+       |    ${Fnv64.sql("g")} % $p AS h1,
+       |    ${Fnv64.sql("'h2|' || g")} % $p AS h2
        |  FROM exg
        |), sig AS (
        |  SELECT doc_id,
@@ -569,8 +582,8 @@ object ExtQueries {
        |  SELECT doc_id, unnest(sh) AS g FROM sh
        |), hh AS (
        |  SELECT doc_id,
-       |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % $p AS h1,
-       |    CAST('0x' || substr(md5(g), 17, 15) AS BIGINT) % $p AS h2
+       |    ${Fnv64.sql("g")} % $p AS h1,
+       |    ${Fnv64.sql("'h2|' || g")} % $p AS h2
        |  FROM exg
        |), sig AS (
        |  SELECT doc_id,

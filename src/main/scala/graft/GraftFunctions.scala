@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.graftbridge.toColumn
 
-import graft.expressions.{CosineSimilarity, MinShingleHash, UnicodeNormalize, WordShingles}
+import graft.expressions.{CosineSimilarity, Fnv64, MinShingleHash, UnicodeNormalize, WordShingles}
 
 /** SQL registration for the native expressions, so `spark.sql` users get
   * the same operators as the Column API:
@@ -21,6 +21,8 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("min_shingle_hash",
       exprs => MinShingleHash(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")
+    registry.createOrReplaceTempFunction("fnv64",
+      exprs => Fnv64(exprs(0)), "built-in")
     registry.createOrReplaceTempFunction("unicode_normalize",
       exprs => UnicodeNormalize(exprs(0), exprs(1).eval() match {
         case u: org.apache.spark.unsafe.types.UTF8String => u.toString

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.expressions.Fnv64
 import graft.functions.{CountMin, DedupOps, Multimodal, SimilarityOps, TextAnalysis}
 
 /** LLM-data-pipeline query registry (q21–q32): deduplication (exact,
@@ -4077,12 +4078,14 @@ object LlmQueries {
   def kmvDistinct(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val K = 64
+    // 48-bit user hash (same domain the md5-prefix form used, so the
+    // (k−1)·2⁴⁸ estimator is unchanged) via the cheap portable
+    // [[graft.expressions.Fnv64]] — KMV needs dispersal, not a digest
     val ev = graft.CacheScope.persisted(Tables.events(s, d)
       .select(col("event_type"),
         col("user_id"),
-        conv(substring(md5(concat(lit("kmv-v1|"),
-          col("user_id").cast("string"))), 1, 12), 16, 10)
-          .cast("bigint").as("h")))
+        (Fnv64.fnv64(concat(lit("kmv-v1|"),
+          col("user_id").cast("string"))) % 281474976710656L).as("h")))
     val tops = graft.CacheScope.persisted(ev.select("event_type", "h").distinct()
       .withColumn("rn", row_number().over(
         Window.partitionBy("event_type").orderBy("h")))
@@ -4112,10 +4115,10 @@ object LlmQueries {
   }
 
   val kmvDistinctOracle: String =
-    """WITH ev AS (
+    s"""WITH ev AS (
       |  SELECT event_type, user_id,
-      |    CAST('0x' || substr(md5('kmv-v1|' || CAST(user_id AS VARCHAR)),
-      |      1, 12) AS BIGINT) AS h
+      |    ${Fnv64.sql("'kmv-v1|' || CAST(user_id AS VARCHAR)")}
+      |      % 281474976710656 AS h
       |  FROM events
       |), dh AS (SELECT DISTINCT event_type, h FROM ev),
       |tops AS (
@@ -4168,18 +4171,21 @@ object LlmQueries {
     import org.apache.spark.sql.expressions.Window
     val W = 8
     // widen BEFORE the gram explode ([[graft.Par.toCores]]): the cost
-    // here is md5-per-4-gram CPU computed inside the scan projection
-    // (measured: 20.5 task-CPU-s at ~1.2-way = 16.9 s wall on a 32-core
-    // box against the one-row-group fixture). Clustering BY doc_id
-    // keeps the rows in place for the per-doc window below.
+    // here is hash-per-4-gram CPU computed inside the scan projection.
+    // Clustering BY doc_id keeps the rows in place for the per-doc
+    // window below. The gram hash is [[graft.expressions.Fnv64]] folded
+    // to 32 bits (same domain the md5 prefix gave) — a winnowing
+    // fingerprint needs dispersal only, and the md5 form here was
+    // 20.5 task-CPU-s at sf0.1 (the digest plus hex plus conv re-parse),
+    // the largest single CPU item in the bench tail.
     val grams = graft.Par.toCores(docs(s, d), col("doc_id"))
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 4)
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(1), size(col("t")) - 3)).as("p"))
       .select(col("doc_id"), col("p"),
-        (conv(substring(md5(array_join(slice(col("t"), col("p"), lit(4)), " ")),
-          1, 8), 16, 10).cast("bigint") * 100000
+        ((Fnv64.fnv64(array_join(slice(col("t"), col("p"), lit(4)), " "))
+          % 4294967296L) * 100000
           + (lit(100000) - col("p"))).as("hp"))
     val win = Window.partitionBy("doc_id").orderBy("p")
       .rowsBetween(-(W - 1), Window.currentRow)
@@ -4211,13 +4217,13 @@ object LlmQueries {
   }
 
   val winnowingOracle: String =
-    """WITH tok AS (
-      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+    s"""WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
       |  FROM documents
       |), g AS (
       |  SELECT doc_id, i AS p,
-      |    CAST('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 8)
-      |      AS BIGINT) * 100000 + (100000 - i) AS hp
+      |    (${Fnv64.sql("array_to_string(t[i:i+3], ' ')")}
+      |      % 4294967296) * 100000 + (100000 - i) AS hp
       |  FROM tok, UNNEST(range(1, len(t) - 2)) AS u(i)
       |  WHERE len(t) >= 4
       |), w AS (

@@ -109,6 +109,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity(args, 3, "muldiv128", "a, b, m")
         MulDiv128(args.head, args(1), args(2))
       }))
+    e.injectFunction((FunctionIdentifier("fnv64"),
+      info("fnv64", "fnv64(s) - FNV-1a 64-bit hash of a string, sign bit cleared (portable dispersal hash)"),
+      (args: Seq[Expression]) => {
+        arity(args, 1, "fnv64", "s")
+        Fnv64(args.head)
+      }))
     e.injectFunction((FunctionIdentifier("simhash_signature"),
       info("simhash_signature", "simhash_signature(shingles, bits) - md5-vote SimHash of a string array; NULL for an empty array"),
       (args: Seq[Expression]) => {
