@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components over a pair list — the step that
   * turns near-duplicate PAIRS (MinHash/SimHash/Jaccard output) into
@@ -38,11 +37,11 @@ object ConnectedComponents {
     val spark = pairs.sparkSession
     import spark.implicits._
 
-    // localCheckpoint (eager, MEMORY_AND_DISK) both materializes each
-    // round AND truncates the logical plan — without it the lineage of
-    // an iterative join doubles per round and plan processing alone
-    // OOMs the driver long before the data does. On a real cluster with
-    // lossy executors, set a checkpoint dir and swap in checkpoint().
+    // localCheckpoint both materializes each round AND truncates the
+    // logical plan — without it the lineage of an iterative join
+    // doubles per round and plan processing alone OOMs the driver long
+    // before the data does. On a real cluster with lossy executors,
+    // set a checkpoint dir and swap in checkpoint().
     // materialize the (possibly expensive) upstream pair pipeline once —
     // both the node set and the edge set derive from it
     val canon = pairs
@@ -50,14 +49,19 @@ object ConnectedComponents {
         least(col(aCol), col(bCol)).cast("bigint").as("v"))
       .localCheckpoint(true)
     // node set comes from the RAW pairs: a node whose only edge is a
-    // self-loop is still a (singleton) component
+    // self-loop is still a (singleton) component. Consumed exactly once
+    // (the final left join), and canon is already checkpointed — so no
+    // materialization job here; it recomputes from canon's blocks.
     val nodes = canon.select(explode(array($"u", $"v")).as("id")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    nodes.count()
+    // LAZY checkpoint: the fingerprint action below materializes the
+    // blocks AND truncates lineage in the same job — an eager
+    // checkpoint would pay a separate materialization job per round,
+    // and at bench scale the per-job fixed cost IS the operator's cost
+    // (the data is small; a round is ~5 short stages either way)
     var edges = canon
       .filter($"u" =!= $"v")
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // convergence check: an order-independent fingerprint of the edge
     // set — (count, bit_xor of a per-edge 64-bit hash) — compared to
@@ -86,11 +90,15 @@ object ConnectedComponents {
         .union(edges.select($"v".as("u"), $"u".as("v")))
       val mins = nbrs.groupBy($"u").agg(min($"v").as("mn"))
         .select($"u", least($"mn", $"u").as("m"))
+      // NOT deduplicated: every consumer is duplicate-insensitive (the
+      // small-star min, and `next`'s own distinct) — the dedup shuffle
+      // here bought nothing but bounded intermediate size, and the dup
+      // factor is neighborhood overlap, not data scale; the round's one
+      // distinct (on `next`) is what persists between rounds
       val large = nbrs.join(mins, "u")
         .filter($"v" > $"u")
         .select(greatest($"v", $"m").as("u"), least($"v", $"m").as("v"))
         .filter($"u" =!= $"v")
-        .distinct()
       // small-star: for every node, point all smaller-or-equal
       // neighbors (and itself) at the minimum of that set
       val sMins = large.groupBy($"u").agg(min($"v").as("m"))
@@ -100,11 +108,13 @@ object ConnectedComponents {
         .filter($"u" =!= $"v")
         .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // converged when the (canonical, deduped) edge set is unchanged —
       // detected by fingerprint equality against the prior round (see
       // above); the algorithm monotonically re-points edges at smaller
-      // ids, so the first unchanged round IS the fixpoint
+      // ids, so the first unchanged round IS the fixpoint. The
+      // fingerprint action doubles as the round's ONLY job: it
+      // materializes the lazy checkpoint above as a side effect.
       val nextFp = fingerprint(next)
       edges.unpersist()
       edges = next
