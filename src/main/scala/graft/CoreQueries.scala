@@ -2026,15 +2026,23 @@ object CoreQueries {
     * chained min-merges.
     */
   def bfsHops(s: SparkSession, d: String): DataFrame = {
+    // the graph runs on LONG node ids (customer → 2k, supplier → 2k+1):
+    // every frontier join, distinct, and anti-join keys on an 8-byte
+    // integer instead of a concatenated string (the string form measured
+    // 17.5 task-CPU-s at sf0.1 — hashing and comparing "c12345" per edge
+    // per round was most of the query). The presentation ids are
+    // rendered ONCE on the hop-table-sized output.
     val e1 = t(s, d, "orders").join(t(s, d, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
     val edges = e1.unionAll(e1.select(col("dst").as("src"), col("src").as("dst")))
     val sources = t(s, d, "customer").filter(col("c_nationkey") === 0)
-      .select(concat(lit("c"), col("c_custkey")).as("id"))
+      .select((col("c_custkey") * 2).as("id"))
     graft.operators.ShortestPaths.hopDistances(
         edges, "src", "dst", sources, "id", maxHops = 3)
+      .select(concat(when(col("id") % 2 === 0, "c").otherwise("s"),
+        expr("id div 2")).as("id"), col("dist"))
       .orderBy("id")
   }
 

@@ -999,13 +999,17 @@ object ExtQueries {
     * the bounded BFS.
     */
   def harmonicCentrality(s: SparkSession, d: String): DataFrame = {
+    // long node ids through the BFS (customer → 2k, supplier → 2k+1,
+    // the q76/q108/q126 convention) — the per-(id, seed) frontier
+    // joins and distincts key on integers; presentation ids render on
+    // the aggregated output only
     val e1 = t(s, d, "orders").join(t(s, d, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
     val edges = e1.unionAll(e1.select(col("dst").as("src"), col("src").as("dst")))
     val seeds = t(s, d, "customer").filter(col("c_custkey") <= 4)
-      .select(concat(lit("c"), col("c_custkey")).as("id"),
+      .select((col("c_custkey") * 2).as("id"),
         col("c_custkey").as("seed"))
     graft.operators.ShortestPaths.seededHopDistances(
         edges, "src", "dst", seeds, "id", "seed", maxHops = 2)
@@ -1013,6 +1017,9 @@ object ExtQueries {
       .groupBy("id")
       .agg(count(lit(1)).as("n_seeds_reached"),
         sum(expr("60L div dist")).cast("bigint").as("harmonic_x60"))
+      .select(concat(when(col("id") % 2 === 0, "c").otherwise("s"),
+        expr("id div 2")).as("id"),
+        col("n_seeds_reached"), col("harmonic_x60"))
       .orderBy("id")
   }
 

@@ -574,14 +574,17 @@ object Multimodal {
   def videoFeatures(spark: SparkSession, docs: DataFrame,
       tol: Int = 12): DataFrame = {
     import spark.implicits._
-    // repartition BEFORE the decode: the per-row cost here is codec CPU
-    // (3 JPEG encodes + an AVI round trip + 3 ImageIO decodes per id),
-    // so parallelism must come from the cluster's cores, not from
-    // however few splits the 8-byte-per-row id scan happens to produce
-    // (one parquet file = one task = serial decode, measured 2.2 s of a
-    // 5.3 s query on a 32-core box). Shuffling the bare ids costs KBs.
-    docs.select(col("doc_id")).as[Long]
-      .repartition(spark.sparkContext.defaultParallelism)
+    // widen BEFORE the decode ([[graft.Par.toCores]] — conditional):
+    // the per-row cost here is codec CPU (3 JPEG encodes + an AVI round
+    // trip + 3 ImageIO decodes per id), so parallelism must come from
+    // the cluster's cores, not from however few splits the
+    // 8-byte-per-row id scan happens to produce (one parquet file = one
+    // task = serial decode, measured 2.2 s of a 5.3 s query on a
+    // 32-core box). On an already-split input the repair is a no-op —
+    // the unconditional form stacked a redundant exchange + second
+    // 32-wide heavy stage on top of a 32-split scan (measured 1.1 →
+    // 2.8 s when the bench fixtures gained split-sized files).
+    graft.Par.toCores(docs.select(col("doc_id"))).as[Long]
       .mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { id =>

@@ -135,9 +135,16 @@ object PrefixSum {
     // nor the window adds an exchange. Width is the bound on how much
     // wall one ambient-slowed query can cost (q194 measured 57.7
     // task-CPU-s at 8-wide = 11.6 s under a 5× CPU-inflation episode).
-    val bucketed = tmp.withColumn("__ps_bucket", bucketExpr)
-      .repartition(graft.Par.iterationWidth(df.sparkSession),
-        partCols.map(col) :+ col("__ps_bucket"): _*)
+    // persisted: consumed TWICE — the offsets aggregate materializes it,
+    // the final windowed join re-reads it. Unpersisted, both consumers
+    // re-ran the repartition over the full row-scale table (measured on
+    // q194: two ~4.8 task-CPU-s jobs doing the same exchange), because
+    // exchange reuse does not cross QueryExecutions when offsets
+    // broadcast as their own plan.
+    val bucketed = graft.CacheScope.persisted(
+      tmp.withColumn("__ps_bucket", bucketExpr)
+        .repartition(graft.Par.iterationWidth(df.sparkSession),
+          partCols.map(col) :+ col("__ps_bucket"): _*))
     // per-(group, bucket) totals → exclusive base offsets via a window
     // over the BOUNDED aggregate (≤ buckets rows per group) — driver
     // never sees data, and the offsets broadcast-join back by key

@@ -63,10 +63,15 @@ object ShortestPaths {
         .select(col("dst").as("id")).distinct()
       // first-touch wins: anything already settled keeps its earlier
       // (by construction smaller) distance
+      // LAZY checkpoint + count(): the emptiness probe materializes
+      // every partition (count touches all of them — unlike isEmpty's
+      // limit-1, which would checkpoint only the partitions it reads
+      // and leave truncated lineage behind the rest) — so each round
+      // runs ONE job where eager-checkpoint-then-probe ran two
       val newly = candidates.join(dist, Seq("id"), "left_anti")
         .select(col("id"), lit(hop.toLong).as("dist"))
-        .localCheckpoint(true)
-      if (newly.isEmpty) expanding = false
+        .localCheckpoint(false)
+      if (newly.count() == 0L) expanding = false
       else {
         parts = newly :: parts
         frontier = newly.select("id")
@@ -103,10 +108,11 @@ object ShortestPaths {
     while (expanding && hop <= maxHops) {
       val candidates = e0.join(frontier, col("src") === col("id"))
         .select(col("dst").as("id"), col("seed")).distinct()
+      // lazy checkpoint + count: one job per round (see hopDistances)
       val newly = candidates.join(dist, Seq("id", "seed"), "left_anti")
         .select(col("id"), col("seed"), lit(hop.toLong).as("dist"))
-        .localCheckpoint(true)
-      if (newly.isEmpty) expanding = false
+        .localCheckpoint(false)
+      if (newly.count() == 0L) expanding = false
       else {
         parts = newly :: parts
         frontier = newly.select("id", "seed")
