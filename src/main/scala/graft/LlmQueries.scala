@@ -4423,19 +4423,27 @@ object LlmQueries {
     val truth = graft.CacheScope.persisted(
       SimilarityOps.bruteForceTopK(q, e, 3)
         .select(col("query_id"), col("neighbor_id")))
-    Seq(1, 2, 4).map { p =>
-      val approx = SimilarityOps.ivfTopK(e, seeds, q, k = 3, probes = p)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
-        .agg(countDistinct(col("query_id")).as("n_queries"),
-          sum(coalesce(col("hit"), lit(0L))).as("total_hits"))
-        .select(lit(p.toLong).as("probes"),
-          col("n_queries").cast("bigint").as("n_queries"),
-          col("total_hits").cast("bigint").as("total_hits"),
-          expr("""CAST(CAST(1000000 AS DECIMAL(38,0)) * total_hits
-                 |  div (3 * n_queries) AS BIGINT)""".stripMargin)
-            .as("recall_ppm"))
-    }.reduce(_ unionAll _).orderBy("probes")
+    // ONE assignment + ONE tagged ranking for all three probe counts
+    // ([[SimilarityOps.ivfTopKSweep]]): the probed-bucket list for p is
+    // the length-p prefix of one deterministic ranking, so the per-p
+    // loop paid 3× the jobs for byte-identical results. The recall
+    // rollup fans the truth set out per tag the same way.
+    val approx = SimilarityOps.ivfTopKSweep(e, seeds, q, k = 3,
+        probesList = Seq(1, 2, 4))
+      .select(col("probes"), col("query_id"), col("neighbor_id"),
+        lit(1L).as("hit"))
+    truth.withColumn("probes", explode(array(lit(1L), lit(2L), lit(4L))))
+      .join(approx, Seq("probes", "query_id", "neighbor_id"), "left")
+      .groupBy(col("probes"))
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        sum(coalesce(col("hit"), lit(0L))).as("total_hits"))
+      .select(col("probes"),
+        col("n_queries").cast("bigint").as("n_queries"),
+        col("total_hits").cast("bigint").as("total_hits"),
+        expr("""CAST(CAST(1000000 AS DECIMAL(38,0)) * total_hits
+               |  div (3 * n_queries) AS BIGINT)""".stripMargin)
+          .as("recall_ppm"))
+      .orderBy("probes")
   }
 
   val ivfProbeSweepOracle: String = {
@@ -4577,9 +4585,6 @@ object LlmQueries {
     val dd = graft.CacheScope.persisted(docs(s, d)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         size(TextAnalysis.tokens(col("text"))).cast("bigint").as("n_tokens")))
-    def row(name: String, v: Column): DataFrame =
-      dd.agg(v.cast("bigint").as("value")).select(lit(name).as("metric"),
-        col("value"))
     val dupDocs = dd.groupBy(md5(col("text")).as("fp"))
       .agg(count(lit(1)).as("n"))
       .agg(sum(when(col("n") > 1, col("n")).otherwise(0L))
@@ -4594,20 +4599,30 @@ object LlmQueries {
       .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
       .agg(count(lit(1)).cast("bigint").as("value"))
       .select(lit("neardup_docs").as("metric"), col("value"))
-    val piiDocs = dd
-      .agg(sum(when(length(TextAnalysis.scrubPii(col("text")))
-          =!= length(col("text")), 1L).otherwise(0L))
-        .cast("bigint").as("value"))
-      .select(lit("pii_docs").as("metric"), col("value"))
-    row("n_docs", count(lit(1)))
-      .unionAll(row("n_langs", countDistinct(col("lang"))))
-      .unionAll(row("n_sources", countDistinct(col("source"))))
-      .unionAll(row("total_tokens", sum(col("n_tokens"))))
-      .unionAll(row("mean_tokens", expr("sum(n_tokens) div count(1)")))
+    // ONE aggregate pass for all six corpus-scan scalars, unpivoted to
+    // rows with stack() — the per-metric unionAll form re-scanned the
+    // cached corpus once per metric (6 agg subtrees for 6 rows of
+    // output; 22 stages for a health report). countDistinct×2 expands
+    // 3× over the doc-scale input, still one pass.
+    val scalars = dd.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_tokens")).as("total_tokens"),
+        expr("sum(n_tokens) div count(1)").as("mean_tokens"),
+        sum(when(length(TextAnalysis.scrubPii(col("text")))
+            =!= length(col("text")), 1L).otherwise(0L)).as("pii_docs"))
+      .selectExpr("""stack(6,
+        'n_docs', CAST(n_docs AS BIGINT),
+        'n_langs', CAST(n_langs AS BIGINT),
+        'n_sources', CAST(n_sources AS BIGINT),
+        'total_tokens', CAST(total_tokens AS BIGINT),
+        'mean_tokens', CAST(mean_tokens AS BIGINT),
+        'pii_docs', CAST(pii_docs AS BIGINT)) AS (metric, value)""")
+    scalars
       .unionAll(dupDocs)
       .unionAll(nearPairs)
       .unionAll(nearDocs)
-      .unionAll(piiDocs)
       .orderBy("metric")
   }
 

@@ -734,6 +734,43 @@ object SimilarityOps {
     rankProbed(assigned, seeds, queries, k, probes)
   }
 
+  /** [[ivfTopK]] for SEVERAL probe counts in ONE pipeline: because the
+    * probed-bucket list for p probes is the length-p PREFIX of the same
+    * deterministic bucket ranking, a probe sweep needs exactly one
+    * corpus assignment, one bucket ranking at max(probes), and one
+    * scored candidate table — each candidate row fans out to the tag of
+    * every probe count whose prefix contains its bucket. The per-probe
+    * loop this replaces rebuilt the assignment and re-ranked per count
+    * (3× the jobs and stages for byte-identical results). Returns
+    * (probes, query_id, rank, neighbor_id, sim).
+    */
+  def ivfTopKSweep(corpus: DataFrame, seeds: DataFrame, queries: DataFrame,
+      k: Int, probesList: Seq[Int]): DataFrame = {
+    val maxP = probesList.max
+    val assigned = assignNearestSeed(corpus, seeds, "embedding", "vec_id")
+    val probed = queries.crossJoin(broadcast(seeds))
+      .withColumn("s6", round(cosine(col("query_vec"), col("seed_vec")), 6))
+      .groupBy(col("query_id"))
+      .agg(TopK.top_k(col("s6"), col("seed_id"), maxP).as("tk"),
+        first(col("query_vec")).as("query_vec"))
+      .select(col("query_id"), col("query_vec"),
+        posexplode(col("tk").getField("id")))
+      .select(col("query_id"), col("query_vec"),
+        (col("pos") + 1).as("rn"), col("col").as("bucket"))
+    val pArr = array(probesList.map(lit): _*)
+    val scored = probed.join(assigned, "bucket")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("sim", round(cosine(col("query_vec"), col("embedding")), 4))
+      .withColumn("probes", explode(filter(pArr, p => p >= col("rn"))))
+    scored.groupBy(col("probes"), col("query_id"))
+      .agg(TopK.top_k(col("sim"), col("vec_id"), k).as("tk"))
+      .select(col("probes"), col("query_id"), posexplode(col("tk")))
+      .select(col("probes").cast("bigint").as("probes"), col("query_id"),
+        (col("pos") + 1).cast("bigint").as("rank"),
+        col("col").getField("id").as("neighbor_id"),
+        col("col").getField("sim").as("sim"))
+  }
+
   /** Probe + rank against an existing assignment table (shared by
     * [[ivfTopK]] and the persisted-index path).
     */
