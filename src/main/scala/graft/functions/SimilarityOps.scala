@@ -66,7 +66,19 @@ object SimilarityOps {
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("sim", round(cosine(col("query_vec"), col("embedding")), 4))
-    rankTopK(scored, "query_id", "vec_id", k)
+    // top-1 as a struct max: identical to the rank-1 row of the TopK
+    // aggregate ((sim desc, id asc) ⇔ max of (sim, -id), field-by-field
+    // struct comparison), but fully codegen'd with map-side combine —
+    // the typed TopK aggregator pays per-row buffer management that
+    // dominates candidate-scale inputs when only the argmax is wanted
+    if (k == 1)
+      scored.groupBy(col("query_id"))
+        .agg(max(struct(col("sim"),
+          (-col("vec_id")).cast("long").as("nid"))).as("m"))
+        .select(col("query_id"), lit(1L).as("rank"),
+          (-col("m.nid")).cast("long").as("neighbor_id"),
+          col("m.sim").as("sim"))
+    else rankTopK(scored, "query_id", "vec_id", k)
   }
 
   /** [[bruteForceTopK]] over the first `dims` coordinates only —

@@ -44,10 +44,15 @@ object ConnectedComponents {
     // set a checkpoint dir and swap in checkpoint().
     // materialize the (possibly expensive) upstream pair pipeline once —
     // both the node set and the edge set derive from it
+    // lazy: the initial edge fingerprint below is the first action over
+    // this plan, and it touches every partition — so the (possibly
+    // expensive) upstream pair pipeline materializes inside that job
+    // instead of paying its own up-front one. nodes reads the cached
+    // blocks afterwards.
     val canon = pairs
       .select(greatest(col(aCol), col(bCol)).cast("bigint").as("u"),
         least(col(aCol), col(bCol)).cast("bigint").as("v"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // node set comes from the RAW pairs: a node whose only edge is a
     // self-loop is still a (singleton) component. Consumed exactly once
     // (the final left join), and canon is already checkpointed — so no
