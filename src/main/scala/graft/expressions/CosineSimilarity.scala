@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression for cosine similarity of two double-array
   * columns, with whole-stage codegen (`doGenCode`).
@@ -23,31 +23,46 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Inputs must be equal-length arrays without null elements (embedding
   * vectors); a null array yields null.
+  *
+  * Element types may be float OR double, independently per side: a
+  * float element widens to double INSIDE the loop — the exact value
+  * `cast(arr as array<double>)` would produce, without the cast's
+  * per-row array allocation. On a candidate-scale cross join that cast
+  * materialized a fresh 100+-element copy of the (unchanged) embedding
+  * for every scored PAIR — measured as most of the scoring stage's CPU
+  * and all of its GC.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(DoubleType, _) => true
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<double> inputs, got " +
+      s"$prettyName requires array<double> or array<float> inputs, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
 
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (xf, yf) = (isFloat(left), isFloat(right))
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
@@ -63,12 +78,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      def elem(arr: String, idx: String, float: Boolean): String =
+        if (float) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $a.getDouble($i);
-         |  double $yv = $b.getDouble($i);
+         |  double $xv = ${elem(a, i, isFloat(left))};
+         |  double $yv = ${elem(b, i, isFloat(right))};
          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
@@ -80,11 +97,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object CosineSimilarity {
-  /** Column API: casts any numeric-array input to array<double> so float
-    * embeddings compute in double precision (matching the oracle).
+  /** Column API: float/double arrays pass through uncast (the widening
+    * happens element-wise inside the loop — same values as a cast to
+    * array<double>, none of the per-row allocation); anything else
+    * fails type-check with a cast hint.
     */
   def cosine(a: Column, b: Column): Column =
-    toColumn(CosineSimilarity(
-      toExpression(a.cast("array<double>")),
-      toExpression(b.cast("array<double>"))))
+    toColumn(CosineSimilarity(toExpression(a), toExpression(b)))
 }
