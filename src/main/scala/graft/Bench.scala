@@ -11,8 +11,21 @@ object Bench {
     * per (sfDir, cores): re-runs reuse the existing output.
     */
   private def reshard(spark: SparkSession, sfDir: String, cores: Int): String = {
+    // the cache key includes a digest of every source file's
+    // (name, size, mtime): the driver REGENERATES fixtures between
+    // rounds at the same path, and a path-keyed cache would silently
+    // serve the previous round's data
+    val srcSig = {
+      val files = Option(new java.io.File(sfDir).listFiles()).getOrElse(Array())
+      val sig = files.sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.take(12)
+    }
     val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft-bench-shards", sfDir.replaceAll("[^A-Za-z0-9.]", "_") + s"-$cores")
+      "graft-bench-shards",
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_") + s"-$cores-$srcSig")
     val marker = base.resolve("_READY")
     if (!java.nio.file.Files.exists(marker)) {
       java.nio.file.Files.createDirectories(base)
