@@ -35,8 +35,14 @@ object Bench {
         val df = spark.read.parquet(f.getAbsolutePath)
         val parts = df.rdd.getNumPartitions
         val rows = df.count()
-        // ~2000 rows per split floor so dimension tables stay one file
-        val k = math.min(cores.toLong, math.max(1L, rows / 2000L)).toInt
+        // full core-count splits for any table big enough to matter:
+        // per-row CPU (tokenization, cosine scoring, codecs) lives on
+        // the SMALL text/embedding tables as much as the row-count-big
+        // ones, so splitting by row count alone left documents at 2
+        // files and embeddings at 1 — exactly the scan-fused CPU this
+        // repair exists to spread. Tiny dimensions stay one file (a
+        // 25-row nation table in 32 shards is pure footer overhead).
+        val k = if (rows >= 2000L) cores else 1
         if (parts >= k) {
           // already split-sized (real-scale layout): read from source
           java.nio.file.Files.deleteIfExists(base.resolve(f.getName))
