@@ -489,28 +489,43 @@ object LlmQueries {
     */
   def curationFunnel(s: SparkSession, d: String): DataFrame = {
     val all = docs(s, d)
-    val gated = all.filter(size(TextAnalysis.tokens(col("text"))) >= 50)
-    // first occurrence per fingerprint (min doc_id), gated corpus only
-    val deduped = gated
-      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("fp")).orderBy(col("doc_id"))))
-      .filter(col("rk") === 1)
     // drop deduped TRAIN docs contaminated against the q44 eval split
     val contaminatedTrain = DedupOps.crossCorpusOverlap(
         all.filter(col("doc_id") % 7 =!= 0), all.filter(col("doc_id") % 7 === 0),
         "text", "doc_id", shingleN = 5, threshold = 0.6)
       .select(col("train_id").as("doc_id")).distinct()
-    val clean = deduped.filter(col("doc_id") % 7 =!= 0)
-      .join(contaminatedTrain, Seq("doc_id"), "left_anti")
-    def stage(name: String, df: DataFrame): DataFrame =
-      df.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-        .select(col("source"), lit(name).as("stage"), col("n_docs"))
-    stage("1_raw", all)
-      .unionByName(stage("2_gated", gated))
-      .unionByName(stage("3_deduped", deduped))
-      .unionByName(stage("4_clean_train", clean))
+    // EVERY funnel stage as a flag on ONE pass over the corpus (the
+    // per-stage groupBy-union form re-scanned and re-aggregated the
+    // corpus once per stage for a four-rows-per-source answer).
+    // "first gated occurrence per fingerprint" without a separate
+    // filtered frame: the running count of GATED rows in (fp, doc_id)
+    // order is 1 exactly on the row the old rank-1-of-gated kept.
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val flags = all
+      .withColumn("gated", size(TextAnalysis.tokens(col("text"))) >= 50)
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("dedup_keep", col("gated") &&
+        sum(when(col("gated"), 1L).otherwise(0L)).over(win) === 1)
+      .join(contaminatedTrain.withColumn("contam", lit(true)),
+        Seq("doc_id"), "left")
+      .withColumn("clean", col("dedup_keep") && col("doc_id") % 7 =!= 0 &&
+        coalesce(col("contam"), lit(false)) === false)
+    flags.groupBy(col("source")).agg(
+        count(lit(1)).as("n1"),
+        sum(when(col("gated"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("dedup_keep"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("clean"), 1L).otherwise(0L)).as("n4"))
+      .selectExpr("source", """stack(4,
+        '1_raw', n1, '2_gated', n2,
+        '3_deduped', n3, '4_clean_train', n4) AS (stage, n_docs)""")
+      // the old per-stage groupBy emitted NO row for a (source, stage)
+      // with zero survivors; the flagged form must drop those too
+      .filter(col("n_docs") > 0)
+      .select(col("source"), col("stage"), col("n_docs"))
       .orderBy("source", "stage")
   }
 
