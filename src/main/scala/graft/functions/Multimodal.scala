@@ -39,6 +39,17 @@ object Multimodal {
 
   object MediaCodec {
 
+    // ImageIO's default stream cache backs EVERY read/write with a temp
+    // file (FileCacheImage*Stream): one file create+delete per codec
+    // call, all in the same tmpdir, all registered with the global
+    // StreamCloser lock. At 32 concurrent decode tasks that serializes
+    // the whole stage on filesystem metadata (measured: 0.16 ms/image
+    // single-task → 4.3 ms/image 32-wide, ~27× per-image CPU inflation;
+    // the suite's three codec queries read 216 task-run-s for ~5 s of
+    // work). These codecs only ever see in-memory byte arrays —
+    // memory-cached streams are strictly better at any scale.
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Encode an RGB raster as binary PPM (netpbm P6) — the simplest
       * real image format, and the one format a JVM can emit with no
       * codec library.
