@@ -933,8 +933,18 @@ object LlmQueries {
     val all = docs(s, d)
     val eval = all.filter(col("doc_id") % 7 === 0)
     val train = all.filter(col("doc_id") % 7 =!= 0)
+    // capacity sized to THIS eval slice (≤ |docs|/7 documents × ~300
+    // shingles each — 2^19 is a >2x bound at sf0.1), not the 2^22 API
+    // default: every map-side partial aggregation buffer allocates the
+    // FULL bitset (Spark's BloomFilterAggregate), so a 40x-oversized
+    // capacity cost 5 MB x 32 partials of pure allocation+merge churn
+    // (1.3 s of GC in a 2.1 s query). A real deployment sizes this
+    // from its eval-set stats the same way; under-sizing degrades only
+    // fpp (extra candidates that exact verification then drops), never
+    // correctness.
     DedupOps.bloomDecontamination(train, eval, "text", "doc_id",
-        shingleN = 5, threshold = 0.6)
+        shingleN = 5, threshold = 0.6,
+        expectedEvalShingles = 1L << 19)
       .orderBy("eval_id", "train_id")
   }
 
