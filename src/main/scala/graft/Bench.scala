@@ -114,9 +114,13 @@ object Bench {
     // files), and Par.toCores call sites become natural no-ops instead
     // of paying per-query repair exchanges. SPARK_GRAFT_RESHARD=false
     // restores raw-layout reads.
+    // guarded: the repair is an optimization, and a box with an
+    // unwritable/full tmpdir must degrade to raw-layout reads (slower,
+    // same values), not lose the round to an IOException at startup
     val dataDir =
       if (sys.env.getOrElse("SPARK_GRAFT_RESHARD", "true") == "true")
-        reshard(spark, sfDir, cpus.toInt)
+        try reshard(spark, sfDir, cpus.toInt)
+        catch { case _: Throwable => sfDir }
       else sfDir
     // per-query task-time accounting (run vs cpu separates real work
     // from scheduling/CPU-steal; gc attributes collector pressure): a
