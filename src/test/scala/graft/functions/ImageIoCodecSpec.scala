@@ -12,6 +12,15 @@ class ImageIoCodecSpec extends SparkSpec {
     Array[Byte](255.toByte, 0, 0, 0, 255.toByte, 0,
       0, 0, 255.toByte, 128.toByte, 128.toByte, 128.toByte))
 
+  test("codec path runs with memory-cached ImageIO streams") {
+    // touching MediaCodec runs its initializer; the default temp-file
+    // stream cache (one file create+delete per codec call under the
+    // global StreamCloser lock) serialized 32 concurrent decode tasks
+    // on filesystem metadata — ~27x per-image CPU inflation at 32-wide
+    MediaCodec.encodeImageIo(golden, "png")
+    assert(!javax.imageio.ImageIO.getUseCache)
+  }
+
   test("PNG round trip is lossless (identity on pixels)") {
     val payload = MediaCodec.encodeImageIo(golden, "png")
     // a real PNG payload: 8-byte signature
