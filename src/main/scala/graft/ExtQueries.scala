@@ -413,10 +413,27 @@ object ExtQueries {
     // re-ran array_intersect over every band candidate (a second
     // corpus-scale verification pass) to compute a subset of what the
     // truth pass had already decided.
+    // NOTE the df-cap convention: truth comes from the inverted index
+    // with the hot-shingle document-frequency cap (MaxShingleDocFreq),
+    // so a J >= 0.6 pair whose EVERY shared shingle is hotter than the
+    // cap is absent from truth AND from the membership counts below —
+    // consistently, which is what keeps recall_ppm meaningful (both
+    // numerator and denominator exclude it). The same convention runs
+    // through every shingle-index query (q26/q47/q200/...).
     val verified = graft.CacheScope.persisted(
       functions.DedupOps.ngramJaccardPairs(dd, "text", "doc_id")
         .select("doc_a", "doc_b"))
-    val nTruth = verified.agg(count(lit(1)).as("n_truth"))
+    // driver-side bounded scalar, same shape as DedupOps.candidateGate:
+    // it feeds BOTH the broadcast-vs-shuffle membership-join decision
+    // (the old per-shape form inherited verifyJaccard's size gate; the
+    // one-pass rewrite must not force-broadcast an unbounded pair set —
+    // a duplicate-heavy corpus makes near-dup pairs quadratic in clique
+    // size) and the n_truth literal, saving the separate count job
+    val nTruth = verified.count()
+    val vGated =
+      if (nTruth <= functions.DedupOps.MaxBroadcastCandidates)
+        broadcast(verified)
+      else verified
     // ONE signature table, and ONE TAGGED band table across all three
     // shapes (8+4+2 = 14 band structs per doc — exactly the rows the
     // three per-shape tables held, now in one relation). The tag rides
@@ -446,10 +463,11 @@ object ExtQueries {
       .select(col("a.band_rows").as("band_rows"),
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // verified is pair-scale (near-dups only) — broadcast it so the
-    // candidate table never shuffles for the membership check
+    // verified is pair-scale (near-dups only) — broadcast while the
+    // size gate above holds, so the candidate table never shuffles for
+    // the membership check
     val perShape = cand
-      .join(broadcast(verified), Seq("doc_a", "doc_b"))
+      .join(vGated, Seq("doc_a", "doc_b"))
       .groupBy(col("band_rows"))
       .agg(count(lit(1)).as("n_pairs"))
     val s2 = s
@@ -460,9 +478,8 @@ object ExtQueries {
       .join(perShape.withColumn("band_rows", col("band_rows").cast("bigint")),
         Seq("band_rows"), "left")
       .na.fill(0L, Seq("n_pairs"))
-      .crossJoin(broadcast(nTruth))
       .select(col("band_rows"), (lit(16L) / col("band_rows")).cast("bigint")
-          .as("n_bands"), col("n_pairs"), col("n_truth"))
+          .as("n_bands"), col("n_pairs"), lit(nTruth).as("n_truth"))
       .withColumn("recall_ppm",
         expr("n_pairs * 1000000L div n_truth"))
       .orderBy("band_rows")

@@ -933,18 +933,22 @@ object LlmQueries {
     val all = docs(s, d)
     val eval = all.filter(col("doc_id") % 7 === 0)
     val train = all.filter(col("doc_id") % 7 =!= 0)
-    // capacity sized to THIS eval slice (≤ |docs|/7 documents × ~300
-    // shingles each — 2^19 is a >2x bound at sf0.1), not the 2^22 API
-    // default: every map-side partial aggregation buffer allocates the
-    // FULL bitset (Spark's BloomFilterAggregate), so a 40x-oversized
-    // capacity cost 5 MB x 32 partials of pure allocation+merge churn
-    // (1.3 s of GC in a 2.1 s query). A real deployment sizes this
-    // from its eval-set stats the same way; under-sizing degrades only
-    // fpp (extra candidates that exact verification then drops), never
-    // correctness.
+    // capacity sized FROM THE EVAL SLICE'S OWN STATS (doc count × a
+    // per-doc shingle bound), not the 2^22 API default: every map-side
+    // partial aggregation buffer allocates the FULL bitset (Spark's
+    // BloomFilterAggregate), so a 40x-oversized capacity cost
+    // 5 MB × 32 partials of pure allocation+merge churn — 1.3 s of GC
+    // in a 2.1 s query — while a CONSTANT tuned to one fixture would
+    // saturate at a larger scale factor and silently stop filtering.
+    // The count is one narrow-scan job over the eval slice (bounded by
+    // construction: an eval set is a benchmark corpus, not the train
+    // corpus); 512 shingles/doc comfortably bounds these documents,
+    // and under-sizing only raises fpp — extra candidates that exact
+    // verification then drops — never correctness.
+    val cap = math.max(1L << 19, eval.count() * 512)
     DedupOps.bloomDecontamination(train, eval, "text", "doc_id",
         shingleN = 5, threshold = 0.6,
-        expectedEvalShingles = 1L << 19)
+        expectedEvalShingles = cap)
       .orderBy("eval_id", "train_id")
   }
 
@@ -4453,11 +4457,16 @@ object LlmQueries {
     // the length-p prefix of one deterministic ranking, so the per-p
     // loop paid 3× the jobs for byte-identical results. The recall
     // rollup fans the truth set out per tag the same way.
+    // ONE probes list drives both the sweep and the truth fan-out —
+    // two hardcoded copies would let an edit to one silently report
+    // recall for a tag with no approx rows (or drop a tag)
+    val probes = Seq(1, 2, 4)
     val approx = SimilarityOps.ivfTopKSweep(e, seeds, q, k = 3,
-        probesList = Seq(1, 2, 4))
+        probesList = probes)
       .select(col("probes"), col("query_id"), col("neighbor_id"),
         lit(1L).as("hit"))
-    truth.withColumn("probes", explode(array(lit(1L), lit(2L), lit(4L))))
+    truth.withColumn("probes",
+        explode(array(probes.map(p => lit(p.toLong)): _*)))
       .join(approx, Seq("probes", "query_id", "neighbor_id"), "left")
       .groupBy(col("probes"))
       .agg(countDistinct(col("query_id")).as("n_queries"),

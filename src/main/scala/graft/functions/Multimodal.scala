@@ -39,16 +39,19 @@ object Multimodal {
 
   object MediaCodec {
 
-    // ImageIO's default stream cache backs EVERY read/write with a temp
+    // ImageIO's DEFAULT stream cache backs every read/write with a temp
     // file (FileCacheImage*Stream): one file create+delete per codec
     // call, all in the same tmpdir, all registered with the global
     // StreamCloser lock. At 32 concurrent decode tasks that serializes
     // the whole stage on filesystem metadata (measured: 0.16 ms/image
     // single-task → 4.3 ms/image 32-wide, ~27× per-image CPU inflation;
     // the suite's three codec queries read 216 task-run-s for ~5 s of
-    // work). These codecs only ever see in-memory byte arrays —
-    // memory-cached streams are strictly better at any scale.
-    javax.imageio.ImageIO.setUseCache(false)
+    // work). These codecs only ever see in-memory byte arrays, so every
+    // ImageIO call below constructs its MemoryCacheImage*Stream
+    // EXPLICITLY — scoped to this object, without flipping the
+    // process-wide ImageIO.setUseCache default under an embedding
+    // application's feet (a host decoding large images from the network
+    // may rely on file-backed streams to bound heap).
 
     /** Encode an RGB raster as binary PPM (netpbm P6) — the simplest
       * real image format, and the one format a JVM can emit with no
@@ -274,8 +277,11 @@ object Multimodal {
       */
     def encodeImageIo(img: RawImage, format: String): Array[Byte] = {
       val baos = new java.io.ByteArrayOutputStream()
-      if (!javax.imageio.ImageIO.write(toBuffered(img), format, baos))
-        throw new IllegalArgumentException(s"no ImageIO writer for '$format'")
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      try {
+        if (!javax.imageio.ImageIO.write(toBuffered(img), format, ios))
+          throw new IllegalArgumentException(s"no ImageIO writer for '$format'")
+      } finally ios.close()
       baos.toByteArray
     }
 
@@ -289,7 +295,7 @@ object Multimodal {
       param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       param.setCompressionQuality(quality)
       val baos = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
       try {
         w.setOutput(ios)
         w.write(null, new javax.imageio.IIOImage(toBuffered(img), null, null), param)
@@ -302,7 +308,13 @@ object Multimodal {
       * JVM). Returns row-major RGB like [[decodePpm]].
       */
     def decodeImageIo(bytes: Array[Byte]): RawImage = {
-      val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      // ImageIO.read closes the stream itself on success; the guarded
+      // close only covers the decoder-threw path (a second close on an
+      // ImageInputStream raises IOException("closed"))
+      val bi = try javax.imageio.ImageIO.read(iis)
+        finally { try iis.close() catch { case _: java.io.IOException => () } }
       if (bi == null)
         throw new IllegalArgumentException("ImageIO: unrecognized image payload")
       val w = bi.getWidth; val h = bi.getHeight

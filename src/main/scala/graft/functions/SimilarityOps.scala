@@ -70,9 +70,17 @@ object SimilarityOps {
     // aggregate ((sim desc, id asc) ⇔ max of (sim, -id), field-by-field
     // struct comparison), but fully codegen'd with map-side combine —
     // the typed TopK aggregator pays per-row buffer management that
-    // dominates candidate-scale inputs when only the argmax is wanted
+    // dominates candidate-scale inputs when only the argmax is wanted.
+    // Unscored candidates (null/NaN sim — e.g. a zero or null embedding
+    // makes cosine 0/0) are FILTERED first: TopK drops them
+    // (TopK.scala:46), but Spark's double ordering ranks NaN above
+    // every real value, so an unfiltered struct max would elect the
+    // unscored candidate — and a query whose candidates are all
+    // unscored must yield no row here, exactly as its empty TopK
+    // buffer explodes to no rows
     if (k == 1)
-      scored.groupBy(col("query_id"))
+      scored.filter(col("sim").isNotNull && !isnan(col("sim")))
+        .groupBy(col("query_id"))
         .agg(max(struct(col("sim"),
           (-col("vec_id")).cast("long").as("nid"))).as("m"))
         .select(col("query_id"), lit(1L).as("rank"),

@@ -12,13 +12,16 @@ class ImageIoCodecSpec extends SparkSpec {
     Array[Byte](255.toByte, 0, 0, 0, 255.toByte, 0,
       0, 0, 255.toByte, 128.toByte, 128.toByte, 128.toByte))
 
-  test("codec path runs with memory-cached ImageIO streams") {
-    // touching MediaCodec runs its initializer; the default temp-file
-    // stream cache (one file create+delete per codec call under the
-    // global StreamCloser lock) serialized 32 concurrent decode tasks
-    // on filesystem metadata — ~27x per-image CPU inflation at 32-wide
-    MediaCodec.encodeImageIo(golden, "png")
-    assert(!javax.imageio.ImageIO.getUseCache)
+  test("codec path leaves the process-wide ImageIO cache default alone") {
+    // the codecs construct MemoryCacheImage*Streams EXPLICITLY (the
+    // default temp-file stream cache — one file create+delete per call
+    // under the global StreamCloser lock — serialized 32 concurrent
+    // decode tasks on filesystem metadata, ~27x per-image CPU at
+    // 32-wide), WITHOUT flipping ImageIO.setUseCache for the whole
+    // JVM: an embedding application keeps its own default
+    val before = javax.imageio.ImageIO.getUseCache
+    MediaCodec.decodeImageIo(MediaCodec.encodeImageIo(golden, "png"))
+    assert(javax.imageio.ImageIO.getUseCache == before)
   }
 
   test("PNG round trip is lossless (identity on pixels)") {

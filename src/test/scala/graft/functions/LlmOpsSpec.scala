@@ -172,6 +172,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"no window operator allowed:\n$plan")
   }
 
+  test("k=1 struct-max fast path matches TopK on unscored (NaN-sim) candidates") {
+    // a zero vector makes cosine 0/0 = NaN; TopK DROPS unscored
+    // candidates (TopK.scala:46) while Spark's double ordering ranks
+    // NaN above every real value — the k=1 max(struct) path must
+    // filter them or it elects the zero vector as everyone's nearest
+    val dim = emb.select($"embedding").head().getSeq[Float](0).length
+    val zeroed = emb.filter($"vec_id" < 20)
+      .unionByName(emb.limit(1).select(
+        lit(999L).as("vec_id"),
+        array_repeat(lit(0.0f), dim).as("embedding"),
+        $"label"))
+    val q = zeroed.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val top1 = SimilarityOps.bruteForceTopK(q, zeroed, 1)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toMap
+    val top2 = SimilarityOps.bruteForceTopK(q, zeroed, 2)
+      .filter($"rank" === 1)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toMap
+    assert(top1 == top2, "k=1 fast path diverged from the TopK rank-1 row")
+    assert(!top1.values.exists(_ == 999L), "unscored candidate was ranked")
+  }
+
   test("simhash near-dup pairs overlap heavily with exact Jaccard pairs") {
     val sim = DedupOps.simhashPairs(
       DedupOps.simhashSignatures(docs, "text", "doc_id"))
