@@ -39,6 +39,24 @@ object CacheScope {
     ds
   }
 
+  /** Free the storage blocks of a `localCheckpoint`ed Dataset NOW.
+    *
+    * `Dataset.unpersist` routes through the CacheManager and is a
+    * silent no-op on checkpoint blocks (they are pinned directly on
+    * the RDD, invisible to the manager — see drain step 3). Iterative
+    * operators that snapshot per round (ConnectedComponents, PageRank)
+    * call this on round N−1 once round N is materialized, so storage
+    * holds TWO round snapshots at any time instead of all of them —
+    * at graph scale O(rounds × |edges|) pinned blocks is the
+    * difference between an iteration that fits and one that evicts
+    * the rest of the query. Safe only when the dataset's blocks are
+    * provably not re-read (a truncated-lineage plan cannot recompute).
+    */
+  def freeLocalCheckpoint(ds: Dataset[_]): Unit =
+    ds.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Free every cache accumulated since the last drain (see class doc
     * for the three sweeps). Blocking by default: harness call sites
     * (Verify's finally, Bench's untimed gap, specs) sit outside any

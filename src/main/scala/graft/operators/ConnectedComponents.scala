@@ -121,7 +121,15 @@ object ConnectedComponents {
       // fingerprint action doubles as the round's ONLY job: it
       // materializes the lazy checkpoint above as a side effect.
       val nextFp = fingerprint(next)
-      edges.unpersist()
+      // free the PREVIOUS round's snapshot for real: Dataset.unpersist
+      // is a no-op on localCheckpoint blocks (pinned on the RDD,
+      // invisible to the CacheManager), so without this every round's
+      // edge snapshot stays in executor storage until the harness
+      // drain — O(rounds × |edges|) pinned blocks at graph scale.
+      // `next` is materialized by the fingerprint job above, so the
+      // old blocks are provably dead. The INITIAL canon stays pinned:
+      // `nodes` re-reads it for the final join.
+      if (edges ne canon) graft.CacheScope.freeLocalCheckpoint(edges)
       edges = next
       converged = nextFp == prevFp
       prevFp = nextFp

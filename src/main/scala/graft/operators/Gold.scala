@@ -52,7 +52,9 @@ object Gold {
     * two-phase [[PrefixSum]] (row_number ≡ exclusive running count + 1),
     * bit-identical to the single-partition window at any parallelism.
     * `naturalOrder` must be ascending and a total order; the leading
-    * column must be numeric-castable for bucket spread.
+    * column should be natively numeric for bucket spread (any other
+    * type — including digit strings, whose double order disagrees with
+    * their sort order — degrades to one bucket: correct, not parallel).
     */
   def withSurrogateKey(df: DataFrame, keyName: String, naturalOrder: Seq[Column],
       buckets: Int = 64): DataFrame =
@@ -164,7 +166,13 @@ object Gold {
       .withColumn("effective_from", effective.cast("date"))
       .withColumn("effective_to", lit(null).cast("date"))
       .withColumn("is_current", lit(true))
-    val inserts = incoming.join(current, keys, "left_anti")
+    // anti-join against the CURRENT slice, not full history: a key
+    // whose only rows are closed-out history (no is_current version)
+    // must get its incoming row INSERTED as the new current version —
+    // the Delta MERGE semantics this mirrors. Against full `current`
+    // the history row would swallow the match and the reinserted key's
+    // new version silently vanished.
+    val inserts = incoming.join(cur, keys, "left_anti")
       .select(attrs.map(col): _*)
       .withColumn("effective_from", effective.cast("date"))
       .withColumn("effective_to", lit(null).cast("date"))

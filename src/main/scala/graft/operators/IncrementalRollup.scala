@@ -26,12 +26,17 @@ object IncrementalRollup {
       .agg(sum(col(valCol)).as(sumCol), count(lit(1)).as(cntCol))
 
   /** Net per-key deltas of one CDF batch (map-combinable; one shuffle
-    * of the CHANGES, never the base).
+    * of the CHANGES, never the base). Signs are mapped EXPLICITLY per
+    * change type — insert/update_postimage add, delete/update_preimage
+    * retract — and an unrecognized type fails the job instead of
+    * silently corrupting the maintained aggregate with a guessed sign
+    * (this module and [[IncrementalView]] previously defaulted unknown
+    * types to OPPOSITE signs — a trap for any future CDF source that
+    * emits update pre/post images).
     */
   def deltaAggregate(changes: DataFrame, keyCols: Seq[String],
       valCol: String): DataFrame =
-    changes.withColumn("__sign",
-        when(col("_change_type") === "delete", lit(-1L)).otherwise(lit(1L)))
+    changes.withColumn("__sign", IncrementalView.changeSign)
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col(valCol) * col("__sign")).as("__ds"),
         sum(col("__sign")).as("__dc"))
@@ -43,10 +48,18 @@ object IncrementalRollup {
       keyCols: Seq[String], valCol: String,
       sumCol: String = "sum_v", cntCol: String = "n_rows"): DataFrame = {
     val d = deltaAggregate(changes, keyCols, valCol)
-    current.join(d, keyCols, "full_outer")
-      .select(keyCols.map(col) ++ Seq(
+    // NULL-SAFE key equality: a plain USING join never matches a null
+    // group key, so the null-key group would split into two output rows
+    // (the stale current row AND the delta row) instead of merging —
+    // diverging from the fresh recompute this module promises to equal
+    val cond = keyCols.map(k => current(k) <=> d(k)).reduce(_ && _)
+    current.join(d, cond, "full_outer")
+      .select(keyCols.map(k => coalesce(current(k), d(k)).as(k)) ++ Seq(
         (coalesce(col(sumCol), lit(0L)) + coalesce(col("__ds"), lit(0L))).as(sumCol),
         (coalesce(col(cntCol), lit(0L)) + coalesce(col("__dc"), lit(0L))).as(cntCol)): _*)
-      .filter(col(cntCol) > 0)
+      // =!= 0, not > 0 (the IncrementalView rule): counts cannot go
+      // negative on a consistent feed, and an inconsistent one should
+      // surface as a visible negative-count row, not vanish
+      .filter(col(cntCol) =!= 0)
   }
 }

@@ -21,14 +21,26 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalView {
 
+  /** The one signed-CDF convention, shared with [[IncrementalRollup]]:
+    * insert / update_postimage contribute +1, delete / update_preimage
+    * retract −1, and any OTHER change type fails the job loudly — the
+    * two modules previously guessed opposite signs for unknown types,
+    * so the same malformed feed would double-count in one and
+    * double-retract in the other.
+    */
+  private[operators] def changeSign: org.apache.spark.sql.Column =
+    when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+      .when(col("_change_type").isin("delete", "update_preimage"), lit(-1L))
+      .otherwise(raise_error(concat(
+        lit("unknown _change_type: "), col("_change_type"))).cast("long"))
+
   /** Signed partial aggregate of a change-feed slice: per key, the net
     * row count and net decimal sum of `valueCol` (exact — decimal
     * partials merge associatively, no float drift across refreshes).
     */
   def delta(changes: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
     changes
-      .withColumn("_sign",
-        when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
+      .withColumn("_sign", changeSign)
       .groupBy(keys.map(col): _*)
       .agg(
         sum(col("_sign")).as("n_rows"),

@@ -42,10 +42,16 @@ object KCore {
         .groupBy("n").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select("n")
-      e = e
+      val next = e
         .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
         .localCheckpoint()
+      // previous round's snapshot is dead once `next` materializes
+      // (eager checkpoint); Dataset.unpersist cannot free checkpoint
+      // blocks, so release the RDD directly instead of pinning every
+      // round's edge set until the harness drain
+      graft.CacheScope.freeLocalCheckpoint(e)
+      e = next
     }
     e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("core_degree"))

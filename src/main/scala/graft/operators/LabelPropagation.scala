@@ -57,10 +57,15 @@ object LabelPropagation {
       val votes = adj.join(lbl, col("src") === col("id"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-      lbl = votes.groupBy(col("dst"))
+      val next = votes.groupBy(col("dst"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("dst").as("id"), (-col("m.nl")).as("label"))
         .localCheckpoint(true)
+      // previous round's snapshot is dead once `next` materializes
+      // (eager checkpoint; Dataset.unpersist cannot free checkpoint
+      // blocks) — release instead of pinning every round until drain
+      graft.CacheScope.freeLocalCheckpoint(lbl)
+      lbl = next
     }
     lbl
   }

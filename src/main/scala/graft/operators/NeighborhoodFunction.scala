@@ -58,8 +58,12 @@ object NeighborhoodFunction {
           col("src"))
         .sortWithinPartitions("src"))
     var settled = graft.CacheScope.persisted(
+      // distinct: a duplicated root value would seed two identical
+      // hop-0 rows (later rounds dedup, hop 0 would not), inflating
+      // N(root, r) for that root — same guard ShortestPaths puts on
+      // its sources
       roots.select(col("root"), col("root").as("node"),
-        lit(0).as("hop")))
+        lit(0).as("hop")).distinct())
     var frontier = settled
     (1 to rounds).foreach { r =>
       // aliases, not df("col") references: the first frontier (the

@@ -149,8 +149,16 @@ object PageRank {
       // per-round materialization ConnectedComponents uses; on a real
       // cluster with lossy executors, set a checkpoint dir and swap in
       // checkpoint()).
-      rank = iterationStep(weights, nodes, rank, base, damping)
+      val next = iterationStep(weights, nodes, rank, base, damping)
         .localCheckpoint(true)
+      // the eager checkpoint above has fully materialized `next`, so
+      // the previous round's snapshot blocks are dead — free them NOW
+      // (Dataset.unpersist cannot: checkpoint blocks bypass the
+      // CacheManager) instead of pinning O(iters × |nodes|) storage
+      // until the harness drain. Round 0's rank is a plain plan with
+      // no checkpoint RDD, where this is a no-op.
+      graft.CacheScope.freeLocalCheckpoint(rank)
+      rank = next
     }
     rank
   }
@@ -207,12 +215,16 @@ object PageRank {
         .join(rank.select(col("id"), col("rank")), col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") / col("outdeg")).as("c"))
-      rank = nodes.join(contrib, col("id") === col("dst"), "left")
+      val next = nodes.join(contrib, col("id") === col("dst"), "left")
         .crossJoin(broadcast(danglingMass))
         .select(col("id"), col("has_out"),
           (base + lit(damping) * (coalesce(col("c"), lit(0.0)) +
             col("__dmass") / lit(n.toDouble))).as("rank"))
         .localCheckpoint(true)
+      // previous round's checkpoint blocks are dead once `next` is
+      // eagerly materialized (see ranks) — free, don't pin all rounds
+      graft.CacheScope.freeLocalCheckpoint(rank)
+      rank = next
     }
     rank.select(col("id"), col("rank"))
   }
@@ -256,8 +268,12 @@ object PageRank {
       when(col("is_seed"), lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("rank"))
       .localCheckpoint(true)
     (1 to iters).foreach { _ =>
-      rank = iterationStep(weights, seedFlag, rank, base, damping)
+      val next = iterationStep(weights, seedFlag, rank, base, damping)
         .localCheckpoint(true)
+      // previous round's checkpoint blocks are dead once `next` is
+      // eagerly materialized (see ranks) — free, don't pin all rounds
+      graft.CacheScope.freeLocalCheckpoint(rank)
+      rank = next
     }
     rank
   }

@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object PrefixSum {
 
+  /** True iff the leading order expression resolves to a natively
+    * numeric type, so double-cast bucket boundaries order EXACTLY like
+    * the window's own sort. Strings (even all-digit ones), dates, and
+    * anything else fall back to a single bucket — see the call sites.
+    */
+  private def numericLead(df: DataFrame, lead: Column): Boolean =
+    df.select(lead).schema.head.dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+
   /** Append `outName` = exclusive running total of `valueCol` (the sum of
     * all values STRICTLY BEFORE each row) in ascending `orderCols` order.
     *
@@ -40,8 +49,17 @@ object PrefixSum {
       .withColumn("__ps_ord", orderCols.head.try_cast("double"))
       .withColumn("__ps_val", valueCol.cast("bigint")))
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    // sketch-based split points: driver receives <= buckets doubles
-    val bounds = tmp.stat.approxQuantile("__ps_ord", probs, 0.01).distinct.sorted
+    // sketch-based split points: driver receives <= buckets doubles.
+    // ONLY for a natively numeric leading key: a digit-STRING key
+    // casts to a double whose order disagrees with the window's
+    // lexicographic sort ("9" < "10" numerically but "10" < "9" as
+    // strings), so bucket boundaries would split against row order and
+    // the offsets would be silently wrong. Non-numeric keys degrade to
+    // one bucket — correct, just not bucket-parallel (and the quantile
+    // job is skipped entirely).
+    val bounds =
+      if (!numericLead(df, orderCols.head)) Array.empty[Double]
+      else tmp.stat.approxQuantile("__ps_ord", probs, 0.01).distinct.sorted
     val bucketExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col("__ps_ord") > lit(b), 1).otherwise(0)
     }
@@ -121,7 +139,13 @@ object PrefixSum {
       case (acc, ((v, _), i)) => acc.withColumn(s"__ps_val_$i", v.cast("bigint"))
     })
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val bounds = tmp.stat.approxQuantile("__ps_ord", probs, 0.01).distinct.sorted
+    // numeric leading key only — a digit-string key's double order
+    // disagrees with the window's lexicographic sort (see
+    // exclusiveRunningTotal); non-numeric degrades to one bucket per
+    // group, correct but serial within the group
+    val bounds =
+      if (!numericLead(df, orderCols.head)) Array.empty[Double]
+      else tmp.stat.approxQuantile("__ps_ord", probs, 0.01).distinct.sorted
     val bucketExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col("__ps_ord") > lit(b), 1).otherwise(0)
     }

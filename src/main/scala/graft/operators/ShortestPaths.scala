@@ -152,9 +152,15 @@ object ShortestPaths {
     (1 to rounds).foreach { _ =>
       val relaxed = e0.join(dist, col("src") === col("id"))
         .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
-      dist = dist.unionAll(relaxed)
+      val next = dist.unionAll(relaxed)
         .groupBy("id").agg(min("dist").as("dist"))
         .localCheckpoint(true)
+      // the previous round's full distance table is dead once `next`
+      // materializes (eager checkpoint; unlike the BFS variants above,
+      // nothing unions over old rounds) — free it instead of pinning
+      // O(rounds × |V|) blocks until the harness drain
+      graft.CacheScope.freeLocalCheckpoint(dist)
+      dist = next
     }
     dist
   }

@@ -47,6 +47,14 @@ object Silver {
     DqRule("INVALID_RETURN_FLAG",
       !(col("l_returnflag").rlike("^[ANR]$") ||
         col("l_returnflag").rlike("^RF-[ANR]$"))),
+    // NULL values PASS the value rules by design, matching the
+    // reference exactly: its Rule 5 is isNotNull-guarded with the
+    // comment "Billed amount > 0 (or null for capitated rx_claims)"
+    // (silver:119-125), i.e. a null amount is a legitimate business
+    // state, not a quality failure — only the four REQUIRED keys in
+    // MISSING_REQUIRED_FIELDS treat null as a defect. (In Spark a null
+    // predicate makes when(fails, …) emit no reason, which is the same
+    // isNotNull-guarded behavior without the explicit guard.)
     DqRule("NON_POSITIVE_AMOUNT", col("l_extendedprice") <= 0 || col("l_quantity") <= 0),
     DqRule("INVALID_DISCOUNT", col("l_discount") < 0 || col("l_discount") > 1),
   )

@@ -56,4 +56,28 @@ class IncrementalRollupSpec extends SparkSpec {
     val out = IncrementalRollup.applyChanges(cur, empty, keys, "v")
     assert(canon(out) == canon(cur))
   }
+
+  test("a NULL group key merges into one row, exactly like a recompute") {
+    // a plain USING join never matches null keys: the null group would
+    // split into a stale current row plus a delta row instead of
+    // merging — applyChanges must use null-safe key equality
+    val cur = Seq((Option("a"), 30L, 2L), (Option.empty[String], 10L, 1L))
+      .toDF("grp", "sum_v", "n_rows")
+    val changes = Seq((Option.empty[String], 5L, "insert", 2L))
+      .toDF("grp", "v", "_change_type", "_commit_version")
+    val out = IncrementalRollup.applyChanges(cur, changes, keys, "v")
+      .select(col("grp"), col("sum_v").cast("long"), col("n_rows"))
+      .as[(Option[String], Long, Long)].collect().toSet
+    assert(out == Set((Option("a"), 30L, 2L), (Option.empty[String], 15L, 2L)))
+  }
+
+  test("an unknown _change_type fails loudly instead of guessing a sign") {
+    val cur = Seq(("a", 30L, 2L)).toDF("grp", "sum_v", "n_rows")
+    val bad = Seq(("a", 5L, "upsert", 2L))
+      .toDF("grp", "v", "_change_type", "_commit_version")
+    val e = intercept[Exception] {
+      IncrementalRollup.applyChanges(cur, bad, keys, "v").collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

@@ -28,6 +28,16 @@ class NeighborhoodFunctionSpec extends SparkSpec {
     assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
   }
 
+  test("exactFromRoots dedups duplicated root values (no hop-0 inflation)") {
+    // later rounds are distinct'd; hop 0 must be too, or a duplicated
+    // root seeds two identical rows and N(root, r) over-counts by one
+    val got = NeighborhoodFunction
+      .exactFromRoots(symEdges, Seq(1L, 1L).toDF("root"), 2)
+      .as[(Long, Long, Int)].collect()
+    assert(got.length == got.distinct.length, "duplicate (root, node, hop) rows")
+    assert(got.count(t => t._3 == 0) == 1, "exactly one hop-0 row for root 1")
+  }
+
   test("multiSourceReachCounts equals the pair-level cumulative counts") {
     val roots = Seq(1L, 10L).toDF("root")
     val bits = Seq((1L, 1L), (10L, 2L)).toDF("id", "mask")

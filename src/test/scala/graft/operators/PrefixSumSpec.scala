@@ -39,6 +39,21 @@ class PrefixSumSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("digit-string order keys stay lexicographically exact (no numeric bucketing)") {
+    // "10" < "9" as strings but 9.0 < 10.0 as doubles: bucketing a
+    // string key by its double cast would place quantile boundaries in
+    // numeric order and silently corrupt the offsets — string keys must
+    // degrade to one bucket and match the window bit-for-bit
+    val df = spark.range(200)
+      .select(($"id" + 1).cast("string").as("k"), $"id", lit(2L).as("v"))
+      .repartition(8)
+    val got = PrefixSum.exclusiveRunningTotal(df, Seq($"k"), $"v", "run")
+      .select($"k", $"run").as[(String, Long)].collect().toMap
+    val want = naive(df, Seq($"k"))
+      .select($"k", $"run").as[(String, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("edge cases: empty input, single row, null order keys") {
     val empty = spark.range(0).select($"id", lit(1L).as("v"))
     assert(PrefixSum.exclusiveRunningTotal(empty, Seq($"id"), $"v", "run")

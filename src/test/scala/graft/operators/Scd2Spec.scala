@@ -43,6 +43,24 @@ class Scd2Spec extends SparkSpec {
       (4L, "S1", Date.valueOf("2024-06-01"), None, true)))
   }
 
+  test("scdType2: a key living only as closed history gets its incoming row inserted") {
+    // key 5 was closed out with NO current version (e.g. soft-deleted);
+    // when it reappears in a snapshot, MERGE semantics insert a new
+    // current version — anti-joining inserts against full history
+    // instead of the is_current slice silently dropped the row
+    val current = dim(
+      (5L, "E", "S1", "2023-01-01", Some("2024-01-01"), false))
+    val incoming = snap((5L, "E", "S2"))
+    val out = Gold.scdType2(current, incoming, Seq("id"),
+      Seq("name", "segment"), lit("2024-06-01"))
+      .orderBy("effective_from")
+      .select("id", "segment", "effective_from", "effective_to", "is_current")
+      .as[(Long, String, Date, Option[Date], Boolean)].collect().toSeq
+    assert(out == Seq(
+      (5L, "S1", Date.valueOf("2023-01-01"), Some(Date.valueOf("2024-01-01")), false),
+      (5L, "S2", Date.valueOf("2024-06-01"), None, true)))
+  }
+
   test("scdType2 invariants: exactly one current row per key; no overlap") {
     val out = graft.CoreQueries.scd2Members(spark, sf)
     val perKey = out.groupBy("member_id")
