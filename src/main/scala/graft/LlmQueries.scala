@@ -4762,12 +4762,14 @@ object LlmQueries {
     cand.groupBy("query_id", "doc_id")
       .agg(sum("contrib").as("score_ppm"))
       .groupBy(col("query_id"))
-      .agg(functions.TopK.top_k(
-        col("score_ppm").cast("double"), col("doc_id"), 5).as("tk"))
+      // exact-Long ranking (see Bm25.queryBm25Index): the double
+      // carrier collapses score_ppm past 2^53 at corpus scale
+      .agg(functions.TopK.top_k_exact(
+        col("score_ppm"), col("doc_id"), 5).as("tk"))
       .select(col("query_id"), posexplode(col("tk")))
       .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rank"),
         col("col").getField("id").as("neighbor_id"),
-        col("col").getField("sim").cast("bigint").as("score_ppm"))
+        col("col").getField("score").cast("bigint").as("score_ppm"))
       .orderBy("query_id", "rank")
   }
 

@@ -237,10 +237,14 @@ object Bm25 {
       .groupBy("query_id", "doc_id")
       .agg(sum("contrib").as("score_ppm"))
       .groupBy(col("query_id"))
-      .agg(TopK.top_k(col("score_ppm").cast("double"), col("doc_id"), k).as("tk"))
+      // EXACT-Long ranking: the double-carrier top_k collapses scores
+      // past 2^53 (at nd ~ 10⁹ docs a few rare-term ppm contributions
+      // cross it), breaking the bit-stable ordering contribPpm's
+      // 128-bit muldiv exists to guarantee
+      .agg(TopK.top_k_exact(col("score_ppm"), col("doc_id"), k).as("tk"))
       .select(col("query_id"), posexplode(col("tk")))
       .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rank"),
         col("col").getField("id").as("neighbor_id"),
-        col("col").getField("sim").cast("bigint").as("score_ppm"))
+        col("col").getField("score").cast("bigint").as("score_ppm"))
   }
 }

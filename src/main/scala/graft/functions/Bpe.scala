@@ -60,15 +60,31 @@ object Bpe {
     */
   private def applyMerge(vocab: DataFrame, pair: DataFrame): DataFrame =
     vocab.crossJoin(broadcast(pair))
+      // a GENUINELY sequential greedy fold, not a per-position CASE:
+      // the stateless form corrupted SELF-pair merges (l = r) — in
+      // "a a a" the middle symbol matched both "start of a pair" and
+      // "consumed as the right half", duplicating it ("aaa" → two "aa"
+      // tokens, content invented). The fold carries one pending symbol:
+      // merge it with the current one when they form (l, r), else emit
+      // it — greedy left-to-right for ANY pair, self or not (a merged
+      // token never re-participates in the same pass, matching standard
+      // BPE). The trainer never LEARNS self-pairs, but encode()/
+      // applyMerges() accept external merge tables, which contain them.
+      // Scan-local over word-length arrays — same shape as before.
       .withColumn("sym", expr(
-        """filter(
-          |  transform(sequence(1, size(sym)), i -> CASE
-          |    WHEN element_at(sym, i) = l AND i < size(sym)
-          |         AND element_at(sym, i + 1) = r THEN concat(l, r)
-          |    WHEN i > 1 AND element_at(sym, i - 1) = l
-          |         AND element_at(sym, i) = r THEN NULL
-          |    ELSE element_at(sym, i) END),
-          |  x -> x IS NOT NULL)""".stripMargin))
+        """aggregate(
+          |  sym,
+          |  named_struct('out', cast(array() as array<string>),
+          |               'pend', cast(null as string)),
+          |  (acc, x) -> CASE
+          |    WHEN acc.pend IS NULL THEN named_struct('out', acc.out, 'pend', x)
+          |    WHEN acc.pend = l AND x = r
+          |      THEN named_struct('out', array_append(acc.out, concat(l, r)),
+          |                        'pend', cast(null as string))
+          |    ELSE named_struct('out', array_append(acc.out, acc.pend),
+          |                      'pend', x) END,
+          |  acc -> CASE WHEN acc.pend IS NULL THEN acc.out
+          |    ELSE array_append(acc.out, acc.pend) END)""".stripMargin))
       .drop("l", "r")
 
   /** Apply a learned merge table to ANY (sym, …) vocabulary-shaped
@@ -83,6 +99,11 @@ object Bpe {
     val ordered = mergeTable.select("rank", "l", "r")
       .collect().sortBy(_.getInt(0))
       .map(row => (row.getString(1), row.getString(2)))
+    // a LAZY persist chain: caches populate bottom-up when the caller's
+    // one action runs, so no per-rank job is paid — the trade is that
+    // every rank's (word-vocabulary-sized, not corpus-sized) snapshot
+    // is live until the harness drain; train() frees per round instead
+    // because its per-round argmax action makes that possible for free
     ordered.foldLeft(graft.CacheScope.persisted(vocab)) { (v, lr) =>
       graft.CacheScope.persisted(applyMerge(v, Seq(lr).toDF("l", "r")))
     }
@@ -97,19 +118,28 @@ object Bpe {
     val spark = corpus.sparkSession
     import spark.implicits._
     var v = graft.CacheScope.persisted(vocab(corpus, textCol))
+    // the round-(k-1) vocabulary: freed as soon as round k's cache is
+    // populated (the pairCounts action below computes THROUGH it), so
+    // storage holds two vocabulary snapshots at any time — not one per
+    // merge (CacheScope only registers for the END-of-query drain;
+    // within a 1000-merge training run that accumulation is the leak)
+    var prev: DataFrame = null
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
     var k = 0
     var dry = false
     while (k < merges && !dry) {
-      // ONE bounded driver row per round: the argmax pair
+      // ONE bounded driver row per round: the argmax pair. This action
+      // materializes v's cache — v's predecessor is dead after it.
       val top = pairCounts(v)
         .orderBy(col("n").desc, col("l"), col("r")).limit(1)
         .select("l", "r").collect()
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
       if (top.isEmpty) dry = true // vocabulary fully merged — stop early
       else {
         val (l, r) = (top(0).getString(0), top(0).getString(1))
         k += 1
         learned += ((k, l, r))
+        prev = v
         v = graft.CacheScope.persisted(
           applyMerge(v, Seq((l, r)).toDF("l", "r")))
       }

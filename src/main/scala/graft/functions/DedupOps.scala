@@ -260,6 +260,17 @@ object DedupOps {
     */
   private[graft] def ppjoinCandidates(sh: DataFrame, threshold: Double,
       positional: Boolean = true): DataFrame = {
+    // threshold as an EXACT ppm rational: ceil(sz * threshold) on raw
+    // doubles can round one past the true integer bound (0.07 * 100
+    // evaluates to 7.000000000000001 → ceil 8), which shortens the
+    // prefix and tightens the length filter by one — silently LOSSY at
+    // exact-boundary pairs, where this scheme's whole pitch is
+    // losslessness. With tPpm integer, sz·tPpm is exact in a double up
+    // to 2^53 and the divide by a representable power of ten lands
+    // within 1 ulp — never the 10⁻⁶ gap to the next rational — so the
+    // ceil is exact for any threshold expressible in ppm.
+    val tPpm = math.round(threshold * 1e6).toDouble
+    def minOverlap(sz: Column): Column = ceil(sz * lit(tPpm) / lit(1e6))
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
     val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
     val prefixes = ex.join(dfreq, "g")
@@ -269,7 +280,7 @@ object DedupOps {
         count(lit(1)).as("sz"))
       .select(col("doc_id"), col("sz"),
         posexplode(slice(col("sorted"), lit(1),
-          (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))))
+          (col("sz") - minOverlap(col("sz")) + 1).cast("int"))))
       .select(col("doc_id"), col("sz"), (col("pos") + 1).as("p"),
         col("col").as("g"))
     // POSITIONAL filter (the "P" in PPJoin, Xiao et al. 2008 §3.2): a
@@ -287,14 +298,17 @@ object DedupOps {
     // array_intersect over the full shingle sets.
     val posFilter =
       if (positional)
+        // t/(1+t) as the exact rational tPpm/(10⁶+tPpm): same 1-ulp
+        // argument as minOverlap — the raw double t/(1+t) literal
+        // carries the threshold's own representation error into ceil
         least(col("a.p"), col("b.p")) +
           least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")) >=
-          ceil((col("a.sz") + col("b.sz")) * lit(threshold / (1.0 + threshold)))
+          ceil((col("a.sz") + col("b.sz")) * lit(tPpm) / lit(1e6 + tPpm))
       else lit(true)
     prefixes.as("a").join(prefixes.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.sz") >= ceil(col("b.sz") * lit(threshold)) &&
-          col("b.sz") >= ceil(col("a.sz") * lit(threshold)) &&
+          col("a.sz") >= minOverlap(col("b.sz")) &&
+          col("b.sz") >= minOverlap(col("a.sz")) &&
           posFilter)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()

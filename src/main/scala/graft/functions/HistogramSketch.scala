@@ -28,6 +28,15 @@ object HistogramSketch {
 
   /** Build the (bin, cnt) histogram of `valueCol` (integer-valued) over
     * the closed domain [lo, hi].
+    *
+    * PRECONDITION: every value lies in [lo, hi] — the callers derive
+    * (lo, hi) from the data's own min/max, which guarantees it. An
+    * out-of-domain value is NOT detected: below-lo values alias into
+    * low bins and above-hi values mint bins past `bins-1`, both
+    * silently distorting quantiles — a caller binning against a FIXED
+    * domain (not data-derived) must clamp or filter first. No clamp
+    * here: the bin expression is replayed verbatim by the SQL oracles,
+    * and the two sides must stay formula-identical.
     */
   def sketch(df: DataFrame, valueCol: String, bins: Int, lo: Long,
       hi: Long): DataFrame =

@@ -101,10 +101,14 @@ object Multimodal {
       if (i >= bytes.length || !isWs(bytes(i)))
         fail("expected single whitespace before raster")
       i += 1
-      val need = w * h * 3
+      // Long: a crafted header like "P6 26755 26755 255" overflows
+      // w*h*3 as Int to a negative, the truncation check passes, and
+      // an invalid (empty-raster) RawImage escapes instead of this
+      // parser's clear error
+      val need = w.toLong * h * 3
       if (bytes.length - i < need)
         fail(s"raster truncated: need $need, have ${bytes.length - i}")
-      RawImage(w, h, maxVal, bytes.slice(i, i + need))
+      RawImage(w, h, maxVal, bytes.slice(i, i + need.toInt))
     }
 
     /** Per-quadrant per-channel mean over a 2×2 spatial grid — the

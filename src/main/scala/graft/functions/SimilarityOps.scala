@@ -158,6 +158,13 @@ object SimilarityOps {
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("sim", round(cosine(col("query_vec"), col("embedding")), 4))
+      // drop unscored candidates (null/NaN sim from a zero or null
+      // embedding) exactly as [[bruteForceTopK]] does: NaN orders above
+      // every real value in Spark, so an unfiltered zero vector would
+      // rank FIRST for every query — elected "first relevant" when it
+      // shares the label, and counted as a strictly-better neighbor
+      // (deflating MRR) when it does not
+      .filter(col("sim").isNotNull && !isnan(col("sim")))
     val best = scored.filter(col("label") === col("query_label"))
       .groupBy(col("query_id"))
       .agg(max(struct(col("sim"), (-col("vec_id")).as("nv"))).as("b"))
@@ -703,12 +710,21 @@ object SimilarityOps {
       val assigned = assignNearestSeed(emb, centroids, "embedding", "vec_id")
         .select(col("bucket").as("seed_id"),
           col("embedding").cast("array<double>").as("v"))
-      centroids = assigned
+      val updated = assigned
         .select(col("seed_id"), posexplode(col("v")))
         .groupBy(col("seed_id"), col("pos")).agg(avg(col("col")).as("m"))
         .groupBy(col("seed_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("seed_vec"))
+      // a cluster that attracted zero vectors this round keeps its
+      // PREVIOUS centroid (standard Lloyd, and kmeansCore's behavior)
+      // instead of vanishing: the groupBy emits only assigned seed_ids,
+      // and a dropped centroid would silently shrink every later round
+      // and the IVF index built on it from k buckets to fewer
+      centroids = centroids.as("c")
+        .join(updated.as("u"), col("c.seed_id") === col("u.seed_id"), "left")
+        .select(col("c.seed_id").as("seed_id"),
+          coalesce(col("u.seed_vec"), col("c.seed_vec")).as("seed_vec"))
     }
     centroids
   }

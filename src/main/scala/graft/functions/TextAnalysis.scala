@@ -12,7 +12,18 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens, lowercased. */
+  /** Whitespace tokens, lowercased.
+    *
+    * Split semantics are INTENTIONALLY the raw regex-split's, including
+    * its artifact: text with leading whitespace yields a leading ""
+    * token (and "" itself yields [""]). Every oracle replays the same
+    * form (DuckDB `string_split_regex(lower(text), '\s+')` behaves
+    * identically), so token counts, shingles, BM25 postings and the SQL
+    * side agree BECAUSE both keep the artifact — trimming here without
+    * touching every oracle (or vice versa) breaks the hash parity, and
+    * the fixture corpus contains no leading-whitespace documents to
+    * make the artifact matter.
+    */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
   /** BPE-ish subword proxy: letter runs, digit runs, and single

@@ -73,4 +73,47 @@ object TopK {
     udaf(TopKAgg(k), Encoders.product[Scored])
       .apply(org.apache.spark.sql.functions.coalesce(sim,
         org.apache.spark.sql.functions.lit(Double.NaN)), id)
+
+  /** One scored candidate with an EXACT integer score. */
+  final case class ScoredL(score: Long, id: Long)
+
+  private val ordL: Ordering[ScoredL] =
+    Ordering.by((s: ScoredL) => (-s.score, s.id))
+
+  /** The [[TopKAgg]] buffer over exact BIGINT scores: a Double carrier
+    * silently collapses scores past 2^53 (two BM25 score_ppm values one
+    * apart cast to the SAME double, so ties break by id instead of true
+    * score — at nd ~ 10⁹ docs a few rare-term contributions cross
+    * that line). NULL scores are dropped via the Long.MinValue sentinel
+    * (legitimate scores are non-negative by the callers' contract).
+    */
+  final case class TopKAggL(k: Int)
+      extends Aggregator[ScoredL, List[ScoredL], Seq[ScoredL]] {
+    require(k >= 1, s"k must be positive, got $k")
+    override def zero: List[ScoredL] = Nil
+    override def reduce(b: List[ScoredL], a: ScoredL): List[ScoredL] =
+      if (a.score == Long.MinValue) b else insert(b, a)
+    override def merge(b1: List[ScoredL], b2: List[ScoredL]): List[ScoredL] =
+      b2.foldLeft(b1)(insert)
+    override def finish(b: List[ScoredL]): Seq[ScoredL] = b
+    private def insert(b: List[ScoredL], a: ScoredL): List[ScoredL] =
+      if (b.lengthCompare(k) >= 0 && ordL.gteq(a, b.last)) b
+      else {
+        val (better, worse) = b.span(x => ordL.lt(x, a))
+        (better ::: a :: worse).take(k)
+      }
+    override def bufferEncoder: Encoder[List[ScoredL]] =
+      ExpressionEncoder[List[ScoredL]]()
+    override def outputEncoder: Encoder[Seq[ScoredL]] =
+      ExpressionEncoder[Seq[ScoredL]]()
+  }
+
+  /** Exact-integer top-k: `array<struct<score bigint, id bigint>>`
+    * sorted best-first, bit-exact at ANY score magnitude. NULL scores
+    * are dropped, like [[top_k]].
+    */
+  def top_k_exact(score: Column, id: Column, k: Int): Column =
+    udaf(TopKAggL(k), Encoders.product[ScoredL])
+      .apply(org.apache.spark.sql.functions.coalesce(score.cast("long"),
+        org.apache.spark.sql.functions.lit(Long.MinValue)), id)
 }

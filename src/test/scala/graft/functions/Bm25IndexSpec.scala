@@ -7,6 +7,27 @@ import graft.SparkSpec
 
 class Bm25IndexSpec extends SparkSpec {
 
+  test("top_k_exact keeps adjacent scores past 2^53 distinct (double carrier cannot)") {
+    import spark.implicits._
+    // 2^53 and 2^53 + 1 cast to the SAME double — ranked through a
+    // double carrier the tie breaks by id and elects doc 1; the exact
+    // Long buffer must put the truly-higher score first
+    val big = 1L << 53
+    val scored = Seq((7L, 1L, big), (7L, 2L, big + 1)).toDF("q", "id", "s")
+    val top = scored.groupBy($"q")
+      .agg(TopK.top_k_exact($"s", $"id", 2).as("tk"))
+      .select(explode($"tk").as("e"))
+      .select($"e.score", $"e.id").as[(Long, Long)].collect().toSeq
+    assert(top == Seq((big + 1, 2L), (big, 1L)))
+    // and a NULL score is dropped, matching top_k
+    val withNull = Seq((7L, 1L, Some(10L)), (7L, 2L, Option.empty[Long]))
+      .toDF("q", "id", "s")
+    val kept = withNull.groupBy($"q")
+      .agg(TopK.top_k_exact($"s", $"id", 2).as("tk"))
+      .select(size($"tk")).as[Int].head()
+    assert(kept == 1)
+  }
+
   private def qt = {
     import org.apache.spark.sql.expressions.Window
     val tf = graft.Tables.documents(spark, sf)

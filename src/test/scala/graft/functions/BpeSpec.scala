@@ -26,6 +26,23 @@ class BpeSpec extends SparkSpec {
     graft.CacheScope.drain(spark)
   }
 
+  test("applyMerges handles SELF-pair merges greedily (external tables contain them)") {
+    // "aaa" under merge (a, a): greedy left-to-right gives [aa, a] —
+    // the stateless per-position rewrite emitted [aa, aa] (4 a's from
+    // 3, content invented) because the middle symbol matched both
+    // "pair start" and "consumed". The trainer never learns self-pairs
+    // but encode()/applyMerges() accept externally learned tables,
+    // where they are routine.
+    val vocab = Seq((Seq("a", "a", "a"), 1L), (Seq("a", "a", "a", "a"), 1L),
+      (Seq("b", "a", "a"), 1L)).toDF("sym", "cnt")
+    val table = Seq((1, "a", "a")).toDF("rank", "l", "r")
+    val out = Bpe.applyMerges(vocab, table)
+      .as[(Seq[String], Long)].collect().toSet
+    assert(out == Set(
+      (Seq("aa", "a"), 1L), (Seq("aa", "aa"), 1L), (Seq("b", "aa"), 1L)))
+    graft.CacheScope.drain(spark)
+  }
+
   test("train stops early when the vocabulary is fully merged") {
     val corpus = Seq("xy xy xy").toDF("text")
     val table = Bpe.train(corpus, "text", merges = 5)

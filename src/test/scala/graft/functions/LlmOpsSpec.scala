@@ -196,6 +196,50 @@ class LlmOpsSpec extends SparkSpec {
     assert(!top1.values.exists(_ == 999L), "unscored candidate was ranked")
   }
 
+  test("mrrFirstRelevant ignores unscored (NaN-sim) candidates") {
+    // zero vector → cosine NaN; Spark orders NaN above every real, so
+    // unfiltered it would be elected "first relevant" (sharing the
+    // label) AND counted as a strictly-better neighbor for other
+    // queries — the exact hazard bruteForceTopK filters
+    val q = Seq((0L, Seq(1.0f, 0.0f), 1L))
+      .toDF("query_id", "query_vec", "query_label")
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f), 1L),   // the query itself: excluded
+      (1L, Seq(1.0f, 0.0f), 1L),   // the true first relevant, sim 1.0
+      (2L, Seq(0.0f, 0.0f), 1L))   // zero vector: sim NaN, same label
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.mrrFirstRelevant(q, corpus)
+      .select("first_rel_rank").as[Long].head()
+    assert(out == 1L, s"NaN candidate perturbed the rank: got $out")
+  }
+
+  test("ppjoin stays lossless at an exact threshold boundary (0.07, sz 100)") {
+    // J(A, B) = 7/100 = 0.07 exactly, with A ⊂ B: the raw-double form
+    // computed ceil(100 * 0.07) = ceil(7.000000000000001) = 8 and the
+    // length filter silently dropped the qualifying pair; the ppm-exact
+    // arithmetic must emit it
+    val a = (1 to 7).map(i => f"e$i%02d")
+    val b = a ++ (1 to 93).map(i => f"f$i%02d")
+    val sh = Seq((1L, a), (2L, b)).toDF("doc_id", "sh")
+    val cands = DedupOps.ppjoinCandidates(sh, 0.07)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)),
+      "exact-boundary pair missing from ppjoin candidates")
+  }
+
+  test("kmeansCentroids keeps an emptied cluster at its previous centroid") {
+    // duplicate seed vectors: every point ties to the lower seed_id, so
+    // seed 1's cluster empties in round 1 — it must keep its previous
+    // centroid (kmeansCore behavior), not vanish and shrink the IVF
+    // bucket count
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.8f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val cents = SimilarityOps.kmeansCentroids(e, k = 2, iters = 2)
+    assert(cents.count() == 2L, "empty cluster was dropped")
+  }
+
   test("simhash near-dup pairs overlap heavily with exact Jaccard pairs") {
     val sim = DedupOps.simhashPairs(
       DedupOps.simhashSignatures(docs, "text", "doc_id"))
