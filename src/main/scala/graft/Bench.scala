@@ -40,16 +40,35 @@ object Bench {
         all.reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
       }
       val prefix = sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "-"
+      // prune only shard dirs no live bench can be reading: a COMPLETE
+      // cache (_READY present) is kept while its marker is fresh — a
+      // concurrent bench with a different core count or source digest
+      // finishes within the freshness window, and deleting its layout
+      // mid-run would vanish parquet out from under its scans; an
+      // INCOMPLETE dir (no marker) is a crashed/abandoned reshard, but
+      // only once its mtime shows nobody is actively writing it
+      val freshMs = 30L * 60 * 1000
+      val now = System.currentTimeMillis()
       Option(base.getParent.toFile.listFiles()).getOrElse(Array())
         .filter(d => d.getName.startsWith(prefix) && d.toPath != base)
+        .filter { d =>
+          val m = d.toPath.resolve("_READY").toFile
+          val stamp = if (m.exists) m.lastModified else d.lastModified
+          now - stamp > freshMs
+        }
         .foreach(d => try deleteTree(d.toPath) catch { case _: Throwable => () })
       java.nio.file.Files.createDirectories(base)
       val src = new java.io.File(sfDir).listFiles()
       if (src == null) return sfDir
       def passThrough(f: java.io.File): Unit = {
-        java.nio.file.Files.deleteIfExists(base.resolve(f.getName))
-        java.nio.file.Files.createSymbolicLink(
-          base.resolve(f.getName), f.toPath.toAbsolutePath)
+        val dst = base.resolve(f.getName)
+        // a failed repartition write can leave a PARTIAL parquet
+        // directory here, and deleteIfExists cannot remove a non-empty
+        // dir — recursive delete, so the fallback symlink replaces the
+        // partial table instead of silently leaving it behind the
+        // _READY marker as "valid" data for every later run
+        if (java.nio.file.Files.exists(dst)) deleteTree(dst)
+        java.nio.file.Files.createSymbolicLink(dst, f.toPath.toAbsolutePath)
       }
       src.filter(_.getName.endsWith(".parquet")).foreach { f =>
         // per-table guard: one table the plain reader rejects (e.g. a
@@ -79,7 +98,11 @@ object Bench {
           }
         } catch { case _: Throwable =>
           Console.err.println(s"[bench] reshard skipped ${f.getName}: raw read")
-          try passThrough(f) catch { case _: Throwable => () }
+          // NOT swallowed: if even the cleanup+symlink fallback fails,
+          // the cache holds a table we can neither repair nor link —
+          // abort the whole reshard (the caller degrades to the raw
+          // sfDir) so _READY is never written over a partial layout
+          passThrough(f)
         }
       }
       java.nio.file.Files.write(marker, Array.emptyByteArray)
@@ -397,7 +420,45 @@ object Bench {
     try {
       val dir = java.nio.file.Paths.get("bench_out")
       java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.write(dir.resolve("BENCH_SELF.json"),
+      // REGRESSION DIFF vs the previous self-report, written BEFORE the
+      // new one overwrites it: every query that moved >2× either way
+      // (above a 0.5 s noise floor — sub-half-second times flip ratios
+      // on scheduler jitter alone) is emitted with both readings and
+      // its current diag, so a driver-vs-builder delta is attributable
+      // (ambient vs plan) without manual JSON archaeology across
+      // BENCH_r{N} files. The parse is a regex over OUR OWN format —
+      // the only writer of this file is the block below.
+      val self = dir.resolve("BENCH_SELF.json")
+      try {
+        if (java.nio.file.Files.exists(self)) {
+          val prevTxt = new String(java.nio.file.Files.readAllBytes(self),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val re = """"(q[0-9][A-Za-z0-9_]*)":\{"sec":([0-9.]+)""".r
+          val prevSecs = re.findAllMatchIn(prevTxt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val movers = byTime.flatMap { case (k, sec, _, d) =>
+            prevSecs.get(k).collect {
+              case p if math.max(p, sec) >= 0.5 &&
+                  (sec >= 2 * p || p >= 2 * sec) =>
+                "\"" + k + "\":{\"prev_sec\":" + f3(p) +
+                  ",\"cur_sec\":" + f3(sec) +
+                  ",\"ratio\":" + f3(sec / math.max(p, 1e-9)) + "," +
+                  diagJson(k, sec, d, withSec = false).dropWhile(_ != '{')
+                    .drop(1)
+            }
+          }
+          val gone = prevSecs.keySet -- byTime.map(_._1).toSet
+          val diffJson =
+            s"""{"movers":${movers.mkString("{", ",", "}")},
+               |"gone":${gone.toSeq.sorted.map("\"" + _ + "\"")
+                  .mkString("[", ",", "]")},
+               |"prev_n":${prevSecs.size},"cur_n":${byTime.size}}"""
+              .stripMargin.replace("\n", "")
+          java.nio.file.Files.write(dir.resolve("BENCH_DIFF.json"),
+            diffJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      } catch { case _: Throwable => () } // diff is best-effort telemetry
+      java.nio.file.Files.write(self,
         fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () } // a read-only cwd must not fail the bench
     // total appears at BOTH ends of the line: the driver's bounded

@@ -51,11 +51,21 @@ object CacheScope {
     * difference between an iteration that fits and one that evicts
     * the rest of the query. Safe only when the dataset's blocks are
     * provably not re-read (a truncated-lineage plan cannot recompute).
+    *
+    * The contract is STRUCTURAL: only a Dataset whose plan ROOT is the
+    * checkpoint's own LogicalRDD is freed — i.e. the exact Dataset
+    * `localCheckpoint()` returned. A derived plan that merely
+    * references an upstream shared checkpoint somewhere inside it
+    * no-ops, because freeing through it would drop blocks a
+    * truncated lineage cannot recompute for the checkpoint's OTHER
+    * readers.
     */
   def freeLocalCheckpoint(ds: Dataset[_]): Unit =
-    ds.queryExecution.analyzed.collectFirst {
-      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-    }.foreach(_.unpersist(blocking = false))
+    ds.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Free every cache accumulated since the last drain (see class doc
     * for the three sweeps). Blocking by default: harness call sites

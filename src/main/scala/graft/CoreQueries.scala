@@ -3866,12 +3866,23 @@ object CoreQueries {
     * DOMAIN, ~2.5k rows), then two equality self-joins on shifted dates
     * — no window over raw rows, and the lag structure is join-shaped so
     * a per-series partitioned version scales to millions of series.
+    * The rollup is PERSISTED: three lag roles read it, and without the
+    * cache each role re-runs the full fact scan (r12 driver diag: 121
+    * task-CPU-s, 3× a decimal-summing scan cold). Cents are summed as
+    * BIGINT — `round(price·100)` is exact for 2-dp doubles, and the
+    * primitive sum stays in whole-stage codegen where the
+    * DECIMAL(38,0) sum buffer falls back to per-row BigDecimal
+    * (probed: 5× the scan CPU for identical values). Overflow bound:
+    * a day would need > 9.2e16 dollars of revenue to wrap — five
+    * orders of magnitude past a 100 TB corpus's busiest day. The
+    * final MASE cross-multiplication stays DECIMAL(38,0): it runs on
+    * ONE row, and 1e6·sae7·n1 genuinely exceeds Long there.
     */
   def seasonalMase(s: SparkSession, d: String): DataFrame = {
-    val daily = t(s, d, "lineitem")
+    val daily = CacheScope.persisted(t(s, d, "lineitem")
       .groupBy(col("l_shipdate").cast("date").as("dt"))
-      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
-        .cast("decimal(38,0)").as("rev_c"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+        .as("rev_c")))
     val cur = daily.select(col("dt"), col("rev_c"))
     val lag7 = daily.select(date_add(col("dt"), 7).as("dt"),
       col("rev_c").as("rev_c7"))
@@ -3881,10 +3892,10 @@ object CoreQueries {
       .agg(
         sum(when(col("rev_c7").isNotNull, 1L).otherwise(0L)).as("n7"),
         sum(when(col("rev_c7").isNotNull, abs(col("rev_c") - col("rev_c7")))
-          .otherwise(lit(0).cast("decimal(38,0)"))).as("sae7_c"),
+          .otherwise(0L)).as("sae7_c"),
         sum(when(col("rev_c1").isNotNull, 1L).otherwise(0L)).as("n1"),
         sum(when(col("rev_c1").isNotNull, abs(col("rev_c") - col("rev_c1")))
-          .otherwise(lit(0).cast("decimal(38,0)"))).as("sae1_c"))
+          .otherwise(0L)).as("sae1_c"))
       .select(col("n7").cast("bigint").as("n7"),
         col("sae7_c").cast("bigint").as("sae7_c"),
         col("n1").cast("bigint").as("n1"),

@@ -19,6 +19,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
           math.min(8, cpus.toInt).toString))
+      // SPARK_GRAFT_AQE=true runs the dump under adaptive execution —
+      // the real-cluster configuration (runtime coalescing, skew-join
+      // splitting). Values must be identical either way; the r13 CI
+      // artifact bench_out/AQE_VERIFY.txt is a full-suite oracle pass
+      // with this on and shuffle=200 (cluster defaults).
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

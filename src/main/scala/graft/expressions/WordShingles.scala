@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -22,11 +22,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * the exact semantics: split on Java-regex `\s+` runs (space, \t, \n,
   * \x0B, \f, \r), leading/trailing empty tokens kept as `split` does,
   * n-grams joined with a single space, distinct by first occurrence.
-  * CodegenFallback: the eval itself is the tight loop; it feeds
-  * codegen'd consumers (explode/aggregate) unchanged.
+  * Implements real `doGenCode` (a static-helper call), NOT
+  * CodegenFallback: a fallback expression forces its whole stage out
+  * of whole-stage codegen, and this one sits at the head of the
+  * shingle-heavy family's scan stages (q22, q26–q28, q44, q47) —
+  * the same conversion bought SimhashSignature's stage −50% CPU.
   */
 case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, s"shingle size must be >= 1, got $n")
 
@@ -38,12 +41,30 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, text => {
+      val helper = WordShingles.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $helper.compute($text, $n, $distinct);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingles {
   private def isSpace(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  override def nullSafeEval(input: Any): Any = {
+  /** Never null for a non-null input (an under-`n`-token text yields an
+    * empty array). Called from generated code; the tokenizer is the
+    * same char-scan `\s+`-run split the interpreted path always used.
+    */
+  def compute(input: UTF8String, n: Int, distinct: Boolean): GenericArrayData = {
     // UTF8String.toLowerCase for exact parity with the lower() builtin
-    val text = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val text = input.toLowerCase.toString
     // tokenize exactly like split(text, "\\s+", -1): empty leading token
     // when the text starts with whitespace, empty trailing token when it
     // ends with one
@@ -79,11 +100,6 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
     new GenericArrayData(out.toArray[Any])
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object WordShingles {
   def shingles(text: Column, n: Int): Column =
     toColumn(WordShingles(toExpression(text), n))
 

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * magnitude before the per-round transform (the 100 TB shape: one
   * corpus-sized aggregation up front, then rounds that touch only the
   * vocabulary). Mirrors the reference's tokenizer-adjacent text prep
-  * (silver/silver_rx_claims_clean.py:33-40 normalizes free-text the
+  * (silver/silver_rx_claims_load.py:147-150 normalizes free-text the
   * same scan-local way).
   *
   * The trainer is a bounded driver loop: each round is one

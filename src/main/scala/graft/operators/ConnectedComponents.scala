@@ -22,6 +22,18 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: every step is a min over node ids; the result depends
   * only on the input edge set, never on partitioning or visit order.
+  *
+  * Checkpoint storage budget (shared by every iterative operator here —
+  * PageRank, ShortestPaths, KCore, LabelPropagation): AT MOST TWO round
+  * snapshots plus the initial canon are pinned at any moment — the
+  * previous round is freed via [[graft.CacheScope.freeLocalCheckpoint]]
+  * as soon as the next round's checkpoint has materialized (plain
+  * `Dataset.unpersist` is a silent no-op on checkpoint blocks). So
+  * peak storage is 2 × |edges| + |canon| REGARDLESS of round count —
+  * at graph scale the difference between an iteration that fits and
+  * one that evicts the rest of the query; O(rounds × |edges|) is the
+  * failure mode this design rules out. Pinned by CacheScopeSpec's
+  * bounded-snapshot test.
   */
 object ConnectedComponents {
 

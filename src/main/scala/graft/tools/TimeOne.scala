@@ -1,7 +1,14 @@
 package graft.tools
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc single-query timer: runMain graft.tools.TimeOne <sfDir> <query> [reps] */
+/** Ad-hoc single-query timer: runMain graft.tools.TimeOne <sfDir> <query> [reps]
+  * Prints wall time plus task-attributed run/cpu seconds per rep — the
+  * same counters graft.Bench's diag reports, so a driver-diag anomaly
+  * (e.g. r12's q172 reading 121 task-CPU-s) can be reproduced or ruled
+  * out on the same code without a full suite run.
+  */
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -17,6 +24,16 @@ object TimeOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val runMs = new AtomicLong; val cpuMs = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          runMs.addAndGet(m.executorRunTime)
+          cpuMs.addAndGet(m.executorCpuTime / 1000000L)
+        }
+      }
+    })
     spark.range(1000000).selectExpr("sum(id)").collect()
     (1 to reps).foreach { i =>
       name.split(",").foreach { n =>
@@ -28,13 +45,16 @@ object TimeOne {
         graft.CacheScope.drain(spark, blocking = true)
         System.gc()
         Thread.sleep(100)
+        org.apache.spark.graftspark.drainListenerBus(spark.sparkContext)
+        runMs.set(0); cpuMs.set(0)
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
         graft.CacheScope.drain(spark, blocking = true)
         System.gc()
         Thread.sleep(100)
-        println(f"TIMEONE $n rep$i $sec%.3f s")
+        org.apache.spark.graftspark.drainListenerBus(spark.sparkContext)
+        println(f"TIMEONE $n rep$i $sec%.3f s run=${runMs.get / 1e3}%.2f cpu=${cpuMs.get / 1e3}%.2f")
       }
     }
     spark.stop()

@@ -47,6 +47,35 @@ class WordShinglesSpec extends SparkSpec {
       .collect()(0).isNullAt(0))
   }
 
+  test("codegen and interpreted paths are bit-equal (shingles + min-hash)") {
+    // both expressions implement real doGenCode (static-helper call);
+    // this pins generated == interpreted on the corpus plus the edge
+    // strings, so a codegen regression can never ship values silently
+    val edge = Seq(
+      "", " ", "a", "a b c d e", "  leading", "trailing  ",
+      "A\tB\nCD\fE\rF G", "repeat repeat repeat repeat repeat repeat")
+      .toDF("text")
+    val docs = Tables.documents(spark, sf).select(col("text")).unionByName(edge)
+    def render(): Seq[String] = docs.select(
+        TextAnalysis.textShingles(col("text"), 3).as("sh"),
+        TextAnalysis.minShingleHash(col("text"), 5).as("mh"))
+      .collect().map(_.toString).sorted.toSeq
+    val gen = render()
+    val interp = {
+      val conf = spark.conf
+      val ws = conf.get("spark.sql.codegen.wholeStage", "true")
+      val fm = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try render()
+      finally {
+        conf.set("spark.sql.codegen.wholeStage", ws)
+        conf.set("spark.sql.codegen.factoryMode", fm)
+      }
+    }
+    assert(gen == interp)
+  }
+
   test("shingle n=1 yields distinct tokens; n larger than doc yields empty") {
     val df = Seq("a b a c").toDF("text")
     assert(df.select(TextAnalysis.textShingles(col("text"), 1))
