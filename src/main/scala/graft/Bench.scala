@@ -263,18 +263,42 @@ object Bench {
         settled = jitBean.getTotalCompilationTime - j0 < 20
       }
     }
-    val results = sorted.map { case (name, fn) =>
-      // force a collection in the UNTIMED gap: Spark's ContextCleaner
-      // frees shuffle files and broadcasts only when their owners are
-      // GC'd, so over a long suite the cleanup of query N fires inside
-      // query N+k's timed region (measured: q134 read 11.0 s mid-suite
-      // vs 4.0 s with a gap GC — the codec's own allocation pressure
-      // triggered the collection that then drained 100+ queries of
-      // deferred cleanup). One explicit gc + a short sleep lets the
-      // reference queue and cleaner RPCs run here, where nobody is
-      // being measured.
+    // gap GC that actually STAYS in the gap: System.gc() under
+    // ExplicitGCInvokesConcurrent only STARTS a G1 concurrent cycle —
+    // on a 24g heap the cycle's marking work (and its write-barrier /
+    // CPU-steal tax on mutator threads) runs for much longer than a
+    // 100 ms sleep, i.e. inside the NEXT query's timed region
+    // (observed: a 136 ms floor-query job carrying 256 ms of
+    // task-attributed GC). Wait for the concurrent collector's cycle
+    // COUNT to advance (cycle finished) with a bounded poll.
+    val concGc = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.find(_.getName.toLowerCase.contains("concurrent"))
+    }
+    def gapGc(): Unit = {
+      val c0 = concGc.map(_.getCollectionCount).getOrElse(-1L)
       System.gc()
-      Thread.sleep(100)
+      concGc match {
+        case Some(b) =>
+          var waited = 0
+          while (b.getCollectionCount == c0 && waited < 2000) {
+            Thread.sleep(20); waited += 20
+          }
+        case None => Thread.sleep(100) // STW collector: gc() already blocked
+      }
+    }
+    val results = sorted.map { case (name, fn) =>
+      // one collection per UNTIMED gap: Spark's ContextCleaner frees
+      // shuffle files and broadcasts only when their owners are GC'd,
+      // so over a long suite the cleanup of query N fires inside query
+      // N+k's timed region (measured: q134 read 11.0 s mid-suite vs
+      // 4.0 s with a gap GC — the codec's own allocation pressure
+      // triggered the collection that then drained 100+ queries of
+      // deferred cleanup). The cycle-completion wait lives in gapGc
+      // above; a short settle sleep lets cleaner RPCs land.
+      gapGc()
+      Thread.sleep(50)
       // flush the async listener bus DETERMINISTICALLY before resetting:
       // straggler task-end events from the previous query would
       // otherwise leak into this query's counters (and under load a
@@ -303,8 +327,9 @@ object Bench {
       // region (r3/r4 showed 5-9× blowups on the cheap query after a
       // heavy one); blocking charges the teardown to the untimed gap
       CacheScope.drain(spark, blocking = true)
-      System.gc()
-      Thread.sleep(100)
+      // no second gc here: the pre-reset gapGc() above covers the gap,
+      // and a gc whose concurrent cycle is still marking when the next
+      // timed rep starts is exactly the bleed gapGc exists to stop
       // task counters are read AFTER the gap AND after a deterministic
       // bus flush: task-end events for the final stage ride the async
       // listener bus and may not have been processed yet — reading

@@ -2346,7 +2346,7 @@ object CoreQueries {
         .select(col("o_custkey"),
           datediff(col("o_orderdate").cast("date"),
             lit("1970-01-01").cast("date")).cast("bigint").as("day"),
-          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)")
             .as("cents"))
         .groupBy("o_custkey")
         .agg(max("day").as("last_day"), count(lit(1)).as("frequency"),
@@ -2589,7 +2589,7 @@ object CoreQueries {
   def madOutliers(s: SparkSession, d: String): DataFrame = {
     val cents = CacheScope.persisted(
       t(s, d, "orders").select(col("o_orderpriority").as("prio"),
-        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)")
           .as("cents")))
     val med = cents.groupBy("prio").agg(
       graft.functions.ExactPercentiles
@@ -2645,7 +2645,7 @@ object CoreQueries {
   def histogramQuantiles(s: SparkSession, d: String): DataFrame = {
     val cents = CacheScope.persisted(
       t(s, d, "orders").select(
-        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)")
           .as("cents")))
     val r = cents.agg(min("cents"), max("cents")).head()
     val (lo, hi) = (r.getLong(0), r.getLong(1))
@@ -2889,7 +2889,7 @@ object CoreQueries {
     val digits = CacheScope.persisted(
       t(s, d, "orders")
         .select(substring(
-          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)")
             .cast("string"), 1, 1).cast("bigint").as("digit"))
         .groupBy("digit").agg(count(lit(1)).as("cnt")))
     digits.crossJoin(broadcast(digits.agg(sum("cnt").as("total"))))
@@ -3075,7 +3075,7 @@ object CoreQueries {
   def weightedMedian(s: SparkSession, d: String): DataFrame = {
     val byValue = t(s, d, "lineitem").groupBy(
         col("l_returnflag").as("grp"),
-        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
           .as("cents"))
       .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("w"))
     // cumulative weight over the per-group VALUE DOMAIN (bounded rows),
@@ -3320,8 +3320,7 @@ object CoreQueries {
     // the rank join + prefix bucketing run on BIGINT instead of DOUBLE
     val li = t(s, d, "lineitem")
       .select(col("l_quantity").cast("bigint").as("x"),
-        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
-          .cast("decimal(38,0)").cast("bigint").as("y"))
+        round(col("l_extendedprice") * 100).cast("bigint").as("y"))
     val rx = li.groupBy("x").agg(count(lit(1)).as("cnt"))
     val rxRanked = graft.operators.PrefixSum.exclusiveRunningTotal(
         rx, Seq(col("x")), col("cnt"), "before")
@@ -4138,7 +4137,7 @@ object CoreQueries {
     val B = 64
     val p = graft.functions.DedupOps.KmPrime
     val reps = t(s, d, "orders")
-      .select(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)")
         .as("cents"),
         md5(concat(lit("boot-v1|"), col("o_orderkey").cast("string")))
           .as("h"))
@@ -4161,7 +4160,7 @@ object CoreQueries {
         max(when(col("rn") === 4, col("mean_c"))).as("boot_lo_c"),
         max(when(col("rn") === 61, col("mean_c"))).as("boot_hi_c"))
       .crossJoin(broadcast(t(s, d, "orders").agg(
-        expr("""CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        expr("""CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
                |  AS DECIMAL(38,0))) div count(*) AS BIGINT)""".stripMargin)
           .as("mean_c"))))
       .select(col("n_reps"), col("mean_c"), col("boot_lo_c"),
@@ -4736,7 +4735,7 @@ object CoreQueries {
   def expectedShortfall(s: SparkSession, d: String): DataFrame = {
     val byVal = t(s, d, "lineitem")
       .select(col("l_returnflag").as("flag"),
-        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
           .as("cents"))
       .groupBy("flag", "cents")
       .agg(count(lit(1)).as("cnt"))
@@ -4862,7 +4861,7 @@ object CoreQueries {
       t(s, d, "lineitem")
         .groupBy(year(col("l_shipdate").cast("date")).as("yr"),
           col("l_partkey"))
-        .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))")).as("cents"),
+        .agg(sum(expr("CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))")).as("cents"),
           sum(col("l_quantity").cast("bigint")).as("qty"))
         .select(col("yr"), col("l_partkey"), col("qty"),
           expr("CAST(cents * 1000000 div qty AS DECIMAL(38,0))")
@@ -4917,7 +4916,7 @@ object CoreQueries {
     val daily = graft.CacheScope.persisted(
       t(s, d, "lineitem")
         .groupBy(col("l_shipdate").cast("date").as("dt"))
-        .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))"))
+        .agg(sum(expr("CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))"))
           .as("rev_c"))
         .select(col("dt"), dayofweek(col("dt")).cast("bigint").as("dow"),
           col("rev_c")))
