@@ -106,8 +106,53 @@ object Bench {
         }
       }
       java.nio.file.Files.write(marker, Array.emptyByteArray)
+    } else {
+      // REFRESH the marker on reuse: the prune freshness window above
+      // is read off _READY's mtime, so a bench that starts by reusing
+      // a >30-min-old complete cache must re-stamp it — otherwise a
+      // concurrent reshard for a regenerated fixture would judge this
+      // run's layout abandoned and delete it mid-suite
+      try java.nio.file.Files.setLastModifiedTime(marker,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: Throwable => () }
     }
     base.toString
+  }
+
+  /** Untimed-gap GC shared by Bench and the repro tools (TimeOne,
+    * FloorProbe, JobProfile) so solo repro runs measure under the SAME
+    * gap protocol as the suite. Under ExplicitGCInvokesConcurrent,
+    * `System.gc()` only STARTS a G1 concurrent cycle — the poll waits
+    * for the concurrent collector's cycle COUNT to advance (bounded)
+    * and then requires it stable for a beat, so a cycle that was
+    * already in flight when we asked can't satisfy the wait while the
+    * requested cycle is still marking.
+    */
+  def gapGc(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val concGc =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.find(_.getName.toLowerCase.contains("concurrent"))
+    val c0 = concGc.map(_.getCollectionCount).getOrElse(-1L)
+    System.gc()
+    concGc match {
+      case Some(b) =>
+        // wait (bounded) until the count ADVANCES and then stays
+        // stable for 100 ms: advance alone could be a pre-existing
+        // in-flight cycle completing while the requested one is still
+        // marking; stability means no cycle finished in the last beat,
+        // so whatever gc() started has landed too
+        var waited = 0
+        var stable = 0
+        var last = c0
+        while ((last == c0 || stable < 100) && waited < 2500) {
+          Thread.sleep(20); waited += 20
+          val c = b.getCollectionCount
+          if (c != last) { last = c; stable = 0 }
+          else if (last != c0) stable += 20
+        }
+      case None => Thread.sleep(100) // STW collector: gc() already blocked
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -263,40 +308,21 @@ object Bench {
         settled = jitBean.getTotalCompilationTime - j0 < 20
       }
     }
-    // gap GC that actually STAYS in the gap: System.gc() under
-    // ExplicitGCInvokesConcurrent only STARTS a G1 concurrent cycle —
-    // on a 24g heap the cycle's marking work (and its write-barrier /
-    // CPU-steal tax on mutator threads) runs for much longer than a
-    // 100 ms sleep, i.e. inside the NEXT query's timed region
-    // (observed: a 136 ms floor-query job carrying 256 ms of
-    // task-attributed GC). Wait for the concurrent collector's cycle
-    // COUNT to advance (cycle finished) with a bounded poll.
-    val concGc = {
-      import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.find(_.getName.toLowerCase.contains("concurrent"))
-    }
-    def gapGc(): Unit = {
-      val c0 = concGc.map(_.getCollectionCount).getOrElse(-1L)
-      System.gc()
-      concGc match {
-        case Some(b) =>
-          var waited = 0
-          while (b.getCollectionCount == c0 && waited < 2000) {
-            Thread.sleep(20); waited += 20
-          }
-        case None => Thread.sleep(100) // STW collector: gc() already blocked
-      }
-    }
     val results = sorted.map { case (name, fn) =>
-      // one collection per UNTIMED gap: Spark's ContextCleaner frees
-      // shuffle files and broadcasts only when their owners are GC'd,
-      // so over a long suite the cleanup of query N fires inside query
-      // N+k's timed region (measured: q134 read 11.0 s mid-suite vs
-      // 4.0 s with a gap GC — the codec's own allocation pressure
-      // triggered the collection that then drained 100+ queries of
-      // deferred cleanup). The cycle-completion wait lives in gapGc
-      // above; a short settle sleep lets cleaner RPCs land.
+      // one collection per UNTIMED gap, with gap GC that actually
+      // STAYS in the gap: System.gc() under ExplicitGCInvokesConcurrent
+      // only STARTS a G1 concurrent cycle — on a 24g heap the cycle's
+      // marking work (and its write-barrier / CPU-steal tax on mutator
+      // threads) runs for much longer than a 100 ms sleep, i.e. inside
+      // the NEXT query's timed region (observed: a 136 ms floor-query
+      // job carrying 256 ms of task-attributed GC). Spark's
+      // ContextCleaner also frees shuffle files and broadcasts only
+      // when their owners are GC'd, so over a long suite the cleanup
+      // of query N would otherwise fire inside query N+k's timed
+      // region (measured: q134 read 11.0 s mid-suite vs 4.0 s with a
+      // gap GC). The cycle-completion wait lives in Bench.gapGc
+      // (shared with the repro tools); a short settle sleep lets
+      // cleaner RPCs land.
       gapGc()
       Thread.sleep(50)
       // flush the async listener bus DETERMINISTICALLY before resetting:
@@ -455,6 +481,12 @@ object Bench {
       // the only writer of this file is the block below.
       val self = dir.resolve("BENCH_SELF.json")
       try {
+        // no previous self-report (or unreadable): remove any leftover
+        // diff, so a stale BENCH_DIFF.json can never be misread as the
+        // CURRENT run's movers — the misattribution the file exists to
+        // prevent
+        if (!java.nio.file.Files.exists(self))
+          java.nio.file.Files.deleteIfExists(dir.resolve("BENCH_DIFF.json"))
         if (java.nio.file.Files.exists(self)) {
           val prevTxt = new String(java.nio.file.Files.readAllBytes(self),
             java.nio.charset.StandardCharsets.UTF_8)
@@ -482,7 +514,12 @@ object Bench {
           java.nio.file.Files.write(dir.resolve("BENCH_DIFF.json"),
             diffJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
-      } catch { case _: Throwable => () } // diff is best-effort telemetry
+      } catch { case _: Throwable => // diff is best-effort telemetry —
+        // but a stale file from a previous run must not survive a
+        // failed computation as if it were this run's
+        try java.nio.file.Files.deleteIfExists(dir.resolve("BENCH_DIFF.json"))
+        catch { case _: Throwable => () }
+      }
       java.nio.file.Files.write(self,
         fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () } // a read-only cwd must not fail the bench

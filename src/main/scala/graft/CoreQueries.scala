@@ -2346,7 +2346,7 @@ object CoreQueries {
         .select(col("o_custkey"),
           datediff(col("o_orderdate").cast("date"),
             lit("1970-01-01").cast("date")).cast("bigint").as("day"),
-          expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+          graft.functions.Cents.cents(col("o_totalprice"))
             .as("cents"))
         .groupBy("o_custkey")
         .agg(max("day").as("last_day"), count(lit(1)).as("frequency"),
@@ -2589,7 +2589,7 @@ object CoreQueries {
   def madOutliers(s: SparkSession, d: String): DataFrame = {
     val cents = CacheScope.persisted(
       t(s, d, "orders").select(col("o_orderpriority").as("prio"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        graft.functions.Cents.cents(col("o_totalprice"))
           .as("cents")))
     val med = cents.groupBy("prio").agg(
       graft.functions.ExactPercentiles
@@ -2645,7 +2645,7 @@ object CoreQueries {
   def histogramQuantiles(s: SparkSession, d: String): DataFrame = {
     val cents = CacheScope.persisted(
       t(s, d, "orders").select(
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        graft.functions.Cents.cents(col("o_totalprice"))
           .as("cents")))
     val r = cents.agg(min("cents"), max("cents")).head()
     val (lo, hi) = (r.getLong(0), r.getLong(1))
@@ -2889,7 +2889,7 @@ object CoreQueries {
     val digits = CacheScope.persisted(
       t(s, d, "orders")
         .select(substring(
-          expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+          graft.functions.Cents.cents(col("o_totalprice"))
             .cast("string"), 1, 1).cast("bigint").as("digit"))
         .groupBy("digit").agg(count(lit(1)).as("cnt")))
     digits.crossJoin(broadcast(digits.agg(sum("cnt").as("total"))))
@@ -3075,7 +3075,7 @@ object CoreQueries {
   def weightedMedian(s: SparkSession, d: String): DataFrame = {
     val byValue = t(s, d, "lineitem").groupBy(
         col("l_returnflag").as("grp"),
-        expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+        graft.functions.Cents.cents(col("l_extendedprice"))
           .as("cents"))
       .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("w"))
     // cumulative weight over the per-group VALUE DOMAIN (bounded rows),
@@ -3320,7 +3320,7 @@ object CoreQueries {
     // the rank join + prefix bucketing run on BIGINT instead of DOUBLE
     val li = t(s, d, "lineitem")
       .select(col("l_quantity").cast("bigint").as("x"),
-        round(col("l_extendedprice") * 100).cast("bigint").as("y"))
+        graft.functions.Cents.cents(col("l_extendedprice")).as("y"))
     val rx = li.groupBy("x").agg(count(lit(1)).as("cnt"))
     val rxRanked = graft.operators.PrefixSum.exclusiveRunningTotal(
         rx, Seq(col("x")), col("cnt"), "before")
@@ -3880,7 +3880,7 @@ object CoreQueries {
   def seasonalMase(s: SparkSession, d: String): DataFrame = {
     val daily = CacheScope.persisted(t(s, d, "lineitem")
       .groupBy(col("l_shipdate").cast("date").as("dt"))
-      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+      .agg(sum(graft.functions.Cents.cents(col("l_extendedprice")))
         .as("rev_c")))
     val cur = daily.select(col("dt"), col("rev_c"))
     val lag7 = daily.select(date_add(col("dt"), 7).as("dt"),
@@ -4137,7 +4137,7 @@ object CoreQueries {
     val B = 64
     val p = graft.functions.DedupOps.KmPrime
     val reps = t(s, d, "orders")
-      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+      .select(graft.functions.Cents.cents(col("o_totalprice"))
         .as("cents"),
         md5(concat(lit("boot-v1|"), col("o_orderkey").cast("string")))
           .as("h"))
@@ -4735,7 +4735,7 @@ object CoreQueries {
   def expectedShortfall(s: SparkSession, d: String): DataFrame = {
     val byVal = t(s, d, "lineitem")
       .select(col("l_returnflag").as("flag"),
-        expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+        graft.functions.Cents.cents(col("l_extendedprice"))
           .as("cents"))
       .groupBy("flag", "cents")
       .agg(count(lit(1)).as("cnt"))

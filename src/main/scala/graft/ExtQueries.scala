@@ -813,7 +813,7 @@ object ExtQueries {
       .groupBy(col("cohort"), (year(col("o_orderdate")) - col("cohort"))
         .cast("bigint").as("age"))
       .agg(countDistinct(col("o_custkey")).as("n_customers"),
-        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        sum(graft.functions.Cents.cents(col("o_totalprice")))
           .as("revenue_c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cohort").orderBy("age")
@@ -857,7 +857,7 @@ object ExtQueries {
     val monthly = t(s, d, "orders")
       .groupBy(year(col("o_orderdate")).cast("int").as("yr"),
         month(col("o_orderdate")).cast("int").as("mo"))
-      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .agg(sum(graft.functions.Cents.cents(col("o_totalprice")))
         .as("revenue_c"))
       .withColumn("idx", col("yr") * 12 + col("mo"))
     val w3 = Window.orderBy("idx").rowsBetween(-1, 1)
@@ -1839,10 +1839,10 @@ object ExtQueries {
   def numericCorrelations(s: SparkSession, d: String): DataFrame = {
     val li = t(s, d, "lineitem").select(
       col("l_quantity").cast("bigint").as("q"),
-      expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+      graft.functions.Cents.cents(col("l_extendedprice"))
         .as("p"),
-      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
-      expr("CAST(round(l_tax * 100) AS BIGINT)").as("tx"))
+      graft.functions.Cents.cents(col("l_discount")).as("dd"),
+      graft.functions.Cents.cents(col("l_tax")).as("tx"))
     val cols = Seq("q", "p", "dd", "tx")
     // products ride DECIMAL(38,0) BEFORE the sum (a BIGINT Σx² wraps at
     // this scale); every moment converts to DOUBLE exactly once so both
@@ -2350,7 +2350,7 @@ object ExtQueries {
       .select(col("p_brand").as("brand"),
         year(col("l_shipdate")).cast("int").as("yr"),
         col("l_quantity").cast("bigint").as("qty"),
-        expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+        graft.functions.Cents.cents(col("l_extendedprice"))
           .as("rev_c"))
     val yrs = li.agg(min("yr").as("y_lo"), max("yr").as("y_hi"))
     li.crossJoin(broadcast(yrs))
@@ -2410,7 +2410,7 @@ object ExtQueries {
   def lorenzCurve(s: SparkSession, d: String): DataFrame = {
     val per = graft.CacheScope.persisted(t(s, d, "orders")
       .groupBy(col("o_custkey"))
-      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .agg(sum(graft.functions.Cents.cents(col("o_totalprice")))
         .cast("bigint").as("rev_c")))
     val pre = graft.operators.PrefixSum.groupedExclusiveRunningTotals(
       per.withColumn("one", lit(1L)).withColumn("g", lit(1)),

@@ -1717,7 +1717,7 @@ object LlmQueries {
   def twap(s: SparkSession, d: String): DataFrame = {
     val ev = graft.Tables.events(s, d).select(col("user_id"),
       col("event_id"), col("ts"),
-      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      graft.functions.Cents.cents(col("value")).as("cents"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts", "event_id")
     ev.withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))

@@ -1,7 +1,5 @@
 package graft.expressions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -60,18 +58,6 @@ case class MinShingleHash(child: Expression, n: Int)
 }
 
 object MinShingleHash {
-  private def isSpace(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-
-  // MessageDigest is not thread-safe but IS reusable (digest() resets);
-  // a per-row getInstance pays provider lookup + allocation on every
-  // document in the codegen hot path — hoist one instance per task
-  // thread and reuse it across rows (same hoist as SimhashSignature)
-  private val localMd = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest =
-      MessageDigest.getInstance("MD5")
-  }
-
   /** Unsigned lexicographic byte compare — equivalent to comparing the
     * lowercase-hex renderings, so the min digest IS the min hex string.
     */
@@ -91,20 +77,9 @@ object MinShingleHash {
     */
   def compute(input: UTF8String, n: Int): UTF8String = {
     val text = input.toLowerCase.toString
-    val tokens = scala.collection.mutable.ArrayBuffer.empty[String]
-    val len = text.length
-    var i = 0
-    var start = 0
-    while (i < len) {
-      if (isSpace(text.charAt(i))) {
-        tokens += text.substring(start, i)
-        while (i < len && isSpace(text.charAt(i))) i += 1
-        start = i
-      } else i += 1
-    }
-    tokens += text.substring(start, len)
+    val tokens = ShingleText.tokenize(text)
     if (tokens.length < n) return null
-    val md = localMd.get()
+    val md = ShingleText.localMd.get()
     var min: Array[Byte] = null
     var t = 0
     val sb = new java.lang.StringBuilder

@@ -1,6 +1,5 @@
 package graft.expressions
 
-import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -73,15 +72,6 @@ case class SimhashSignature(child: Expression, bits: Int)
 }
 
 object SimhashSignature {
-  // MessageDigest is not thread-safe but IS reusable (digest() resets);
-  // a per-row getInstance pays provider lookup + allocation on every
-  // document in the codegen hot path — hoist one instance per task
-  // thread and reuse it across rows
-  private val localMd = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest =
-      MessageDigest.getInstance("MD5")
-  }
-
   /** −1 for an empty array (the expression maps it to NULL — valid
     * signatures occupy [0, 2³²), so the sign is a free error channel).
     * Called from generated code; keep it allocation-lean.
@@ -89,7 +79,7 @@ object SimhashSignature {
   def compute(arr: ArrayData, bits: Int): Long = {
     val n = arr.numElements()
     if (n == 0) return -1L
-    val md = localMd.get()
+    val md = ShingleText.localMd.get()
     val cnt = new Array[Int](bits)
     var m = 0 // non-null shingles: the composed form's md5(null) votes null
     var g = 0

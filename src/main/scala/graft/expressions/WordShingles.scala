@@ -55,31 +55,14 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
 }
 
 object WordShingles {
-  private def isSpace(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-
   /** Never null for a non-null input (an under-`n`-token text yields an
-    * empty array). Called from generated code; the tokenizer is the
-    * same char-scan `\s+`-run split the interpreted path always used.
+    * empty array). Called from generated code; tokenization is the
+    * shared [[ShingleText.tokenize]] char-scan (`\s+`-run split).
     */
   def compute(input: UTF8String, n: Int, distinct: Boolean): GenericArrayData = {
     // UTF8String.toLowerCase for exact parity with the lower() builtin
     val text = input.toLowerCase.toString
-    // tokenize exactly like split(text, "\\s+", -1): empty leading token
-    // when the text starts with whitespace, empty trailing token when it
-    // ends with one
-    val tokens = mutable.ArrayBuffer.empty[String]
-    val len = text.length
-    var i = 0
-    var start = 0
-    while (i < len) {
-      if (isSpace(text.charAt(i))) {
-        tokens += text.substring(start, i)
-        while (i < len && isSpace(text.charAt(i))) i += 1
-        start = i
-      } else i += 1
-    }
-    tokens += text.substring(start, len)
+    val tokens = ShingleText.tokenize(text)
     if (tokens.length < n) return new GenericArrayData(Array.empty[Any])
     val out =
       if (distinct) mutable.LinkedHashSet.empty[UTF8String]

@@ -29,7 +29,7 @@ object FloorProbe {
       names.foreach { n =>
         val fn = graft.SparkEntry.queries(n)
         graft.CacheScope.drain(spark, blocking = true)
-        System.gc(); Thread.sleep(50)
+        graft.Bench.gapGc(); Thread.sleep(50) // Bench's gap protocol
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         val t1 = System.nanoTime()

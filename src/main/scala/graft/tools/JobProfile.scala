@@ -65,7 +65,7 @@ object JobProfile {
     (1 until reps).foreach { _ =>
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       graft.CacheScope.drain(spark, blocking = true)
-      System.gc(); Thread.sleep(100)
+      graft.Bench.gapGc(); Thread.sleep(50) // Bench's gap protocol
     }
     record = true
     val t0 = System.nanoTime()

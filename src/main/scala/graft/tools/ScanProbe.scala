@@ -37,7 +37,7 @@ object ScanProbe {
     spark.range(1000000).selectExpr("sum(id)").collect()
     def probe(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit =
       (1 to 3).foreach { i =>
-        System.gc(); Thread.sleep(100)
+        graft.Bench.gapGc(); Thread.sleep(50) // Bench's gap protocol
         org.apache.spark.graftspark.drainListenerBus(spark.sparkContext)
         runMs.set(0); cpuMs.set(0); nTasks.set(0)
         val t0 = System.nanoTime()
@@ -54,9 +54,12 @@ object ScanProbe {
       .groupBy(col("l_shipdate").cast("date").as("dt"))
       .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
         .cast("decimal(38,0)").as("rev_c")))
+    // the EXACT production expression (round, not a truncating cast):
+    // the probe is the basis of the BIGINT-vs-DECIMAL cost claim, so
+    // it must pay the same per-row Round cost the shipped queries do
     probe("rollup_bigint")(spark.read.parquet(li)
       .groupBy(col("l_shipdate").cast("date").as("dt"))
-      .agg(sum((col("l_extendedprice") * 100).cast("long")).as("rev_c")))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_c")))
     spark.stop()
   }
 }

@@ -39,20 +39,20 @@ object TimeOne {
       name.split(",").foreach { n =>
         val fn = graft.SparkEntry.queries(n)
         // match graft.Bench's gap protocol exactly (blocking drain +
-        // explicit gc + settle sleep BEFORE the timed region) — without
-        // it, ContextCleaner debt from earlier reps lands inside later
-        // reps' timed regions and A/B numbers drift upward across reps
+        // SHARED Bench.gapGc — a cycle-completion wait, not a fixed
+        // sleep — BEFORE the timed region): without it, ContextCleaner
+        // debt and still-marking concurrent GC cycles from earlier
+        // reps land inside later reps' timed regions and A/B numbers
+        // measured here diverge from the suite's protocol
         graft.CacheScope.drain(spark, blocking = true)
-        System.gc()
-        Thread.sleep(100)
+        graft.Bench.gapGc()
+        Thread.sleep(50)
         org.apache.spark.graftspark.drainListenerBus(spark.sparkContext)
         runMs.set(0); cpuMs.set(0)
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
         graft.CacheScope.drain(spark, blocking = true)
-        System.gc()
-        Thread.sleep(100)
         org.apache.spark.graftspark.drainListenerBus(spark.sparkContext)
         println(f"TIMEONE $n rep$i $sec%.3f s run=${runMs.get / 1e3}%.2f cpu=${cpuMs.get / 1e3}%.2f")
       }
