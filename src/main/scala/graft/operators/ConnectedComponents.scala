@@ -140,13 +140,27 @@ object ConnectedComponents {
       // drain — O(rounds × |edges|) pinned blocks at graph scale.
       // `next` is materialized by the fingerprint job above, so the
       // old blocks are provably dead. The INITIAL canon stays pinned:
-      // `nodes` re-reads it for the final join.
-      if (edges ne canon) graft.CacheScope.freeLocalCheckpoint(edges)
+      // `nodes` re-reads it for the final join. (`edges` is never the
+      // canon Dataset itself — round 0 already filtered+distinct'd
+      // into its own checkpoint — so this free can run unconditionally
+      // without touching the blocks `nodes` still needs.)
+      graft.CacheScope.freeLocalCheckpoint(edges)
       edges = next
       converged = nextFp == prevFp
       prevFp = nextFp
       iter += 1
     }
+    // LOUD on exhaustion: past maxIters the edge set is an intermediate
+    // re-pointing, and the starMap below would hand nodes of ONE true
+    // component DIFFERENT ids with no signal — silently wrong cluster
+    // assignments poison every downstream canonical-doc choice.
+    // Alternating star converges in O(log) rounds (2–4 on dedup
+    // graphs); hitting 25 means a pathological input, and the fix is
+    // an explicit higher maxIters, not a quietly partial answer.
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge within $maxIters rounds; " +
+        "raise maxIters — returning the partial fixpoint would assign " +
+        "different component ids to nodes of the same component")
 
     // at fixpoint every edge is (node, component-min); nodes that ended
     // up as roots appear only on the v side → they map to themselves

@@ -144,24 +144,32 @@ object Gold {
     *
     * `current` carries (attrs…, effective_from DATE, effective_to DATE
     * nullable, is_current BOOLEAN); `incoming` carries bare attrs.
-    * Change detection is null-safe on `compareCols`. The changed-key set
-    * is small by nature (a daily delta), so it broadcasts; the dimension
-    * never shuffles.
+    * Change detection is null-safe on `compareCols`, and EVERY key join
+    * is null-safe too ([[Joins]]): a NULL business key is one key value
+    * — matched, closed, versioned, and (critically) NOT re-inserted as
+    * a fresh current row on every run, which the plain USING joins did.
+    * A NULL `is_current` (only possible in an externally-written table)
+    * reads as not-current: the row passes through as history rather
+    * than vanishing from both filters. The changed-key set is small by
+    * nature (a daily delta), so it broadcasts; the dimension never
+    * shuffles.
     */
   def scdType2(current: DataFrame, incoming: DataFrame, keys: Seq[String],
       compareCols: Seq[String], effective: Column): DataFrame = {
     val attrs = incoming.columns.toSeq
-    val cur = current.filter(col("is_current"))
+    val isCur = coalesce(col("is_current"), lit(false))
+    val cur = current.filter(isCur)
     // persisted: three consumers below each broadcast this set, and
     // without it every broadcast re-runs the change-detection join
     val changedKeys = graft.CacheScope.persisted(
-      cur.as("c").join(incoming.as("i"), keys)
+      cur.as("c").join(incoming.as("i"),
+          keys.map(k => col(s"c.$k") <=> col(s"i.$k")).reduce(_ && _))
         .filter(compareCols.map(c => !(col(s"c.$c") <=> col(s"i.$c"))).reduce(_ || _))
         .select(keys.map(k => col(s"c.$k")): _*))
-    val closed = cur.join(broadcast(changedKeys), keys, "left_semi")
+    val closed = Joins.semi(cur, broadcast(changedKeys), keys)
       .withColumn("effective_to", effective.cast("date"))
       .withColumn("is_current", lit(false))
-    val newVersions = incoming.join(broadcast(changedKeys), keys, "left_semi")
+    val newVersions = Joins.semi(incoming, broadcast(changedKeys), keys)
       .select(attrs.map(col): _*)
       .withColumn("effective_from", effective.cast("date"))
       .withColumn("effective_to", lit(null).cast("date"))
@@ -172,15 +180,15 @@ object Gold {
     // the Delta MERGE semantics this mirrors. Against full `current`
     // the history row would swallow the match and the reinserted key's
     // new version silently vanished.
-    val inserts = incoming.join(cur, keys, "left_anti")
+    val inserts = Joins.anti(incoming, cur, keys)
       .select(attrs.map(col): _*)
       .withColumn("effective_from", effective.cast("date"))
       .withColumn("effective_to", lit(null).cast("date"))
       .withColumn("is_current", lit(true))
     // history rows pass through untouched regardless of key; only the
     // CURRENT row of a changed key is replaced by `closed`
-    val untouched = current.filter(!col("is_current"))
-      .unionByName(cur.join(broadcast(changedKeys), keys, "left_anti"))
+    val untouched = current.filter(!isCur)
+      .unionByName(Joins.anti(cur, broadcast(changedKeys), keys))
     untouched.unionByName(closed).unionByName(newVersions).unionByName(inserts)
   }
 

@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions.col
   * — one anti-join instead of a full-outer + per-column coalesce: fewer
   * columns shuffled, and when the changed-rows source is small relative to
   * the target it broadcasts, leaving the target completely unshuffled.
-  * Idempotent by construction: re-merging the same source is a no-op.
+  * Idempotent by construction: re-merging the same source is a no-op —
+  * including for NULL business keys, because every key join here is
+  * null-safe ([[Joins]]); a plain USING anti-join never matches
+  * NULL = NULL, so the target's NULL-key row would survive as
+  * "untouched" NEXT TO the source's copy, growing by one per re-merge.
   */
 object Merge {
 
@@ -25,7 +29,7 @@ object Merge {
     */
   def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
     val src = source.select(target.columns.map(col).toSeq: _*)
-    val untouched = target.join(source.select(keys.map(col): _*), keys, "left_anti")
+    val untouched = Joins.anti(target, source.select(keys.map(col): _*), keys)
     src.unionByName(untouched)
   }
 
@@ -58,11 +62,11 @@ object Merge {
     val keptCols = target.columns.toSeq.filterNot(source.columns.contains)
     val srcFull =
       if (keptCols.isEmpty) source
-      else source.join(
-        target.select((keys ++ keptCols).map(col): _*), keys, "left")
+      else Joins.left(source,
+        target.select((keys ++ keptCols).map(col): _*), keys)
     val outCols =
       target.columns.toSeq ++ source.columns.filterNot(target.columns.contains)
-    val untouched = target.join(source.select(keys.map(col): _*), keys, "left_anti")
+    val untouched = Joins.anti(target, source.select(keys.map(col): _*), keys)
     srcFull.select(outCols.map(col): _*)
       .unionByName(untouched, allowMissingColumns = true)
   }

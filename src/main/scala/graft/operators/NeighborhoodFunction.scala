@@ -65,7 +65,9 @@ object NeighborhoodFunction {
       roots.select(col("root"), col("root").as("node"),
         lit(0).as("hop")).distinct())
     var frontier = settled
-    (1 to rounds).foreach { r =>
+    var r = 1
+    var saturated = false
+    while (r <= rounds && !saturated) {
       // aliases, not df("col") references: the first frontier (the
       // caller's roots) often DERIVES from the edge table, and an
       // unaliased self-join is ambiguous there
@@ -76,11 +78,23 @@ object NeighborhoodFunction {
         .join(settled, Seq("root", "node"), "left_anti")
         .withColumn("hop", lit(r))
         .localCheckpoint(true)
-      // settled stays a plain union of the per-round checkpointed
-      // frontiers — no extra eager materialization job per round; the
-      // next anti-join just reads ≤ r small materialized tables
-      settled = settled.union(next)
-      frontier = next
+      // STOP once the frontier empties (every ball saturated): each
+      // further round would launch an expansion join + eager
+      // checkpoint job over an empty frontier — per-round fixed cost
+      // for provably nothing (the BFS discipline ShortestPaths
+      // follows). isEmpty reads the just-materialized blocks, not a
+      // recompute.
+      if (next.isEmpty) {
+        saturated = true
+        graft.CacheScope.freeLocalCheckpoint(next)
+      } else {
+        // settled stays a plain union of the per-round checkpointed
+        // frontiers — no extra eager materialization job per round;
+        // the next anti-join just reads ≤ r small materialized tables
+        settled = settled.union(next)
+        frontier = next
+      }
+      r += 1
     }
     settled
   }
@@ -115,11 +129,16 @@ object NeighborhoodFunction {
         .repartition(graft.Par.iterationWidth(edges.sparkSession),
           col("src"))
         .sortWithinPartitions("src"))
-    // BOTH endpoints: on a directed edge set a sink-only node still
-    // counts toward every root's ball (src-only dropped it silently;
-    // on symmetrized input the union branch is a no-op)
+    // BOTH endpoints PLUS the roots themselves: on a directed edge set
+    // a sink-only node still counts toward every root's ball (src-only
+    // dropped it silently), and an ISOLATED root — present in rootBits
+    // but in no edge — still owns its (root, root) self-pair at every
+    // hop, exactly as [[exactFromRoots]] emits it; building the node
+    // set from edges alone made the two estimators disagree by the
+    // isolated-root count
     val nodes = sym.select(col("src").as("id"))
-      .union(sym.select(col("dst").as("id"))).distinct()
+      .union(sym.select(col("dst").as("id")))
+      .union(rootBits.select(col("id"))).distinct()
     var mask = nodes
       .join(rootBits.select(col("id"), col("mask").as("__rb")), Seq("id"),
         "left")

@@ -59,10 +59,22 @@ object PrefixSum {
     // job is skipped entirely).
     val bounds =
       if (!numericLead(df, orderCols.head)) Array.empty[Double]
-      else tmp.stat.approxQuantile("__ps_ord", probs, 0.01).distinct.sorted
-    val bucketExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("__ps_ord") > lit(b), 1).otherwise(0)
-    }
+      // NaNs excluded from the sketch: they would corrupt the split
+      // points (approxQuantile has no NaN ordering); their bucket is
+      // assigned explicitly below
+      else tmp.where(!isnan(col("__ps_ord")) || col("__ps_ord").isNull)
+        .stat.approxQuantile("__ps_ord", probs, 0.01).distinct.sorted
+    // NaN sorts GREATER than every double in Spark's ordering, but
+    // `NaN > bound` is false — the fold would put NaN rows in bucket 0
+    // while the window sorts them last, corrupting both their own
+    // prefix and every later bucket's offset. Pin NaN to the LAST
+    // bucket, where sort order and bucket order agree. NULL ord stays
+    // bucket 0 (isnan(null) is null → otherwise-branch), matching the
+    // window's NULLS FIRST.
+    val bucketExpr = when(isnan(col("__ps_ord")), lit(bounds.length))
+      .otherwise(bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col("__ps_ord") > lit(b), 1).otherwise(0)
+      })
     val bucketed = tmp.withColumn("__ps_bucket", bucketExpr)
     // per-bucket totals -> exclusive base offsets; bounded by `buckets`,
     // never by the data, and folded into a codegen'd when-chain (no
@@ -145,10 +157,14 @@ object PrefixSum {
     // group, correct but serial within the group
     val bounds =
       if (!numericLead(df, orderCols.head)) Array.empty[Double]
-      else tmp.stat.approxQuantile("__ps_ord", probs, 0.01).distinct.sorted
-    val bucketExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("__ps_ord") > lit(b), 1).otherwise(0)
-    }
+      // NaNs excluded from the sketch (see exclusiveRunningTotal)
+      else tmp.where(!isnan(col("__ps_ord")) || col("__ps_ord").isNull)
+        .stat.approxQuantile("__ps_ord", probs, 0.01).distinct.sorted
+    // NaN → LAST bucket, NULL → bucket 0 (see exclusiveRunningTotal)
+    val bucketExpr = when(isnan(col("__ps_ord")), lit(bounds.length))
+      .otherwise(bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col("__ps_ord") > lit(b), 1).otherwise(0)
+      })
     // the row-scale work below — the per-(group, bucket) partial sums
     // and the running-total window — runs exactly as wide as this
     // table, which otherwise inherits the (often narrow) width of the
@@ -200,7 +216,17 @@ object PrefixSum {
     // with the data the offsets table grows without bound; callers with
     // literal-bounded groups opt in via `broadcastOffsets` (see above)
     val offsets0 = withGrand.drop(vals.map { case (_, i) => s"__ps_sum_$i" }: _*)
-    val offsets = if (broadcastOffsets) broadcast(offsets0) else offsets0
+    // the join back is NULL-SAFE on every key: a NULL group key is a
+    // real group to the windows and aggregates above (NULLS FIRST
+    // partition), and a plain USING join would silently DROP all its
+    // rows from the output — the one failure mode a withColumn-shaped
+    // operator must not have. Keys are renamed so the <=> condition is
+    // unambiguous, then dropped.
+    val offKeys = partCols :+ "__ps_bucket"
+    val offsetsKeyed = offKeys.foldLeft(offsets0) { (d, k) =>
+      d.withColumnRenamed(k, s"__ps_k_$k")
+    }
+    val offsets = if (broadcastOffsets) broadcast(offsetsKeyed) else offsetsKeyed
     val win = Window.partitionBy(partCols.map(col) :+ col("__ps_bucket"): _*)
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -209,7 +235,9 @@ object PrefixSum {
     // part key) a forced broadcast grows without bound. AQE broadcasts
     // it when it is actually small; a shuffle join on (group, bucket) is
     // safe at any scale.
-    val joined = bucketed.join(offsets, partCols :+ "__ps_bucket")
+    val joinCond = offKeys.map(k => col(k) <=> col(s"__ps_k_$k")).reduce(_ && _)
+    val joined = bucketed.join(offsets, joinCond)
+      .drop(offKeys.map(k => s"__ps_k_$k"): _*)
     vals.foldLeft(joined) { case (acc, ((_, name), i)) =>
       acc.withColumn(name,
         sum(col(s"__ps_val_$i")).over(win) - col(s"__ps_val_$i")

@@ -99,6 +99,14 @@ object Silver {
     * key, latest by the `latest` ordering columns. One hash shuffle on the
     * key; at 100 TB this is the same partitioning the downstream merge
     * keys on, so the exchange is reusable.
+    *
+    * REQUIREMENT: `latest` must totally order each key's rows (the
+    * PrefixSum discipline) — on a tie, row_number keeps whichever row
+    * the shuffle delivered first, so the survivor would vary across
+    * runs/parallelism and an oracle compare would flake. Callers
+    * either end the order in a per-key-unique column (line number) or
+    * stack enough value columns that duplicate rows tie only when they
+    * are identical — in which case any survivor is the same row.
     */
   def dedupLatest(df: DataFrame, keys: Seq[String], latest: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(latest: _*)

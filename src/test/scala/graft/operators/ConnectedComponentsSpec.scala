@@ -27,6 +27,18 @@ class ConnectedComponentsSpec extends SparkSpec {
       .components(edges.toDF("a", "b"), "a", "b")
       .as[(Long, Long)].collect().toMap
 
+  test("non-convergence within maxIters fails LOUDLY, never a partial answer") {
+    // past maxIters the edge set is an intermediate re-pointing: nodes
+    // of one true component would receive different ids with no
+    // signal. A chain needs ≥2 rounds; maxIters=1 must throw.
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      ConnectedComponents.components(chain, "a", "b", maxIters = 1)
+        .collect()
+    }
+    ()
+  }
+
   test("chain, triangle, self-loop, reversed duplicates") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), // triangle
       (10L, 11L), (11L, 12L), (12L, 13L),         // chain

@@ -83,6 +83,34 @@ class GoldMergeSpec extends SparkSpec {
     assert(again.exceptAll(merged).isEmpty && merged.exceptAll(again).isEmpty)
   }
 
+  test("Merge.upsert: NULL key is one key — updated in place, idempotent") {
+    // a plain USING anti-join never matches NULL = NULL, so the
+    // target's NULL-key row survived as "untouched" NEXT TO the
+    // source's copy — one duplicate per re-merge
+    val target = Seq[(Option[Long], String)]((Some(1L), "a"), (None, "x"))
+      .toDF("k", "v")
+    val source = Seq[(Option[Long], String)]((None, "X")).toDF("k", "v")
+    val merged = Merge.upsert(target, source, Seq("k"))
+    assert(merged.count() == 2, "NULL-key row updated, not duplicated")
+    assert(merged.filter($"k".isNull).select("v").as[String].collect().toSeq
+      == Seq("X"))
+    val again = Merge.upsert(merged, source, Seq("k"))
+    assert(again.count() == 2)
+    assert(again.exceptAll(merged).isEmpty && merged.exceptAll(again).isEmpty)
+  }
+
+  test("Merge.upsertEvolved: NULL-key matched row keeps target-only columns") {
+    val target = Seq[(Option[Long], String, Double)](
+        (Some(1L), "a", 10.0), (None, "x", 20.0))
+      .toDF("k", "name", "bal")
+    val source = Seq((Option.empty[Long], 99.0)).toDF("k", "bal")
+    val merged = Merge.upsertEvolved(target, source, Seq("k"))
+    assert(merged.count() == 2)
+    val nullRow = merged.filter($"k".isNull).collect()(0)
+    assert(nullRow.getAs[String]("name") == "x", "target-only column kept")
+    assert(nullRow.getAs[Double]("bal") == 99.0, "source value applied")
+  }
+
   test("Merge.upsertEvolved: evolution adds columns, keeps target-only values") {
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "bal")
     // source updates bal, drops name (kept from target), adds cnt (new)

@@ -52,6 +52,36 @@ class NeighborhoodFunctionSpec extends SparkSpec {
     assert(got(1) == 2 + 4 && got(2) == 3 + 4 && got(3) == 4 + 4)
   }
 
+  test("an ISOLATED root (no edges) still counts its own self-pair — " +
+      "both estimators agree") {
+    // node 99 appears in rootBits but in no edge: its ball is {99} at
+    // every hop. Built from edge endpoints alone, the MS-BFS node set
+    // dropped it and the two estimators disagreed by one pair per hop.
+    val roots = Seq(1L, 99L).toDF("root")
+    val bits = Seq((1L, 1L), (99L, 2L)).toDF("id", "mask")
+    val got = NeighborhoodFunction.multiSourceReachCounts(symEdges, bits, 2)
+      .as[(Int, Long)].collect().toMap
+    val pairs = NeighborhoodFunction.exactFromRoots(symEdges, roots, 2)
+    val expect = (1 to 2)
+      .map(r => r -> pairs.filter(col("hop") <= r).count()).toMap
+    assert(got == expect)
+    assert(got(1) == 2 + 1, "path root reaches 2, isolated root itself")
+  }
+
+  test("exactFromRoots stops expanding once every ball saturates") {
+    // the star root saturates at hop 1; rounds=10 must not change the
+    // result (and internally stops launching expansion jobs — the
+    // early-exit is observable as identical output)
+    val a = NeighborhoodFunction
+      .exactFromRoots(symEdges, Seq(10L).toDF("root"), 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val b = NeighborhoodFunction
+      .exactFromRoots(symEdges, Seq(10L).toDF("root"), 10)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(a == b)
+    assert(a.map(_._2) == Set(10L, 11L, 12L, 13L))
+  }
+
   test("directed input keeps sink-only nodes in the node set") {
     // 1→2→3 with NO symmetrization: 3 is a pure sink. Before r10 the
     // node set came from `src` only, so 3 silently vanished from both

@@ -107,6 +107,42 @@ class PrefixSumSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("groupedExclusiveRunningTotals keeps NULL group keys (null-safe join back)") {
+    // a NULL group key is a real group to the windows and aggregates;
+    // the offsets join back must be null-safe or every NULL-key row
+    // silently vanishes from the output
+    val df = Seq((Some("a"), 1L, 10L), (Some("a"), 2L, 20L),
+        (None, 1L, 5L), (None, 2L, 7L), (None, 3L, 11L))
+      .toDF("grp", "ord", "v")
+    val out = PrefixSum.groupedExclusiveRunningTotals(df,
+      Seq("grp"), Seq($"ord"), Seq(($"v", "run")))
+    assert(out.count() == 5, "NULL-key rows must not be dropped")
+    val nullRuns = out.filter($"grp".isNull).orderBy("ord")
+      .select("run").as[Long].collect().toSeq
+    assert(nullRuns == Seq(0L, 5L, 12L))
+    val aRuns = out.filter($"grp" === "a").orderBy("ord")
+      .select("run").as[Long].collect().toSeq
+    assert(aRuns == Seq(0L, 10L))
+  }
+
+  test("NaN order keys land in the last bucket, matching their sort position") {
+    // Spark sorts NaN greater than every double, but `NaN > bound` is
+    // false — unpinned, NaN rows bucketed first while sorting last,
+    // corrupting their own prefix and every later bucket's offset
+    val rows = (1 to 2000).map(i => (i.toDouble, 1L)) :+ (Double.NaN, 100L)
+    val df = rows.toDF("ord", "v").repartition(8)
+    val got = PrefixSum.exclusiveRunningTotal(df, Seq($"ord"), $"v", "run")
+    // the NaN row sorts LAST: its exclusive prefix is the sum of all
+    // 2000 real rows
+    assert(got.filter(isnan($"ord")).select("run").as[Long].collect().toSeq
+      == Seq(2000L))
+    // and the real rows' prefixes are unaffected by the NaN value
+    assert(got.filter($"ord" === 2000.0).select("run").as[Long]
+      .collect().toSeq == Seq(1999L))
+    val total = got.filter(!isnan($"ord")).agg(max($"run")).as[Long].head()
+    assert(total == 1999L)
+  }
+
   test("groupedExclusiveRunningTotals never funnels a group into one task") {
     val df = spark.range(20000)
       .select(($"id" % 3).cast("string").as("grp"), $"id", lit(1L).as("v"))

@@ -61,6 +61,53 @@ class Scd2Spec extends SparkSpec {
       (5L, "S2", Date.valueOf("2024-06-01"), None, true)))
   }
 
+  test("scdType2: NULL business key is one key — idempotent, closeable, never re-inserted") {
+    // the plain USING joins never matched NULL = NULL, so a NULL-key
+    // incoming row landed in `inserts` on EVERY run — one duplicate
+    // current version per refresh. With null-safe key joins the NULL
+    // key behaves like any other key value.
+    def snapN(rows: (Option[Long], String, String)*) =
+      rows.toSeq.toDF("id", "name", "segment")
+    val current = dim((1L, "A", "S1", "2024-01-01", None, true))
+      .unionByName(snapN((None, "X", "S1"))
+        .withColumn("effective_from", lit(Date.valueOf("2024-01-01")))
+        .withColumn("effective_to", lit(null).cast("date"))
+        .withColumn("is_current", lit(true)))
+    val incomingSame = snapN((Some(1L), "A", "S1"), (None, "X", "S1"))
+    val once = Gold.scdType2(current, incomingSame, Seq("id"),
+      Seq("name", "segment"), lit("2024-06-01"))
+    // unchanged snapshot → unchanged dimension (idempotency incl. NULL key)
+    assert(once.count() == current.count())
+    val twice = Gold.scdType2(once, incomingSame, Seq("id"),
+      Seq("name", "segment"), lit("2024-07-01"))
+    assert(twice.count() == current.count())
+    assert(twice.filter($"id".isNull && $"is_current").count() == 1)
+    // a CHANGED null-key row closes the old version and opens a new one
+    val changed = Gold.scdType2(current,
+      snapN((Some(1L), "A", "S1"), (None, "X", "S9")), Seq("id"),
+      Seq("name", "segment"), lit("2024-06-01"))
+    val nullRows = changed.filter($"id".isNull)
+      .orderBy("effective_from")
+      .select("segment", "is_current").as[(String, Boolean)].collect().toSeq
+    assert(nullRows == Seq(("S1", false), ("S9", true)))
+  }
+
+  test("scdType2: a NULL is_current row (external writer) reads as history, not dropped") {
+    val current = dim((1L, "A", "S1", "2024-01-01", None, true))
+      .unionByName(
+        Seq[(Long, String, String, Date, Date, Option[Boolean])](
+          (2L, "B", "S0", Date.valueOf("2023-01-01"),
+            Date.valueOf("2024-01-01"), None))
+        .toDF("id", "name", "segment", "effective_from", "effective_to",
+          "is_current"))
+    val out = Gold.scdType2(current, snap((1L, "A", "S1")), Seq("id"),
+      Seq("name", "segment"), lit("2024-06-01"))
+    // the NULL-flag row survives as history instead of vanishing from
+    // both the is_current and !is_current filters
+    assert(out.filter($"id" === 2L).count() == 1)
+    assert(out.count() == 2)
+  }
+
   test("scdType2 invariants: exactly one current row per key; no overlap") {
     val out = graft.CoreQueries.scd2Members(spark, sf)
     val perKey = out.groupBy("member_id")
