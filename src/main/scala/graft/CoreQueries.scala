@@ -2693,10 +2693,11 @@ object CoreQueries {
       |  UNION ALL SELECT 990, quantile_cont(CAST(cents AS DOUBLE), 0.99) FROM c
       |)
       |SELECT e.q_permille,
-      |  r.lo + ((e.bin + 1) * (r.hi - r.lo + 1)) // 256 - 1 AS est_hi,
+      |  r.lo + ((e.bin + 1) * (r.hi - r.lo + 1) + 255) // 256 - 1 AS est_hi,
       |  (r.hi - r.lo + 1) // 256 + 1 AS bin_width,
       |  x.exact,
-      |  abs(CAST(r.lo + ((e.bin + 1) * (r.hi - r.lo + 1)) // 256 - 1 AS DOUBLE)
+      |  abs(CAST(r.lo + ((e.bin + 1) * (r.hi - r.lo + 1) + 255) // 256 - 1
+      |        AS DOUBLE)
       |      - x.exact) AS abs_err
       |FROM est e JOIN ex x ON e.q_permille = x.q_permille CROSS JOIN r
       |ORDER BY e.q_permille""".stripMargin

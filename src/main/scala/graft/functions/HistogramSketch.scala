@@ -90,7 +90,13 @@ object HistogramSketch {
       .filter(col("cum") * 1000 >= col("q_permille") * col("n"))
       .groupBy("q_permille").agg(min("bin").as("bin"))
       .select(col("q_permille"),
-        expr(s"$lo + ((bin + 1) * $span) div $bins - 1").as("est_hi"),
+        // bin b holds v with (v-lo)·bins div span == b, so its TRUE
+        // upper edge is lo + ⌈(b+1)·span/bins⌉ − 1 — the ceiling via
+        // `+ bins − 1`; the floor form understated the edge by up to 1
+        // whenever bins ∤ (b+1)·span, making est_hi a value the true
+        // quantile could exceed
+        expr(s"$lo + ((bin + 1) * $span + $bins - 1) div $bins - 1")
+          .as("est_hi"),
         lit(span / bins + 1).as("bin_width"))
   }
 }

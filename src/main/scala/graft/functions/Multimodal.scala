@@ -132,7 +132,12 @@ object Multimodal {
         }
         p += 1
       }
-      Array.tabulate(12)(k => sums(k).toDouble / counts(k))
+      // a 1-pixel-wide/tall raster leaves its x-high/y-high quadrants
+      // EMPTY; 0/0 would emit NaN that silently poisons every
+      // downstream aggregate — an empty quadrant reports 0.0 (defined,
+      // oracle-replayable) instead
+      Array.tabulate(12)(k =>
+        if (counts(k) == 0) 0.0 else sums(k).toDouble / counts(k))
     }
 
     /** Content-fingerprint embedding for OPAQUE payloads — the feature a
@@ -233,12 +238,21 @@ object Multimodal {
       def walk(end: Int): Unit = {
         while (bb.position() + 8 <= end) {
           val id = tag(); val sz = bb.getInt()
-          if (sz < 0 || bb.position() + sz > end) fail(s"chunk '$id' overruns payload")
+          // overrun check phrased as `sz > remaining` (the decodeWav
+          // form): `position + sz > end` wraps negative for a crafted
+          // sz near Int.MaxValue and SKIPS the guard — the follow-on
+          // allocation/position would then OOM or throw a raw
+          // BufferUnderflow instead of this parser's clean error
+          if (sz < 0 || sz > end - bb.position()) fail(s"chunk '$id' overruns payload")
           val next = bb.position() + sz + (sz & 1) // chunks pad to even
           id match {
             case "LIST" =>
               tag() match {
-                case "hdrl" | "movi" | "strl" => walk(bb.position() + sz - 4)
+                // 'rec ' is the standard interleave grouping: frame
+                // chunks of disk-streamed AVIs arrive wrapped in it,
+                // and skipping it silently dropped every such frame
+                case "hdrl" | "movi" | "strl" | "rec " =>
+                  walk(bb.position() + sz - 4)
                 case _ => () // ancillary list (INFO, …): skip
               }
             case "avih" =>

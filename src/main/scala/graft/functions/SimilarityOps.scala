@@ -569,6 +569,10 @@ object SimilarityOps {
     */
   private def kmeansCore(embDf: DataFrame, k: Int, dims: Int,
       iters: Int): (DataFrame, Seq[(Int, Array[Long])]) = {
+    // the assignment table only exists after round 1 — iters=0 would
+    // return a null DataFrame that NPEs in the caller with no hint
+    // that the iteration count was the problem
+    require(iters >= 1, s"kmeans needs at least one iteration, got $iters")
     val eq = graft.CacheScope.persisted(
       embDf.select(col("vec_id"),
         transform(col("embedding").cast("array<double>"),
@@ -807,23 +811,39 @@ object SimilarityOps {
         col("col").getField("sim").as("sim"))
   }
 
-  /** Probe + rank against an existing assignment table (shared by
-    * [[ivfTopK]] and the persisted-index path).
+  /** The per-query probed-bucket table: (query_id, query_vec, bucket)
+    * for each query's `probes` nearest seeds (shared by [[rankProbed]]
+    * and the persisted-index path, which also collects the distinct
+    * buckets for partition pruning — computing this ONCE, not once per
+    * consumer, halves the |Q|×|seeds| scoring cross-join).
     */
-  private def rankProbed(assigned: DataFrame, seeds: DataFrame,
-      queries: DataFrame, k: Int, probes: Int): DataFrame = {
-    val probed = queries.crossJoin(broadcast(seeds))
+  private def probeBuckets(seeds: DataFrame, queries: DataFrame,
+      probes: Int): DataFrame =
+    queries.crossJoin(broadcast(seeds))
       .withColumn("s6", round(cosine(col("query_vec"), col("seed_vec")), 6))
       .groupBy(col("query_id"))
       .agg(TopK.top_k(col("s6"), col("seed_id"), probes).as("tk"),
         first(col("query_vec")).as("query_vec"))
       .select(col("query_id"), col("query_vec"),
         explode(col("tk").getField("id")).as("bucket"))
+
+  /** Rank a precomputed probed-bucket table against an assignment
+    * table (shared by [[ivfTopK]] and the persisted-index path).
+    */
+  private def rankProbedBuckets(assigned: DataFrame,
+      probed: DataFrame, k: Int): DataFrame = {
     val scored = probed.join(assigned, "bucket")
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("sim", round(cosine(col("query_vec"), col("embedding")), 4))
     rankTopK(scored, "query_id", "vec_id", k)
   }
+
+  /** Probe + rank against an existing assignment table (shared by
+    * [[ivfTopK]] and the persisted-index path).
+    */
+  private def rankProbed(assigned: DataFrame, seeds: DataFrame,
+      queries: DataFrame, k: Int, probes: Int): DataFrame =
+    rankProbedBuckets(assigned, probeBuckets(seeds, queries, probes), k)
 
   /** Persist an IVF index: trained centroids plus the corpus assignment
     * table written `partitionBy(bucket)` — one directory per centroid.
@@ -849,13 +869,16 @@ object SimilarityOps {
       queries: DataFrame, k: Int, probes: Int = 2): DataFrame = {
     val seeds = spark.read.parquet(s"$indexDir/centroids")
     val assigned = spark.read.parquet(s"$indexDir/assignments")
-    val probedBuckets = queries.crossJoin(broadcast(seeds))
-      .withColumn("s6", round(cosine(col("query_vec"), col("seed_vec")), 6))
-      .groupBy(col("query_id"))
-      .agg(TopK.top_k(col("s6"), col("seed_id"), probes).as("tk"))
-      .select(explode(col("tk").getField("id")).as("bucket"))
-      .distinct().collect().map(_.getLong(0))
-    rankProbed(assigned.filter(col("bucket").isin(probedBuckets: _*)),
-      seeds, queries, k, probes)
+    // ONE probe pass, persisted: the bucket collect (for the literal
+    // pruning filter) and the ranking read the same table — the
+    // previous shape re-ran the |Q|×|seeds| cosine cross-join and its
+    // TopK aggregation a second time inside rankProbed (the
+    // queryIvfPqIndex discipline)
+    val probed = graft.CacheScope.persisted(
+      probeBuckets(seeds, queries, probes))
+    val buckets = probed.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0))
+    rankProbedBuckets(assigned.filter(col("bucket").isin(buckets: _*)),
+      probed, k)
   }
 }

@@ -113,8 +113,13 @@ object TextAnalysis {
     */
   def minCostSegmentation(tokCol: String, mapCol: String): Column = {
     val INF = 1099511627776L // 2^40
+    // empty-token guard: Spark's sequence(1, 0) is the DESCENDING
+    // [1, 0], so the fold would run twice over a zero-length token and
+    // report 2 phantom pieces; an empty token segments to 0 pieces at
+    // cost 0 (what an oracle's empty generate_series range computes)
     expr(
-      s"""aggregate(sequence(1, length($tokCol)),
+      s"""IF(length($tokCol) < 1, 0L,
+         |  aggregate(sequence(1, length($tokCol)),
          |  named_struct('a', 0L, 'b', ${INF}L, 'c', ${INF}L),
          |  (st, i) -> named_struct(
          |    'a', least(
@@ -127,6 +132,6 @@ object TextAnalysis {
          |        + 1L, ${INF}L), ${INF}L)),
          |    'b', st.a,
          |    'c', st.b),
-         |  st -> st.a)""".stripMargin)
+         |  st -> st.a))""".stripMargin)
   }
 }

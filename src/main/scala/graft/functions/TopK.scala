@@ -67,12 +67,17 @@ object TopK {
     * array<struct<sim double, id bigint>> sorted best-first. Candidates
     * with a NULL (or NaN) similarity are dropped, not ranked-last as the
     * `row_number` window form would — an unscored candidate has no
-    * place in a top-k.
+    * place in a top-k. A NULL id is dropped the same way (the NaN-sim
+    * sentinel): the primitive Long field would otherwise decode it as
+    * 0 — a legitimate-looking phantom neighbor_id 0 in the ranking.
     */
   def top_k(sim: Column, id: Column, k: Int): Column =
     udaf(TopKAgg(k), Encoders.product[Scored])
-      .apply(org.apache.spark.sql.functions.coalesce(sim,
-        org.apache.spark.sql.functions.lit(Double.NaN)), id)
+      .apply(
+        org.apache.spark.sql.functions.when(id.isNull,
+            org.apache.spark.sql.functions.lit(Double.NaN))
+          .otherwise(org.apache.spark.sql.functions.coalesce(sim,
+            org.apache.spark.sql.functions.lit(Double.NaN))), id)
 
   /** One scored candidate with an EXACT integer score. */
   final case class ScoredL(score: Long, id: Long)
@@ -114,6 +119,12 @@ object TopK {
     */
   def top_k_exact(score: Column, id: Column, k: Int): Column =
     udaf(TopKAggL(k), Encoders.product[ScoredL])
-      .apply(org.apache.spark.sql.functions.coalesce(score.cast("long"),
-        org.apache.spark.sql.functions.lit(Long.MinValue)), id)
+      .apply(
+        // NULL id dropped via the same sentinel as NULL score (see
+        // top_k: primitive decode would alias it to id 0)
+        org.apache.spark.sql.functions.when(id.isNull,
+            org.apache.spark.sql.functions.lit(Long.MinValue))
+          .otherwise(org.apache.spark.sql.functions.coalesce(
+            score.cast("long"),
+            org.apache.spark.sql.functions.lit(Long.MinValue))), id)
 }

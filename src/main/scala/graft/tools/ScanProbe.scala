@@ -54,12 +54,14 @@ object ScanProbe {
       .groupBy(col("l_shipdate").cast("date").as("dt"))
       .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
         .cast("decimal(38,0)").as("rev_c")))
-    // the EXACT production expression (round, not a truncating cast):
-    // the probe is the basis of the BIGINT-vs-DECIMAL cost claim, so
-    // it must pay the same per-row Round cost the shipped queries do
+    // the EXACT production expression (Cents.cents, not a private
+    // copy): the probe is the basis of the BIGINT-vs-DECIMAL cost
+    // claim, so it must pay the same per-row cost the shipped queries
+    // do — and keep paying it if the cents contract ever changes
     probe("rollup_bigint")(spark.read.parquet(li)
       .groupBy(col("l_shipdate").cast("date").as("dt"))
-      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_c")))
+      .agg(sum(graft.functions.Cents.cents(col("l_extendedprice")))
+        .as("rev_c")))
     spark.stop()
   }
 }

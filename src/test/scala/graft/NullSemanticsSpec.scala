@@ -52,6 +52,20 @@ class NullSemanticsSpec extends SparkSpec {
       .agg(functions.TopK.top_k($"sim", $"id", 5).as("tk"))
       .select(size($"tk")).as[Int].head()
     assert(tk == 2, "null-scored candidates must not enter the buffer")
+    // NULL id dropped too: the primitive Long channel would decode it
+    // as 0 — a legitimate-looking phantom neighbor_id in the ranking
+    val tkIds = Seq[(Option[Double], Option[Long])](
+        (Some(5.0), Some(1L)), (Some(9.0), None), (Some(7.0), Some(3L)))
+      .toDF("sim", "id")
+      .agg(functions.TopK.top_k($"sim", $"id", 5).as("tk"))
+      .select($"tk".getField("id")).as[Seq[Long]].head()
+    assert(tkIds == Seq(3L, 1L), s"null-id candidate must not rank, got $tkIds")
+    val tkExact = Seq[(Option[Long], Option[Long])](
+        (Some(5L), Some(1L)), (Some(9L), None))
+      .toDF("score", "id")
+      .agg(functions.TopK.top_k_exact($"score", $"id", 5).as("tk"))
+      .select($"tk".getField("id")).as[Seq[Long]].head()
+    assert(tkExact == Seq(1L), s"null-id exact candidate must not rank, got $tkExact")
   }
 
   test("heavy-hitter sketch ignores null tokens; CMS build drops null rows") {

@@ -65,6 +65,17 @@ class HistogramSketchSpec extends SparkSpec {
     assert(est.count() == 3)
   }
 
+  test("est_hi is the bin's TRUE upper edge (ceiling, not floor)") {
+    // lo=0 hi=9 bins=3: bin of v is v·3 div 10, so bin 0 holds 0..3 —
+    // its upper edge is 3. The floor form ((b+1)·span) div bins − 1
+    // reported 2, a value the bin's own occupants exceed.
+    val vals = (0L to 9L).toDF("v")
+    val est = HistogramSketch.quantiles(
+      HistogramSketch.sketch(vals, "v", 3, 0L, 9L), Seq(400), 3, 0L, 9L)
+    // rank ⌈0.4·10⌉ = 4 is covered by bin 0's cumulative count of 4
+    assert(est.select($"est_hi").as[Long].head() == 3L)
+  }
+
   test("sketch is bounded and layout-independent") {
     val s1 = HistogramSketch.sketch(cents, "cents", B, lo, hi)
     assert(s1.count() <= B)

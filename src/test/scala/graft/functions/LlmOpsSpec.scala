@@ -751,6 +751,18 @@ class LlmOpsSpec extends SparkSpec {
       "ababab" -> (309L * 1024 + 3), "q" -> (100L * 1024 + 1)), s"got $got")
   }
 
+  test("min-cost segmentation of the EMPTY token is 0 pieces at cost 0") {
+    // Spark's sequence(1, 0) is the DESCENDING [1, 0]: unguarded, the
+    // fold ran twice over a zero-length token and reported 2 phantom
+    // pieces (C = 204802) where an oracle's empty range computes 0
+    val m = map(lit("ab"), lit(103L))
+    val got = Seq("").toDF("tok")
+      .withColumn("m", m)
+      .withColumn("c", TextAnalysis.minCostSegmentation("tok", "m"))
+      .select("c").as[Long].head()
+    assert(got == 0L, s"empty token must cost 0, got $got")
+  }
+
   test("nearest-centroid confusion matrix covers the test split exactly") {
     val cm = graft.LlmQueries.nearestCentroid(spark, sf)
     val total = cm.agg(sum("n_vecs")).as[Long].head()
