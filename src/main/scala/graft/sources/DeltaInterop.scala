@@ -138,6 +138,19 @@ object DeltaInterop {
       .filter { case (v, _) => v <= upTo && cpVersion.forall(v > _) }
     require(commitVersions.exists(_._1 == upTo) || cpVersion.contains(upTo),
       s"version $upTo not present in _delta_log at $path")
+    // the replayed chain must be GAPLESS from its base to upTo: a
+    // missing middle commit (torn external log cleanup, manual delete)
+    // would silently skip that version's removes and RESURRECT deleted
+    // files as phantom rows — delta-spark validates the same invariant
+    locally {
+      val base = cpVersion.map(_ + 1).getOrElse(0L)
+      val expected = (base to upTo).toSeq
+      val got = replay.map(_._1)
+      require(got == expected,
+        s"_delta_log at $path has a gap: need commits $base..$upTo, " +
+          s"found ${got.mkString("[", ",", "]")} — a missing middle " +
+          "commit would silently resurrect removed files")
+    }
 
     // one struct-per-action-type row set, from checkpoint parquet and/or
     // JSON commits; `v` orders adds against removes across sources
@@ -394,6 +407,17 @@ object DeltaInterop {
   private def decodePath(p: String): String =
     try new java.net.URI(p).getPath catch { case _: Exception => p }
 
+  /** The inverse of [[decodePath]] for the write side: the protocol
+    * stores `add.path` as a URI-ENCODED relative path, so a hive-escaped
+    * directory segment like `ds=2020%2F01` must be stored with its `%`
+    * percent-encoded (`ds=2020%252F01`) — storing the raw fs path made
+    * the reader's URI decode turn `%2F` back into `/` and resolve a
+    * nonexistent file. Encodes exactly what `new URI(...).getPath`
+    * decodes (RFC 2396 path component).
+    */
+  private def encodePath(p: String): String =
+    new java.net.URI(null, null, p, null).toASCIIString
+
   /** Physical column name under name-mode column mapping (falls back to
     * the logical name when the field carries no mapping metadata).
     */
@@ -645,11 +669,21 @@ object DeltaInterop {
           if (isNum(name)) v else jstr(v)
         def at(prefix: String, f: StructField): Int =
           r.fieldIndex(s"$prefix${f.name}")
+        // NaN/Infinity are not legal bare JSON tokens: a double column
+        // containing NaN makes min/max stringify to "NaN", and emitting
+        // it unquoted would corrupt add.stats for every later reader
+        // (om.readTree throws). Delta stats are per-column OPTIONAL —
+        // omit the non-finite entry instead.
+        def finite(name: String, v: String): Boolean =
+          !isNum(name) ||
+            !(v == "NaN" || v == "Infinity" || v == "-Infinity")
         val mins = tracked.collect {
-          case f if !r.isNullAt(at("mn_", f)) =>
+          case f if !r.isNullAt(at("mn_", f)) &&
+              finite(f.name, r.getString(at("mn_", f))) =>
             s"${jstr(f.name)}:${j(f.name, r.getString(at("mn_", f)))}" }
         val maxs = tracked.collect {
-          case f if !r.isNullAt(at("mx_", f)) =>
+          case f if !r.isNullAt(at("mx_", f)) &&
+              finite(f.name, r.getString(at("mx_", f))) =>
             s"${jstr(f.name)}:${j(f.name, r.getString(at("mx_", f)))}" }
         val ncs = tracked.map(f =>
           s"${jstr(f.name)}:${r.getLong(at("nc_", f))}")
@@ -795,7 +829,14 @@ object DeltaInterop {
       val pv = rel.iterator().asScala.toSeq.dropRight(1).map(_.toString)
         .filter(_.contains("=")).map { seg =>
           val Array(k, v) = seg.split("=", 2)
-          k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null else v)
+          // directory segments are hive-ESCAPED by Spark's writer
+          // (":" → "%3A", "/" → "%2F", …); the protocol stores the REAL
+          // value in partitionValues — recording the escaped segment
+          // verbatim surfaced "a%3Ab" as column data on read and broke
+          // pruning against externally-written tables
+          k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null
+            else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(v))
         }
       val pvJson = pv.map { case (k, v) =>
         s"${jstr(k)}:${if (v == null) "null" else jstr(v)}" }
@@ -803,7 +844,7 @@ object DeltaInterop {
       val size = Files.size(target)
       val statsPart = statsByRel.get(rel.toString)
         .map(sj => s""","stats":${jstr(sj)}""").getOrElse("")
-      s"""{"add":{"path":${jstr(rel.toString)},"partitionValues":$pvJson,"size":$size,"modificationTime":${Files.getLastModifiedTime(target).toMillis},"dataChange":true$statsPart}}"""
+      s"""{"add":{"path":${jstr(encodePath(rel.toString))},"partitionValues":$pvJson,"size":$size,"modificationTime":${Files.getLastModifiedTime(target).toMillis},"dataChange":true$statsPart}}"""
     }
 
     val configJson =
@@ -1149,8 +1190,17 @@ object DeltaInterop {
     * cost of time travel to the versions whose files it removes. Driver
     * traffic is file-count bounded (one walk + the snapshot's manifest).
     * Returns the number of files deleted.
+    *
+    * `retainMs` defaults to 24 h (the VersionedTable.vacuum guard and
+    * delta-spark's own default): a concurrent `write`/`deleteWhere`
+    * MOVES its parquet (and writes its DV) under the table root BEFORE
+    * the commit lands in the log, so a zero-retention vacuum racing a
+    * writer deletes files the imminent commit's add actions point at —
+    * a permanently corrupt table. Pass 0 only when no writer can be
+    * live (tests, single-process pipelines at a barrier).
     */
-  def vacuum(spark: SparkSession, path: String, retainMs: Long = 0L): Long = {
+  def vacuum(spark: SparkSession, path: String,
+      retainMs: Long = 24L * 60 * 60 * 1000): Long = {
     val root = Paths.get(path)
     val snap = snapshot(spark, path)
     val liveData = snap.files.map(f =>
@@ -1240,6 +1290,51 @@ object DeltaInterop {
     (Seq(lastProtocol, lastMeta) ++ txnJson, addJson)
   }
 
+  /** Re-type the JSON-inferred STRUCT forms of the protocol's
+    * string-map fields (`add.partitionValues`, `metaData.configuration`)
+    * into real MAP<STRING,STRING> columns before checkpoint parquet is
+    * written. `spark.read.json` infers string-keyed maps as structs
+    * (keys become fields), but the checkpoint protocol stores MAPs — an
+    * external reader bootstrapping from `_last_checkpoint` reads the
+    * parquet with the protocol schema and fails on the struct/map
+    * physical mismatch (our own reader folds both shapes, which is why
+    * the round-trip specs never caught it). A missing field (every row
+    * had `{}`) is added back as an EMPTY map: the protocol requires
+    * `partitionValues` to be present.
+    */
+  private def protocolMaps(df: DataFrame): DataFrame = {
+    def emptyMap: Column = map_from_arrays(
+      lit(Array.empty[String]), lit(Array.empty[String]))
+    def retyped(struct: String, field: String): Option[Column] =
+      if (!df.columns.contains(struct)) None
+      else df.schema(struct).dataType match {
+        case s: StructType if s.fieldNames.contains(field) =>
+          s(field).dataType match {
+            case inner: StructType =>
+              val keys = inner.fieldNames.toSeq
+              val m =
+                if (keys.isEmpty) emptyMap
+                else map_from_arrays(
+                  array(keys.map(lit(_)): _*),
+                  array(keys.map(k =>
+                    col(s"$struct.$field.`$k`").cast("string")): _*))
+              Some(when(col(struct).isNotNull,
+                col(struct).withField(field, m)))
+            case _ => None // already a map — leave it
+          }
+        case _: StructType =>
+          Some(when(col(struct).isNotNull,
+            col(struct).withField(field, emptyMap)))
+        case _ => None
+      }
+    // a null struct row stays null: `when` without `otherwise` yields
+    // NULL for the non-matching rows, which is the shape we want
+    val a = retyped("add", "partitionValues")
+      .map(c => df.withColumn("add", c)).getOrElse(df)
+    retyped("metaData", "configuration")
+      .map(c => a.withColumn("metaData", c)).getOrElse(a)
+  }
+
   def checkpoint(spark: SparkSession, path: String, parts: Int): Long = {
     import spark.implicits._
     val logDir = Paths.get(path, "_delta_log")
@@ -1250,7 +1345,8 @@ object DeltaInterop {
         schema: Option[StructType], target: Path): Unit = {
       val tmp = Files.createTempDirectory("delta_cp")
       val r0 = spark.read
-      schema.fold(r0.json(lines.toDS))(sc => r0.schema(sc).json(lines.toDS))
+      protocolMaps(
+        schema.fold(r0.json(lines.toDS))(sc => r0.schema(sc).json(lines.toDS)))
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = withList(tmp)(
         _.find(_.getFileName.toString.endsWith(".parquet"))).get
@@ -1311,7 +1407,7 @@ object DeltaInterop {
         val sideDir = logDir.resolve("_sidecars")
         Files.createDirectories(sideDir)
         val tmp = Files.createTempDirectory("delta_cp_side")
-        spark.read.json(addJson.toDS).coalesce(1)
+        protocolMaps(spark.read.json(addJson.toDS)).coalesce(1)
           .write.mode("overwrite").parquet(tmp.toString)
         val part = withList(tmp)(
           _.find(_.getFileName.toString.endsWith(".parquet"))).get
@@ -1422,10 +1518,12 @@ object DeltaInterop {
     val field = snap.schema.find(_.name == column).getOrElse(
       throw new IllegalArgumentException(s"no column $column in table schema"))
     // numbers compare numerically, strings/ISO-dates lexically — the
-    // same convention the stats were serialized with
+    // same convention the stats were serialized with. Booleans are NOT
+    // numeric here: their stats serialize as bare true/false, which
+    // BigDecimal rejects — and "false" < "true" lexically, matching
+    // the boolean order, so the string branch is already correct
     val numeric = field.dataType match {
       case _: org.apache.spark.sql.types.NumericType => true
-      case org.apache.spark.sql.types.BooleanType => true
       case _ => false
     }
     def cmp(a: String, b: String): Int =

@@ -47,7 +47,15 @@ object StatsIndex {
         // predicate range misses every file: empty result, table schema
         val schema = spark.read.parquet(path).schema
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      } else spark.read.parquet(keep.toIndexedSeq: _*)
+      } else spark.read
+        // basePath anchors partition discovery: the stats were built
+        // over the whole table (hive partition columns reconstructed),
+        // and a leaf-file read WITHOUT it drops those columns — a
+        // pruned read of a partitioned layer would crash resolving the
+        // partition column (or silently return a narrower schema),
+        // breaking the documented full-scan equivalence
+        .option("basePath", path)
+        .parquet(keep.toIndexedSeq: _*)
         .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
     (df, keep.length.toLong, total)
   }

@@ -278,16 +278,23 @@ object VersionedTable {
         case _ => (Seq.empty, Seq.empty)
       }
       val next = prev.getOrElse(-1L) + 1
-      if (tryCommit(path, next, base ++ newFiles, op, dvBase)) {
-        maybeCheckpoint(path, next)
-        result = Some(Some(next))
-      }
-      else if (versions(path).exists(v =>
+      // the tag re-check runs BEFORE every attempt, not only after a
+      // lost version race: a concurrent replay that committed while
+      // THIS replay was still staging parquet (writeData above takes
+      // seconds) leaves the next version number free, so an
+      // after-failure-only check never fires and the batch double
+      // commits — the DeltaInterop.write discipline (re-check txn
+      // inside the loop ahead of each attempt)
+      if (versions(path).exists(v =>
           !startSet.contains(v) && opOf(path, v) == op)) {
         // a concurrent replay of this very batch won the race: our data
         // files must not become a duplicate commit
         discardData(dataDir)
         result = Some(None)
+      }
+      else if (tryCommit(path, next, base ++ newFiles, op, dvBase)) {
+        maybeCheckpoint(path, next)
+        result = Some(Some(next))
       }
     }
     result.get
@@ -490,7 +497,11 @@ object VersionedTable {
     val meta = Seq(FileCol, PosCol)
     val deltas = ((fromVersion + 1) to toVersion).flatMap { v =>
       val op = opOf(path, v)
-      if (op == "compact") Seq.empty
+      // compact AND optimize-zorder are pure-LAYOUT rewrites (identical
+      // row content, different file clustering): both yield no changes.
+      // Without the zorder case, CDF over any range spanning an
+      // optimize permanently raised on a commit that changed zero rows.
+      if (op == "compact" || op.startsWith("optimize-zorder(")) Seq.empty
       else {
         val prevFiles = files(path, v - 1).toSet
         val curFiles = files(path, v)

@@ -125,6 +125,11 @@ object ZOrder {
       numFiles: Int): DataFrame = {
     val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    // empty (or all-null-key) input has no [min,max] box: clustering is
+    // the identity there — pass through instead of NPE-ing on the null
+    // aggregate row deep inside a write path (optimizeZOrder of a table
+    // whose rows were all deleted hits exactly this)
+    if (r.isNullAt(0) || r.isNullAt(2)) return df
     val (la, ha, lb, hb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     // backticked name, not Column.toString: names with spaces/keywords
     // would break the round-trip through expr()
@@ -146,6 +151,12 @@ object ZOrder {
       min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long"),
       min(col(colC)).cast("long"), max(col(colC)).cast("long")).head()
+    // empty input: no [min,max] box — write the empty layout as-is
+    // rather than NPE on the null aggregate row (see clustered)
+    if (r.isNullAt(0) || r.isNullAt(2) || r.isNullAt(4)) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     df.withColumn("__z", zValue3(
         normalize(colA, r.getLong(0), r.getLong(1), 10),
         normalize(colB, r.getLong(2), r.getLong(3), 10),
@@ -246,6 +257,12 @@ object ZOrder {
       colB: String, numFiles: Int, bits: Int = 16): Unit = {
     val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    // empty input: no [min,max] box — write the empty layout as-is
+    // rather than NPE on the null aggregate row (see clustered)
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     df.withColumn("__h", graft.expressions.HilbertIndex.hilbertIndex(
         normalize(colA, r.getLong(0), r.getLong(1), bits),
         normalize(colB, r.getLong(2), r.getLong(3), bits), bits))

@@ -52,4 +52,34 @@ class ClusteringStatsSpec extends SparkSpec {
     val (empty, read0, _) = StatsIndex.prunedRead(spark, s"$root/bydate", "days", 0, 10)
     assert(read0 == 0 && empty.count() == 0)
   }
+
+  test("stats index prunedRead reconstructs hive partition columns (basePath)") {
+    // stats are built over the whole table (partition discovery on);
+    // a pruned read of leaf files WITHOUT basePath dropped the
+    // partition column — crashing partition-column predicates and
+    // breaking the documented full-scan equivalence
+    val df = Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b"),
+      (4L, 40L, "b")).toDF("k", "v", "ds")
+    df.write.mode("overwrite").partitionBy("ds").parquet(s"$root/part")
+    StatsIndex.writeStats(spark, s"$root/part", Seq("v"))
+    val (pruned, read, total) = StatsIndex.prunedRead(
+      spark, s"$root/part", "v", 10L, 20L)
+    assert(read <= total)
+    assert(pruned.columns.contains("ds"),
+      "partition column must survive the pruned read")
+    val full = spark.read.parquet(s"$root/part")
+      .filter($"v" >= 10L && $"v" <= 20L)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+  }
+
+  test("ZOrder clustering of an EMPTY input is the identity, not an NPE") {
+    val empty = spark.range(0)
+      .select($"id".as("a"), $"id".as("b"))
+    assert(ZOrder.clustered(empty, "a", "b", 4).count() == 0)
+    ZOrder.clusterWrite3(empty.withColumn("c", $"a"),
+      s"$root/z3empty", "a", "b", "c", 4)
+    assert(spark.read.parquet(s"$root/z3empty").count() == 0)
+    ZOrder.hilbertClusterWrite(empty, s"$root/hempty", "a", "b", 4)
+    assert(spark.read.parquet(s"$root/hempty").count() == 0)
+  }
 }

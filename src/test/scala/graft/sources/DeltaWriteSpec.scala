@@ -34,6 +34,60 @@ class DeltaWriteSpec extends SparkSpec {
       Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x")))
   }
 
+  test("hive-escaped partition dir values decode to the REAL value in the log") {
+    // Spark's writer escapes "a:b" to "a%3Ab" in the directory name;
+    // the protocol stores the real value in partitionValues — recording
+    // the escaped segment surfaced "a%3Ab" as column data on read
+    val path = tmpTable()
+    DeltaInterop.write(
+      Seq((1L, "a:b"), (2L, "2020/01"), (3L, "plain")).toDF("k", "ds"),
+      path, SaveMode.Overwrite, partitionBy = Seq("ds"))
+    val back = DeltaInterop.read(spark, path)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(back == Seq((1L, "a:b"), (2L, "2020/01"), (3L, "plain")))
+  }
+
+  test("NaN/Infinity doubles never corrupt add.stats (entries omitted)") {
+    val path = tmpTable()
+    DeltaInterop.write(
+      Seq((1L, Double.NaN), (2L, 1.5), (3L, Double.PositiveInfinity))
+        .toDF("k", "d"),
+      path, SaveMode.Overwrite)
+    // stats JSON must stay parseable: a stats-pruned read exercises
+    // om.readTree on every add.stats
+    val (pruned, _) = DeltaInterop.statsCandidateFiles(spark, path, "k", 1L, 2L)
+    assert(pruned.nonEmpty)
+    // and the min/max entries for the non-finite column are simply gone
+    val log = Files.readString(
+      Paths.get(path, "_delta_log", f"${0L}%020d.json"))
+    assert(!log.contains("NaN") && !log.contains("Infinity"),
+      "bare non-finite tokens are not legal JSON")
+  }
+
+  test("stats pruning on a BOOLEAN column compares lexically, not BigDecimal") {
+    val path = tmpTable()
+    DeltaInterop.write(
+      Seq((1L, false), (2L, false), (3L, true)).toDF("k", "flag"),
+      path, SaveMode.Overwrite)
+    // must not throw NumberFormatException("true")
+    val (cand, _) = DeltaInterop.statsCandidateFiles(spark, path, "flag", false, true)
+    assert(cand.nonEmpty)
+  }
+
+  test("a GAP in the commit chain is refused, not silently replayed around") {
+    val path = tmpTable()
+    DeltaInterop.write(Seq((1L, "a")).toDF("k", "v"), path, SaveMode.Overwrite)
+    DeltaInterop.write(Seq((2L, "b")).toDF("k", "v"), path, SaveMode.Append)
+    DeltaInterop.write(Seq((3L, "c")).toDF("k", "v"), path, SaveMode.Append)
+    // lose the MIDDLE commit: replaying [0,2] would skip v1's actions
+    // and silently misstate the table
+    Files.delete(Paths.get(path, "_delta_log", f"${1L}%020d.json"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.read(spark, path).collect()
+    }
+    assert(e.getMessage.contains("gap"))
+  }
+
   test("appends advance versions; overwrite replaces; time travel intact") {
     val path = tmpTable()
     DeltaInterop.write(Seq((1L, "a")).toDF("k", "v"), path, SaveMode.Overwrite)
@@ -73,6 +127,36 @@ class DeltaWriteSpec extends SparkSpec {
     val rows = DeltaInterop.read(spark, path)
       .as[(Long, String, String)].collect().sortBy(_._1).toSeq
     assert(rows == Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x")))
+  }
+
+  test("checkpoint parquet stores partitionValues/configuration as MAP, not struct") {
+    // the protocol's checkpoint schema: spark.read.json infers these
+    // string-maps as STRUCTs, and writing that shape breaks any
+    // external reader bootstrapping from _last_checkpoint with the
+    // protocol's map<string,string> schema (our own reader folds both,
+    // which is why round-trip specs alone never caught it)
+    val path = tmpTable()
+    DeltaInterop.write(Seq((1L, "a", "x"), (2L, "b", "y")).toDF("k", "v", "ds"),
+      path, SaveMode.Overwrite, partitionBy = Seq("ds"))
+    DeltaInterop.checkpoint(spark, path)
+    val cp = spark.read.parquet(
+      Paths.get(path, "_delta_log", f"${0L}%020d.checkpoint.parquet").toString)
+    val addT = cp.schema("add").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(addT("partitionValues").dataType
+      .isInstanceOf[org.apache.spark.sql.types.MapType],
+      s"partitionValues must be a MAP, got ${addT("partitionValues").dataType}")
+    val metaT = cp.schema("metaData").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(metaT("configuration").dataType
+      .isInstanceOf[org.apache.spark.sql.types.MapType],
+      s"configuration must be a MAP, got ${metaT("configuration").dataType}")
+    // and the values round-trip: the reader rebuilds the same snapshot
+    // from the checkpoint after the json commits are cleaned
+    Files.delete(Paths.get(path, "_delta_log", f"${0L}%020d.json"))
+    val back = DeltaInterop.read(spark, path)
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(back == Seq((1L, "a", "x"), (2L, "b", "y")))
   }
 
   test("append inherits the table's partition columns; a mismatch is refused") {
@@ -352,12 +436,13 @@ class DeltaWriteSpec extends SparkSpec {
     DeltaInterop.deleteWhere(spark, path, col("k") === 2)
     DeltaInterop.write((9L to 10L).map(i => (i, s"n$i")).toDF("k", "v"),
       path, SaveMode.Overwrite)
-    val removed = DeltaInterop.vacuum(spark, path)
+    // retainMs=0 is safe here: single-process test, no concurrent writer
+    val removed = DeltaInterop.vacuum(spark, path, retainMs = 0L)
     assert(removed >= 3, s"old data files + both orphaned DV files: $removed")
     assert(DeltaInterop.read(spark, path).as[(Long, String)].collect()
       .map(_._1).sorted.toSeq == Seq(9L, 10L), "live reads survive vacuum")
     // a second vacuum finds nothing
-    assert(DeltaInterop.vacuum(spark, path) == 0L)
+    assert(DeltaInterop.vacuum(spark, path, retainMs = 0L) == 0L)
     // time travel to vacuumed versions now fails at the scan, as documented
     intercept[Exception] {
       DeltaInterop.read(spark, path, asOf = Some(0L)).collect()

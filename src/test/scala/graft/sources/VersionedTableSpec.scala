@@ -369,6 +369,24 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, path, 0).count() == 1)
   }
 
+  test("change feed skips optimize-zorder commits like compact (pure layout)") {
+    val path = Files.createTempDirectory("vtz").resolve("t").toString
+    VersionedTable.write(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"),
+      path, SaveMode.Overwrite)                                     // v0
+    VersionedTable.write(Seq((3L, 30L)).toDF("k", "v"),
+      path, SaveMode.Append)                                        // v1
+    VersionedTable.optimizeZOrder(spark, path, "k", "v", 2)         // v2
+    VersionedTable.write(Seq((4L, 40L)).toDF("k", "v"),
+      path, SaveMode.Append)                                        // v3
+    // CDF across the optimize: zero rows changed at v2, so the range
+    // must yield exactly v1's insert + v3's insert (previously raised
+    // UnsupportedOperationException on the layout rewrite)
+    val ch = VersionedTable.changes(spark, path, 0, 3)
+      .select("k", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(ch == Set((3L, "insert", 1L), (4L, "insert", 3L)))
+  }
+
   test("restore: head becomes an old version, metadata-only, history preserved") {
     val path = Files.createTempDirectory("vt").resolve("t").toString
     VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
