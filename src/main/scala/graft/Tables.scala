@@ -72,7 +72,16 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(s, d, "events")
+    normalizeEventTs(load(s, d, "events"))
+  }
+
+  /** The `ts` normalization shared by this batch loader AND the
+    * streaming reader (EventStreams.readEvents): every streaming-vs-
+    * batch oracle comparison depends on both paths applying the SAME
+    * expressions, so the type dispatch lives in exactly one place —
+    * a new fixture physical type gets handled here or nowhere.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts",
@@ -81,7 +90,6 @@ object Tables {
         df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => df
     }
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -44,38 +44,29 @@ object CorpusStreams {
   /** Start the dedup-on-ingest stream into `tablePath`. Admitted rows
     * carry their fingerprint (`fp`) so later batches join against a
     * stored column instead of re-hashing the whole corpus every batch.
+    * Commit idempotence is the shared [[IdempotentSink]] shape; the
+    * appId namespaces the batch tags (one appId per checkpoint
+    * lineage — see IdempotentSink).
     */
   def ingestDeduped(docs: DataFrame, tablePath: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val seen = scala.collection.mutable.Set.empty[String]
-    var seeded = false
-    docs.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val tag = s"corpus-batch-$batchId"
-        if (!seeded) {
-          seen ++= VersionedTable.committedOps(batch.sparkSession, tablePath)
-          seeded = true
-        }
-        if (!seen.contains(tag)) {
-          val spark = batch.sparkSession
-          val fp = batch.toDF()
-            .withColumn("fp", TextAnalysis.fingerprint(col("text")))
-          // within-batch: keep the lowest doc_id per fingerprint
-          val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-          val inBatch = fp.withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1).drop("__rn")
-          // cross-batch: drop fingerprints already admitted
-          val novel =
-            if (VersionedTable.latestVersion(tablePath).isDefined)
-              inBatch.join(VersionedTable.read(spark, tablePath).select("fp"),
-                Seq("fp"), "left_anti")
-            else inBatch
-          VersionedTable.writeOnce(novel, tablePath, SaveMode.Append, tag)
-          seen += tag
-          ()
-        }
-      }
-      .start()
-  }
+      checkpointDir: String, appId: String = "corpus")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    IdempotentSink.start(docs, tablePath, checkpointDir, appId) { batch =>
+      val spark = batch.sparkSession
+      // NULL text normalizes like empty text BEFORE hashing: md5(NULL)
+      // is NULL, and a NULL fp bypasses the left_anti dedup below
+      // (NULL never matches NULL in a plain join) — every batch with a
+      // null-text doc would admit another duplicate forever
+      val fp = batch
+        .withColumn("fp", TextAnalysis.fingerprint(coalesce(col("text"), lit(""))))
+      // within-batch: keep the lowest doc_id per fingerprint
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val inBatch = fp.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      // cross-batch: drop fingerprints already admitted
+      if (VersionedTable.latestVersion(tablePath).isDefined)
+        inBatch.join(VersionedTable.read(spark, tablePath).select("fp"),
+          Seq("fp"), "left_anti")
+      else inBatch
+    }
 }

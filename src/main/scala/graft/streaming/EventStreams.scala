@@ -47,16 +47,13 @@ object EventStreams {
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(dir).schema("ts").dataType match {
-      case LongType =>
-        spark.readStream.schema(rawSchema(LongType)).parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType =>
-        spark.readStream.schema(rawSchema(TimestampNTZType)).parquet(dir)
-          .withColumn("ts", col("ts").cast("timestamp"))
-      case other =>
-        spark.readStream.schema(rawSchema(other)).parquet(dir)
-    }
+    // the normalization itself is SHARED with the batch loader
+    // (Tables.normalizeEventTs) — oracle comparisons depend on both
+    // paths applying identical expressions; only the schema sniff for
+    // the streaming source's declared schema lives here
+    val physical = spark.read.parquet(dir).schema("ts").dataType
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(rawSchema(physical)).parquet(dir))
   }
 
   /** Tumbling hourly aggregate with a 10-minute watermark — the
@@ -118,39 +115,19 @@ object EventStreams {
         col("view_id"), col("view_ts"))
   }
 
-  /** Streaming sink into a [[graft.sources.VersionedTable]]: each
-    * micro-batch commits as one atomic version tagged with its batch id,
-    * and re-delivered batches (restart replay) are skipped — exactly-once
-    * table commits on top of the at-least-once foreachBatch contract.
-    *
-    * Idempotence is enforced by [[graft.sources.VersionedTable.writeOnce]],
-    * where the batch tag is part of the commit race itself — concurrent
-    * replays (zombie executors, a second query on the same path) cannot
-    * both commit. The driver-side tag cache seeded from the log on the
-    * first batch makes the common skip path O(1) per batch instead of
-    * re-reading the whole log history every micro-batch.
+  /** Streaming sink into a [[graft.sources.VersionedTable]]: the shared
+    * [[IdempotentSink]] shape — each micro-batch commits as one atomic
+    * version tagged `"<appId>-batch-<id>"`, re-delivered batches are
+    * skipped, and the appId namespaces the tags so a SECOND query
+    * sinking to the same table (or a restart with a fresh checkpoint
+    * dir, which resets batch ids) cannot collide with this query's
+    * batch numbers and silently drop data. Contract, per Delta's
+    * SetTransaction: one appId per checkpoint lineage.
     */
   def sinkToVersionedTable(df: DataFrame, path: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val seen = scala.collection.mutable.Set.empty[String]
-    var seeded = false
-    df.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val tag = s"stream-batch-$batchId"
-        if (!seeded) {
-          seen ++= graft.sources.VersionedTable.committedOps(batch.sparkSession, path)
-          seeded = true
-        }
-        if (!seen.contains(tag)) {
-          graft.sources.VersionedTable.writeOnce(batch.toDF(), path,
-            org.apache.spark.sql.SaveMode.Append, tag)
-          seen += tag
-          ()
-        }
-      }
-      .start()
-  }
+      checkpointDir: String, appId: String = "stream")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    IdempotentSink.start(df, path, checkpointDir, appId)(identity)
 
   /** Streaming sink into a REAL Delta-format table: each micro-batch
     * commits as one Delta version carrying a SetTransaction (appId,
@@ -189,44 +166,69 @@ object EventStreams {
     java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
       Math.floorMod(us, 1000000L) * 1000L)
 
+  /** The per-user OPEN session set — every session whose end the
+    * watermark has not yet passed must stay in state, because an
+    * in-watermark late event can still extend it or BRIDGE two of them
+    * into one (exactly what `session_window` does before emitting).
+    */
+  final case class SessionList(sessions: List[SessionState])
+
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * hand-rolled form of session_window for when per-session logic goes
-    * beyond aggregation (e.g. emitting enriched session summaries). One
-    * state object per active user; sessions close via event-time timeout
-    * at watermark + gap.
+    * beyond aggregation (e.g. emitting enriched session summaries).
+    *
+    * Correctness contract (must match `session_window` bit-for-bit):
+    * a session is emitted ONLY once the watermark passes its end —
+    * never eagerly when a later event merely opens a newer session.
+    * Eager emission cannot be retracted in Append mode, and an
+    * in-watermark late event could still (a) extend an earlier session
+    * backward (start = min of its events), (b) belong to an EARLIER
+    * window than the current one (the signed `t - last < gap` test
+    * wrongly merged any past event), or (c) bridge two open sessions
+    * into one. So state holds the full OPEN session list per user;
+    * every event enters as its own [t, t+gap) singleton; sessions merge
+    * exactly when their windows overlap (next.start < prev.end, end
+    * exclusive — Spark's own merge rule); and the watermark gate emits
+    * matured sessions from BOTH the data path and the event-time
+    * timeout path, which share one body (a timed-out group simply has
+    * an empty batch).
     */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     val gapUs = gapMs * 1000L
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionList]) => {
           def emit(s: SessionState): UserSession = UserSession(userId,
             instant(s.startUs), instant(s.lastUs + gapUs), s.n)
-          if (state.hasTimedOut) {
-            val out = state.getOption.map(emit).toList
-            state.remove()
-            out.iterator
+          // sorted-by-start fold: merge consecutive overlapping windows
+          // ([start, last+gap), end exclusive), summing event counts
+          def merged(ss: List[SessionState]): List[SessionState] =
+            ss.sortBy(s => (s.startUs, s.lastUs))
+              .foldLeft(List.empty[SessionState]) {
+                case (h :: t, s) if s.startUs < h.lastUs + gapUs =>
+                  SessionState(math.min(h.startUs, s.startUs),
+                    math.max(h.lastUs, s.lastUs), h.n + s.n) :: t
+                case (acc, s) => s :: acc
+              }.reverse
+          val existing = state.getOption.map(_.sessions).getOrElse(Nil)
+          val incoming = batch.map { e =>
+            val t = micros(e.ts); SessionState(t, t, 1)
+          }.toList
+          val all = merged(existing ++ incoming)
+          val wmMs = state.getCurrentWatermarkMs()
+          val (ripe, open) = all.partition(s =>
+            (s.lastUs + gapUs) / 1000L <= wmMs)
+          if (open.isEmpty) {
+            if (state.exists) state.remove()
           } else {
-            var closed = List.empty[UserSession]
-            var cur = state.getOption
-            batch.toSeq.map(e => micros(e.ts)).sorted.foreach { t =>
-              cur match {
-                case Some(s) if t - s.lastUs < gapUs =>
-                  cur = Some(s.copy(lastUs = math.max(s.lastUs, t), n = s.n + 1))
-                case Some(s) =>
-                  closed ::= emit(s)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L)
-            }
-            closed.reverseIterator
+            state.update(SessionList(open))
+            // wake when the earliest open session matures (must be
+            // strictly past the current watermark)
+            val nextEnd = open.map(s => (s.lastUs + gapUs) / 1000L).min
+            state.setTimeoutTimestamp(math.max(nextEnd, wmMs + 1))
           }
+          ripe.sortBy(_.startUs).map(emit).iterator
         })
   }
 }

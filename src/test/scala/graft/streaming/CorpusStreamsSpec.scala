@@ -50,6 +50,51 @@ class CorpusStreamsSpec extends SparkSpec {
     assert(admitted.select("fp").distinct().count() == admitted.count())
   }
 
+  test("NULL-text documents dedup like empty text (no unbounded NULL-fp growth)") {
+    // md5(NULL) is NULL, and a NULL fp bypasses the left_anti dedup
+    // (NULL never matches NULL in a plain join): every batch carrying a
+    // null-text doc would admit one more duplicate forever
+    val feedDir = Files.createTempDirectory("docs_null_feed")
+    val table = Files.createTempDirectory("corpus_null").resolve("docs").toString
+    def batchOf(ids: Seq[Long]): Unit =
+      ids.map(i => (i, Option.empty[String], "en", "s", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(feedDir.toString)
+    batchOf(Seq(1L))
+    val q = CorpusStreams.ingestDeduped(
+      CorpusStreams.readDocuments(spark, feedDir.toString), table,
+      Files.createTempDirectory("ckpt_null").toString)
+    q.processAllAvailable()
+    batchOf(Seq(2L)) // a second null-text doc in a later batch
+    q.processAllAvailable()
+    q.stop()
+    val admitted = VersionedTable.read(spark, table)
+    assert(admitted.count() == 1,
+      "all null-text docs share one fingerprint; exactly one admitted")
+    assert(admitted.select("fp").filter($"fp".isNull).count() == 0,
+      "the stored fingerprint must be non-null")
+  }
+
+  test("appId namespaces batch tags: two queries into one table cannot collide") {
+    // without the namespace, query B's batch 0 carried the same tag as
+    // query A's batch 0 and B's data was silently dropped
+    val table = Files.createTempDirectory("corpus_ns").resolve("docs").toString
+    def run(app: String, id: Long, text: String): Unit = {
+      val feed = Files.createTempDirectory(s"feed_$app")
+      Seq((id, text, "en", "s", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(feed.toString)
+      val q = CorpusStreams.ingestDeduped(
+        CorpusStreams.readDocuments(spark, feed.toString), table,
+        Files.createTempDirectory(s"ckpt_$app").toString, appId = app)
+      q.processAllAvailable(); q.stop()
+    }
+    run("appA", 1L, "first query's document")
+    run("appB", 2L, "second query's distinct document")
+    assert(VersionedTable.read(spark, table).count() == 2,
+      "both queries' batch-0 commits must land under distinct tags")
+  }
+
   test("streaming CMS sketch over microbatches equals the batch sketch exactly") {
     // the sketch build is a plain count aggregation, so it runs as a
     // streaming stateful agg in Complete mode — and because CMS is

@@ -141,6 +141,44 @@ class EventStreamsSpec extends SparkSpec {
     assert(stream.exceptAll(batch).isEmpty)
   }
 
+  test("sessionize: an in-watermark late event BRIDGES open sessions " +
+      "(held until the watermark, never eagerly emitted)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val ev = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionize(ev).toDF()
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_sess_late").toString)
+      .start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: 12:00 and 12:35 — two OPEN sessions (gap 30m). The old
+    // eager form emitted [12:00, 12:30) here, unretractable.
+    mem.addData((1L, ts("2024-01-01 12:00:00"), 7L, "v", 0.0),
+      (2L, ts("2024-01-01 12:35:00"), 7L, "v", 0.0))
+    q.processAllAvailable()
+    // batch 2: 12:28 — above the 12:25 watermark, bridges BOTH sessions
+    // (its [12:28, 12:58) window overlaps [12:00, 12:30) and
+    // [12:35, 13:05)) — session_window merges all three into one
+    mem.addData((3L, ts("2024-01-01 12:28:00"), 7L, "v", 0.0))
+    q.processAllAvailable()
+    // batch 3: advance the watermark far past the merged session's end
+    mem.addData((4L, ts("2024-01-01 20:00:00"), 7L, "v", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_late")
+      .as[EventStreams.UserSession].collect().toSeq
+    assert(rows.length == 1, s"exactly one merged session, got $rows")
+    val s = rows.head
+    assert(s.n_events == 3, s"all three events in one session: $s")
+    assert(s.session_end.toEpochMilli - s.session_start.toEpochMilli ==
+      65L * 60 * 1000, s"span must be 12:00 -> 13:05 (65 min): $s")
+  }
+
   test("flatMapGroupsWithState sessionization matches session_window on closed sessions") {
     val ev = EventStreams.readEvents(spark, eventsDir)
       .withWatermark("ts", "10 minutes")
