@@ -2060,12 +2060,15 @@ object LlmQueries {
     DedupOps.duplicatedSpanStats(docs(s, d), "text", "doc_id")
       .orderBy("doc_id")
 
+  // span hash = Fnv64 on BOTH sides (engine: DedupOps.duplicatedSpanStats;
+  // oracle: the same fold spelled in DuckDB SQL by Fnv64.sql) — see the
+  // operator's doc comment for the md5→Fnv64 rationale
   val spanDedupOracle: String =
-    """WITH tok AS (
-      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+    s"""WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
       |), g AS (
       |  SELECT doc_id, u.i - 1 AS pos,
-      |    md5(array_to_string(t[u.i : u.i + 7], ' ')) AS h
+      |    ${graft.expressions.Fnv64.sql("array_to_string(t[u.i : u.i + 7], ' ')")} AS h
       |  FROM tok, UNNEST(range(1, len(t) - 6)) AS u(i)
       |  WHERE len(t) >= 8
       |), d AS (

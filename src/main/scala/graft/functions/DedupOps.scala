@@ -169,14 +169,28 @@ object DedupOps {
     * shingle index (equality join on shingle — sparse by construction at
     * high n, with hot stop-shingles capped out by document frequency),
     * verified against the full shingle sets.
+    *
+    * The inverted index keys on [[graft.expressions.Fnv64]] of the
+    * shingle, not the raw string: the key exists only to find equal
+    * shingles, so an 8-byte integer join key replaces a ~30-byte string
+    * in the self-join's shuffle AND turns the join's equality compare
+    * into one long compare. LOSSLESS for candidates — equal strings
+    * always collide — and every candidate is still exactly verified
+    * against the full string shingle sets, so a hash collision can only
+    * ADD a candidate that verification then rejects; output is
+    * byte-identical to the raw-string index. The one semantic nudge:
+    * the document-frequency cap counts per HASH, so two distinct
+    * shingles colliding (birthday bound ~n²/2⁶⁴) could pool their df
+    * past `maxShingleDf` and drop out of generation — the same
+    * deliberate recall trade the cap itself already makes, narrowed by
+    * 19 orders of magnitude.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 5, threshold: Double = 0.6,
       maxShingleDf: Int = MaxShingleDocFreq,
       maxBroadcastCandidates: Long = MaxBroadcastCandidates): DataFrame = {
     val sh = shingleSets(docs, textCol, idCol, shingleN)
-    val ex = dropHotShingles(
-      sh.select(col("doc_id"), explode(col("sh")).as("g")), maxShingleDf)
+    val ex = dropHotShingles(hashedShingleIndex(sh), maxShingleDf)
     val cand = ex.as("a").join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -205,8 +219,8 @@ object DedupOps {
       maxShingleDf: Int = MaxShingleDocFreq,
       maxBroadcastCandidates: Long = MaxBroadcastCandidates): DataFrame = {
     val sh = shingleSets(docs, textCol, idCol, shingleN)
-    val ex = dropHotShingles(
-      sh.select(col("doc_id"), explode(col("sh")).as("g")), maxShingleDf)
+    // hashed index key — same losslessness argument as [[ngramJaccardPairs]]
+    val ex = dropHotShingles(hashedShingleIndex(sh), maxShingleDf)
     val cand = ex.as("a").join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -334,6 +348,15 @@ object DedupOps {
     graft.CacheScope.persisted(
       docs.select(col(idCol).as("doc_id"),
         TextAnalysis.textShingles(col(textCol), shingleN).as("sh")))
+
+  /** Exploded inverted-index rows (doc_id, g) with g = Fnv64 of the
+    * shingle string — the 8-byte join key [[ngramJaccardPairs]] /
+    * [[containmentPairs]] shuffle instead of raw ~30-byte shingle
+    * strings (collision/losslessness argument on the callers).
+    */
+  private def hashedShingleIndex(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), explode(col("sh")).as("g0"))
+      .select(col("doc_id"), graft.expressions.Fnv64.fnv64(col("g0")).as("g"))
 
   /** Cross-corpus overlap (decontamination): eval documents whose shingle
     * Jaccard with ANY training document reaches `threshold`. Same
@@ -595,6 +618,19 @@ object DedupOps {
     * map-combinable count per n-gram hash, one equality semi-join back,
     * and a per-document window for the interval union — partitioned by
     * doc id, never global. Driver traffic: none.
+    *
+    * The positional index hashes with [[graft.expressions.Fnv64]], not
+    * md5: the hash never reaches the output — it only groups equal
+    * spans — and one fingerprint per (doc, position) made the md5
+    * digest + hex rendering the single largest CPU sink in the suite
+    * (~81 task-CPU-s at sf0.1). Fnv64 is codegen'd integer folding at
+    * ~20× less CPU, spelled identically in the DuckDB oracle
+    * ([[graft.expressions.Fnv64.sql]]). Collision risk: two DISTINCT
+    * spans colliding in the 2⁶³ space would mark a unique span
+    * duplicated — at 10⁹ corpus positions the birthday bound is ~5·10⁻²
+    * expected colliding PAIRS corpus-wide, and a false "duplicated"
+    * span only overcounts coverage by ≤ spanN tokens for the two docs
+    * involved; dispersal, not resistance, is what grouping needs.
     */
   def duplicatedSpanStats(docs: DataFrame, textCol: String, idCol: String,
       spanN: Int = 8): DataFrame = {
@@ -603,9 +639,10 @@ object DedupOps {
     // (doc, pos, hash of the N tokens starting at pos), 0-based positions
     val grams = graft.CacheScope.persisted( // consumed by count + semi-join probe
       toks.filter(size(col("t")) >= spanN)
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(0, size(t) - $spanN), " +
-            s"i -> md5(array_join(slice(t, i + 1, $spanN), ' ')))")))
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(0), size(col("t")) - spanN),
+            i => graft.expressions.Fnv64.fnv64(
+              array_join(slice(col("t"), i + 1, lit(spanN)), " ")))))
         .toDF("doc_id", "pos", "h"))
     val dupHashes = grams.groupBy("h").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") > 1).select("h")
