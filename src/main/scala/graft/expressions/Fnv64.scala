@@ -84,10 +84,18 @@ object Fnv64 {
     * intermediate — 64×40-bit products stay well inside HUGEINT).
     * Kept adjacent to [[hash]] so the two definitions can only drift
     * visibly. ASCII-equal to the byte form above; see class doc.
+    *
+    * The `list_filter(_, c -> c <> '')` guard exists for ONE input: the
+    * empty string, where DuckDB's `string_split('', '')` yields `['']`
+    * and `unicode('')` is −1 — folding that sentinel would diverge from
+    * the byte form's "empty → offset basis". Non-empty input never
+    * produces an empty element (every split part is a single char), so
+    * the filter is a no-op there. Pinned by Fnv64Spec's property test.
     */
   def sql(e: String): String =
     s"""CAST(list_reduce(list_prepend(14695981039346656037::HUGEINT,
-       |  list_transform(string_split($e, ''), c -> unicode(c)::HUGEINT)),
+       |  list_transform(list_filter(string_split($e, ''), c -> c <> ''),
+       |                 c -> unicode(c)::HUGEINT)),
        |  (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
        |            % 18446744073709551616::HUGEINT)
        |  % 9223372036854775808::HUGEINT AS BIGINT)""".stripMargin

@@ -60,4 +60,53 @@ class Fnv64Spec extends SparkSpec {
     val got = spark.sql("SELECT fnv64('hello world') AS h").collect()(0).getLong(0)
     assert(got == 8618312879776256743L)
   }
+
+  /** Model of the DuckDB spelling in [[Fnv64.sql]]: a fold over
+    * CODEPOINTS (DuckDB `string_split(e,'') → unicode(c)` with empty
+    * parts filtered) through mod-2⁶⁴ arithmetic. Structurally mirrors
+    * the SQL lambda so the two can only drift visibly; the SQL text
+    * itself was cross-checked against a live DuckDB on 300 random
+    * printable-ASCII strings plus the empty string (r14), and every
+    * oracle-backed query using Fnv64.sql re-proves it per round.
+    */
+  private def sqlModel(s: String): Long = {
+    val mod = BigInt(1) << 64
+    var h = BigInt("14695981039346656037")
+    s.codePoints().toArray.foreach { cp =>
+      h = ((h ^ BigInt(cp)) * BigInt(1099511628211L)) % mod
+    }
+    (h % (BigInt(1) << 63)).toLong
+  }
+
+  test("property: byte kernel == spec reference on arbitrary unicode; " +
+      "== codepoint (oracle) form exactly on ASCII") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](gen: Gen[A], seed: Long): A =
+      gen(Gen.Parameters.default, Seed(seed)).getOrElse(fail(s"gen failed @ $seed"))
+    val ascii = Gen.listOf(Gen.choose(0x20.toChar, 0x7e.toChar)).map(_.mkString)
+    // arbitrary unicode incl. astral-plane codepoints (surrogate PAIRS —
+    // lone surrogates are not valid UTF-8 and no engine round-trips them)
+    val uni = Gen.listOf(Gen.frequency(
+      9 -> Gen.choose(0x20.toChar, 0x7e.toChar).map(_.toString),
+      2 -> Gen.choose(0xa0, 0x2fff).map(cp => new String(Character.toChars(cp))),
+      1 -> Gen.choose(0x10000, 0x10fff).map(cp => new String(Character.toChars(cp)))
+    )).map(_.mkString)
+    (1 to 200).foreach { i =>
+      val a = sample(ascii, i.toLong)
+      val haBytes = Fnv64.hash(UTF8String.fromString(a))
+      assert(haBytes == ref(a), s"byte kernel vs spec ref on ASCII '$a'")
+      assert(haBytes == sqlModel(a),
+        s"oracle-portability contract broke on ASCII input '$a'")
+      val u = sample(uni, 100000L + i)
+      assert(Fnv64.hash(UTF8String.fromString(u)) == ref(u),
+        s"byte kernel vs spec ref on unicode '$u'")
+      // non-ASCII: the forms INTENTIONALLY differ (bytes vs codepoints);
+      // agreement is only promised — and only relied on — for ASCII
+    }
+    // the one historical divergence: empty input (DuckDB unicode('') is
+    // −1; Fnv64.sql filters the empty split part so both forms land on
+    // the sign-cleared offset basis)
+    assert(sqlModel("") == Fnv64.hash(UTF8String.fromString("")))
+  }
 }
