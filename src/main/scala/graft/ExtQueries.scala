@@ -739,27 +739,45 @@ object ExtQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("component_id"))
       .orderBy(col("n_tokens").desc, col("doc_id"))
-    val removed = dd.join(cc, "doc_id")
+    // after = before − removed, per source: the removed set (cluster
+    // non-canonicals — a vanishing fraction of the corpus) aggregates
+    // directly, instead of anti-joining it back against the full corpus
+    // and re-aggregating everything kept. Same values by arithmetic
+    // (every doc is either kept or removed exactly once); one corpus
+    // aggregate and a removal-sized aggregate replace two corpus-wide
+    // passes and a corpus-wide anti-join — at 100 TB the difference
+    // between touching the corpus once and three times. The
+    // docs_after > 0 filter reproduces the previous inner join's drop
+    // of a fully-removed source (impossible while canonicals are kept,
+    // but the oracle's join shape says it, so the engine says it).
+    val removedAgg = dd.join(cc, "doc_id")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") > 1)
-      .select(col("doc_id"))
-    val after = dd.join(removed, Seq("doc_id"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_removed"),
+        sum("n_tokens").as("tokens_removed"))
     val before = dd.groupBy("source")
       .agg(count(lit(1)).as("docs_before"),
         sum("n_tokens").as("tokens_before"))
-    val kept = after.groupBy("source")
-      .agg(count(lit(1)).as("docs_after"), sum("n_tokens").as("tokens_after"))
-    val joined = graft.CacheScope.persisted(before.join(kept, "source")
-      .select(col("source"), col("docs_before"), col("docs_after"),
-        col("tokens_before"), col("tokens_after")))
-    // corpus totals as a broadcast 1-row scalar, not a global window
-    val totals = joined.agg(sum("tokens_before").as("tok_total_before"),
-      sum("tokens_after").as("tok_total_after"))
-    joined.crossJoin(broadcast(totals))
+    val joined = before.join(removedAgg, Seq("source"), "left")
+      .select(col("source"), col("docs_before"),
+        (col("docs_before") - coalesce(col("docs_removed"), lit(0L)))
+          .as("docs_after"),
+        col("tokens_before"),
+        (col("tokens_before") - coalesce(col("tokens_removed"), lit(0L)))
+          .as("tokens_after"))
+      .filter(col("docs_after") > 0)
+    // corpus totals via a global window over the per-source AGGREGATE —
+    // bounded by source cardinality (a curated enum, single digits), so
+    // the single-partition funnel holds a handful of rows, not data.
+    // The previous broadcast-crossJoin spelling of the same totals cost
+    // three extra jobs (persist of joined, the totals aggregate, the
+    // broadcast build) — pure scheduling at this row count.
+    joined
       .select(col("source"), col("docs_before"), col("docs_after"),
         col("tokens_before"), col("tokens_after"),
-        expr("""tokens_after * 1000000L div tok_total_after
-               |  - tokens_before * 1000000L div tok_total_before"""
+        expr("""tokens_after * 1000000L div (sum(tokens_after) OVER ())
+               |  - tokens_before * 1000000L div (sum(tokens_before) OVER ())"""
           .stripMargin).as("share_shift_ppm"))
       .orderBy("source")
   }

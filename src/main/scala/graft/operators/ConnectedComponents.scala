@@ -56,7 +56,7 @@ object ConnectedComponents {
     // set a checkpoint dir and swap in checkpoint().
     // materialize the (possibly expensive) upstream pair pipeline once —
     // both the node set and the edge set derive from it
-    // lazy: the initial edge fingerprint below is the first action over
+    // lazy: the initial star-forest test below is the first action over
     // this plan, and it touches every partition — so the (possibly
     // expensive) upstream pair pipeline materializes inside that job
     // instead of paying its own up-front one. nodes reads the cached
@@ -70,35 +70,63 @@ object ConnectedComponents {
     // (the final left join), and canon is already checkpointed — so no
     // materialization job here; it recomputes from canon's blocks.
     val nodes = canon.select(explode(array($"u", $"v")).as("id")).distinct()
-    // LAZY checkpoint: the fingerprint action below materializes the
+    // LAZY checkpoint: the star-test action below materializes the
     // blocks AND truncates lineage in the same job — an eager
     // checkpoint would pay a separate materialization job per round,
     // and at bench scale the per-job fixed cost IS the operator's cost
     // (the data is small; a round is ~5 short stages either way)
-    var edges = canon
+    // ckpt = lazy localCheckpoint with the recorded output partitioning
+    // ERASED (graftbridge.eraseScanPartitioning): the distinct's
+    // hashpartitioning survives onto the checkpoint scan, where a Spark
+    // canonicalization gap (un-normalized RDDScanExec.outputPartitioning
+    // under self-union attribute dedup) otherwise defeats ReuseExchange
+    // and re-plans the round's shared subtrees once PER CONSUMER — the
+    // round job measured 3× the map stages it needs. See the bridge doc.
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.eraseScanPartitioning(
+        df.localCheckpoint(false))
+    var edges = ckpt(canon
       .filter($"u" =!= $"v")
-      .distinct()
-      .localCheckpoint(false)
+      .distinct())
 
-    // convergence check: an order-independent fingerprint of the edge
-    // set — (count, bit_xor of a per-edge 64-bit hash) — compared to
-    // the prior round. The exact alternative (two full `except`
-    // anti-joins per round) costs two extra shuffles of the whole edge
-    // set every iteration; the fingerprint is ONE scan of the
-    // already-checkpointed partitions and a 1-row aggregate. Edges are
-    // distinct, so xor is a sound (multiset-free) set fingerprint;
-    // a missed change needs a 64-bit xor collision AND an identical
-    // count in the same round (~2⁻⁶⁴ — far below any hardware error
-    // rate). xor/count cannot overflow, so this stays ANSI-safe at any
-    // scale, unlike sum(id).
-    def fingerprint(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        expr("bit_xor(xxhash64(u, v))")).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    var prevFp = fingerprint(edges)
+    // convergence check: the paper's own termination condition — the
+    // edge set is a DISJOINT STAR FOREST (Kiveris et al. §3: alternating
+    // star converges exactly when every component is a star on its
+    // minimum). With edges canonical (u > v) and distinct, that holds
+    // iff no node both SOURCES an edge and does anything else: center c
+    // only ever appears as v; leaf u appears as u exactly once. So one
+    // explode to (endpoint, is_source) rows and one map-combinable
+    // aggregate per node decides it — a violation is n_src > 1 (two
+    // outgoing edges) or n_src = 1 with any other incidence (a chain).
+    // Versus the previous round-over-round fingerprint equality, this
+    // detects the fixpoint THE ROUND IT IS REACHED instead of paying a
+    // full extra confirmation round (the whole two-star pipeline — at
+    // the bench's ~60 ms/stage dispatch floor, an entire round of pure
+    // scheduling) to observe that nothing changed. The test action also
+    // doubles as the job that materializes the round's lazy checkpoint.
+    // counted with ONE full-scan aggregate action, not isEmpty: isEmpty
+    // plans a limit, and limit execution probes partitions
+    // incrementally (a 1-task job, then 4× scale-ups) — several short
+    // jobs per round where a single 3-stage count job does, and each
+    // probe job materializes only the partitions it touched, leaving
+    // the lazy checkpoint below half-saved for the next consumer to
+    // finish. The violation count is a map-combinable aggregate over
+    // the grouped incidence rows; its action materializes EVERY
+    // partition of the round's checkpoint in the same job.
+    def isStarForest(df: DataFrame): Boolean =
+      df.select(explode(array(
+          struct($"u".as("id"), lit(1).as("s")),
+          struct($"v".as("id"), lit(0).as("s")))).as("x"))
+        .groupBy($"x.id".as("id"))
+        .agg(sum($"x.s").as("n_src"), count(lit(1)).as("deg"))
+        .agg(count(when($"n_src" > 1 || ($"n_src" === 1 && $"deg" > 1),
+          1)).as("viol"))
+        .head().getLong(0) == 0L
 
-    var converged = false
+    // round 0's test also materializes the initial checkpoint; an input
+    // that is already a star forest (e.g. pair-only dup clusters) runs
+    // ZERO rounds
+    var converged = isStarForest(edges)
     var iter = 0
     while (!converged && iter < maxIters) {
       // large-star: for every node, point all LARGER neighbors at the
@@ -112,33 +140,50 @@ object ConnectedComponents {
       // here bought nothing but bounded intermediate size, and the dup
       // factor is neighborhood overlap, not data scale; the round's one
       // distinct (on `next`) is what persists between rounds
-      val large = nbrs.join(mins, "u")
+      //
+      // shuffle_hash hints on the min tables, for two reasons at once:
+      // (1) SCALE — mins/sMins are NODE-sized (one row per node of the
+      // graph), so letting the planner broadcast them just because the
+      // fixture-scale checkpoint stats look small plans an executor
+      // OOM at graph scale; a min table is never a broadcastable dim.
+      // (2) STAGES — with broadcast joins the probe sides (nbrs, large)
+      // have no exchange, so each appearance RE-RUNS the union map from
+      // the checkpoint (measured: six 16-task recompute stages per
+      // round); with shuffle joins the aggregate and the probe consume
+      // the SAME exchange (ReuseExchange), one map pass each. Hash, not
+      // merge: both sides are already hash-partitioned on u and a
+      // groupBy-min build side needs no sort.
+      val large = nbrs.join(mins.hint("shuffle_hash"), "u")
         .filter($"v" > $"u")
         .select(greatest($"v", $"m").as("u"), least($"v", $"m").as("v"))
         .filter($"u" =!= $"v")
       // small-star: for every node, point all smaller-or-equal
       // neighbors (and itself) at the minimum of that set
       val sMins = large.groupBy($"u").agg(min($"v").as("m"))
-      val next = large.join(sMins, "u")
+      val nextPlan = large.join(sMins.hint("shuffle_hash"), "u")
         .select($"v".as("u"), $"m".as("v"))
         .union(sMins.select($"u", $"m".as("v")))
         .filter($"u" =!= $"v")
         .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
         .distinct()
-        .localCheckpoint(false)
-      // converged when the (canonical, deduped) edge set is unchanged —
-      // detected by fingerprint equality against the prior round (see
-      // above); the algorithm monotonically re-points edges at smaller
-      // ids, so the first unchanged round IS the fixpoint. The
-      // fingerprint action doubles as the round's ONLY job: it
-      // materializes the lazy checkpoint above as a side effect.
-      val nextFp = fingerprint(next)
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN_CC") && iter == 0)
+        // scalastyle:off println
+        println(nextPlan.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        // scalastyle:on println
+      val next = ckpt(nextPlan)
+      // converged the moment the new edge set IS a star forest (the
+      // fixpoint — a star forest maps to itself under both stars, so no
+      // confirmation round is needed). The test action doubles as the
+      // round's ONLY job: it materializes the lazy checkpoint above as
+      // a side effect.
+      converged = isStarForest(next)
       // free the PREVIOUS round's snapshot for real: Dataset.unpersist
       // is a no-op on localCheckpoint blocks (pinned on the RDD,
       // invisible to the CacheManager), so without this every round's
       // edge snapshot stays in executor storage until the harness
       // drain — O(rounds × |edges|) pinned blocks at graph scale.
-      // `next` is materialized by the fingerprint job above, so the
+      // `next` is materialized by the star-test job above, so the
       // old blocks are provably dead. The INITIAL canon stays pinned:
       // `nodes` re-reads it for the final join. (`edges` is never the
       // canon Dataset itself — round 0 already filtered+distinct'd
@@ -146,8 +191,6 @@ object ConnectedComponents {
       // without touching the blocks `nodes` still needs.)
       graft.CacheScope.freeLocalCheckpoint(edges)
       edges = next
-      converged = nextFp == prevFp
-      prevFp = nextFp
       iter += 1
     }
     // LOUD on exhaustion: past maxIters the edge set is an intermediate

@@ -22,6 +22,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q157_decision_stump",      // 3 windows over 256-bin histograms
     "q180_poisson_bootstrap",   // 64 replicate means
     "q198_decile_lift",         // 10-row decile table
+    "q213_dedup_mixture_shift", // totals over the per-source aggregate
+                                // (source is a curated enum, single digits)
     "q215_seasonal_decompose",  // bounded months table (years × 12)
     "q230_degree_distribution", // CCDF over the distinct-degree table
     "q239_deseasonalized_growth", // embeds q215's bounded months window
@@ -74,7 +76,11 @@ class PlanHygieneSpec extends SparkSpec {
     "q80_gap_fill",
     // per-cluster exemplar ranking over the CC label join (1 label row
     // per doc); cluster sizes are near-dup groups, small by nature
-    "q91_canonical_docs"
+    "q91_canonical_docs",
+    // same shape as q91 (cluster-partitioned rank over the CC label
+    // join); visible to the checker only since r14, when q213 stopped
+    // hiding its pipeline inside a persisted (cache-leaf) subtree
+    "q213_dedup_mixture_shift"
   )
 
   test("no unapproved global windows or cartesian joins in any query") {
