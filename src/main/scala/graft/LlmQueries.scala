@@ -1715,6 +1715,14 @@ object LlmQueries {
     * (bounded per-user history, the q80 shape).
     */
   def twap(s: SparkSession, d: String): DataFrame = {
+    // INPUT CONTRACT: events.value is a 2-dp money amount (fixture
+    // generator emits exact cents; probed: 0 rows where
+    // value <> round(value, 2) at sf0.1). Cents.cents matches the
+    // oracle's CAST(value AS DECIMAL(18,2))·100 only on that domain —
+    // an arbitrary-precision double can straddle a .xx5 boundary where
+    // fl(x·100) and the full decimal expansion round apart (CentsSpec
+    // pins the 2-dp equivalence; keep the decimal-cast form for any
+    // future column NOT guaranteed 2-dp).
     val ev = graft.Tables.events(s, d).select(col("user_id"),
       col("event_id"), col("ts"),
       graft.functions.Cents.cents(col("value")).as("cents"))

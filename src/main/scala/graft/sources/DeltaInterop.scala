@@ -1191,8 +1191,12 @@ object DeltaInterop {
     * traffic is file-count bounded (one walk + the snapshot's manifest).
     * Returns the number of files deleted.
     *
-    * `retainMs` defaults to 24 h (the VersionedTable.vacuum guard and
-    * delta-spark's own default): a concurrent `write`/`deleteWhere`
+    * `retainMs` defaults to 24 h — this repo's own choice, matching the
+    * VersionedTable.vacuum guard; note delta-spark's default
+    * deleted-file retention is stricter, 7 days (168 h), so a reader
+    * tuning retention for parity with external delta-spark time-travel
+    * or streaming-reader expectations should raise it. The guard
+    * matters because a concurrent `write`/`deleteWhere`
     * MOVES its parquet (and writes its DV) under the table root BEFORE
     * the commit lands in the log, so a zero-retention vacuum racing a
     * writer deletes files the imminent commit's add actions point at —

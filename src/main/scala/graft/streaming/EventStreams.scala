@@ -217,15 +217,22 @@ object EventStreams {
           }.toList
           val all = merged(existing ++ incoming)
           val wmMs = state.getCurrentWatermarkMs()
-          val (ripe, open) = all.partition(s =>
-            (s.lastUs + gapUs) / 1000L <= wmMs)
+          // CEILING µs→ms for the maturity test: the session end
+          // lastUs+gapUs is exclusive in MICROS, the watermark ticks in
+          // MS — flooring would emit a session whose end is not
+          // ms-aligned up to 999 µs before the watermark truly passed
+          // it, so an in-watermark event landing in that sub-ms window
+          // would merge in session_window but not here, breaking the
+          // documented bit-for-bit parity for µs-precision timestamps
+          def endMs(s: SessionState): Long = (s.lastUs + gapUs + 999) / 1000L
+          val (ripe, open) = all.partition(s => endMs(s) <= wmMs)
           if (open.isEmpty) {
             if (state.exists) state.remove()
           } else {
             state.update(SessionList(open))
             // wake when the earliest open session matures (must be
             // strictly past the current watermark)
-            val nextEnd = open.map(s => (s.lastUs + gapUs) / 1000L).min
+            val nextEnd = open.map(endMs).min
             state.setTimeoutTimestamp(math.max(nextEnd, wmMs + 1))
           }
           ripe.sortBy(_.startUs).map(emit).iterator

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Pins the engine-wide exact-cents contract (Cents.cents =
+  * `round(x·100) AS BIGINT`) to the DuckDB oracles' spelling
+  * (`CAST(x AS DECIMAL(18,2)) * 100`) on the documented input domain:
+  * 2-decimal money amounts. The property evaluates BOTH spellings in
+  * Spark (the decimal cast is the same ANSI half-up semantics DuckDB
+  * applies) over ScalaCheck-generated exact-cent doubles, including the
+  * magnitudes where double spacing exceeds 0.01 resolution headroom.
+  *
+  * Deliberately NOT claimed: arbitrary-precision doubles. A value like
+  * x = 12.344999999999999 can sit on opposite sides of a .xx5 boundary
+  * for fl(x·100) vs the full decimal expansion — call sites must
+  * guarantee (and document) the 2-dp domain, as q143_twap does.
+  */
+class CentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](gen: Gen[A], seed: Long): A =
+    gen(Gen.Parameters.default, Seed(seed)).getOrElse(fail(s"gen failed @ $seed"))
+
+  test("property: cents == decimal-cast oracle form on 2-dp doubles") {
+    // exact-cent domain: ±(0 .. 10^14) cents — beyond DECIMAL(18,2)'s
+    // 16 integer digits nothing is a valid money fixture
+    val centsGen = Gen.listOfN(200, Gen.oneOf(
+      Gen.choose(-100000L, 100000L),              // everyday amounts
+      Gen.choose(-10000000000L, 10000000000L),    // large totals
+      Gen.oneOf(0L, 5L, -5L, 50L, 99999999999999L, -99999999999999L)))
+    val rows = sample(centsGen, 7L).map(c => c / 100.0)
+    val out = rows.toDF("x")
+      .select(Cents.cents(col("x")).as("fast"),
+        (expr("CAST(x AS DECIMAL(18,2))") * 100).cast("long").as("oracle"))
+      .collect()
+    out.zip(rows).foreach { case (r, x) =>
+      assert(r.getLong(0) == r.getLong(1), s"divergence at x=$x")
+    }
+  }
+
+  test("known 2-dp vectors, incl. values binary floats cannot represent") {
+    // 0.29, 1234.56 etc. have no exact double form — both spellings
+    // must agree because they round the SAME stored double; 3-dp
+    // inputs (8.845, 2.675) are deliberately absent: outside the 2-dp
+    // contract the forms MAY diverge, which is the class doc's point
+    val xs = Seq(0.0, 0.01, -0.01, 0.29, -0.29, 0.07, 1234.56, -1234.56,
+      999999999999.99, -999999999999.99)
+    val out = xs.toDF("x")
+      .select(Cents.cents(col("x")).as("fast"),
+        (expr("CAST(x AS DECIMAL(18,2))") * 100).cast("long").as("oracle"))
+      .collect()
+    out.zip(xs).foreach { case (r, x) =>
+      assert(r.getLong(0) == r.getLong(1), s"divergence at x=$x")
+    }
+  }
+}
