@@ -119,6 +119,44 @@ object Bench {
     base.toString
   }
 
+  /** Coarse workload-family classifier for BENCH_SELF's per-family
+    * floor/tail rollup. First matching keyword rule wins; everything
+    * else is "olap" (the TPC-H-ish relational bulk). This is
+    * DIAGNOSTIC metadata for run-over-run attribution, not semantics —
+    * a query riding two families (e.g. q58 cluster_split = shingle
+    * candidates + graph CC) is assigned its dominant-cost stage's
+    * family by rule order (graph before shingle: the CC rounds, not
+    * the candidate scan, dominate those queries' wall time).
+    */
+  private[graft] def family(q: String): String = {
+    val rules: Seq[(String, Seq[String])] = Seq(
+      "codec" -> Seq("image", "png", "jpeg", "wav", "avi", "multimodal"),
+      "graph" -> Seq("pagerank", "kcore", "label_propagation", "bfs",
+        "triangle", "cluster", "component", "modularity", "assortativity",
+        "centrality", "clustering_coeff", "degree", "neighborhood",
+        "link_prediction", "jaccard_links", "event_paths", "journey",
+        "hops", "canonical_docs", "dup_closure"),
+      "ann" -> Seq("ann", "cosine", "ivf", "pq_", "embedding", "semantic",
+        "knn", "centroid", "kmeans", "exemplar", "matryoshka", "hamming",
+        "jl_projection", "hard_negatives", "novelty", "nearest"),
+      "shingle" -> Seq("dedup", "jaccard", "minhash", "simhash",
+        "decontamination", "contain", "winnowing", "fingerprint", "ngram",
+        "chunk", "span", "segment", "corpus_health", "lsh", "rouge",
+        "blocklist", "neardup", "tfidf", "bm25", "bpe", "token", "vocab",
+        "lang_id", "text_quality", "gopher", "pii", "unicode",
+        "repetition", "bigram", "lexical", "fertility", "viterbi",
+        "burstiness", "fim", "cdc", "chi2", "collocations", "edit_distance",
+        "feature_hashing", "doc_chunking", "quality_gate", "curation"),
+      "sample" -> Seq("sample", "mixture", "dsir", "epoch", "neyman",
+        "fold", "pack", "budget", "curriculum", "interleave", "shuffle_order",
+        "source_cap", "bootstrap", "upsample"),
+      "sketch" -> Seq("hll", "cms", "kmv", "heavy_hitters", "histogram",
+        "approx", "bloom", "sketch"),
+      "stream" -> Seq("session_windows", "tumbling", "sliding", "events_json"))
+    rules.collectFirst { case (fam, kws) if kws.exists(q.contains) => fam }
+      .getOrElse("olap")
+  }
+
   /** Untimed-gap GC shared by Bench and the repro tools (TimeOne,
     * FloorProbe, JobProfile) so solo repro runs measure under the SAME
     * gap protocol as the suite. Under ExplicitGCInvokesConcurrent,
@@ -481,10 +519,25 @@ object Bench {
       val perQ = byTime.map { case (k, sec, _, d) =>
         diagJson(k, sec, d, withSec = true)
       }.mkString("{", ",", "}")
+      // per-FAMILY rollup (r13 verdict item 7): the last three rounds'
+      // driver anomalies each hit one workload family (r11 md5 bands,
+      // r12 decimal sums, r13 md5 shingles) — this table localizes the
+      // next one to a family in one read instead of a 264-entry scan.
+      // wall, task-cpu, count, and the family's slowest query.
+      val famStats = byTime.groupBy { case (k, _, _, _) => family(k) }
+        .toSeq.sortBy(_._1)
+        .map { case (fam, qs) =>
+          val (mk, ms, _, _) = qs.maxBy(_._2)
+          "\"" + fam + "\":{\"n\":" + qs.size +
+            ",\"sum_sec\":" + f3(qs.map(_._2).sum) +
+            ",\"cpu_s\":" + f3(qs.map(_._4._2).sum / 1e3) +
+            ",\"max_sec\":" + f3(ms) + ",\"max_q\":\"" + mk + "\"}"
+        }.mkString("{", ",", "}")
       s"""{"sf":"$sfDir","shuffle":$shuffle,"aqe":$aqe,"code_cache_mb":$cc,
          |"floor_sum":${f3(floorSum)},"floor_avg":${f3(floorAvg)},
          |"tail_sum":${f3(tailSum)},"tail_n":$tailN,
          |"total_sec":${f3(total)},"n_queries":${results.size}$errJson,
+         |"families":$famStats,
          |"queries":$perQ}""".stripMargin.replace("\n", "")
     }
     try {
