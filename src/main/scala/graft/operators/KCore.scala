@@ -31,21 +31,29 @@ object KCore {
   def core(edges: DataFrame, aCol: String, bCol: String, k: Int,
       rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
-    var e = edges.select(least(col(aCol), col(bCol)).as("u"),
+    // checkpoints with the recorded output partitioning ERASED
+    // (graftbridge doc): nothing downstream can exploit the distinct's
+    // hash(u,v) layout (degrees group by single endpoints, the semi
+    // joins shuffle by u and by v), but the recorded partitioning's
+    // un-canonicalized exprIds block ReuseExchange — so each round's
+    // `keep` subtree (the full degree aggregate) planned TWICE, once
+    // per semi-join build side
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.eraseScanPartitioning(
+        df.localCheckpoint())
+    var e = ckpt(edges.select(least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     for (_ <- 1 to rounds) {
       val keep = e.select(col("u").as("n"))
         .unionAll(e.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select("n")
-      val next = e
+      val next = ckpt(e
         .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
-        .localCheckpoint()
+        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi"))
       // previous round's snapshot is dead once `next` materializes
       // (eager checkpoint); Dataset.unpersist cannot free checkpoint
       // blocks, so release the RDD directly instead of pinning every
