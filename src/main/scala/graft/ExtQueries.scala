@@ -766,19 +766,27 @@ object ExtQueries {
         col("tokens_before"),
         (col("tokens_before") - coalesce(col("tokens_removed"), lit(0L)))
           .as("tokens_after"))
-      .filter(col("docs_after") > 0)
     // corpus totals via a global window over the per-source AGGREGATE —
     // bounded by source cardinality (a curated enum, single digits), so
     // the single-partition funnel holds a handful of rows, not data.
     // The previous broadcast-crossJoin spelling of the same totals cost
     // three extra jobs (persist of joined, the totals aggregate, the
     // broadcast build) — pure scheduling at this row count.
+    //
+    // Totals window BEFORE the docs_after > 0 filter: the oracle's
+    // share denominators sum tokens_before over ALL sources and
+    // tokens_after over the kept aggregate — a (hypothetical) fully
+    // removed source must still contribute its before-mass to every
+    // other source's share_shift, and would silently shift all shifts
+    // if the filter ran first. The filter then reproduces the oracle's
+    // inner join dropping that source's own row.
     joined
       .select(col("source"), col("docs_before"), col("docs_after"),
         col("tokens_before"), col("tokens_after"),
         expr("""tokens_after * 1000000L div (sum(tokens_after) OVER ())
                |  - tokens_before * 1000000L div (sum(tokens_before) OVER ())"""
           .stripMargin).as("share_shift_ppm"))
+      .filter(col("docs_after") > 0)
       .orderBy("source")
   }
 
