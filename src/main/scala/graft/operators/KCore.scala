@@ -38,14 +38,29 @@ object KCore {
     // un-canonicalized exprIds block ReuseExchange — so each round's
     // `keep` subtree (the full degree aggregate) planned TWICE, once
     // per semi-join build side
+    // LAZY checkpoints, materialized by each round's count action (the
+    // CC discipline: one job per round instead of an eager
+    // materialization job PLUS a probe)
     def ckpt(df: DataFrame): DataFrame =
       org.apache.spark.sql.graftbridge.eraseScanPartitioning(
-        df.localCheckpoint())
+        df.localCheckpoint(false))
     var e = ckpt(edges.select(least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct())
-    for (_ <- 1 to rounds) {
+    // EARLY EXIT on a stable edge count — value-identical to running
+    // every remaining round: peeling only ever REMOVES edges, so an
+    // unchanged count means the keep-filter passed every endpoint and
+    // the edge set is the fixpoint; all further peels are no-ops (which
+    // is also why the bounded-round oracle can unroll a fixed count).
+    // At corpus scale the bound exists to LIMIT work on pathological
+    // graphs, not to force provably-no-op full-edge-set semi-join
+    // passes on converged ones. The count action doubles as the lazy
+    // checkpoint's materializer, so a round is still ONE job.
+    var prevCount = e.count()
+    var stable = prevCount == 0L
+    var peels = 0
+    while (peels < rounds && !stable) {
       val keep = e.select(col("u").as("n"))
         .unionAll(e.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -54,12 +69,16 @@ object KCore {
       val next = ckpt(e
         .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi"))
-      // previous round's snapshot is dead once `next` materializes
-      // (eager checkpoint); Dataset.unpersist cannot free checkpoint
-      // blocks, so release the RDD directly instead of pinning every
-      // round's edge set until the harness drain
+      val c = next.count()
+      stable = c == prevCount
+      prevCount = c
+      // previous round's snapshot is dead once `next` materializes (the
+      // count above); Dataset.unpersist cannot free checkpoint blocks,
+      // so release the RDD directly instead of pinning every round's
+      // edge set until the harness drain
       graft.CacheScope.freeLocalCheckpoint(e)
       e = next
+      peels += 1
     }
     e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("core_degree"))
