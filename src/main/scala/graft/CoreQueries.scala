@@ -3079,18 +3079,21 @@ object CoreQueries {
         graft.functions.Cents.cents(col("l_extendedprice"))
           .as("cents"))
       .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("w"))
-    // cumulative weight over the per-group VALUE DOMAIN (bounded rows),
-    // not the raw scan — the q122 discipline for windowed exactness
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("grp").orderBy("cents")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val cum = byValue.withColumn("cw", sum("w").over(win))
-    val tot = byValue.groupBy("grp").agg(sum("w").as("tw"))
-    cum.join(tot, "grp")
-      .filter(col("cw") * 2 >= col("tw"))
-      .groupBy("grp").agg(min("cents").as("median_cents"),
-        max("tw").as("total_weight"))
+    // the weighted median IS a rank-row selection: the smallest value
+    // whose doubled cumulative weight reaches the total is the row
+    // straddling k = ceil(tw/2) (for positive integer weights,
+    // 2·cw ≥ tw ⇔ cw ≥ (tw+1) div 2). groupedRankRow finds it from
+    // bounded bucket offsets plus a cut-bucket-only window — the
+    // previous per-group window ran the ENTIRE per-group price domain
+    // through ONE window partition (a value-domain-sized funnel at
+    // scale, and this query's dominant cost at bench scale).
+    graft.operators.PrefixSum.groupedRankRow(
+        byValue, Seq("grp"), col("cents"), col("w"),
+        measures = Seq.empty,
+        kSql = "CAST((total_cnt + 1) div 2 AS BIGINT)",
+        broadcastCuts = true) // grp: a literal 3-value domain
+      .select(col("grp"), col("cut").as("median_cents"),
+        col("total_cnt").cast("bigint").as("total_weight"))
       .orderBy("grp")
   }
 
@@ -4741,26 +4744,26 @@ object CoreQueries {
       .groupBy("flag", "cents")
       .agg(count(lit(1)).as("cnt"))
       .withColumn("mass", col("cnt") * col("cents"))
-    // ONE grouped-prefix pass yields the running prefixes AND the
-    // per-flag grand totals (n, total) from the same bounded offsets
-    // aggregate — no second persist + group-by of the by-value table
-    // just to learn three row counts (that second pipeline was the gap
-    // between the documented ~3.4 s and the driver's 7.8 s: the timed
-    // rep re-materialized the persisted table for both consumers).
-    val pre = graft.operators.PrefixSum.groupedExclusiveRunningTotals(
-      byVal, Seq("flag"), Seq(col("cents")),
-      Seq((col("cnt"), "below_cnt"), (col("mass"), "below_sum")),
-      includeGrandTotals = true, broadcastOffsets = true)
-    pre
-      .withColumn("n", col("below_cnt_grand"))
-      .withColumn("k", expr("CAST((95 * n + 99) div 100 AS BIGINT)"))
-      .filter(col("below_cnt") < col("k")
-        && col("below_cnt") + col("cnt") >= col("k"))
-      .select(col("flag"), col("n").cast("bigint").as("n"),
-        col("k"), col("cents").as("var_c"),
-        expr("""CAST((CAST(below_sum_grand AS DECIMAL(38,0)) - below_sum
-               |  - (k - 1 - below_cnt) * CAST(cents AS DECIMAL(38,0)))
-               |  div (n - k + 1) AS BIGINT)""".stripMargin).as("es_c"))
+    // rank-row selection, not a full prefix pass: only the ONE by-value
+    // row per flag straddling rank k feeds the closed form, so the
+    // bounded bucket offsets locate each flag's cut bucket and the
+    // running-sum window touches just that bucket's rows —
+    // [[graft.operators.PrefixSum.groupedRankRow]] — instead of
+    // windowing (and offset-joining) the whole price domain to then
+    // discard all but 3 rows. Same bit-exact fields; the row-domain
+    // window job (the query's dominant ~7 task-CPU-s) shrinks to a
+    // bucket-sized one, at any scale.
+    val cut = graft.operators.PrefixSum.groupedRankRow(
+      byVal, Seq("flag"), col("cents"), col("cnt"),
+      Seq((col("mass"), "sum")),
+      kSql = "CAST((95 * total_cnt + 99) div 100 AS BIGINT)",
+      broadcastCuts = true) // flags: a literal 3-value domain
+    cut
+      .select(col("flag"), col("total_cnt").cast("bigint").as("n"),
+        col("k"), col("cut").as("var_c"),
+        expr("""CAST((sum_grand - below_sum
+               |  - (k - 1 - below_cnt) * CAST(cut AS DECIMAL(38,0)))
+               |  div (total_cnt - k + 1) AS BIGINT)""".stripMargin).as("es_c"))
       .orderBy("flag")
   }
 

@@ -127,6 +127,128 @@ object PrefixSum {
     * when groups scale with the data (per-part-key prefixes): there the
     * offsets table grows with the input and must shuffle-join.
     */
+  /** The by-value row STRADDLING rank k per group — nearest-rank
+    * selection (VaR cuts, weighted medians, exact percentiles) without
+    * windowing the whole value domain.
+    *
+    * Input `byVal` is a by-value table: one row per (group, order
+    * value) with a POSITIVE integer weight (`weightCol` — a count or a
+    * weight mass) and optional extra measures. For each group this
+    * returns the single row where the exclusive running weight first
+    * straddles k = `kSql` (a SQL expression over `total_cnt`, the
+    * group's grand weight), together with the exclusive prefix of every
+    * measure AT that row and each measure's group grand total — exactly
+    * the fields the closed-form tail/percentile formulas consume.
+    *
+    * Scale shape — why not [[groupedExclusiveRunningTotals]]: a full
+    * prefix pass windows EVERY by-value row to keep prefixes the caller
+    * then filters down to one row per group. Here the window runs over
+    * the CUT BUCKET only: quantile-bucket the order values (one sketch
+    * job), aggregate per (group, bucket) — bounded by groups × buckets,
+    * never data — locate each group's straddle bucket from the bounded
+    * offsets, and window just that bucket's rows (≤ 1/buckets of the
+    * domain per group, the same per-partition bound the prefix pass
+    * already carries). At corpus scale the row-domain window and its
+    * wide offsets join — the dominant cost of the rank queries —
+    * disappear; measured on q194: the 7 task-CPU-s window job drops to
+    * a bucket-sized one.
+    *
+    * Output: `partCols`, `cut` (the straddle row's order value),
+    * `cut_cnt` (its weight), `k`, `total_cnt`, `below_cnt` (exclusive
+    * weight prefix), and per measure `below_<name>` (exclusive BIGINT
+    * prefix) and `<name>_grand` (DECIMAL(38,0) group total — the
+    * whole-group mass, first to outgrow Long at scale).
+    *
+    * Contract: weights ≥ 1, non-null order values, `orderCol` a total
+    * order within each group (by-value input guarantees it), and
+    * 1 ≤ k ≤ total_cnt for every group (true for any ceil(q·n) rank
+    * with n ≥ 1) — a k outside the range has no straddle row and the
+    * group is absent from the output. `broadcastCuts = true` (one row
+    * per GROUP) is safe whenever the group domain is bounded; leave
+    * false when groups scale with the data.
+    */
+  def groupedRankRow(byVal0: DataFrame, partCols: Seq[String],
+      orderCol: Column, weightCol: Column,
+      measures: Seq[(Column, String)], kSql: String,
+      buckets: Int = 16, broadcastCuts: Boolean = false): DataFrame = {
+    require(partCols.nonEmpty)
+    val ms = measures.zipWithIndex
+    val byVal = graft.CacheScope.persisted(
+      ms.foldLeft(byVal0
+          .withColumn("__rr_cut", orderCol)
+          .withColumn("__rr_ord", orderCol.try_cast("double"))
+          .withColumn("__rr_w", weightCol.cast("bigint"))) {
+        case (acc, ((m, _), i)) => acc.withColumn(s"__rr_m_$i", m.cast("bigint"))
+      })
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    // numeric order key only (see exclusiveRunningTotal); non-numeric
+    // degrades to ONE bucket — correct, with the cut window then
+    // covering the whole group like the plain prefix pass would
+    val bounds =
+      if (!numericLead(byVal0, orderCol)) Array.empty[Double]
+      else byVal.where(!isnan(col("__rr_ord")) || col("__rr_ord").isNull)
+        .stat.approxQuantile("__rr_ord", probs, 0.01).distinct.sorted
+    // NaN → LAST bucket, NULL → bucket 0 (see exclusiveRunningTotal)
+    val bucketExpr = when(isnan(col("__rr_ord")), lit(bounds.length))
+      .otherwise(bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col("__rr_ord") > lit(b), 1).otherwise(0)
+      })
+    val bucketed = byVal.withColumn("__rr_bucket", bucketExpr)
+    // per-(group, bucket) totals: bounded by groups × buckets
+    val perBucket = bucketed
+      .groupBy(partCols.map(col) :+ col("__rr_bucket"): _*)
+      .agg(sum(col("__rr_w")).as("__rr_bw"),
+        ms.map { case (_, i) => sum(col(s"__rr_m_$i")).as(s"__rr_bm_$i") }: _*)
+    val offWin = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col("__rr_bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val grandWin = Window.partitionBy(partCols.map(col): _*)
+    val offs0 = perBucket
+      .withColumn("__rr_off_w",
+        coalesce(sum(col("__rr_bw")).over(offWin), lit(0L)))
+      .withColumn("total_cnt", sum(col("__rr_bw")).over(grandWin))
+    val offs = ms.foldLeft(offs0) { case (acc, ((_, name), i)) =>
+      acc.withColumn(s"__rr_off_m_$i",
+          coalesce(sum(col(s"__rr_bm_$i")).over(offWin), lit(0L)))
+        .withColumn(s"${name}_grand",
+          sum(col(s"__rr_bm_$i").cast("decimal(38,0)")).over(grandWin))
+    }
+    // each group's straddle bucket: exclusive weight offset below k,
+    // inclusive at-or-past it — exactly one bucket per group
+    val cuts0 = offs.withColumn("k", expr(kSql))
+      .filter(col("__rr_off_w") < col("k") &&
+        col("__rr_off_w") + col("__rr_bw") >= col("k"))
+      .drop(col("__rr_bw"))
+      .drop(ms.map { case (_, i) => s"__rr_bm_$i" }: _*)
+    // null-safe keyed join back (a NULL group key is a real group to
+    // the windows above — the operators.Joins discipline)
+    val cutKeys = partCols :+ "__rr_bucket"
+    val cutsKeyed = cutKeys.foldLeft(cuts0) { (d, c) =>
+      d.withColumnRenamed(c, s"__rr_k_$c")
+    }
+    val cuts = if (broadcastCuts) broadcast(cutsKeyed) else cutsKeyed
+    val joinCond = cutKeys.map(c => col(c) <=> col(s"__rr_k_$c")).reduce(_ && _)
+    val localWin = Window
+      .partitionBy((partCols :+ "__rr_bucket").map(col): _*)
+      .orderBy(col("__rr_cut"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local0 = bucketed.join(cuts, joinCond)
+      .withColumn("below_cnt",
+        col("__rr_off_w") + coalesce(sum(col("__rr_w")).over(localWin), lit(0L)))
+    val local = ms.foldLeft(local0) { case (acc, ((_, name), i)) =>
+      acc.withColumn(s"below_$name",
+        col(s"__rr_off_m_$i") +
+          coalesce(sum(col(s"__rr_m_$i")).over(localWin), lit(0L)))
+    }
+    local
+      .filter(col("below_cnt") < col("k") &&
+        col("below_cnt") + col("__rr_w") >= col("k"))
+      .select(partCols.map(col) ++
+        Seq(col("__rr_cut").as("cut"), col("__rr_w").as("cut_cnt"),
+          col("k"), col("total_cnt"), col("below_cnt")) ++
+        ms.flatMap { case ((_, name), _) =>
+          Seq(col(s"below_$name"), col(s"${name}_grand")) }: _*)
+  }
+
   def groupedExclusiveRunningTotals(df: DataFrame, partCols: Seq[String],
       orderCols: Seq[Column], valueCols: Seq[(Column, String)],
       buckets: Int = 16, includeGrandTotals: Boolean = false,

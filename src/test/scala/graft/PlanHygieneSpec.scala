@@ -42,10 +42,13 @@ class PlanHygieneSpec extends SparkSpec {
     * key whose group size is domain-bounded.
     */
   private val allowedJoinKeyWindow = Set(
-    // PrefixSum.groupedExclusiveRunningTotals: window over its own
-    // (group, bucket) offsets JOIN — offsets contribute 1 row per key
-    // and partitions are quantile-bucketed to ~rows/buckets
+    // PrefixSum.groupedExclusiveRunningTotals / groupedRankRow: window
+    // over its own (group, bucket) offsets/cuts JOIN — the joined side
+    // contributes 1 row per key and partitions are quantile-bucketed
+    // to ~rows/buckets (groupedRankRow windows ONE such bucket per
+    // group)
     "q194_expected_shortfall",
+    "q140_weighted_median",
     "q217_running_inventory",
     "q243_lorenz_curve",
     "q244_abc_classification",
