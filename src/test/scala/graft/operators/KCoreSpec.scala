@@ -28,6 +28,16 @@ class KCoreSpec extends SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 2L), (3L, 1L)))
   }
 
+  test("full peel-out: k above every degree empties the core") {
+    // the edge set hits the EMPTY fixpoint in round 1; the stable-count
+    // early exit must then stop (count 0 == 0) and return no rows, not
+    // loop or resurrect anything
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    val got = KCore.core(edges, "a", "b", k = 5, rounds = 6)
+      .as[(Long, Long)].collect()
+    assert(got.isEmpty)
+  }
+
   test("extra rounds past the fixpoint are no-ops (oracle-unroll safety)") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
     val r2 = KCore.core(edges, "a", "b", k = 2, rounds = 2)
