@@ -3344,18 +3344,24 @@ object CoreQueries {
     // rank by its multiplicity) — only the cross-moment Sxy genuinely
     // needs the row-level (x,y) pairing, so exactly ONE decimal sum runs
     // at row scale; the rest run at domain/vocabulary scale
+    // decimal cast on the FIRST factor, not the product: ranks run to
+    // 2n, so a long·long product (rx2·ry2, rx2²) overflows BIGINT past
+    // n ≈ 1.5·10⁹ rows — ANSI would fail loudly there, but a
+    // correlation query should compute, not abort, at corpus scale.
+    // Widening one side first keeps every product exact in
+    // DECIMAL(38,0) up to the documented 38-digit headroom.
     val mx = rxRanked.agg(
       sum(col("cnt")).cast("decimal(38,0)").as("n"),
-      sum((col("rx2") * col("cnt")).cast("decimal(38,0)")).as("sx"),
-      sum((col("rx2") * col("rx2")).cast("decimal(38,0)") * col("cnt"))
+      sum(col("rx2").cast("decimal(38,0)") * col("cnt")).as("sx"),
+      sum(col("rx2").cast("decimal(38,0)") * col("rx2") * col("cnt"))
         .as("sxx"))
     val my = ryRanked.agg(
-      sum((col("ry2") * col("cnt")).cast("decimal(38,0)")).as("sy"),
-      sum((col("ry2") * col("ry2")).cast("decimal(38,0)") * col("cnt"))
+      sum(col("ry2").cast("decimal(38,0)") * col("cnt")).as("sy"),
+      sum(col("ry2").cast("decimal(38,0)") * col("ry2") * col("cnt"))
         .as("syy"))
     val mxy = li.join(broadcast(rxRanked.select(col("x"), col("rx2"))), Seq("x"))
       .join(ryRanked.select(col("y"), col("ry2")), Seq("y"))
-      .agg(sum((col("rx2") * col("ry2")).cast("decimal(38,0)")).as("sxy"))
+      .agg(sum(col("rx2").cast("decimal(38,0)") * col("ry2")).as("sxy"))
     mxy.crossJoin(broadcast(mx)).crossJoin(broadcast(my))
       .select(col("n").cast("bigint").as("n"),
         round(expr(
