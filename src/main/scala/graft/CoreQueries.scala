@@ -3197,7 +3197,10 @@ object CoreQueries {
     ranked.agg(
         sum(col("cnt1")).as("n1"),
         sum(col("cnt") - col("cnt1")).as("n2"),
-        sum((col("r2") * col("cnt1")).cast("decimal(38,0)")).as("r1_2x"))
+        // decimal cast on the rank factor BEFORE the multiply: ranks
+        // run to 2n, so the long product overflows BIGINT past ~2e9
+        // rows (the q156 ceiling) where the widened form stays exact
+        sum(col("r2").cast("decimal(38,0)") * col("cnt1")).as("r1_2x"))
       .select(col("n1").cast("bigint").as("n1"),
         col("n2").cast("bigint").as("n2"),
         expr("CAST(r1_2x - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS BIGINT)")
@@ -3585,7 +3588,9 @@ object CoreQueries {
         (lit(2) * col("before") + col("cnt") + 1).as("r2"))
     ranked.agg(
         sum(col("cnt")).as("n"),
-        sum((col("cnt") * col("x")).cast("decimal(38,0)")).as("b"),
+        // cast-first for the same reason as the rank moments: cnt
+        // scales with the customer count, so cnt·x can outgrow BIGINT
+        sum(col("cnt").cast("decimal(38,0)") * col("x")).as("b"),
         sum((col("r2").cast("decimal(38,0)") * col("cnt") * col("x")))
           .as("a"))
       .select(col("n").cast("bigint").as("n"),
