@@ -2294,13 +2294,20 @@ object CoreQueries {
     pairs.groupBy("k")
       .agg(count(lit(1)).as("n"),
         sum("x").as("sx"), sum("y").as("sy"),
-        sum(expr("x * y")).as("sxy"),
-        sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"))
+        // daily-mass products widen to DECIMAL(38,0) BEFORE the
+        // multiply: x scales with corpus revenue per day, so x·y sits
+        // at the BIGINT boundary already at ~10¹¹-row scale; cov_num
+        // casts back to BIGINT at the END (loud only if the OUTPUT
+        // itself is unrepresentable, which is the column's contract)
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
       .select(col("k").cast("bigint").as("lag"), col("n"),
-        expr("n * sxy - sx * sy").as("cov_num"),
-        (expr("CAST(n * sxy - sx * sy AS DOUBLE)") /
-          (sqrt(expr("CAST(n * sxx - sx * sx AS DOUBLE)")) *
-            sqrt(expr("CAST(n * syy - sy * sy AS DOUBLE)")))).as("acf"))
+        expr("CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS BIGINT)")
+          .as("cov_num"),
+        (expr("CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)") /
+          (sqrt(expr("CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)")) *
+            sqrt(expr("CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)")))).as("acf"))
       .orderBy("lag")
   }
 

@@ -3285,10 +3285,15 @@ object ExtQueries {
       .agg(expr(
         """CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2)))) AS BIGINT)
           |  div 1000""".stripMargin).as("x"))
+    // variance numerator in DECIMAL(38,0): n·Σx² − (Σx)² multiplies
+    // count-scale factors, so the long form overflows past ~1e7
+    // customers per stratum (the q156 cast-first discipline); vh is
+    // internal — isqrt and the output schema are unchanged
     val strata = cust.groupBy(col("seg"))
       .agg(count(lit(1)).as("n_h"),
-        (count(lit(1)) * sum(col("x") * col("x"))
-          - sum(col("x")) * sum(col("x"))).as("vh"))
+        (count(lit(1)).cast("decimal(38,0)")
+            * sum(col("x").cast("decimal(38,0)") * col("x"))
+          - sum(col("x")).cast("decimal(38,0)") * sum(col("x"))).as("vh"))
       .withColumn("sigma_weight", functions.Sampling.isqrt(col("vh")))
     val tot = strata.agg(sum(col("sigma_weight")).as("tw"))
     strata.crossJoin(broadcast(tot))
