@@ -783,8 +783,10 @@ object ExtQueries {
     joined
       .select(col("source"), col("docs_before"), col("docs_after"),
         col("tokens_before"), col("tokens_after"),
-        expr("""tokens_after * 1000000L div (sum(tokens_after) OVER ())
-               |  - tokens_before * 1000000L div (sum(tokens_before) OVER ())"""
+        expr("""CAST(CAST(tokens_after AS DECIMAL(38,0)) * 1000000
+               |    div (sum(tokens_after) OVER ())
+               |  - CAST(tokens_before AS DECIMAL(38,0)) * 1000000
+               |    div (sum(tokens_before) OVER ()) AS BIGINT)"""
           .stripMargin).as("share_shift_ppm"))
       .filter(col("docs_after") > 0)
       .orderBy("source")
@@ -1530,7 +1532,11 @@ object ExtQueries {
       .withColumn("implied_pairs",
         expr("n_clusters * (size * (size - 1) div 2)").cast("bigint"))
       .withColumn("overreach_ppm",
-        expr("(implied_pairs - direct_pairs) * 1000000L div implied_pairs"))
+        // pairs are QUADRATIC in cluster size — ppm through
+        // DECIMAL(38,0) (the q156 cast-first discipline; bounded rows)
+        expr("""CAST(CAST(implied_pairs - direct_pairs AS DECIMAL(38,0))
+               |  * 1000000 div implied_pairs AS BIGINT)"""
+          .stripMargin))
       .orderBy("size")
   }
 
@@ -1578,7 +1584,10 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_kept_types"),
         max("cum").cast("bigint").as("kept_mass"),
         max("mass").cast("bigint").as("total_mass"))
-      .withColumn("kept_ppm", expr("kept_mass * 1000000L div total_mass"))
+      // token masses scale with the corpus: ppm through DECIMAL(38,0)
+      .withColumn("kept_ppm",
+        expr("CAST(CAST(kept_mass AS DECIMAL(38,0)) * 1000000" +
+          " div total_mass AS BIGINT)"))
       .orderBy("lang")
   }
 
@@ -2812,7 +2821,9 @@ object ExtQueries {
         sum(expr("aggregate(sym, 0L, (a, x) -> a + length(x))") * col("cnt"))
           .as("n_chars"))
       .select(col("source"), col("n_words"), col("n_tokens"),
-        expr("n_tokens * 1000000 div n_words").as("fertility_ppm"),
+        // piece mass scales with the corpus: ppm through DECIMAL(38,0)
+        expr("CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000" +
+          " div n_words AS BIGINT)").as("fertility_ppm"),
         expr("n_chars * 100 div n_tokens").as("cpt_centi"))
       .orderBy("source")
   }
@@ -3205,7 +3216,9 @@ object ExtQueries {
         sum((col("cval") % 1024L) * col("cnt")).as("n_pieces"),
         sum(expr("(cval div 1024) * cnt")).as("cost_units"))
       .withColumn("pieces_per_word_ppm",
-        expr("n_pieces * 1000000 div n_words"))
+        // piece mass scales with the corpus: ppm through DECIMAL(38,0)
+        expr("CAST(CAST(n_pieces AS DECIMAL(38,0)) * 1000000" +
+          " div n_words AS BIGINT)"))
       .orderBy("source")
   }
 

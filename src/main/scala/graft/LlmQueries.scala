@@ -4982,8 +4982,11 @@ object LlmQueries {
         .select("doc_a", "doc_b"),
       "doc_a", "doc_b")
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        // triangle counts can be super-linear in the graph: ppm
+        // through DECIMAL(38,0) (the q156 cast-first discipline)
         expr("""CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
-               |ELSE 3 * n_triangles * 1000000L div n_wedges END"""
+               |ELSE CAST(CAST(3 AS DECIMAL(38,0)) * n_triangles
+               |  * 1000000 div n_wedges AS BIGINT) END"""
           .stripMargin).as("closure_ppm"))
 
   val dupClosureRateOracle: String =
