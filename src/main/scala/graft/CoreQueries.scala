@@ -544,12 +544,31 @@ object CoreQueries {
     * new members) is applied onto the initial load: changed keys close at
     * the effective date and re-open as new versions.
     */
-  def scd2Members(s: SparkSession, d: String): DataFrame = {
+  def scd2Members(s: SparkSession, d: String): DataFrame =
+    scd2MembersDim(s, d).orderBy("member_id", "effective_from")
+
+  /** The q33 dimension build WITHOUT the presentation sort — the form
+    * consumers compose on (q95's PIT join re-sorts by its own keys).
+    *
+    * Stage-width discipline: the member dim is |customer|-sized, but on
+    * a many-file layout the raw scan arrives in file-count-many splits
+    * and every scdType2 union branch + the change-detection join would
+    * re-scan it at that full width (measured: three 192-task stages for
+    * a 15k-row dim — pure scheduling wait). Coalescing the projected
+    * scan to core width (narrow, no shuffle) and persisting it makes
+    * every downstream branch read ONE materialized, core-wide scan:
+    * stage width tracks the dimension's size, not the fact layout's
+    * file count. At real scale a dim scan already arrives core-wide and
+    * the coalesce is a no-op.
+    */
+  private def scd2MembersDim(s: SparkSession, d: String): DataFrame = {
+    val cores = s.sparkContext.defaultParallelism
     val base = t(s, d, "customer").select(
-      col("c_custkey").as("member_id"),
-      upper(trim(col("c_name"))).as("member_name"),
-      col("c_mktsegment").as("segment"),
-      col("c_acctbal").cast(DecimalType(18, 2)).as("balance"))
+        col("c_custkey").as("member_id"),
+        upper(trim(col("c_name"))).as("member_name"),
+        col("c_mktsegment").as("segment"),
+        col("c_acctbal").cast(DecimalType(18, 2)).as("balance"))
+        .coalesce(cores)
     val current = base
       .withColumn("effective_from", to_date(lit("2024-01-01")))
       .withColumn("effective_to", lit(null).cast("date"))
@@ -566,7 +585,10 @@ object CoreQueries {
         Seq("member_name", "segment", "balance"), lit("2024-06-01"))
       // decimal compares drive change detection; the OUTPUT is double
       .withColumn("balance", col("balance").cast("double"))
-      .orderBy("member_id", "effective_from")
+      // the four-way union's branches each carry the core-wide input
+      // width; uncoalesced, every consumer stage inherits the ~4×cores
+      // sum of near-empty partitions
+      .coalesce(cores)
   }
 
   val scd2MembersOracle: String =
@@ -652,7 +674,10 @@ object CoreQueries {
     * as temporal semantics require.
     */
   def pitScd2(s: SparkSession, d: String): DataFrame = {
-    val dim = scd2Members(s, d)
+    // the dim feeds TWO consumers (the probe-key distinct and the PIT
+    // join); unpersisted, the whole SCD2 build — change-detection join
+    // included — would run once per consumer
+    val dim = graft.CacheScope.persisted(scd2MembersDim(s, d))
     val probes = dim.select(col("member_id")).distinct()
       .select(col("member_id"),
         explode(array(to_date(lit("2024-03-01")), to_date(lit("2024-09-01"))))
