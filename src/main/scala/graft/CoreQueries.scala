@@ -236,19 +236,25 @@ object CoreQueries {
   // calendar range covering the fixture ship dates (1992 through the
   // 1999 tail — lineitem ships up to ~4 months after the last order) so
   // the date-dim join always resolves; q08 keeps the reference's 2020–2030
-  private def fact(s: SparkSession, d: String): DataFrame =
+  private def fact(s: SparkSession, d: String): DataFrame = {
     // widen the fact input ([[graft.Par.toCores]]): with orders and
     // every dim auto-broadcast, the whole build — five hash joins plus
     // the decimal charge arithmetic — executes inside the lineitem scan
     // stage, and the one-row-group fixture gives that stage ONE task
     // (q53's cache materialization measured ~3 s single-threaded). At
     // real scale lineitem arrives in many splits and this is a no-op.
+    // The fact build only joins the dims' (natural key, surrogate key)
+    // pairs, so both rank tables come from ONE grouped prefix-sum pass
+    // ([[Gold.dimKeyRanks]]) instead of two full dim builds.
+    val (memberSks, providerSks) =
+      Gold.dimKeyRanks(t(s, d, "customer"), t(s, d, "supplier"))
     Gold.factLines(
       graft.Par.toCores(t(s, d, "lineitem")),
       t(s, d, "orders"),
-      Gold.dimMember(t(s, d, "customer")),
-      Gold.dimProvider(t(s, d, "supplier")),
+      memberSks,
+      providerSks,
       Gold.dimDate(s, "1992-01-01", "2002-12-31"))
+  }
 
   private val factSql =
     """WITH dim_member AS (

@@ -55,9 +55,13 @@ object Gold {
     * column should be natively numeric for bucket spread (any other
     * type — including digit strings, whose double order disagrees with
     * their sort order — degrades to one bucket: correct, not parallel).
+    * 16 buckets (not more): the per-row bucket/offset expressions are
+    * O(buckets) when-chains, and a dimension small enough to broadcast
+    * into the fact build doesn't need wider window parallelism — any
+    * monotone bucketing yields the identical key assignment.
     */
   def withSurrogateKey(df: DataFrame, keyName: String, naturalOrder: Seq[Column],
-      buckets: Int = 64): DataFrame =
+      buckets: Int = 16): DataFrame =
     PrefixSum.exclusiveRunningTotal(df, naturalOrder, lit(1L), keyName, buckets)
       .withColumn(keyName, col(keyName) + lit(1L))
 
@@ -83,6 +87,33 @@ object Gold {
         col("s_nationkey").as("nation_key"),
         col("s_acctbal").cast(DecimalType(18, 2)).as("account_balance")),
       "provider_sk", Seq(col("provider_id")))
+
+  /** The fact build's dimension inputs reduced to what it actually joins
+    * on: (natural key → surrogate key) for member AND provider, computed
+    * in ONE grouped prefix-sum pass over the unioned key sets instead of
+    * two independent bucketed pipelines (one cache + one quantile sketch
+    * + one offsets collect EACH — the preamble was ~40% of the fact
+    * build's stages). Keys are bit-identical to [[dimMember]] /
+    * [[dimProvider]]: row_number over the ascending natural key per
+    * table, here via [[PrefixSum.groupedExclusiveRunningTotals]]
+    * partitioned by a table tag (2 groups — literal-bounded, so the
+    * offsets broadcast). Both returned frames slice the SAME pass; its
+    * row-scale intermediate is persisted inside the grouped operator, so
+    * the second broadcast build re-reads a cache, not the tables.
+    */
+  def dimKeyRanks(customer: DataFrame, supplier: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val keys = customer.select(lit("m").as("__tag"), col("c_custkey").as("__id"))
+      .unionByName(supplier.select(lit("p").as("__tag"), col("s_suppkey").as("__id")))
+    val ranked = PrefixSum.groupedExclusiveRunningTotals(keys, Seq("__tag"),
+        Seq(col("__id")), Seq((lit(1L), "__sk0")), buckets = 16,
+        broadcastOffsets = true)
+      .withColumn("__sk", col("__sk0") + 1L)
+    (ranked.filter(col("__tag") === "m")
+       .select(col("__id").as("member_id"), col("__sk").as("member_sk")),
+     ranked.filter(col("__tag") === "p")
+       .select(col("__id").as("provider_id"), col("__sk").as("provider_sk")))
+  }
 
   /** D11: fact build — resolve surrogate keys via left joins to the dims
     * (gold:167-187) and derive metrics (gold:189-205;
