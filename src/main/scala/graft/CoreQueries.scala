@@ -1563,8 +1563,20 @@ object CoreQueries {
     * engine-portable statement of it).
     */
   def pivotRevenue(s: SparkSession, d: String): DataFrame = {
-    val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
-      (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+    // exact 4-dp revenue as BIGINT ten-thousandths per row (the Cents
+    // contract: price and discount are 2-dp doubles), accumulated in
+    // DECIMAL(38,0) — the cell sums scale with the corpus — and
+    // rescaled to double ONCE per cell (exact decimal division, scale 6
+    // ≥ the 4-dp value; the double conversion rounds once, same as the
+    // oracle's decimal-sum cast). Identical values to the per-row
+    // decimal-multiply form at a fraction of the scan CPU (the decimal
+    // cast + multiply probed ~5× primitive double arithmetic,
+    // BASELINE.md r13) — this query pays it once per conditional cell.
+    val rev4 = graft.functions.Cents.cents(col("l_extendedprice")) *
+      (lit(100L) - graft.functions.Cents.cents(col("l_discount")))
+    def cell(yr: Int) =
+      (sum(when(col("yr") === yr, rev4).cast(DecimalType(38, 0))) /
+        lit(10000)).cast("double").as(s"rev_$yr")
     t(s, d, "lineitem")
       .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
@@ -1573,10 +1585,11 @@ object CoreQueries {
       .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
         col("c_nationkey") === col("n_nationkey"))
       .withColumn("yr", year(col("l_shipdate")))
+      // the conditional-aggregation cells ARE what groupBy().pivot()
+      // compiles to — stated directly so the year filter and the cents
+      // carrier stay in one codegen'd aggregate
       .groupBy(col("n_name").as("nation"))
-      .pivot("yr", Seq(1995, 1996, 1997))
-      .agg(sum(rev).cast("double"))
-      .withColumnsRenamed(Map("1995" -> "rev_1995", "1996" -> "rev_1996", "1997" -> "rev_1997"))
+      .agg(cell(1995), cell(1996), cell(1997))
       .orderBy("nation")
   }
 

@@ -2729,9 +2729,14 @@ object LlmQueries {
     */
   def paretoFrontier(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = docs(s, d).select(col("doc_id"),
+    // persisted: the tokenize+quality scan — the query's whole per-row
+    // cost — otherwise runs THREE times: the per-length max branch, and
+    // the presentation sort's range-sample pass plus its real pass each
+    // re-execute the scan child (measured 3×~8 task-CPU-s at sf0.1).
+    // The cache is three numeric columns per doc.
+    val scored = graft.CacheScope.persisted(docs(s, d).select(col("doc_id"),
       size(TextAnalysis.tokens(col("text"))).cast("bigint").as("n_tokens"),
-      qualityScore.as("quality_score"))
+      qualityScore.as("quality_score")))
     val w = Window.orderBy("n_tokens")
     val cum = scored.groupBy("n_tokens")
       .agg(max("quality_score").as("len_max"))

@@ -42,6 +42,20 @@ class CentsSpec extends SparkSpec {
     }
   }
 
+  test("call-site input classes are 2-dp: lineitem price/discount (q38)") {
+    // q38_pivot_revenue (r15) runs Cents.cents over l_extendedprice and
+    // l_discount — the contract holds only for 2-dp inputs, so pin the
+    // fixture columns to the domain (x ≡ round(x, 2) bit-for-bit). A
+    // fixture regeneration that widens either column must fail HERE,
+    // not as a silent q38 oracle divergence.
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val bad = li.filter(
+      col("l_extendedprice") =!= round(col("l_extendedprice"), 2) ||
+        col("l_discount") =!= round(col("l_discount"), 2))
+      .count()
+    assert(bad == 0L, s"$bad lineitem rows outside the 2-dp cents domain")
+  }
+
   test("known 2-dp vectors, incl. values binary floats cannot represent") {
     // 0.29, 1234.56 etc. have no exact double form — both spellings
     // must agree because they round the SAME stored double; 3-dp
