@@ -2080,7 +2080,13 @@ object CoreQueries {
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
-    val edges = e1.unionAll(e1.select(col("dst").as("src"), col("src").as("dst")))
+    // symmetrize by exploding both directions out of ONE pass over the
+    // orders⋈lineitem join — the union-of-selects form re-executes the
+    // join once per branch (the q126 fix; hopDistances dedups after)
+    val edges = e1.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val sources = t(s, d, "customer").filter(col("c_nationkey") === 0)
       .select((col("c_custkey") * 2).as("id"))
     graft.operators.ShortestPaths.hopDistances(
@@ -2834,8 +2840,13 @@ object CoreQueries {
         (col("l_suppkey") * 2 + 1).as("b"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("a"), col("b"), (expr("1000 div cnt") + 1).as("w"))
-    val edges = pair.select(col("a").as("src"), col("b").as("dst"), col("w"))
-      .unionAll(pair.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    // symmetrize by EXPLODING both directions out of one pass: the
+    // union-of-two-selects form re-executes the orders⋈lineitem join +
+    // pair aggregate once per branch (measured ~6 task-CPU-s doubled)
+    val edges = pair.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst"), col("w")),
+        struct(col("b").as("src"), col("a").as("dst"), col("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
     val sources = t(s, d, "customer").filter(col("c_nationkey") === 0)
       .select((col("c_custkey") * 2).as("sid"))
     graft.operators.ShortestPaths.weightedDistances(
@@ -3376,9 +3387,13 @@ object CoreQueries {
     // price keyed as exact cents: ranks are identical to ranking the
     // raw double (the 2-decimal -> cents map is strictly monotone), and
     // the rank join + prefix bucketing run on BIGINT instead of DOUBLE
-    val li = t(s, d, "lineitem")
+    // persisted: the two-BIGINT-column projection feeds THREE consumers
+    // (the x rank map, the y rank map, and the row-scale cross-moment
+    // join) — unpersisted, each re-ran the scan + cents conversion
+    // (measured 3 full lineitem passes at sf0.1)
+    val li = graft.CacheScope.persisted(t(s, d, "lineitem")
       .select(col("l_quantity").cast("bigint").as("x"),
-        graft.functions.Cents.cents(col("l_extendedprice")).as("y"))
+        graft.functions.Cents.cents(col("l_extendedprice")).as("y")))
     val rx = li.groupBy("x").agg(count(lit(1)).as("cnt"))
     val rxRanked = graft.operators.PrefixSum.exclusiveRunningTotal(
         rx, Seq(col("x")), col("cnt"), "before")
