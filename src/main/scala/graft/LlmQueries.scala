@@ -4902,8 +4902,32 @@ object LlmQueries {
       .agg(max(struct(col("score_ppm"), (-col("doc_id")).as("nid"))).as("m"))
       .select(col("query_id"), (-col("m.nid")).as("neighbor_id"),
         col("m.score_ppm").as("score_ppm"))
-    val sh = DedupOps.shingleSets(dd, "text", "doc_id", shingleN = 5)
-    top1
+    // VERIFY on the RETRIEVED id set only (the q209 membership
+    // discipline): the r14 shape shingled the FULL corpus (two
+    // corpus-wide array builds, ~9.5 task-CPU-s at sf0.1) to serve a
+    // |eval|-row pair table. The retrieved ids — query_id ∪ neighbor_id
+    // — broadcast (≤ 2·|eval| longs), so the semi join stays on the
+    // scan side and only the relevant ≤ 2/7 of the corpus is ever
+    // shingled. Grams hash to Fnv64 INSIDE the array before anything
+    // leaves the scan stage: the one shuffle this verify pays (the
+    // sh_q⨝sh_t pair assembly on neighbor_id) moves 8-byte-element
+    // arrays, not ~30-byte gram strings, and array_intersect compares
+    // longs. Losslessness is the standing Fnv64 birthday argument
+    // (q26/q200): a miscount needs two DISTINCT 5-grams of one doc
+    // pair colliding in 64 bits — P < (200·200)/2^64 per pair.
+    // (An exploded relational count — gram rows joined per pair —
+    // measured 14.4 task-CPU-s / 110 MB shuffle here: the explode
+    // multiplies the pair columns onto every gram row. Rejected.)
+    // top1 persisted: it feeds the id probe, the broadcast, and the
+    // final projection.
+    val top1p = graft.CacheScope.persisted(top1)
+    val relIds = top1p.select(col("query_id").as("doc_id"))
+      .union(top1p.select(col("neighbor_id").as("doc_id"))).distinct()
+    val sh = dd.join(broadcast(relIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        transform(TextAnalysis.textShingles(col("text"), 5),
+          g => graft.expressions.Fnv64.fnv64(g)).as("sh"))
+    top1p
       .join(sh.select(col("doc_id").as("query_id"), col("sh").as("sh_q")),
         "query_id")
       .join(sh.select(col("doc_id").as("neighbor_id"), col("sh").as("sh_t")),
