@@ -361,7 +361,7 @@ object Bench {
           System.currentTimeMillis() - lastStamp > 5L * 60 * 1000) {
         try java.nio.file.Files.setLastModifiedTime(readyMarker,
           java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(_) => () }
         lastStamp = System.currentTimeMillis()
       }
     val results = sorted.map { case (name, fn) =>

@@ -163,7 +163,13 @@ object PrefixSum {
     * order within each group (by-value input guarantees it), and
     * 1 ≤ k ≤ total_cnt for every group (true for any ceil(q·n) rank
     * with n ≥ 1) — a k outside the range has no straddle row and the
-    * group is absent from the output. `broadcastCuts = true` (one row
+    * group is absent from the output. The weight contract is
+    * caller-checked, not validated here (validation would cost a full
+    * data pass per call): a zero/negative weight breaks the exclusive
+    * prefix arithmetic and SILENTLY drops or misplaces the group's
+    * straddle row — callers deriving weights from counts are safe by
+    * construction; anything else must pre-filter. `broadcastCuts =
+    * true` (one row
     * per GROUP) is safe whenever the group domain is bounded; leave
     * false when groups scale with the data.
     */
@@ -172,6 +178,11 @@ object PrefixSum {
       measures: Seq[(Column, String)], kSql: String,
       buckets: Int = 16, broadcastCuts: Boolean = false): DataFrame = {
     require(partCols.nonEmpty)
+    // buckets = 1 degrades to the plain prefix pass (one whole-group
+    // cut window) and stays correct; 0 or negative would build an
+    // empty quantile grid and a malformed bucket expression — fail
+    // loudly instead of returning wrong straddle rows.
+    require(buckets >= 1, s"groupedRankRow: buckets must be >= 1, got $buckets")
     val ms = measures.zipWithIndex
     val byVal = graft.CacheScope.persisted(
       ms.foldLeft(byVal0

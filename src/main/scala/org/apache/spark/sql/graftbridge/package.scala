@@ -38,6 +38,15 @@ package object graftbridge {
     * reattachable (constructor-private), so consumers see unknown
     * size — conservative for join-side planning, which is exactly what
     * node-scale graph tables want (never broadcast).
+    *
+    * The recorded `outputOrdering` (and origin constraints) are dropped
+    * along with the partitioning: `SortOrder` carries the same
+    * per-instance attribute references the canonicalization gap trips
+    * on, and no caller checkpoints a sorted frame — the iterative
+    * operators this serves re-shuffle every round. A future caller that
+    * DOES checkpoint a sorted frame stays correct but pays a redundant
+    * downstream sort; re-derive the ordering claim before preserving it
+    * here.
     */
   def eraseScanPartitioning(df: DataFrame): DataFrame =
     df.queryExecution.analyzed match {
