@@ -159,6 +159,12 @@ object Bm25 {
     * are vocabulary-/constant-sized, a fraction of the posting volume
     * at any corpus scale. Query results after append are bit-identical
     * to a from-scratch build over the union corpus.
+    *
+    * The batch's doc_ids must be NEW: re-appending an id already in the
+    * index double-counts it everywhere (duplicate doclens rows fan out
+    * the candidate join; nd counts it twice) with no error — "union
+    * corpus" above is a disjoint union. Upsert-style re-ingest belongs
+    * to a VersionedTable MERGE in front of the index build, not here.
     */
   def appendToBm25Index(docs: DataFrame, textCol: String, idCol: String,
       indexDir: String): Unit = {

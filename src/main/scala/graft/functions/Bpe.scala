@@ -92,6 +92,13 @@ object Bpe {
     * time path [[encode]] wraps, exposed for per-slice evaluation
     * (e.g. fertility by source). The table is collected driver-side
     * (vocabulary-budget-sized, never data-sized).
+    *
+    * Contract: `sym` elements are non-null and `rank` values unique.
+    * A NULL element is SILENTLY dropped by the merge fold (the
+    * null-pending state reads as "nothing buffered", so the element is
+    * never emitted); duplicate ranks apply in nondeterministic order.
+    * [[vocab]]-produced input satisfies both by construction — external
+    * tables must too.
     */
   def applyMerges(vocab: DataFrame, mergeTable: DataFrame): DataFrame = {
     val spark = vocab.sparkSession

@@ -29,8 +29,12 @@ object HistogramSketch {
   /** Build the (bin, cnt) histogram of `valueCol` (integer-valued) over
     * the closed domain [lo, hi].
     *
-    * PRECONDITION: every value lies in [lo, hi] — the callers derive
-    * (lo, hi) from the data's own min/max, which guarantees it. An
+    * PRECONDITION: every value is NON-NULL and lies in [lo, hi] — the
+    * callers derive (lo, hi) from the data's own min/max, which
+    * guarantees the range but NOT nullity (min/max ignore nulls): a
+    * NULL value mints a NULL bin that sorts before bin 0 in the
+    * cumulative walk and silently shifts every quantile rank —
+    * null-bearing columns must be filtered first. An
     * out-of-domain value is NOT detected: below-lo values alias into
     * low bins and above-hi values mint bins past `bins-1`, both
     * silently distorting quantiles — a caller binning against a FIXED
@@ -64,8 +68,14 @@ object HistogramSketch {
       .withColumn("cumb", sum("cb").over(Window.orderBy("bin")))
       .crossJoin(broadcast(m.agg(sum("ca").as("na"), sum("cb").as("nb"))))
       .groupBy("na", "nb")
-      .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
-        .as("d_num"))
+      // cum·n cross-products scale with BOTH corpus masses (na·nb at
+      // ~3e9 docs a side crosses 2^63): the products run in
+      // DECIMAL(38,0) and only the max casts back (the q213/q253
+      // cast-first discipline — values identical below the output's
+      // own Long ceiling)
+      .agg(max(abs(expr("CAST(cuma AS DECIMAL(38,0)) * nb") -
+          expr("CAST(cumb AS DECIMAL(38,0)) * na")))
+        .cast("bigint").as("d_num"))
       .select(col("na"), col("nb"), col("d_num"),
         expr("(CAST(d_num AS DECIMAL(38,0)) * 1000000)" +
           " div (CAST(na AS DECIMAL(38,0)) * nb)").as("d_ppm"))
@@ -87,7 +97,11 @@ object HistogramSketch {
     cum
       .select(col("bin"), col("cum"), col("n"),
         explode(array(qPermille.map(q => lit(q.toLong)): _*)).as("q_permille"))
-      .filter(col("cum") * 1000 >= col("q_permille") * col("n"))
+      // rank comparison in DECIMAL(38,0): cum·1000 and q·n scale with
+      // the corpus row count (wraps past ~9.2e15 rows in BIGINT);
+      // exact integer comparison, so values are unchanged in-domain
+      .filter(expr("CAST(cum AS DECIMAL(38,0)) * 1000" +
+        " >= CAST(q_permille AS DECIMAL(38,0)) * n"))
       .groupBy("q_permille").agg(min("bin").as("bin"))
       .select(col("q_permille"),
         // bin b holds v with (v-lo)·bins div span == b, so its TRUE

@@ -20,8 +20,13 @@ object Packing {
 
   /** Assign each document a `pack_id` / `pack_offset` under capacity-
     * `capacity` windows over the token stream ordered by `idCol` (must be
-    * a total order). `tokenCount` is any non-null integer expression
-    * (e.g. whitespace or BPE-proxy token counts from [[TextAnalysis]]).
+    * a total order). `tokenCount` is any NON-NULL, NON-NEGATIVE integer
+    * expression (e.g. whitespace or BPE-proxy token counts from
+    * [[TextAnalysis]]); the contract is caller-checked — a NULL count
+    * is skipped by the prefix sums (the document packs as if zero-width,
+    * shifting every later offset) and a negative count walks offsets
+    * backwards, both silently (count expressions derived from
+    * size()/length() satisfy it by construction).
     */
   def packSequences(docs: DataFrame, idCol: Column, tokenCount: Column,
       capacity: Int): DataFrame = {

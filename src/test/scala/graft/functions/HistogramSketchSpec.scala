@@ -76,6 +76,31 @@ class HistogramSketchSpec extends SparkSpec {
     assert(est.select($"est_hi").as[Long].head() == 3L)
   }
 
+  test("ksStat cross-products survive corpus-mass counts past 2^63") {
+    // cuma·nb = 4e9·5e9 = 2e19 overflows BIGINT; the distance itself
+    // (7.5e18) fits — the decimal intermediate must keep it exact
+    val skA = Seq((0L, 4000000000L), (1L, 1000000000L)).toDF("bin", "cnt")
+    val skB = Seq((0L, 2500000000L), (1L, 2500000000L)).toDF("bin", "cnt")
+    val r = HistogramSketch.ksStat(skA, skB)
+      .as[(Long, Long, Long, java.math.BigDecimal)].head()
+    assert(r._1 == 5000000000L && r._2 == 5000000000L)
+    assert(r._3 == 7500000000000000000L,
+      s"d_num wrapped: ${r._3}")
+    // d_ppm = 7.5e18 · 1e6 div (5e9 · 5e9) = 300000
+    assert(r._4.longValueExact() == 300000L)
+  }
+
+  test("quantile rank comparison survives corpus-mass totals past 2^63/1000") {
+    // n = 2e16 rows: q·n = 990·2e16 ≈ 2e19 wraps in BIGINT, flipping
+    // the rank filter's sign and electing bin 0 for every quantile
+    val sk = Seq((0L, 5000000000000000L), (1L, 5000000000000000L),
+      (2L, 5000000000000000L), (3L, 5000000000000000L)).toDF("bin", "cnt")
+    val est = HistogramSketch.quantiles(sk, Seq(500, 990), 4, 0L, 3L)
+      .select($"q_permille", $"est_hi").as[(Long, Long)].collect().toMap
+    assert(est(500L) == 1L, s"p50 elected the wrong bin: ${est(500L)}")
+    assert(est(990L) == 3L, s"p99 elected the wrong bin: ${est(990L)}")
+  }
+
   test("sketch is bounded and layout-independent") {
     val s1 = HistogramSketch.sketch(cents, "cents", B, lo, hi)
     assert(s1.count() <= B)
