@@ -56,6 +56,26 @@ class CentsSpec extends SparkSpec {
     assert(bad == 0L, s"$bad lineitem rows outside the 2-dp cents domain")
   }
 
+  test("call-site input classes are 2-dp: l_tax, o_totalprice, events.value") {
+    // Every OTHER Cents.cents call-site input class in the registry:
+    // l_tax (q80 margin waterfall), o_totalprice (q12/q53/q122/q172/…
+    // rollups and histogram domains), events.value (q143 TWAP, whose
+    // scaladoc documents this exact contract). Same rationale as the
+    // lineitem test above: a fixture regeneration that emits 3-dp
+    // amounts must fail HERE, not as a silent oracle divergence on
+    // whichever query the driver happens to diff first.
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    assert(li.filter(col("l_tax") =!= round(col("l_tax"), 2)).count() == 0L,
+      "l_tax rows outside the 2-dp cents domain")
+    val ord = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    assert(ord.filter(
+      col("o_totalprice") =!= round(col("o_totalprice"), 2)).count() == 0L,
+      "o_totalprice rows outside the 2-dp cents domain")
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    assert(ev.filter(col("value") =!= round(col("value"), 2)).count() == 0L,
+      "events.value rows outside the 2-dp cents domain")
+  }
+
   test("known 2-dp vectors, incl. values binary floats cannot represent") {
     // 0.29, 1234.56 etc. have no exact double form — both spellings
     // must agree because they round the SAME stored double; 3-dp
