@@ -83,7 +83,17 @@ class PlanHygieneSpec extends SparkSpec {
     // same shape as q91 (cluster-partitioned rank over the CC label
     // join); visible to the checker only since r14, when q213 stopped
     // hiding its pipeline inside a persisted (cache-leaf) subtree
-    "q213_dedup_mixture_shift"
+    "q213_dedup_mixture_shift",
+    // Gold.dimKeyRanks (r15): ONE grouped prefix-sum pass over the
+    // UNION of the member/provider key sets, partitioned by a literal
+    // table tag. The union branches are tag-disjoint, so each
+    // (tag, bucket) window partition sees exactly one dim's quantile
+    // bucket (~|dim|/buckets) — the identical bound the pre-fold
+    // per-dim surrogate-key pass carried without tripping the checker
+    // (single-table input); the union adds a disjoint branch, not
+    // per-key multiplicity
+    "q11_fact_star",
+    "q41_provider_rollup"
   )
 
   test("no unapproved global windows or cartesian joins in any query") {
