@@ -481,7 +481,10 @@ object ExtQueries {
       .select(col("band_rows"), (lit(16L) / col("band_rows")).cast("bigint")
           .as("n_bands"), col("n_pairs"), lit(nTruth).as("n_truth"))
       .withColumn("recall_ppm",
-        expr("n_pairs * 1000000L div n_truth"))
+        // verified pair counts scale with the corpus's dup mass: ppm
+        // through DECIMAL(38,0) (the q253 cast-first discipline)
+        expr("CAST(CAST(n_pairs AS DECIMAL(38,0)) * 1000000" +
+          " div n_truth AS BIGINT)"))
       .orderBy("band_rows")
   }
 
@@ -1118,7 +1121,12 @@ object ExtQueries {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
       .withColumn("coeff_ppm",
         when(col("degree") >= 2,
-          expr("2 * n_triangles * 1000000L div (degree * (degree - 1))"))
+          // per-node triangles are quadratic in degree (≤ d(d−1)/2)
+          // and d² itself wraps past d ~ 3e9 hubs: both sides of the
+          // divide ride DECIMAL(38,0) (the q253 cast-first discipline)
+          expr("""CAST(CAST(2 AS DECIMAL(38,0)) * n_triangles * 1000000
+                 |  div (CAST(degree AS DECIMAL(38,0)) * (degree - 1))
+                 |  AS BIGINT)""".stripMargin))
           .otherwise(0L).cast("bigint"))
       .orderBy("part_id")
   }
@@ -2227,8 +2235,10 @@ object ExtQueries {
       .select(col("yr"), col("mo"),
         col("adj_c").cast("bigint").as("adj_c"),
         col("prev_adj_c").cast("bigint").as("prev_adj_c"),
-        expr("(adj_c - prev_adj_c) * 1000000L div prev_adj_c")
-          .as("growth_ppm"))
+        // monthly revenue-cents masses scale with the corpus ($92B a
+        // month crosses 2^63/10⁶): ppm through DECIMAL(38,0)
+        expr("CAST(CAST(adj_c - prev_adj_c AS DECIMAL(38,0)) * 1000000" +
+          " div prev_adj_c AS BIGINT)").as("growth_ppm"))
       .orderBy("yr", "mo")
   }
 
@@ -3465,7 +3475,10 @@ object ExtQueries {
       .join(broadcast(sizes), Seq("source"))
       .select(col("source").as("source_a"), col("source_b"),
         col("n_common"), col("n_a"),
-        expr("n_common * 1000000 div n_a").as("containment_ppm"))
+        // cross-source shared-shingle TYPE counts scale with the
+        // corpus's shingle mass: ppm through DECIMAL(38,0)
+        expr("CAST(CAST(n_common AS DECIMAL(38,0)) * 1000000" +
+          " div n_a AS BIGINT)").as("containment_ppm"))
       .orderBy("source_a", "source_b")
   }
 
