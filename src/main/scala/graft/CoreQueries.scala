@@ -936,10 +936,20 @@ object CoreQueries {
     * → ≤ 1% rank error; 2% asserted for discretization headroom).
     */
   def approxPercentileSketch(s: SparkSession, d: String): DataFrame = {
-    val charged = t(s, d, "lineitem")
-      .withColumn("charge",
-        (col("l_extendedprice").cast(DecimalType(18, 2)) *
-          (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).cast("double"))
+    // charge per row WITHOUT per-row decimal: price·(1−disc) as exact
+    // BIGINT ten-thousandths (the q38 Cents device — both factors are
+    // 2-dp, so the 4-dp integer product is exact), rescaled by one
+    // IEEE divide. Bit-equal to the decimal spelling: v4 < 2^53 is an
+    // exact double and /10000.0 rounds the same rational the
+    // DECIMAL(23,4)→DOUBLE cast rounds. Persisted: the sketch pass and
+    // the exact/rank-certificate pass otherwise each re-run the scan
+    // (two full per-row passes — measured 13.7 task-CPU-s on the
+    // resharded bench layout, the suite's #2 CPU sink).
+    val charged = CacheScope.persisted(t(s, d, "lineitem")
+      .select(col("l_returnflag"),
+        ((graft.functions.Cents.cents(col("l_extendedprice")) *
+          (lit(100L) - graft.functions.Cents.cents(col("l_discount"))))
+          .cast("double") / 10000.0).as("charge")))
     val sketch = charged.groupBy(col("l_returnflag"))
       .agg(percentile_approx(col("charge"), lit(0.5), lit(100)).as("approx_p50"))
     charged.join(broadcast(sketch), "l_returnflag")
