@@ -1352,7 +1352,7 @@ object ExtQueries {
        |ORDER BY ov.doc_a, ov.doc_b""".stripMargin
 
   /** q224 — T5-style span corruption plan: deterministic mask spans
-    * (every position whose md5 draw hits 1-in-20 starts a 3-token
+    * (every position whose Fnv64 draw hits 1-in-20 starts a 3-token
     * span), per document the masked-position count (overlaps unioned),
     * span count, and corruption rate ppm — the pretraining data-prep
     * transform computed as a pure scan (positions explode → two
@@ -1367,19 +1367,22 @@ object ExtQueries {
       .filter(length(col("text")) > 0)
       .select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).cast("bigint").as("n"))
+    // the start draw is Fnv64, not md5: the draw runs THREE times per
+    // token position (own + two predecessors), and md5 allocates a
+    // digest + hex string per call where Fnv64 is a register loop (the
+    // q70 playbook — 80.9→7.0 task-CPU-s there). Sign bit is cleared
+    // by the expression, so % 20 is already non-negative.
+    def draw(pc: Column) =
+      graft.expressions.Fnv64.fnv64(concat(lit("span-v1|"),
+        col("doc_id").cast("string"), lit("|"), pc.cast("string"))) %
+        20 === 0
     val pos = base.select(col("doc_id"), col("n"),
       explode(sequence(lit(1L), col("n"))).as("p"))
-      .withColumn("starts",
-        conv(substring(md5(concat(lit("span-v1|"),
-          col("doc_id").cast("string"), lit("|"), col("p").cast("string"))),
-          1, 8), 16, 10).cast("bigint") % 20 === 0)
+      .withColumn("starts", draw(col("p")))
     // masked(p) ⟺ a span starts in [p-2, p]; recompute the start draw
     // for the two predecessors scan-locally (no self-join, no window)
     def startAt(off: Int) =
-      conv(substring(md5(concat(lit("span-v1|"),
-        col("doc_id").cast("string"), lit("|"),
-        (col("p") - off).cast("string"))), 1, 8), 16, 10)
-        .cast("bigint") % 20 === 0 && col("p") - off >= 1
+      draw(col("p") - off) && col("p") - off >= 1
     pos
       .withColumn("masked", col("starts") || startAt(1) || startAt(2))
       .groupBy("doc_id")
@@ -1390,24 +1393,20 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
-  val spanCorruptionOracle: String =
-    """WITH base AS (
+  val spanCorruptionOracle: String = {
+    def draw(p: String) = graft.expressions.Fnv64.sql(
+      s"'span-v1|' || CAST(doc_id AS VARCHAR) || '|' || CAST($p AS VARCHAR)")
+    s"""WITH base AS (
       |  SELECT doc_id,
-      |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n
+      |    CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n
       |  FROM documents WHERE length(text) > 0
       |), pos AS (
       |  SELECT doc_id, n, unnest(range(1, n + 1)) AS p FROM base
       |), f AS (
       |  SELECT doc_id, n, p,
-      |    CAST('0x' || substr(md5('span-v1|' || CAST(doc_id AS VARCHAR)
-      |      || '|' || CAST(p AS VARCHAR)), 1, 8) AS BIGINT) % 20 = 0
-      |      AS starts,
-      |    (p - 1 >= 1 AND CAST('0x' || substr(md5('span-v1|'
-      |      || CAST(doc_id AS VARCHAR) || '|' || CAST(p - 1 AS VARCHAR)),
-      |      1, 8) AS BIGINT) % 20 = 0) AS s1,
-      |    (p - 2 >= 1 AND CAST('0x' || substr(md5('span-v1|'
-      |      || CAST(doc_id AS VARCHAR) || '|' || CAST(p - 2 AS VARCHAR)),
-      |      1, 8) AS BIGINT) % 20 = 0) AS s2
+      |    ${draw("p")} % 20 = 0 AS starts,
+      |    (p - 1 >= 1 AND ${draw("p - 1")} % 20 = 0) AS s1,
+      |    (p - 2 >= 1 AND ${draw("p - 2")} % 20 = 0) AS s2
       |  FROM pos
       |)
       |SELECT doc_id, max(n) AS n_tokens,
@@ -1417,6 +1416,7 @@ object ExtQueries {
       |  CAST(sum(CASE WHEN starts OR s1 OR s2 THEN 1 ELSE 0 END) * 1000000
       |    // max(n) AS BIGINT) AS corruption_ppm
       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   /** q225 — rare-knowledge retention audit: 5-gram phrases with corpus
     * document frequency ≤ 2 are the "rare knowledge" a quality filter
