@@ -109,4 +109,28 @@ class Fnv64Spec extends SparkSpec {
     // the sign-cleared offset basis)
     assert(sqlModel("") == Fnv64.hash(UTF8String.fromString("")))
   }
+
+  test("hashed-array intersect counts equal string-array intersect counts") {
+    // the q252 losslessness argument in executable form: hashing each
+    // element of two DISTINCT string arrays preserves the intersection
+    // size absent a 64-bit collision (none on any generated input).
+    // Generated word sets with forced overlap, plus the edge shapes
+    // (both empty, one empty, identical, disjoint).
+    val r = new scala.util.Random(7)
+    def words(n: Int, offset: Int): Seq[String] =
+      (0 until n).map(i => s"w${offset + r.nextInt(40)}-$i")
+    val cases: Seq[(Seq[String], Seq[String])] =
+      Seq((Nil, Nil), (Nil, Seq("a")), (Seq("a", "b"), Seq("a", "b")),
+        (Seq("a"), Seq("b"))) ++
+        (1 to 40).map(i => (words(i % 17 + 1, 0).distinct,
+          words(i % 23 + 1, i % 3).distinct))
+    val df = cases.toDF("a", "b")
+      .select(
+        size(array_intersect($"a", $"b")).as("raw"),
+        size(array_intersect(
+          transform($"a", g => Fnv64.fnv64(g)),
+          transform($"b", g => Fnv64.fnv64(g)))).as("hashed"))
+    assert(df.filter($"raw" =!= $"hashed").count() == 0L,
+      "Fnv64 element hashing changed an intersection count")
+  }
 }

@@ -76,6 +76,37 @@ class CentsSpec extends SparkSpec {
       "events.value rows outside the 2-dp cents domain")
   }
 
+  test("property: cents-product / 10⁴ is bit-equal to the decimal-cast charge") {
+    // the q64 rewrite's claim in executable form: for 2-dp price p and
+    // 2-dp discount d, (cents(p)·(100−cents(d))) / 10000.0 equals
+    // CAST(p AS DEC(18,2))·(1−CAST(d AS DEC(4,2))) cast to DOUBLE,
+    // bit-for-bit. Holds while the 4-dp integer product stays under
+    // 2⁵³ (exact as a double, so the single IEEE divide rounds the
+    // same rational the DECIMAL→DOUBLE cast rounds); price cents up to
+    // 10¹¹ · discount 100 = 10¹³ stays inside with 2⁹ to spare.
+    val priceGen = Gen.oneOf(
+      Gen.choose(1L, 20000000L),            // everyday line amounts
+      Gen.choose(1L, 100000000000L),        // large totals
+      Gen.oneOf(1L, 99L, 100L, 101L, 99999999999L))
+    val discGen = Gen.choose(0L, 100L)      // 0.00 .. 1.00 in cents
+    val rows = (1 to 300).map { i =>
+      (sample(priceGen, i.toLong) / 100.0, sample(discGen, 1000L + i) / 100.0)
+    }
+    val out = rows.toDF("p", "d")
+      .select(
+        ((Cents.cents(col("p")) * (lit(100L) - Cents.cents(col("d"))))
+          .cast("double") / 10000.0).as("fast"),
+        (expr("CAST(p AS DECIMAL(18,2))") *
+          (lit(1) - expr("CAST(d AS DECIMAL(4,2))"))).cast("double")
+          .as("oracle"))
+      .collect()
+    out.zip(rows).foreach { case (r, (p, d)) =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"charge divergence at p=$p d=$d")
+    }
+  }
+
   test("known 2-dp vectors, incl. values binary floats cannot represent") {
     // 0.29, 1234.56 etc. have no exact double form — both spellings
     // must agree because they round the SAME stored double; 3-dp
