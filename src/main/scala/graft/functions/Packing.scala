@@ -22,11 +22,13 @@ object Packing {
     * `capacity` windows over the token stream ordered by `idCol` (must be
     * a total order). `tokenCount` is any NON-NULL, NON-NEGATIVE integer
     * expression (e.g. whitespace or BPE-proxy token counts from
-    * [[TextAnalysis]]); the contract is caller-checked — a NULL count
-    * is skipped by the prefix sums (the document packs as if zero-width,
-    * shifting every later offset) and a negative count walks offsets
-    * backwards, both silently (count expressions derived from
-    * size()/length() satisfy it by construction).
+    * [[TextAnalysis]]); a NULL count fails LOUDLY in the prefix pass
+    * (PrefixSum counts nulls inside its bounded bucket aggregate —
+    * before that check the failure depended on bucketing: an
+    * exception when a bucket held only nulls, a silent zero-width
+    * pack otherwise), while a negative count walks offsets backwards
+    * silently and stays caller-checked (count expressions derived
+    * from size()/length() are non-negative by construction).
     */
   def packSequences(docs: DataFrame, idCol: Column, tokenCount: Column,
       capacity: Int): DataFrame = {

@@ -79,9 +79,22 @@ object PrefixSum {
     // per-bucket totals -> exclusive base offsets; bounded by `buckets`,
     // never by the data, and folded into a codegen'd when-chain (no
     // join or extra exchange in the plan)
-    val sums = bucketed.groupBy(col("__ps_bucket"))
-      .agg(sum(col("__ps_val")).as("__ps_sum"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // null count rides the SAME bounded aggregate (no extra pass): a
+    // NULL value violates the non-null contract, and without this
+    // check the failure mode depended on bucketing — loud
+    // (ROW_VALUE_IS_NULL at this collect) when a bucket held only
+    // nulls, SILENT zero-width otherwise (sum skips nulls). Contract
+    // violations must be deterministic.
+    val sumRows = bucketed.groupBy(col("__ps_bucket"))
+      .agg(sum(col("__ps_val")).as("__ps_sum"),
+        count(lit(1)).as("__ps_n"), count(col("__ps_val")).as("__ps_nn"))
+      .collect()
+    val nulls = sumRows.map(r => r.getLong(2) - r.getLong(3)).sum
+    require(nulls == 0L,
+      s"exclusiveRunningTotal: $nulls NULL value(s) in the running-total " +
+        "column — the contract requires non-null values (a NULL would " +
+        "otherwise silently pack as zero-width)")
+    val sums = sumRows.map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = sums.map(_._1).zip(
       sums.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
     val offsetExpr = offsets.foldLeft(lit(0L)) { case (acc, (b, off)) =>

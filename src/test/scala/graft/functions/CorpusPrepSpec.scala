@@ -126,6 +126,30 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("packSequences rejects NULL token counts LOUDLY (documented contract)") {
+    // before PrefixSum's in-aggregate null count, this failure mode
+    // depended on quantile bucketing: an opaque ROW_VALUE_IS_NULL when
+    // the null row landed alone in a bucket, a SILENT zero-width pack
+    // otherwise. The contract violation must be deterministic.
+    val in = Seq((1L, Some(10L)), (2L, None: Option[Long]), (3L, Some(20L)))
+      .toDF("doc_id", "cnt")
+    val e = intercept[IllegalArgumentException] {
+      Packing.packSequences(in, $"doc_id", $"cnt", capacity = 16)
+        .collect()
+    }
+    assert(e.getMessage.contains("NULL value"), e.getMessage)
+  }
+
+  test("applyMerges silently drops NULL sym elements (documented contract)") {
+    val table = Seq((1, "a", "b")).toDF("rank", "l", "r")
+    val in = Seq((Seq(Some("a"), None, Some("a"), Some("b")), 1L))
+      .toDF("sym", "cnt")
+    val out = Bpe.applyMerges(in, table)
+      .as[(Seq[String], Long)].collect().head._1
+    // the NULL vanishes; the (a, b) at positions 3-4 still merges
+    assert(out == Seq("a", "ab"), s"got $out")
+  }
+
   test("dupClusters: every near-dup pair lands inside one cluster") {
     val pairs = DedupOps.simhashPairs(
         DedupOps.simhashSignatures(docs, "text", "doc_id"))
