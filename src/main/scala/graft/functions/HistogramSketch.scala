@@ -32,9 +32,9 @@ object HistogramSketch {
     * PRECONDITION: every value is NON-NULL and lies in [lo, hi] — the
     * callers derive (lo, hi) from the data's own min/max, which
     * guarantees the range but NOT nullity (min/max ignore nulls): a
-    * NULL value mints a NULL bin that sorts before bin 0 in the
-    * cumulative walk and silently shifts every quantile rank —
-    * null-bearing columns must be filtered first. An
+    * NULL value mints a NULL bin — [[quantiles]] and [[ksStat]] reject
+    * it loudly (rejectNullBin), so null-bearing columns must be
+    * filtered before sketching. An
     * out-of-domain value is NOT detected: below-lo values alias into
     * low bins and above-hi values mint bins past `bins-1`, both
     * silently distorting quantiles — a caller binning against a FIXED
@@ -64,6 +64,7 @@ object HistogramSketch {
         .join(skB.select(col("bin"), col("cnt").as("cb")), Seq("bin"), "full_outer")
         .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
           coalesce(col("cb"), lit(0L)).as("cb")))
+    rejectNullBin(m)
     m.withColumn("cuma", sum("ca").over(Window.orderBy("bin")))
       .withColumn("cumb", sum("cb").over(Window.orderBy("bin")))
       .crossJoin(broadcast(m.agg(sum("ca").as("na"), sum("cb").as("nb"))))
@@ -81,6 +82,20 @@ object HistogramSketch {
           " div (CAST(na AS DECIMAL(38,0)) * nb)").as("d_ppm"))
   }
 
+  /** A NULL bin (minted by a NULL input value — see [[sketch]]'s
+    * precondition) sorts before bin 0 in the cumulative walks and
+    * silently shifts every rank; reject it deterministically instead.
+    * One tiny driver job over an already-persisted ≤bins-row frame —
+    * the PrefixSum null-check discipline.
+    */
+  private def rejectNullBin(sk: DataFrame): Unit = {
+    val nulls = sk.filter(col("bin").isNull).count()
+    require(nulls == 0L,
+      "HistogramSketch: NULL bin in the sketch — the value column " +
+        "contained NULLs; filter them before sketching (min/max-derived " +
+        "domains do not exclude nulls)")
+  }
+
   /** Estimate the `qPermille` quantiles (e.g. 500 = median) from a
     * sketch: per q, the upper edge of the first bin whose cumulative
     * count reaches q·N/1000, plus the one-bin-width error bound.
@@ -91,6 +106,7 @@ object HistogramSketch {
     // the sketch aggregation feeds the cumulative walk AND the total —
     // persist the ≤bins rows rather than re-running the build twice
     val skP = graft.CacheScope.persisted(sk)
+    rejectNullBin(skP)
     val cum = skP
       .withColumn("cum", sum("cnt").over(Window.orderBy("bin")))
       .crossJoin(broadcast(skP.agg(sum("cnt").as("n"))))

@@ -101,6 +101,23 @@ class HistogramSketchSpec extends SparkSpec {
     assert(est(990L) == 3L, s"p99 elected the wrong bin: ${est(990L)}")
   }
 
+  test("NULL input values are rejected loudly, not silently rank-shifted") {
+    // a NULL value mints a NULL bin that would sort before bin 0 and
+    // shift every cumulative rank; both consumers must refuse it
+    val withNull = Seq(Some(1L), None, Some(5L)).toDF("v")
+    val sk = HistogramSketch.sketch(withNull, "v", 4, 0L, 9L)
+    val eq = intercept[IllegalArgumentException] {
+      HistogramSketch.quantiles(sk, Seq(500), 4, 0L, 9L).collect()
+    }
+    assert(eq.getMessage.contains("NULL bin"), eq.getMessage)
+    val clean = Seq(2L, 3L).toDF("v")
+    val ek = intercept[IllegalArgumentException] {
+      HistogramSketch.ksStat(sk,
+        HistogramSketch.sketch(clean, "v", 4, 0L, 9L)).collect()
+    }
+    assert(ek.getMessage.contains("NULL bin"), ek.getMessage)
+  }
+
   test("sketch is bounded and layout-independent") {
     val s1 = HistogramSketch.sketch(cents, "cents", B, lo, hi)
     assert(s1.count() <= B)
